@@ -30,6 +30,10 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     results = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -53,8 +57,8 @@ def main():
         if len(got) != len(exp):
             results[name] = f"ROWS got={len(got)} exp={len(exp)}"
             continue
-        g = got[gc].applymap(norm) if hasattr(got[gc], 'applymap') else got[gc].map(norm)
-        e = exp[ec].applymap(norm) if hasattr(exp[ec], 'applymap') else exp[ec].map(norm)
+        g = got[gc].map(norm) if hasattr(got[gc], 'map') else got[gc].applymap(norm)
+        e = exp[ec].map(norm) if hasattr(exp[ec], 'map') else exp[ec].applymap(norm)
         g = g.sort_values(by=gc).reset_index(drop=True)
         e = e.sort_values(by=ec).reset_index(drop=True)
         if g.equals(e):
@@ -66,6 +70,9 @@ def main():
             for i in idx:
                 detail.append(f"row{i}: got={g.iloc[i].tolist()} exp={e.iloc[i].tolist()}")
             results[name] = "VALUES " + " | ".join(detail)
+    if not results:
+        print("ERROR: no queries compared", file=sys.stderr)
+        sys.exit(2)
     ok = sum(1 for v in results.values() if v == "OK")
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}: {v}")

@@ -1,15 +1,21 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.queries.QuerySpec
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the full operator inventory of SURVEY.md §2 (one entry per
   * implemented capability); `oracleSql` holds the DuckDB-equivalent ANSI SQL
   * for every SQL-expressible entry. Queries are grouped by module under
-  * `graft.queries` and aggregated here.
+  * `graft.queries` / `graft.llm` and aggregated here. The primary query
+  * surface is SQL text through `spark.sql` — the same contract as the
+  * reference (datafusion-flight-sql-server/src/service.rs:171).
   */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A join + aggregation spanning the star schema — exercises scan,
     * broadcast join, partial aggregation, and sort in one plan.
@@ -24,12 +30,26 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Full inventory: one spec per implemented operator from SURVEY.md §2
+    * plus the LLM-data-pipeline operators.
+    */
+  val specs: Map[String, QuerySpec] =
+    graft.queries.RelationalQueries.specs ++
+      graft.queries.WindowQueries.specs ++
+      graft.queries.AggQueries.specs ++
+      graft.queries.FunctionQueries.specs ++
+      graft.queries.StructureQueries.specs ++
+      graft.queries.SourceQueries.specs ++
+      graft.llm.LlmQueries.specs
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    specs.map { case (k, v) => k -> v.run }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops (driver
+    * records a rows-only check).
+    */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracles
+    specs.collect { case (k, QuerySpec(_, Some(o))) => k -> o }
 }

@@ -1,0 +1,180 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{QuerySpec, Tables}
+import graft.queries.QuerySpec.{df, sql2}
+
+/** LLM-training-data pipeline operators over the `documents`, `embeddings`
+  * and `events` fixtures: deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding cosine), similarity search (brute-force +
+  * LSH-bucketed ANN), text analysis (language-ID heuristic, quality
+  * scoring, token counting, fingerprinting), multimodal binary-column
+  * plumbing.
+  *
+  * Pairwise dedup queries run on the doc_id % 5 subset: this synthetic
+  * corpus draws every document from a 31-word vocabulary, so most documents
+  * are near-duplicates of each other — unrestricted pair generation would
+  * be quadratic in a way real corpora (where shingles are rare) are not.
+  * The algorithms themselves are the scale-safe formulations (banded /
+  * bucketed equi-joins, never a cross-join).
+  */
+object LlmQueries {
+
+  /** Exact brute-force word-set Jaccard (the oracle for both the LSH and
+    * the direct formulation), restricted to the doc_id % 5 subset.
+    */
+  private def jaccardOracleDuck(threshold: String): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+       |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+       |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id)
+       |SELECT id1, id2, ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+       |FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+       |WHERE c >= $threshold * (s1.n + s2.n - c)
+       |ORDER BY id1, id2""".stripMargin
+
+  val specs: Map[String, QuerySpec] = Map(
+    // ---- deduplication ----
+
+    // Exact dedup: one hash-groupBy (map-side combined); representative =
+    // min doc_id per content hash.
+    "q_dedup_exact" -> sql2(
+      """SELECT md5(lower(trim(text))) AS content_hash, MIN(doc_id) AS keep_id,
+        |COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(lower(trim(text)))
+        |ORDER BY keep_id""".stripMargin,
+      """SELECT md5(lower(trim(text))) AS content_hash, MIN(doc_id) AS keep_id,
+        |COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(lower(trim(text)))
+        |ORDER BY keep_id""".stripMargin),
+
+    // MinHash+LSH candidates verified by exact Jaccard; oracle = brute force.
+    "q_dedup_minhash" -> df(
+      (s, d) => MinHashDedup.nearDuplicates(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0), 0.95),
+      jaccardOracleDuck("0.95")),
+
+    // Direct scale-safe n-gram (word-set) Jaccard: pair generation by
+    // equi-join on shared shingles, no LSH approximation.
+    "q_dedup_ngram_jaccard" -> sql2(
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT DISTINCT doc_id, word FROM d LATERAL VIEW explode(split(text, ' ')) t AS word),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id)
+        |SELECT id1, id2, ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+        |FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |WHERE c >= 0.9 * (s1.n + s2.n - c)
+        |ORDER BY id1, id2""".stripMargin,
+      jaccardOracleDuck("0.9")),
+
+    // SimHash with banded candidates; pigeonhole (4 bands, hamming ≤ 3)
+    // makes the banded answer provably equal the oracle's all-pairs answer.
+    "q_dedup_simhash" -> df(
+      (s, d) => SimHashDedup.nearDuplicates(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0)),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS hv FROM w),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+        |         GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+        |       FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin),
+
+    // Embedding cosine near-dup with label blocking (bounded block sizes).
+    "q_dedup_embedding" -> sql2(
+      AnnSql.nearDupSpark("0.3"), AnnSql.nearDupDuck("0.3")),
+
+    // ---- similarity search ----
+    "q_ann_topk" -> sql2(AnnSql.bruteTopKSpark(5), AnnSql.bruteTopKDuck(5)),
+    "q_ann_lsh" -> sql2(AnnSql.lshTopKSpark(3), AnnSql.lshTopKDuck(3)),
+
+    // ---- text analysis ----
+    "q_text_stats" -> sql2(
+      """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
+        |ROUND(AVG(size(split(text, ' '))), 2) AS avg_words,
+        |MIN(n_chars) AS mn_chars, MAX(n_chars) AS mx_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
+        |ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_words,
+        |MIN(n_chars) AS mn_chars, MAX(n_chars) AS mx_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Language-ID heuristic: stopword-hit count (this corpus' vocabulary is
+    // English-only, so the honest prediction is en/unk).
+    "q_text_langid" -> sql2(
+      """SELECT doc_id, lang,
+        |CASE WHEN size(array_intersect(array_distinct(split(text, ' ')),
+        |     array('the', 'and', 'of', 'to', 'in', 'a', 'is'))) >= 2 THEN 'en' ELSE 'unk' END AS pred_lang
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang,
+        |CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
+        |     ['the', 'and', 'of', 'to', 'in', 'a', 'is'])) >= 2 THEN 'en' ELSE 'unk' END AS pred_lang
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
+
+    "q_text_quality" -> sql2(
+      """SELECT doc_id, n_chars, n_words, ROUND(cpw, 4) AS cpw, ROUND(ttr, 4) AS ttr,
+        |CASE WHEN n_chars BETWEEN 50 AND 500 AND ttr >= 0.2 THEN 1 ELSE 0 END AS quality_ok
+        |FROM (SELECT doc_id, n_chars, size(split(text, ' ')) AS n_words,
+        |      n_chars / CAST(size(split(text, ' ')) AS DOUBLE) AS cpw,
+        |      size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE) AS ttr
+        |      FROM documents WHERE doc_id % 10 = 0) t
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, n_chars, n_words, ROUND(cpw, 4) AS cpw, ROUND(ttr, 4) AS ttr,
+        |CASE WHEN n_chars BETWEEN 50 AND 500 AND ttr >= 0.2 THEN 1 ELSE 0 END AS quality_ok
+        |FROM (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_words,
+        |      n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE) AS cpw,
+        |      len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+        |      FROM documents WHERE doc_id % 10 = 0) t
+        |ORDER BY doc_id""".stripMargin),
+
+    "q_text_tokens" -> sql2(
+      """SELECT doc_id, size(split(text, ' ')) AS ws_tokens,
+        |size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS re_tokens,
+        |CAST(CEIL(n_chars / 4.0) AS BIGINT) AS approx_tokens
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        |CAST(CEIL(n_chars / 4.0) AS BIGINT) AS approx_tokens
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
+
+    "q_text_fingerprint" -> sql2(
+      """SELECT doc_id, md5(lower(trim(text))) AS content_hash,
+        |md5(concat_ws(' ', sort_array(array_distinct(split(text, ' '))))) AS bag_hash,
+        |substr(md5(text), 1, 8) AS short_fp
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, md5(lower(trim(text))) AS content_hash,
+        |md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_hash,
+        |substr(md5(text), 1, 8) AS short_fp
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
+
+    // ---- multimodal ----
+    "q_multimodal_meta" -> sql2(
+      """SELECT doc_id, octet_length(encode(text, 'UTF-8')) AS n_bytes,
+        |lower(hex(encode(substr(text, 1, 4), 'UTF-8'))) AS magic,
+        |CASE WHEN octet_length(encode(text, 'UTF-8')) > 100 THEN 1 ELSE 0 END AS big
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |lower(hex(encode(substr(text, 1, 4)))) AS magic,
+        |CASE WHEN octet_length(encode(text)) > 100 THEN 1 ELSE 0 END AS big
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
+
+    "q_multimodal_decode" -> df(
+      (s, d) => Multimodal.extractFeatures(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)),
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_space,
+        |ascii(substr(text, 1, 1)) AS first_byte
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import QuerySpec.{sql, sql2}
+
+/** Aggregation long tail (SURVEY.md §2.B.4): GROUPING SETS / ROLLUP / CUBE,
+  * approximate aggregates, array_agg/string_agg, bool/bit aggregates,
+  * first/last (as deterministic min_by/max_by), median/percentile.
+  *
+  * Approx aggregates can't hash-match an exact oracle, so they are written
+  * as self-verifying queries: Spark computes BOTH the approximate and the
+  * exact value and emits a within-tolerance flag; the oracle emits the exact
+  * value and a constant 1. A failing sketch flips the flag → hash mismatch.
+  *
+  * Scale notes: all grouping flows are partial→final hash aggregates
+  * (map-side combine) on naturally high-cardinality keys; collect_list is
+  * only applied to bounded per-key groups (orders per customer).
+  */
+object AggQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+    "q_agg_grouping_sets" -> sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin),
+
+    "q_agg_rollup" -> sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS rev
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin),
+
+    "q_agg_cube" -> sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin),
+
+    // Self-verifying approximate aggregates: HLL++ distinct count and
+    // quantile sketch within 5% of exact, asserted inside the query.
+    "q_agg_approx" -> sql2(
+      """SELECT l_returnflag,
+        |COUNT(DISTINCT l_partkey) AS exact_nd,
+        |CASE WHEN abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+        |          <= 0.05 * COUNT(DISTINCT l_partkey) THEN 1 ELSE 0 END AS hll_ok,
+        |CASE WHEN abs(percentile_approx(l_quantity, 0.5, 10000) - percentile(l_quantity, 0.5))
+        |          <= 1.0 THEN 1 ELSE 0 END AS pct_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd,
+        |1 AS hll_ok, 1 AS pct_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    "q_agg_median" -> sql2(
+      """SELECT l_returnflag, ROUND(median(l_quantity), 4) AS med_qty,
+        |ROUND(percentile(l_quantity, 0.25), 4) AS q25,
+        |ROUND(percentile(l_quantity, 0.9), 4) AS q90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, ROUND(median(l_quantity), 4) AS med_qty,
+        |ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        |ROUND(quantile_cont(l_quantity, 0.9), 4) AS q90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // array_agg: arrays rendered to strings so both engines serialize
+    // identically through the parquet/pandas compare.
+    "q_agg_collect" -> sql2(
+      """SELECT o_custkey,
+        |array_join(transform(sort_array(collect_list(o_orderkey)), x -> CAST(x AS STRING)), ',') AS order_keys,
+        |concat_ws(',', sort_array(collect_set(o_orderstatus))) AS statuses
+        |FROM orders WHERE o_custkey % 100 = 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      """SELECT o_custkey,
+        |array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+        |array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+        |FROM orders WHERE o_custkey % 100 = 0
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
+    "q_agg_string_agg" -> sql2(
+      """SELECT c_nationkey, concat_ws('|', sort_array(collect_list(c_mktsegment))) AS segs
+        |FROM customer WHERE c_custkey % 200 = 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      """SELECT c_nationkey, string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segs
+        |FROM customer WHERE c_custkey % 200 = 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
+    "q_agg_bool_bit" -> sql(
+      """SELECT o_orderstatus,
+        |bool_and(o_totalprice > 1000) AS all_big,
+        |bool_or(o_totalprice > 400000) AS any_huge,
+        |bit_and(o_custkey) AS b_and, bit_or(o_custkey) AS b_or, bit_xor(o_custkey) AS b_xor
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // first/last-style aggregates, made deterministic: min_by/max_by keyed by
+    // the unique o_orderkey ("value of the first/last order").
+    "q_agg_arg_minmax" -> sql2(
+      """SELECT o_orderstatus,
+        |min_by(o_orderdate, o_orderkey) AS first_date,
+        |max_by(o_orderdate, o_orderkey) AS last_date,
+        |ROUND(min_by(o_totalprice, o_orderkey), 2) AS first_price,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus,
+        |arg_min(o_orderdate, o_orderkey) AS first_date,
+        |arg_max(o_orderdate, o_orderkey) AS last_date,
+        |ROUND(arg_min(o_totalprice, o_orderkey), 2) AS first_price,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    "q_agg_sum_distinct" -> sql(
+      """SELECT l_returnflag, ROUND(SUM(DISTINCT l_quantity), 2) AS sd_qty,
+        |COUNT(DISTINCT l_suppkey) AS nd_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Scale-safe formulation of the q_join_theta BNLJ pattern: band the
+    // continuous join key into buckets, equi-join on bucket pairs, filter the
+    // residual — a hash join with bounded fan-out instead of O(n²) BNLJ.
+    "q_join_theta_banded" -> sql(
+      """WITH s AS (SELECT s_suppkey, s_acctbal,
+        |                  CAST(FLOOR(s_acctbal / 1000.0) AS INT) AS band
+        |           FROM supplier),
+        |bands AS (SELECT DISTINCT band FROM s),
+        |pairs AS (SELECT b1.band AS band1, b2.band AS band2
+        |          FROM bands b1 JOIN bands b2 ON b1.band >= b2.band)
+        |SELECT s1.s_suppkey AS k1, s2.s_suppkey AS k2
+        |FROM pairs
+        |JOIN s s1 ON s1.band = pairs.band1
+        |JOIN s s2 ON s2.band = pairs.band2
+        |WHERE s1.s_suppkey < s2.s_suppkey AND s1.s_acctbal > s2.s_acctbal
+        |ORDER BY k1, k2""".stripMargin)
+  )
+}

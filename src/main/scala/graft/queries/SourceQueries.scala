@@ -1,0 +1,92 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import QuerySpec.{df, sql}
+
+/** Source/sink surface (SURVEY.md §2.B.1): CSV scan with header + type
+  * inference (mirrors the reference's `register_csv` of examples/test.csv,
+  * datafusion-flight-sql-server/examples/flight-sql.rs:25-27), NDJSON scan,
+  * CREATE VIEW DDL, and a write→read-back sink round-trip (the reference's
+  * INSERT/COPY surface arrives via the prepared-update DDL path,
+  * service.rs:864-875).
+  *
+  * Fixture files are materialized under target/fixtures inside the repo
+  * (the oracle can't see them, so oracles are inline VALUES / base-table
+  * equivalents).
+  */
+object SourceQueries {
+
+  private val fixtureDir = "/root/repo/target/fixtures"
+
+  private def ensureFile(name: String, content: String): String = synchronized {
+    val p = Paths.get(fixtureDir, name)
+    if (!Files.exists(p)) {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    p.toString
+  }
+
+  /** Same shape as the reference's examples/test.csv (header + inferred
+    * string/int columns).
+    */
+  private def csvScan(s: SparkSession, d: String): DataFrame = {
+    val path = ensureFile("test.csv", "foo,bar\na,1\nb,2\nc,3\n")
+    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+      .orderBy("foo")
+  }
+
+  private def jsonScan(s: SparkSession, d: String): DataFrame = {
+    val path = ensureFile("test.ndjson",
+      """{"k": "a", "v": 1}
+        |{"k": "b", "v": 2}
+        |{"k": "c", "v": 3}
+        |""".stripMargin)
+    s.read.json(path).select("k", "v").orderBy("k")
+  }
+
+  /** Sink round-trip: write a filtered projection to parquet (the COPY ...
+    * TO equivalent), read it back, aggregate. Distributed write — no
+    * coalesce(1), partitions land as separate files.
+    */
+  private def copyRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    val out = s"$fixtureDir/copy_out.parquet"
+    s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out).createOrReplaceTempView("copy_back")
+    s.sql(
+      """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS spend
+        |FROM copy_back GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
+  val specs: Map[String, QuerySpec] = Map(
+    "q_src_csv" -> df(csvScan,
+      """SELECT foo, bar FROM (VALUES ('a', 1), ('b', 2), ('c', 3)) t(foo, bar)
+        |ORDER BY foo""".stripMargin),
+
+    "q_src_json" -> df(jsonScan,
+      """SELECT k, CAST(v AS BIGINT) AS v
+        |FROM (VALUES ('a', 1), ('b', 2), ('c', 3)) t(k, v) ORDER BY k""".stripMargin),
+
+    "q_src_view_ddl" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY VIEW top_orders AS
+            |SELECT * FROM orders WHERE o_totalprice > 400000""".stripMargin)
+        s.sql("SELECT o_orderkey, o_custkey FROM top_orders ORDER BY o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    "q_src_copy_roundtrip" -> df(copyRoundtrip,
+      """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS spend
+        |FROM orders WHERE o_totalprice > 300000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  )
+}

@@ -12,7 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
+    * a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
+    * (nanosAsLong) and convert to a µs TIMESTAMP_NTZ — the same truncation
+    * DuckDB's epoch_us applies, so oracles agree (SURVEY §7.6.3).
+    */
+  private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -21,18 +35,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  // Last directory registered per session: re-registering the same dir on
+  // every query would re-read parquet footers for nothing; switching dirs
+  // must re-point the views.
+  private val lastDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
   /** Register all fixture tables as temp views so `spark.sql` queries can
     * reference them by name (mirrors the reference's `register_table` /
     * `register_csv` catalog registration,
     * datafusion-flight-sql-server/tests/integration_test.rs:34-35).
     */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    val names = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
-  }
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    if (lastDir.get(spark) != dir) {
+      names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+      lastDir.put(spark, dir) // only after every view registered successfully
+    }
 }

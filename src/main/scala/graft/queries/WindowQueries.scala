@@ -1,0 +1,75 @@
+package graft.queries
+
+import QuerySpec.sql
+
+/** Window-function matrix (SURVEY.md §2.B.5): ranking, analytic, aggregates
+  * as windows, ROWS/RANGE frames, named WINDOW clause. All delegated rows of
+  * the reference's SQL contract (entry
+  * datafusion-flight-sql-server/src/service.rs:171).
+  *
+  * Scale note: every window below partitions by `o_custkey` (high
+  * cardinality, low skew) so the single shuffle is an even hash exchange; no
+  * global unpartitioned window (which would serialize onto one task at
+  * 100 TB) is used anywhere.
+  *
+  * Determinism: every OVER ordering ends in the unique key `o_orderkey`, so
+  * rank/ntile/lag ties cannot occur.
+  */
+object WindowQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+    // ranking functions + named WINDOW clause
+    "q_win_rank" -> sql(
+      """SELECT o_custkey, o_orderkey,
+        |row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    "q_win_percent" -> sql(
+      """SELECT o_custkey, o_orderkey,
+        |ROUND(percent_rank() OVER w, 6) AS pr,
+        |ROUND(cume_dist() OVER w, 6) AS cd,
+        |ntile(4) OVER w AS nt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // analytic functions
+    "q_win_lag" -> sql(
+      """SELECT o_custkey, o_orderkey,
+        |ROUND(lag(o_totalprice, 1) OVER w, 2) AS prev_p,
+        |ROUND(lead(o_totalprice, 1) OVER w, 2) AS next_p,
+        |ROUND(lag(o_totalprice, 2, 0.0) OVER w, 2) AS prev2
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    "q_win_nth" -> sql(
+      """SELECT o_custkey, o_orderkey,
+        |ROUND(first_value(o_totalprice) OVER w, 2) AS fv,
+        |ROUND(last_value(o_totalprice) OVER w, 2) AS lv,
+        |ROUND(nth_value(o_totalprice, 2) OVER w, 2) AS nv
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // aggregates as windows, ROWS frames
+    "q_win_rows_frame" -> sql(
+      """SELECT o_custkey, o_orderkey,
+        |ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+        |ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg,
+        |COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // RANGE frame over a numeric ordering key
+    "q_win_range_frame" -> sql(
+      """SELECT o_custkey, o_orderkey,
+        |ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS range_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+}
