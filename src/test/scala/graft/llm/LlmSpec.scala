@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.TestSpark
+
+/** Algorithmic sanity for the LLM-pipeline operators on hand-built
+  * fixtures with KNOWN duplicate structure (the parquet corpus is verified
+  * against the DuckDB oracle by graft.Verify; these tests pin the
+  * algorithms' recall/precision behavior on controlled input).
+  */
+class LlmSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t) }: _*), schema)
+  }
+
+  test("MinHash LSH finds an exact duplicate pair and skips disjoint docs") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta", // dup of 1
+      3L -> "one two three four five six seven eight")
+    val result = MinHashDedup.nearDuplicates(d, 0.9).collect()
+    assert(result.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(result.head.getDouble(2) == 1.0)
+  }
+
+  test("MinHash candidates contain every high-Jaccard pair (recall)") {
+    // 9/11 shared words → J ≈ 0.82; with r=4,b=8 the miss rate at 0.82 is ~0.2% —
+    // this seed must produce the candidate.
+    val d = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i k",
+      3L -> "z y x w v u t s r q")
+    val cands = MinHashDedup.candidatePairs(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("SimHash banded output equals brute-force hamming filter (pigeonhole completeness)") {
+    val d = docs(
+      1L -> "spark sql query engine fast scan",
+      2L -> "spark sql query engine fast scan",   // identical → hd 0
+      3L -> "spark sql query engine fast join",   // near
+      4L -> "completely different words entirely here now")
+    val banded = SimHashDedup.nearDuplicates(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the simhashes
+    val sh = SimHashDedup.simhashes(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val brute = (for {
+      i <- sh.keys; j <- sh.keys if i < j
+      hd = java.lang.Long.bitCount(sh(i) ^ sh(j))
+      if hd <= SimHashDedup.maxHamming
+    } yield (i, j, hd)).toSet
+    assert(banded == brute)
+    assert(banded.exists { case (i, j, hd) => i == 1L && j == 2L && hd == 0 })
+  }
+
+  test("multimodal stub decode is deterministic byte statistics") {
+    val d = docs(1L -> "ab cd", 2L -> "")
+    val result = Multimodal.extractFeatures(d).collect()
+    val r1 = result.find(_.getLong(0) == 1L).get
+    assert(r1.getInt(1) == 5)  // bytes
+    assert(r1.getInt(2) == 1)  // one space
+    assert(r1.getInt(3) == 'a'.toInt)
+    val r2 = result.find(_.getLong(0) == 2L).get
+    assert(r2.getInt(1) == 0 && r2.getInt(3) == -1)
+  }
+}

@@ -1,0 +1,233 @@
+package graft.service
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.engine.{SqlOptions, StaticSessionProvider}
+import graft.ipc.ArrowCodec
+import graft.protocol.Commands._
+
+/** End-to-end replays of the reference's integration tests
+  * (datafusion-flight-sql-server/tests/integration_test.rs:77-328 and
+  * tests/schema_metadata_test.rs:80-179) against the in-process service:
+  * same fixtures, same assertions — schema before execution, ticket
+  * round-trip through Arrow IPC, catalog metadata with filters, prepared
+  * statements with parameter binding and the ≤1-row rule.
+  */
+class FlightSqlServiceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.fixtures()
+  private lazy val service = new FlightSqlService(new StaticSessionProvider(spark))
+  private lazy val metaService = new FlightSqlService(
+    new StaticSessionProvider(spark), FlightSqlServiceConfig(schemaWithMetadata = true))
+
+  private def fetch(service: FlightSqlService, sql: String) = {
+    val info = service.getFlightInfoStatement(sql)
+    ArrowCodec.decode(service.doGet(info.ticket).toBytes)
+  }
+
+  test("basic SELECT * FROM users: 2 cols, 3 rows (integration_test.rs:77-114)") {
+    val info = service.getFlightInfoStatement("SELECT * FROM users")
+    // schema known without executing
+    val schema = ArrowCodec.decodeSchema(info.schemaBytes)
+    assert(schema.getFields.size == 2)
+    assert(schema.getFields.get(0).getName == "id")
+    assert(schema.getFields.get(1).getName == "name")
+    val result = ArrowCodec.decode(service.doGet(info.ticket).toBytes)
+    assert(result.rows.size == 3)
+    assert(result.rows.map(_(1)).toSet == Set("Alice", "Bob", "Charlie"))
+  }
+
+  test("filtered SELECT name WHERE id > 1: 2 rows (integration_test.rs:116-146)") {
+    val result = fetch(service, "SELECT name FROM users WHERE id > 1")
+    assert(result.schema.getFields.size == 1)
+    assert(result.rows.map(_.head).toSet == Set("Bob", "Charlie"))
+  }
+
+  test("COUNT(*) aggregation: one column named count, value 3 (integration_test.rs:262-295)") {
+    val result = fetch(service, "SELECT COUNT(*) AS count FROM users")
+    assert(result.schema.getFields.size == 1)
+    assert(result.schema.getFields.get(0).getName == "count")
+    assert(result.rows == Seq(Seq(3L)))
+  }
+
+  test("inner join users x orders: 4 rows (integration_test.rs:297-328)") {
+    val result = fetch(service,
+      """SELECT u.name, o.amount FROM users u
+        |JOIN orders o ON u.id = o.user_id""".stripMargin)
+    assert(result.rows.size == 4)
+    assert(result.rows.map(r => (r(0), r(1))).toSet ==
+      Set(("Alice", 50), ("Bob", 75), ("Alice", 100), ("Charlie", 25)))
+  }
+
+  test("invalid table yields an error, not a stream (integration_test.rs:247-260)") {
+    val e = intercept[Status] {
+      service.getFlightInfoStatement("SELECT * FROM nonexistent_table")
+    }
+    assert(e.code == Status.Internal)
+  }
+
+  test("prepared statement: dataset schema 2 fields, parameter schema 1 field (integration_test.rs:148-171)") {
+    val res = service.createPreparedStatement("SELECT * FROM users WHERE id = $1")
+    assert(ArrowCodec.decodeSchema(res.datasetSchema).getFields.size == 2)
+    val paramSchema = ArrowCodec.decodeSchema(res.parameterSchema)
+    assert(paramSchema.getFields.size == 1)
+    assert(paramSchema.getFields.get(0).getName == "$1")
+    assert(!paramSchema.getFields.get(0).isNullable)
+  }
+
+  test("prepared statement executes with a bound parameter end-to-end") {
+    val created = service.createPreparedStatement("SELECT name FROM users WHERE id = $1")
+    // parameter stream: single row, column "$1" = 2
+    val paramDf = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(2)),
+        StructType(Seq(StructField("$1", IntegerType, nullable = false))))
+    }
+    val paramBytes = ArrowCodec.encodeStream(paramDf).toBytes
+    val newHandle = service.doPutPreparedStatementQuery(created.handle, paramBytes)
+    val info = service.getFlightInfoPreparedStatement(newHandle)
+    val result = ArrowCodec.decode(service.doGet(info.ticket).toBytes)
+    assert(result.rows == Seq(Seq("Bob")))
+  }
+
+  test("prepared statement rejects multi-row parameter streams (service.rs:849-853)") {
+    val created = service.createPreparedStatement("SELECT name FROM users WHERE id = $1")
+    val paramDf = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(1), Row(2)),
+        StructType(Seq(StructField("$1", IntegerType, nullable = false))))
+    }
+    val e = intercept[Status] {
+      service.doPutPreparedStatementQuery(created.handle, ArrowCodec.encodeStream(paramDf).toBytes)
+    }
+    assert(e.code == Status.InvalidArgument)
+    assert(e.message.contains("single row"))
+  }
+
+  test("close prepared statement is a NOP (service.rs:927-941)") {
+    val created = service.createPreparedStatement("SELECT 1")
+    service.closePreparedStatement(created.handle) // must not throw
+  }
+
+  test("get_db_schemas honors catalog + LIKE filter (integration_test.rs:173-205)") {
+    val all = ArrowCodec.decode(service.doGet(
+      service.getFlightInfoDbSchemas(
+        CommandGetDbSchemas(Some("spark_catalog"), None)).ticket).toBytes)
+    assert(all.rows.exists(_(1) == "default"))
+
+    val filtered = ArrowCodec.decode(service.doGet(
+      service.getFlightInfoDbSchemas(
+        CommandGetDbSchemas(Some("spark_catalog"), Some("def%"))).ticket).toBytes)
+    assert(filtered.rows.nonEmpty && filtered.rows.forall(_(1).toString.startsWith("def")))
+
+    val none = ArrowCodec.decode(service.doGet(
+      service.getFlightInfoDbSchemas(
+        CommandGetDbSchemas(Some("no_such_catalog"), None)).ticket).toBytes)
+    assert(none.rows.isEmpty)
+  }
+
+  test("get_tables lists temp views, filters by name pattern (integration_test.rs:207-245)") {
+    val all = ArrowCodec.decode(service.doGet(
+      service.getFlightInfoTables(
+        CommandGetTables(Some("spark_catalog"), None, None, Nil, includeSchema = false))
+        .ticket).toBytes)
+    val names = all.rows.map(_(2)).toSet
+    assert(names.contains("users") && names.contains("orders"))
+    assert(all.rows.forall(_(3) == "TEMPORARY"))
+
+    val filtered = ArrowCodec.decode(service.doGet(
+      service.getFlightInfoTables(
+        CommandGetTables(Some("spark_catalog"), None, Some("use%"), Nil, includeSchema = false))
+        .ticket).toBytes)
+    assert(filtered.rows.map(_(2)) == Seq("users"))
+  }
+
+  test("get_tables include_schema embeds each table's Arrow schema (integration_test.rs:216-222)") {
+    val result = ArrowCodec.decode(service.doGet(
+      service.getFlightInfoTables(
+        CommandGetTables(Some("spark_catalog"), None, Some("users"), Nil, includeSchema = true))
+        .ticket).toBytes)
+    assert(result.rows.size == 1)
+    assert(result.schema.getFields.size == 5)
+    val schemaBytes = result.rows.head(4).asInstanceOf[Array[Byte]]
+    val embedded = ArrowCodec.decodeSchema(schemaBytes)
+    assert(embedded.getFields.size == 2)
+    assert(embedded.getFields.get(0).getName == "id")
+  }
+
+  test("get_table_types returns the three constant types (service.rs:708-731)") {
+    val result = ArrowCodec.decode(service.doGet(
+      service.getFlightInfoTableTypes().ticket).toBytes)
+    assert(result.rows.map(_.head) == Seq("BASE TABLE", "VIEW", "TEMPORARY"))
+  }
+
+  test("catalogs endpoint lists spark_catalog (service.rs:616-636)") {
+    val result = ArrowCodec.decode(service.doGet(
+      service.getFlightInfoCatalogs().ticket).toBytes)
+    assert(result.rows.map(_.head).contains("spark_catalog"))
+  }
+
+  test("schema_with_metadata decorates fields with table_name (schema_metadata_test.rs:80-111)") {
+    val info = metaService.getFlightInfoStatement("SELECT id, name FROM users")
+    val schema = ArrowCodec.decodeSchema(info.schemaBytes)
+    (0 until 2).foreach { i =>
+      assert(schema.getFields.get(i).getMetadata.get("table_name") == "users")
+    }
+  }
+
+  test("table_name metadata survives aliases and subqueries (schema_metadata_test.rs:113-179)") {
+    val info = metaService.getFlightInfoStatement(
+      """SELECT u.id, o.total FROM users u
+        |JOIN (SELECT user_id, SUM(amount) AS total FROM orders GROUP BY user_id) o
+        |ON u.id = o.user_id""".stripMargin)
+    val schema = ArrowCodec.decodeSchema(info.schemaBytes)
+    assert(schema.getFields.get(0).getMetadata.get("table_name") == "u")
+    assert(schema.getFields.get(1).getMetadata.get("table_name") == "o")
+  }
+
+  test("handshake is rejected — auth is middleware's job (service.rs:198-207)") {
+    val e = intercept[Status](service.doHandshake())
+    assert(e.code == Status.Unimplemented)
+    assert(e.message == "handshake is not supported")
+  }
+
+  test("unimplemented endpoints keep the reference's messages (A31)") {
+    assert(intercept[Status](service.doGetSqlInfo()).message == "Implement do_get_sql_info")
+    assert(intercept[Status](service.doPutStatementUpdate()).message == "Implement do_put_statement_update")
+    assert(intercept[Status](service.doActionBeginTransaction()).message == "Implement do_action_begin_transaction")
+    assert(intercept[Status](service.doActionCancelQuery()).message == "Implement do_action_cancel_query")
+  }
+
+  test("DDL routed through prepared-update path returns -1 (service.rs:864-875)") {
+    val created = service.createPreparedStatement(
+      "CREATE OR REPLACE TEMPORARY VIEW big_orders AS SELECT * FROM orders WHERE amount > 60")
+    assert(service.doPutPreparedStatementUpdate(created.handle) == -1L)
+    val result = fetch(service, "SELECT COUNT(*) AS n FROM big_orders")
+    assert(result.rows == Seq(Seq(2L)))
+  }
+
+  test("SQL gate rejects DDL when disallowed (SQLOptions semantics, service.rs:170-175)") {
+    val locked = new FlightSqlService(
+      new StaticSessionProvider(spark),
+      sqlOptions = SqlOptions(allowDdl = false))
+    val e = intercept[Status] {
+      locked.getFlightInfoStatement("CREATE TABLE t(i INT) USING parquet")
+    }
+    assert(e.message.toLowerCase.contains("ddl"))
+    // plain queries still pass
+    assert(locked.getFlightInfoStatement("SELECT 1").ticket.nonEmpty)
+  }
+
+  test("statement ticket is self-contained: re-decodable and re-runnable (statelessness)") {
+    val info = service.getFlightInfoStatement("SELECT COUNT(*) AS n FROM orders")
+    // a 'different instance' — new service object — can serve the same ticket
+    val other = new FlightSqlService(new StaticSessionProvider(spark))
+    val result = ArrowCodec.decode(other.doGet(info.ticket).toBytes)
+    assert(result.rows == Seq(Seq(4L)))
+  }
+}
