@@ -54,8 +54,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    val note = "r2 re-baseline: materializing noop-write action + warm-up " +
+      "(r1 used count(), which let Catalyst drop sorts/projections) over the " +
+      "full 90-query matrix (r1: 33 queries)"
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_ok":${results.count(_._3)},"n":${results.size}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_ok":${results.count(_._3)},"n":${results.size},"note":"$note"}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     failures.foreach(f => System.err.println(s"[bench] FAIL $f"))

@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.FunctionQueries.specs ++
       graft.queries.StructureQueries.specs ++
       graft.queries.SourceQueries.specs ++
-      graft.llm.LlmQueries.specs
+      graft.llm.LlmQueries.specs ++
+      graft.streaming.EventStream.specs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

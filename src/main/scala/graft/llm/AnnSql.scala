@@ -84,6 +84,19 @@ object AnnSql {
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
 
+  /** Brute-force top-k via the native graft_cosine Catalyst expression
+    * (same math, single-pass, whole-stage-codegen friendly) — the scale
+    * path for the scoring side.
+    */
+  def nativeTopKSpark(k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |sims AS (SELECT qid, c.vec_id AS cid, graft_cosine(qe, c.embedding) AS cos
+       |         FROM q JOIN embeddings c ON c.vec_id != qid)
+       |SELECT qid, cid, ROUND(cos, 6) AS cos FROM (
+       |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
+
   /** LSH-bucketed top-k: candidates restricted to the query's sign bucket. */
   def lshTopKSpark(k: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding, ${sparkBucket("embedding")} AS bucket FROM embeddings),
@@ -107,9 +120,12 @@ object AnnSql {
 
   /** Near-duplicate pairs by cosine ≥ threshold, blocked by label (standard
     * blocking: only same-label pairs are compared — bounded block sizes).
+    * Scoring uses the native graft_cosine expression (single pass, stays in
+    * whole-stage codegen); the pure-SQL lambda fold lives on in
+    * bruteTopKSpark as the no-extension formulation.
     */
   def nearDupSpark(threshold: String): String =
-    s"""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, ${sparkCos("a.embedding", "b.embedding")} AS cos
+    s"""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, graft_cosine(a.embedding, b.embedding) AS cos
        |           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
        |SELECT id1, id2, ROUND(cos, 6) AS cos FROM p WHERE cos >= $threshold
        |ORDER BY id1, id2""".stripMargin

@@ -92,11 +92,23 @@ object LlmQueries {
         |ORDER BY id1, id2""".stripMargin),
 
     // Embedding cosine near-dup with label blocking (bounded block sizes).
-    "q_dedup_embedding" -> sql2(
-      AnnSql.nearDupSpark("0.3"), AnnSql.nearDupDuck("0.3")),
+    "q_dedup_embedding" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.nearDupSpark("0.3"))
+      },
+      Some(AnnSql.nearDupDuck("0.3"))),
 
     // ---- similarity search ----
     "q_ann_topk" -> sql2(AnnSql.bruteTopKSpark(5), AnnSql.bruteTopKDuck(5)),
+    "q_ann_topk_native" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.nativeTopKSpark(5))
+      },
+      Some(AnnSql.bruteTopKDuck(5))),
     "q_ann_lsh" -> sql2(AnnSql.lshTopKSpark(3), AnnSql.lshTopKDuck(3)),
 
     // ---- text analysis ----

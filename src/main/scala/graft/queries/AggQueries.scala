@@ -46,7 +46,7 @@ object AggQueries {
         |COUNT(DISTINCT l_partkey) AS exact_nd,
         |CASE WHEN abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
         |          <= 0.05 * COUNT(DISTINCT l_partkey) THEN 1 ELSE 0 END AS hll_ok,
-        |CASE WHEN abs(percentile_approx(l_quantity, 0.5, 10000) - percentile(l_quantity, 0.5))
+        |CASE WHEN abs(percentile_approx(l_quantity, 0.5, 100) - percentile(l_quantity, 0.5))
         |          <= 1.0 THEN 1 ELSE 0 END AS pct_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd,

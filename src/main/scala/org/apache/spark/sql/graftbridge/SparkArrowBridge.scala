@@ -24,6 +24,10 @@ object SparkArrowBridge {
     ArrowUtils.toArrowSchema(schema, timeZoneId,
       errorOnDuplicatedFieldNames = false, largeVarTypes = false)
 
+  /** Arrow schema → Spark StructType (client-side schema discovery). */
+  def fromArrowSchema(schema: ArrowSchema): StructType =
+    ArrowUtils.fromArrowSchema(schema)
+
   def createWriter(root: VectorSchemaRoot): ArrowWriterHandle =
     new ArrowWriterHandle(ArrowWriter.create(root))
 

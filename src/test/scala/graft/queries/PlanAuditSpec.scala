@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Physical-plan audit: the scale properties the 100 TB design claims —
+  * broadcasts where a side is dimension-sized, parquet filter pushdown and
+  * column pruning, no cartesian products in the bucketed dedup paths,
+  * partial→final aggregation, whole-stage codegen coverage.
+  *
+  * Asserting on explain output pins these against regressions: a future
+  * query edit that silently turns an equi-join into a nested-loop join
+  * fails here, not at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+  }
+
+  test("dimension join broadcasts the small side (q_join_using: nation x customer)") {
+    assert(plan("q_join_using").contains("BroadcastHashJoin"))
+  }
+
+  test("IN/LIKE predicates push into the parquet scan (q_filter_in_like)") {
+    val p = plan("q_filter_in_like")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("In(c_mktsegment"))
+  }
+
+  test("column pruning reaches the scan (q_scan_project reads no unused columns)") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_tax") && !p.contains("l_returnflag"),
+      "projection should prune unused lineitem columns from the scan")
+  }
+
+  test("MinHash LSH dedup never plans a cartesian or nested-loop join") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("SimHash dedup never plans a cartesian or nested-loop join") {
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("n-gram Jaccard pair generation is an equi-join on shingles") {
+    val p = plan("q_dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("banded theta join puts SUPPLIER rows through hash joins (q_join_theta_banded)") {
+    val p = plan("q_join_theta_banded")
+    // The supplier-carrying joins must be hash equi-joins on the band key;
+    // the only tolerated nested loop is the constant-size band×band pair
+    // list (|bands| is data-independent).
+    assert(p.contains("BroadcastHashJoin"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+  }
+
+  test("ANN brute force broadcasts the query-vector side (q_ann_topk)") {
+    assert(plan("q_ann_topk").contains("Broadcast"))
+  }
+
+  test("aggregation is partial->final (q_agg_q1)") {
+    val p = plan("q_agg_q1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial + final HashAggregate")
+    assert(p.contains("partial_sum"), "map-side combine must run before the shuffle")
+  }
+
+  test("the hot aggregation path stays inside whole-stage codegen (q_agg_q1)") {
+    val df = SparkEntry.queries("q_agg_q1")(spark, sf)
+    val codegen = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen subtree"))
+  }
+
+  test("grouping sets stay a single-pass expand + aggregate (q_agg_grouping_sets)") {
+    val p = plan("q_agg_grouping_sets")
+    assert(p.contains("Expand"))
+    assert(!p.contains("Union"), "grouping sets must not expand into a union of scans")
+  }
+}
