@@ -40,6 +40,7 @@ object SparkEntry {
       graft.queries.FunctionQueries.specs ++
       graft.queries.StructureQueries.specs ++
       graft.queries.SourceQueries.specs ++
+      graft.queries.ExtraQueries.specs ++
       graft.llm.LlmQueries.specs ++
       graft.streaming.EventStream.specs
 

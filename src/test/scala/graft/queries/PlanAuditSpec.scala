@@ -86,6 +86,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(codegen.contains("WholeStageCodegen subtree"))
   }
 
+  test("bucketed join runs without a shuffle on either side (q_src_bucketed_join)") {
+    val df = SparkEntry.queries("q_src_bucketed_join")(spark, sf)
+    val p = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    val joinSection = p.split("HashAggregate").last // below the aggregates sits the join
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+  }
+
   test("grouping sets stay a single-pass expand + aggregate (q_agg_grouping_sets)") {
     val p = plan("q_agg_grouping_sets")
     assert(p.contains("Expand"))

@@ -138,7 +138,8 @@ class FlightSqlServiceSpec extends AnyFunSuite {
         .ticket).toBytes)
     val names = all.rows.map(_(2)).toSet
     assert(names.contains("users") && names.contains("orders"))
-    assert(all.rows.forall(_(3) == "TEMPORARY"))
+    assert(all.rows.filter(r => r(2) == "users" || r(2) == "orders")
+      .forall(_(3) == "TEMPORARY"))
 
     val filtered = ArrowCodec.decode(service.doGet(
       service.getFlightInfoTables(

@@ -1,0 +1,41 @@
+package graft.service
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.engine.StaticSessionProvider
+import graft.ipc.ArrowCodec
+
+/** The serve lifecycle over a real TCP socket (A1 analog of
+  * integration_test.rs:60-75: spin the server on a port, connect a real
+  * client, run the query flow over the wire).
+  */
+class SocketTransportSpec extends AnyFunSuite {
+
+  test("server boots on an ephemeral port and serves the statement flow over TCP") {
+    val spark = TestSpark.fixtures()
+    val server = new SocketServer(new FlightSqlService(new StaticSessionProvider(spark)))
+    val port = server.start()
+    try {
+      val client = new SocketClient("127.0.0.1", port)
+      try {
+        val (schemaBytes, ticket) = client.getFlightInfoStatement("SELECT * FROM users")
+        assert(ArrowCodec.decodeSchema(schemaBytes).getFields.size == 2)
+        val result = ArrowCodec.decode(client.doGet(ticket))
+        assert(result.rows.size == 3)
+        assert(result.rows.map(_(1)).toSet == Set("Alice", "Bob", "Charlie"))
+
+        // errors cross the wire as status frames
+        val e = intercept[RuntimeException] {
+          client.getFlightInfoStatement("SELECT * FROM no_such_table")
+        }
+        assert(e.getMessage.toLowerCase.contains("no_such_table") ||
+          e.getMessage.nonEmpty)
+
+        // a second request reuses the same connection
+        val (_, t2) = client.getFlightInfoStatement("SELECT COUNT(*) AS n FROM orders")
+        assert(ArrowCodec.decode(client.doGet(t2)).rows == Seq(Seq(4L)))
+      } finally client.close()
+    } finally server.stop()
+  }
+}
