@@ -100,6 +100,45 @@ object LlmQueries {
       },
       Some(AnnSql.nearDupDuck("0.3"))),
 
+    // Near-dup clustering: connected components over the verified MinHash
+    // pair graph; keep the min doc_id per component. Oracle: recursive-CTE
+    // reachability over the exact pair graph.
+    "q_dedup_cluster" -> df(
+      (s, d) => DedupCluster.clusters(
+        MinHashDedup.nearDuplicates(
+          Tables.documents(s, d).filter(col("doc_id") % 5 === 0), 0.95)),
+      s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+         |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+         |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT id1, id2
+         |          FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+         |          WHERE c >= 0.95 * (s1.n + s2.n - c)),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
+         |SELECT node AS doc_id, MIN(label) AS cluster_rep
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+
+    // Deterministic hash-based train/eval split (md5-derived so the oracle
+    // reproduces the exact assignment — the reproducible-split primitive of
+    // a training-data pipeline).
+    "q_text_train_split" -> sql2(
+      """SELECT split, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars FROM (
+        |  SELECT CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 90
+        |              THEN 'train' ELSE 'eval' END AS split, n_chars
+        |  FROM documents) t
+        |GROUP BY split ORDER BY split""".stripMargin,
+      """SELECT split, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars FROM (
+        |  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+        |              THEN 'train' ELSE 'eval' END AS split, n_chars
+        |  FROM documents) t
+        |GROUP BY split ORDER BY split""".stripMargin),
+
     // ---- similarity search ----
     "q_ann_topk" -> sql2(AnnSql.bruteTopKSpark(5), AnnSql.bruteTopKDuck(5)),
     "q_ann_topk_native" -> QuerySpec(

@@ -11,8 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ReadSchema — verified via `.explain("formatted")`).
   */
 object Tables {
+  // DataFrames are immutable plans; caching them avoids re-listing the
+  // parquet footer on every one of the ~100 inventory queries.
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir) else spark.read.parquet(s"$dir/$name.parquet")
+    frames.computeIfAbsent((spark, dir, name), { _ =>
+      if (name == "events") eventsRaw(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
     * a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
@@ -35,7 +43,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
