@@ -23,10 +23,12 @@ object Status {
   case object Unimplemented extends Code
   case object InvalidArgument extends Code
   case object Internal extends Code
+  case object Unauthenticated extends Code
 
   def unimplemented(msg: String): Status = Status(Unimplemented, msg)
   def invalidArgument(msg: String): Status = Status(InvalidArgument, msg)
   def internal(msg: String): Status = Status(Internal, msg)
+  def unauthenticated(msg: String): Status = Status(Unauthenticated, msg)
 }
 
 /** One config flag, mirroring config.rs:1-14. */
