@@ -54,11 +54,23 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // The 33-query round-1 matrix (all names unchanged) — reported separately
+    // so matrix growth isn't mistaken for a slowdown.
+    val r1Names = Set(
+      "q_scan_project", "q_filter_pred", "q_filter_in_like", "q_filter_null_distinct",
+      "q_case_cast", "q_values_inline", "q_unnest", "q_agg_q1", "q_agg_ungrouped",
+      "q_agg_having", "q_agg_stats", "q_agg_filter_clause", "q_join_inner",
+      "q_join_left", "q_join_right", "q_join_full", "q_join_semi", "q_join_anti",
+      "q_join_cross", "q_join_theta", "q_join_range", "q_join_using",
+      "q_join_derived", "q_sort_nulls", "q_sort_multi_desc", "q_limit_offset",
+      "q_union_all", "q_union_distinct", "q_intersect", "q_intersect_all",
+      "q_except", "q_except_all", "q_distinct")
+    val r1Total = results.collect { case (n, v, true) if r1Names.contains(n) => v }.sum
     val note = "r2 re-baseline: materializing noop-write action + warm-up " +
-      "(r1 used count(), which let Catalyst drop sorts/projections) over the " +
-      "full 90-query matrix (r1: 33 queries)"
+      "(r1 used count(), which let Catalyst drop sorts/projections); " +
+      "r1_queries_total covers the original 33-query matrix under the new harness"
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_ok":${results.count(_._3)},"n":${results.size},"note":"$note"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     failures.foreach(f => System.err.println(s"[bench] FAIL $f"))

@@ -81,8 +81,18 @@ final class SocketServer(service: FlightSqlService, host: String = "127.0.0.1") 
               case OpDoGet =>
                 val stream = service.doGet(payload)
                 out.writeByte(0)
-                stream.frames.foreach(writeFrame(out, _)) // streamed per batch
-                endFrames(out)
+                // Execution is lazy: a runtime failure can surface after
+                // frames have gone out. A -2 sentinel turns the tail of the
+                // stream into an error frame instead of corrupting framing.
+                try {
+                  stream.frames.foreach(writeFrame(out, _)) // streamed per batch
+                  endFrames(out)
+                } catch {
+                  case NonFatal(e) =>
+                    out.writeInt(-2)
+                    writeFrame(out,
+                      String.valueOf(e.getMessage).getBytes(StandardCharsets.UTF_8))
+                }
               case OpCreatePreparedStatement =>
                 val res = service.createPreparedStatement(
                   new String(payload, StandardCharsets.UTF_8))
@@ -143,6 +153,12 @@ final class SocketClient(host: String, port: Int) {
       in.readFully(buf)
       frames += buf
       len = in.readInt()
+    }
+    if (len == -2) { // mid-stream execution error
+      val errLen = in.readInt()
+      val err = new Array[Byte](errLen)
+      in.readFully(err)
+      throw new RuntimeException(new String(err, StandardCharsets.UTF_8))
     }
     val result = frames.result()
     if (status != 0)

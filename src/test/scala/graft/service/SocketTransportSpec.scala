@@ -35,6 +35,17 @@ class SocketTransportSpec extends AnyFunSuite {
         // a second request reuses the same connection
         val (_, t2) = client.getFlightInfoStatement("SELECT COUNT(*) AS n FROM orders")
         assert(ArrowCodec.decode(client.doGet(t2)).rows == Seq(Seq(4L)))
+
+        // runtime failure AFTER streaming starts (lazy execution) arrives as
+        // the -2 error sentinel, not corrupted framing
+        val (_, badTicket) = client.getFlightInfoStatement(
+          "SELECT id DIV (id - id) AS boom FROM users")
+        val mid = intercept[RuntimeException](client.doGet(badTicket))
+        assert(mid.getMessage.nonEmpty)
+
+        // and the connection is still usable afterwards
+        val (_, t3) = client.getFlightInfoStatement("SELECT COUNT(*) AS n FROM users")
+        assert(ArrowCodec.decode(client.doGet(t3)).rows == Seq(Seq(3L)))
       } finally client.close()
     } finally server.stop()
   }
