@@ -19,8 +19,11 @@ object DedupCluster {
 
   /** pairs(id1 < id2) → (doc_id, cluster_rep). */
   def clusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // Materialize the (possibly expensive) pair pipeline ONCE before the
+    // union references it twice.
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val edges = p.select(col("id1").as("a"), col("id2").as("b"))
+      .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(true)
 
     var labels = edges.select(col("a").as("node")).distinct()
