@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.StructureQueries.specs ++
       graft.queries.SourceQueries.specs ++
       graft.queries.ExtraQueries.specs ++
+      graft.queries.DepthQueries.specs ++
       graft.llm.LlmQueries.specs ++
       graft.streaming.EventStream.specs
 

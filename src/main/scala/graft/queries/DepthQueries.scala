@@ -1,0 +1,120 @@
+package graft.queries
+
+import QuerySpec.{sql, sql2}
+
+/** Depth pass over the delegated surface: TPC-H-shaped multi-join
+  * flagships (the plans a 100 TB user actually runs — dimension broadcasts
+  * + fact-fact shuffle joins + partial aggregation), the skew-safe
+  * two-phase exact-distinct pattern, and wider scalar-function coverage
+  * per §2.B.8 family.
+  */
+object DepthQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+    // TPC-H Q5 shape: 6-table join; region/nation/supplier broadcast,
+    // lineitem⋈orders shuffle on orderkey.
+    "q_tpch_q5ish" -> sql(
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // TPC-H Q3 shape: shipping-priority top-k.
+    "q_tpch_q3ish" -> sql(
+      """SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin),
+
+    // Skew-safe exact distinct: expand to (key, value) distinct first (high
+    // cardinality, even shuffle), then count per key — the two-phase plan
+    // that survives a hot key where COUNT(DISTINCT) over 3 groups funnels
+    // every value through 3 reducers.
+    "q_agg_distinct_twophase" -> sql2(
+      """SELECT l_returnflag, COUNT(*) AS nd_parts FROM
+        |(SELECT DISTINCT l_returnflag, l_partkey FROM lineitem) t
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    "q_fn_string2" -> sql(
+      """SELECT p_partkey,
+        |levenshtein(p_brand, 'Brand#13') AS lev,
+        |translate(p_brand, '#', '-') AS tr,
+        |repeat(substr(p_brand, 1, 2), 2) AS rep2,
+        |ascii(substr(p_name, 1, 1)) AS a1,
+        |chr(CAST(65 + p_partkey % 26 AS INT)) AS ch,
+        |position('a' IN p_name) AS pos_a,
+        |CAST(contains(p_name, 'or') AS INT) AS has_or,
+        |right(p_brand, 2) AS r2,
+        |left(p_name, 3) AS l3
+        |FROM part WHERE p_partkey % 23 = 0 ORDER BY p_partkey""".stripMargin),
+
+    "q_fn_math2" -> sql(
+      """SELECT o_orderkey,
+        |ROUND(CBRT(o_totalprice), 4) AS cb,
+        |CAST(factorial(CAST(o_orderkey % 10 AS INT)) AS BIGINT) AS fact,
+        |ROUND(SIN(CAST(o_orderkey % 7 AS DOUBLE)), 4) AS sn,
+        |ROUND(COS(CAST(o_orderkey % 7 AS DOUBLE)), 4) AS cs,
+        |ROUND(ATAN(CAST(o_orderkey % 5 AS DOUBLE)), 4) AS at,
+        |ROUND(ASIN((o_orderkey % 100) / 100.0), 4) AS asn,
+        |CAST(isnan(CAST('NaN' AS DOUBLE)) AS INT) AS nan_flag,
+        |ROUND(RADIANS(180.0), 6) AS rad
+        |FROM orders WHERE o_orderkey % 89 = 0 ORDER BY o_orderkey""".stripMargin),
+
+    "q_fn_datetime2" -> sql2(
+      """SELECT o_orderkey,
+        |last_day(CAST(o_orderdate AS DATE)) AS ld,
+        |make_date(2020, CAST(EXTRACT(month FROM o_orderdate) AS INT), 1) AS md,
+        |CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+        |CAST(EXTRACT(DOY FROM o_orderdate) AS INT) AS doy,
+        |datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS dd
+        |FROM orders WHERE o_orderkey % 113 = 0 ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey,
+        |last_day(CAST(o_orderdate AS DATE)) AS ld,
+        |make_date(2020, CAST(EXTRACT(month FROM o_orderdate) AS INT), 1) AS md,
+        |CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |CAST(EXTRACT(doy FROM o_orderdate) AS INT) AS doy,
+        |datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd
+        |FROM orders WHERE o_orderkey % 113 = 0 ORDER BY o_orderkey""".stripMargin),
+
+    "q_fn_array2" -> sql2(
+      """WITH t AS (SELECT o_orderkey, sequence(1, 1 + CAST(o_orderkey % 4 AS INT)) AS arr
+        |           FROM orders WHERE o_orderkey % 211 = 0)
+        |SELECT o_orderkey,
+        |CAST(array_position(arr, 2) AS BIGINT) AS pos2,
+        |CAST(array_contains(arr, 3) AS INT) AS has3,
+        |array_join(array_remove(arr, 1), ',') AS rem1,
+        |array_join(flatten(array(arr, array(9))), ',') AS flat,
+        |array_join(array_repeat(0, 2), ',') AS rep,
+        |array_join(slice(arr, 1, 2), ',') AS sl,
+        |CAST(arrays_overlap(arr, array(4, 5)) AS INT) AS ovl,
+        |size(arr) AS sz
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+      """WITH t AS (SELECT o_orderkey, range(1, 2 + CAST(o_orderkey % 4 AS INT)) AS arr
+        |           FROM orders WHERE o_orderkey % 211 = 0)
+        |SELECT o_orderkey,
+        |CAST(COALESCE(list_position(arr, 2), 0) AS BIGINT) AS pos2,
+        |CAST(list_contains(arr, 3) AS INT) AS has3,
+        |COALESCE(array_to_string(list_filter(arr, x -> x != 1), ','), '') AS rem1,
+        |array_to_string(flatten([arr, [9]]), ',') AS flat,
+        |array_to_string([0, 0], ',') AS rep,
+        |array_to_string(arr[1:2], ',') AS sl,
+        |CAST(list_has_any(arr, [4, 5]) AS INT) AS ovl,
+        |len(arr) AS sz
+        |FROM t ORDER BY o_orderkey""".stripMargin)
+  )
+}
