@@ -41,7 +41,21 @@ object EventStream {
     "q_stream_stateful" -> QuerySpec.df(
       (s, d) => statefulCounts(s, d),
       """SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
-        |ORDER BY user_id""".stripMargin))
+        |ORDER BY user_id""".stripMargin),
+
+    // Session windows (12h gap); oracle = gaps-and-islands over the batch
+    // table (new session when the inter-event gap exceeds 12h).
+    "q_stream_session" -> QuerySpec.df(
+      (s, d) => sessionCounts(s, d),
+      """WITH x AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin))
 
   /** Stage the µs-normalized events once per (session, dir) — the raw
     * fixture is ns-precision parquet which Spark can't stream directly.
@@ -101,6 +115,54 @@ object EventStream {
       .select(col("window.start").cast("timestamp_ntz").as("ws"),
         col("event_type"), col("n"))
       .orderBy("ws", "event_type")
+  }
+
+  /** Session windows (12-hour inactivity gap) per user. Session-window
+    * aggregation only supports append/update output, and append finalizes a
+    * session only in a micro-batch AFTER the watermark passes its end — so
+    * the staging dir gets two far-future sentinel files and the stream
+    * processes one file per batch: the first sentinel batch advances the
+    * watermark past every real session, the second evicts and emits them
+    * (standard stream-closing technique). The sentinel user is dropped.
+    */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = stage(spark, dir)
+    val dedicated = "/root/repo/target/fixtures/events_session"
+    val base = spark.read.parquet(src)
+    base.coalesce(2).write.mode("overwrite").parquet(dedicated)
+    Seq("2099-01-01 00:00:00", "2099-06-01 00:00:00").foreach { far =>
+      base.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", expr(s"timestamp_ntz '$far'"))
+        .write.mode("append").parquet(dedicated)
+    }
+    val schema = base.schema
+
+    val queryName = s"graft_session_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per batch → watermark advances across batches
+      .parquet(dedicated)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val query = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try query.awaitTermination()
+    finally if (query.isActive) query.stop()
+
+    spark.table(queryName)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("n"))
+      .orderBy("user_id", "session_start")
   }
 
   /** Custom per-key state (mapGroupsWithState): running per-user event
