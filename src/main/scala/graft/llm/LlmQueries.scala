@@ -209,7 +209,67 @@ object LlmQueries {
         |substr(md5(text), 1, 8) AS short_fp
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
 
+    // Unigram-LM quality proxy: corpus word frequencies (phase 1, tiny —
+    // broadcast) joined back to tokens, average log-probability per doc —
+    // the language-model-free version of perplexity filtering.
+    "q_text_unigram_logprob" -> sql2(
+      """WITH w AS (SELECT doc_id, word FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word),
+        |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+        |tot AS (SELECT SUM(c) AS n FROM freq)
+        |SELECT doc_id, ROUND(AVG(LN(c / CAST(n AS DOUBLE))), 4) AS avg_logp, COUNT(*) AS n_tokens
+        |FROM w JOIN freq USING (word) CROSS JOIN tot
+        |WHERE doc_id % 10 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+        |tot AS (SELECT SUM(c) AS n FROM freq)
+        |SELECT doc_id, ROUND(AVG(LN(c / CAST(n AS DOUBLE))), 4) AS avg_logp, COUNT(*) AS n_tokens
+        |FROM w JOIN freq USING (word) CROSS JOIN tot
+        |WHERE doc_id % 10 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // int8 embedding quantization (per-vector max-abs scale, explicit
+    // FLOOR(x+0.5) so both engines round identically).
+    "q_embed_quantize" -> sql2(
+      """WITH s AS (SELECT vec_id, embedding,
+        |           array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |           FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT vec_id, ROUND(ma, 6) AS max_abs,
+        |aggregate(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT)),
+        |          CAST(0 AS BIGINT), (a, x) -> a + abs(x)) AS q_l1,
+        |element_at(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT)), 1) AS q1
+        |FROM s ORDER BY vec_id""".stripMargin,
+      """WITH s AS (SELECT vec_id, embedding,
+        |           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |           FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT vec_id, ROUND(ma, 6) AS max_abs,
+        |CAST(list_sum(list_transform(embedding, x -> abs(CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT)))) AS BIGINT) AS q_l1,
+        |list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))[1] AS q1
+        |FROM s ORDER BY vec_id""".stripMargin),
+
     // ---- multimodal ----
+
+    // Fixed-size frame chunking over binary payloads (the frame-sample
+    // batch shape: payload → per-frame rows with stable indices).
+    "q_multimodal_frames" -> sql2(
+      """WITH p AS (SELECT doc_id, encode(text, 'UTF-8') AS payload FROM documents WHERE doc_id % 25 = 0)
+        |SELECT doc_id, f AS frame_idx,
+        |lower(hex(substring(payload, f * 16 + 1, 16))) AS frame_hex,
+        |octet_length(substring(payload, f * 16 + 1, 16)) AS frame_len
+        |FROM p LATERAL VIEW explode(sequence(0, CAST(CEIL(octet_length(payload) / 16.0) AS INT) - 1)) t AS f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+      // DuckDB can't substring BLOBs; the payload is UTF-8 of 1-byte ASCII
+      // chars, so chunking the string then encoding each chunk is
+      // byte-identical.
+      """WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+        |           FROM documents WHERE doc_id % 25 = 0),
+        |fr AS (SELECT doc_id, text,
+        |       unnest(generate_series(0, CAST(CEIL(n_bytes / 16.0) AS INT) - 1)) AS f
+        |       FROM p)
+        |SELECT doc_id, f AS frame_idx,
+        |lower(hex(encode(substring(text, CAST(f * 16 + 1 AS INT), 16)))) AS frame_hex,
+        |octet_length(encode(substring(text, CAST(f * 16 + 1 AS INT), 16))) AS frame_len
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin),
     "q_multimodal_meta" -> sql2(
       """SELECT doc_id, octet_length(encode(text, 'UTF-8')) AS n_bytes,
         |lower(hex(encode(substr(text, 1, 4), 'UTF-8'))) AS magic,
