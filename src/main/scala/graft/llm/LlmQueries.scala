@@ -53,8 +53,7 @@ object LlmQueries {
 
     // MinHash+LSH candidates verified by exact Jaccard; oracle = brute force.
     "q_dedup_minhash" -> df(
-      (s, d) => MinHashDedup.nearDuplicates(
-        Tables.documents(s, d).filter(col("doc_id") % 5 === 0), 0.95),
+      (s, d) => MinHashDedup.nearDuplicatesCached(s, d, 0.95).orderBy("id1", "id2"),
       jaccardOracleDuck("0.95")),
 
     // Direct scale-safe n-gram (word-set) Jaccard: pair generation by
@@ -104,9 +103,7 @@ object LlmQueries {
     // pair graph; keep the min doc_id per component. Oracle: recursive-CTE
     // reachability over the exact pair graph.
     "q_dedup_cluster" -> df(
-      (s, d) => DedupCluster.clusters(
-        MinHashDedup.nearDuplicates(
-          Tables.documents(s, d).filter(col("doc_id") % 5 === 0), 0.95)),
+      (s, d) => DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, d, 0.95)),
       s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
          |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
