@@ -64,6 +64,20 @@ class LlmSpec extends AnyFunSuite {
     assert(banded.exists { case (i, j, hd) => i == 1L && j == 2L && hd == 0 })
   }
 
+  test("clustering propagates labels across multi-hop chains and keeps components apart") {
+    import org.apache.spark.sql.Row
+    val pairSchema = StructType(Seq(
+      StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false)))
+    // chain 1-2, 2-3, 3-4 (diameter 3) plus separate component 10-11
+    val pairs = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(10L, 11L)),
+      pairSchema)
+    val got = DedupCluster.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("multimodal stub decode is deterministic byte statistics") {
     val d = docs(1L -> "ab cd", 2L -> "")
     val result = Multimodal.extractFeatures(d).collect()

@@ -49,4 +49,26 @@ class SocketTransportSpec extends AnyFunSuite {
       } finally client.close()
     } finally server.stop()
   }
+
+  test("concurrent clients each get correct, isolated responses") {
+    val spark = TestSpark.fixtures()
+    val server = new SocketServer(new FlightSqlService(new StaticSessionProvider(spark)))
+    val port = server.start()
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val results = Await.result(
+        Future.sequence((1 to 4).map { i =>
+          Future {
+            val c = new SocketClient("127.0.0.1", port)
+            try {
+              val (_, t) = c.getFlightInfoStatement(s"SELECT COUNT(*) + $i AS n FROM users")
+              ArrowCodec.decode(c.doGet(t)).rows.head.head
+            } finally c.close()
+          }
+        }), 120.seconds)
+      assert(results == Seq(4L, 5L, 6L, 7L))
+    } finally server.stop()
+  }
 }
