@@ -50,6 +50,35 @@ object DepthQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    "q_fn_regex2" -> sql2(
+      """SELECT doc_id,
+        |regexp_count(text, '[aeiou]{2}') AS n_vv,
+        |array_join(regexp_extract_all(text, '\\b(s[a-z]+)', 1), ',') AS s_words,
+        |size(split(text, '[aeiou]+')) AS n_splits,
+        |CAST(text RLIKE '(scan|join).*(scan|join)' AS INT) AS two_ops
+        |FROM documents WHERE doc_id % 30 = 0 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |len(regexp_extract_all(text, '[aeiou]{2}')) AS n_vv,
+        |array_to_string(regexp_extract_all(text, '\b(s[a-z]+)', 1), ',') AS s_words,
+        |len(string_split_regex(text, '[aeiou]+')) AS n_splits,
+        |CAST(regexp_matches(text, '(scan|join).*(scan|join)') AS INT) AS two_ops
+        |FROM documents WHERE doc_id % 30 = 0 ORDER BY doc_id""".stripMargin),
+
+    // HLL sketch MERGING: per-group sketches unioned into a global estimate
+    // — the pre-aggregation pattern that lets 100 TB distinct counts reuse
+    // rolled-up sketches instead of rescanning raw data. Self-verifying
+    // against the exact count (same technique as q_agg_approx).
+    "q_agg_hll_merge" -> sql2(
+      """WITH s AS (SELECT o_orderstatus, hll_sketch_agg(o_custkey) AS sk
+        |           FROM orders GROUP BY o_orderstatus),
+        |x AS (SELECT COUNT(DISTINCT o_custkey) AS exact_nd FROM orders)
+        |SELECT CASE WHEN abs(hll_sketch_estimate(hll_union_agg(sk)) - exact_nd)
+        |            <= 0.05 * exact_nd THEN 1 ELSE 0 END AS union_ok,
+        |COUNT(*) AS n_groups, MAX(exact_nd) AS exact_nd
+        |FROM s CROSS JOIN x GROUP BY exact_nd""".stripMargin,
+      """SELECT 1 AS union_ok, COUNT(DISTINCT o_orderstatus) AS n_groups,
+        |COUNT(DISTINCT o_custkey) AS exact_nd FROM orders""".stripMargin),
+
     "q_fn_string2" -> sql(
       """SELECT p_partkey,
         |levenshtein(p_brand, 'Brand#13') AS lev,
