@@ -21,14 +21,14 @@ object AggQueries {
     "q_agg_grouping_sets" -> sql(
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls,
-        |COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        |COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin),
 
     "q_agg_rollup" -> sql(
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
-        |COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS rev
+        |COUNT(*) AS n, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin),
 
@@ -109,7 +109,8 @@ object AggQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     "q_agg_sum_distinct" -> sql(
-      """SELECT l_returnflag, ROUND(SUM(DISTINCT l_quantity), 2) AS sd_qty,
+      """SELECT l_returnflag,
+        |CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sd_qty,
         |COUNT(DISTINCT l_suppkey) AS nd_supp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 

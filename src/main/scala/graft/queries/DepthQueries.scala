@@ -14,7 +14,9 @@ object DepthQueries {
     // TPC-H Q5 shape: 6-table join; region/nation/supplier broadcast,
     // lineitem⋈orders shuffle on orderkey.
     "q_tpch_q5ish" -> sql(
-      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -28,7 +30,9 @@ object DepthQueries {
 
     // TPC-H Q3 shape: shipping-priority top-k.
     "q_tpch_q3ish" -> sql(
-      """SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      """SELECT l_orderkey,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |CAST(o_orderdate AS DATE) AS odate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey

@@ -60,7 +60,8 @@ object ExtraQueries {
     s.sql("DROP TABLE IF EXISTS ext_orders")
     s.sql(s"CREATE TABLE ext_orders USING parquet LOCATION '$loc'")
     s.sql(
-      """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS spend
+      """SELECT o_custkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM ext_orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
@@ -149,7 +150,8 @@ object ExtraQueries {
         |WHERE o_totalprice > 350000.0 AND o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin),
 
     "q_src_external_table" -> QuerySpec.df(externalTable,
-      """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS spend
+      """SELECT o_custkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders WHERE o_totalprice > 400000
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
 

@@ -73,13 +73,21 @@ object RelationalQueries {
         |WHERE doc_id % 50 = 0 ORDER BY doc_id, word""".stripMargin),
 
     // ---- aggregations (§2.B.4) ----
+    // Money/qty folds run in DECIMAL(18,2) (the fixture doubles carry exactly
+    // 2 decimals, so the cast is lossless) because double SUM accumulation
+    // order differs between Spark's partial aggregation and DuckDB — decimal
+    // sums are bit-identical on both engines. AVG = exact decimal SUM / COUNT
+    // to sidestep engine-specific decimal-AVG scale rules.
     "q_agg_q1" -> sql(
       """SELECT l_returnflag, l_linestatus,
-        |ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |ROUND(AVG(l_quantity), 4) AS avg_qty,
-        |ROUND(AVG(l_discount), 4) AS avg_disc,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(l_quantity), 4) AS avg_qty,
+        |ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(l_discount), 4) AS avg_disc,
         |COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -87,15 +95,22 @@ object RelationalQueries {
 
     "q_agg_ungrouped" -> sql(
       """SELECT COUNT(*) AS cnt, COUNT(DISTINCT o_custkey) AS n_cust,
-        |ROUND(SUM(o_totalprice), 2) AS total,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |ROUND(MIN(o_totalprice), 2) AS mn, ROUND(MAX(o_totalprice), 2) AS mx
         |FROM orders""".stripMargin),
 
     "q_agg_having" -> sql(
-      """SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS spend
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
         |ORDER BY o_custkey""".stripMargin),
 
+    // Residual cross-engine risk: stddev/var/corr/covar accumulate in double
+    // internally in BOTH engines (no decimal form exists), so last-ulp drift
+    // is possible in principle; ROUND granularity (1e-4 on sd≈14, 1e-2 on
+    // cov≈1e4) sits ~1e7× above the observed drift (~1e-11 relative), so the
+    // boundary-collision probability is negligible — documented, not fixable
+    // without abandoning the §2.B.4 stats functions themselves.
     "q_agg_stats" -> sql(
       """SELECT ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_samp,
         |ROUND(STDDEV_POP(l_quantity), 4) AS sd_pop,
@@ -111,7 +126,8 @@ object RelationalQueries {
     "q_agg_filter_clause" -> sql(
       """SELECT l_returnflag, COUNT(*) AS n_all,
         |COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
-        |ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |     FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // ---- joins (§2.B.3) ----
@@ -178,8 +194,10 @@ object RelationalQueries {
 
     "q_join_derived" -> sql(
       """SELECT c_custkey, c_name, spend FROM customer
-        |JOIN (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend FROM orders
-        |      GROUP BY o_custkey HAVING ROUND(SUM(o_totalprice), 2) > 800000) t
+        |JOIN (SELECT o_custkey,
+        |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |      FROM orders GROUP BY o_custkey
+        |      HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 800000) t
         |ON c_custkey = o_custkey ORDER BY c_custkey""".stripMargin),
 
     // ---- sorts / limits (§2.B.6) ----

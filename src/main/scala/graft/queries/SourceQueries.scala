@@ -59,7 +59,8 @@ object SourceQueries {
       .write.mode("overwrite").parquet(out)
     s.read.parquet(out).createOrReplaceTempView("copy_back")
     s.sql(
-      """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS spend
+      """SELECT o_custkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM copy_back GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   }
 
@@ -85,7 +86,8 @@ object SourceQueries {
           |ORDER BY o_orderkey""".stripMargin)),
 
     "q_src_copy_roundtrip" -> df(copyRoundtrip,
-      """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS spend
+      """SELECT o_custkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders WHERE o_totalprice > 300000
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   )

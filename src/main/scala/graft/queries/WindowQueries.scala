@@ -55,21 +55,34 @@ object WindowQueries {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
 
-    // aggregates as windows, ROWS frames
+    // aggregates as windows, ROWS frames. Running SUM/AVG accumulate in
+    // DECIMAL(18,2) (o_totalprice is a 2-decimal double, so the cast is
+    // exact) because double accumulation order differs between Spark's
+    // sequential frame evaluation and DuckDB's segment-tree windows —
+    // last-ulp drift flips cents at ROUND boundaries. Decimal window
+    // arithmetic is exact in both engines; the moving average divides the
+    // exact decimal sum by the frame COUNT so no engine-specific AVG
+    // decimal-scale rules apply.
     "q_win_rows_frame" -> sql(
       """SELECT o_custkey, o_orderkey,
-        |ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
-        |ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+        |ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / (COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)), 2) AS mov_avg,
         |COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
-    // RANGE frame over a numeric ordering key
+    // RANGE frame over a numeric ordering key (same decimal hardening as
+    // q_win_rows_frame — this passed on raw doubles by luck only)
     "q_win_range_frame" -> sql(
       """SELECT o_custkey, o_orderkey,
-        |ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS range_sum
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 }
