@@ -11,20 +11,50 @@ package graft.llm
   * Scale notes: the brute-force form is the correctness baseline (query set
   * broadcast against the corpus — a broadcast hash join, no shuffle of the
   * big side; per-query top-k via partitioned window). The LSH form is the
-  * 100 TB path: random-hyperplane sign buckets turn the candidate join into
-  * an equi-join on bucket id, so each query only scores its own bucket.
+  * 100 TB path and is *size-parameterized in the query itself*: the sign
+  * signature is always [[maxBits]] hyperplane bits, but the bucket key
+  * masks to `nbits = clamp(ceil(log2(N / targetBucket)), 1, maxBits)` bits,
+  * computed from COUNT(*) by a scalar subquery. Bucket population therefore
+  * stays ≈[[targetBucket]] at ANY corpus size (until 2^maxBits *
+  * targetBucket ≈ 10^9 vectors — raise maxBits for more), instead of the
+  * fixed 256 buckets of the round-2 design whose buckets grew linearly
+  * with N. Recall comes from [[numTables]] independent hash tables plus
+  * single-bit-flip multi-probe (Lv et al., "Multi-Probe LSH", VLDB 2007):
+  * each query probes its own bucket and the `nbits` buckets at hamming
+  * distance 1, in every table — (nbits+1)×numTables bounded-size candidate
+  * buckets per query, all reached via equi-joins.
   */
 object AnnSql {
   val dim = 64
-  val numPlanes = 8
+
+  /** Sign-signature width per hash table; the effective bucket key is a
+    * runtime-masked prefix of it.
+    */
+  val maxBits = 20
+
+  /** Independent hyperplane tables (candidate union, DISTINCT-merged). */
+  val numTables = 2
+
+  /** Desired expected bucket population at any corpus size. */
+  val targetBucket = 1024
+
+  /** Scala mirror of the in-SQL `nbits` clamp (unit-tested against the SQL
+    * in PlanAuditSpec): number of signature bits in the bucket key.
+    */
+  def nbitsFor(n: Long): Int =
+    math.max(1, math.min(maxBits,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
 
   /** Deterministic hyperplanes, embedded as literals in BOTH dialects (the
-    * same decimal text parses to the same double everywhere).
+    * same decimal text parses to the same double everywhere). One plane set
+    * per hash table, from independent seeds.
     */
-  val planes: Seq[Seq[String]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(numPlanes)(Seq.fill(dim)(f"${rnd.nextGaussian()}%.6f"))
+  private def planesFor(seed: Int): Seq[Seq[String]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(maxBits)(Seq.fill(dim)(f"${rnd.nextGaussian()}%.6f"))
   }
+
+  val tables: Seq[Seq[Seq[String]]] = Seq(planesFor(7), planesFor(13))
 
   // ---- Spark dialect ----
   private def sparkDot(a: String, b: String): String =
@@ -39,8 +69,10 @@ object AnnSql {
   private def sparkPlaneLit(p: Seq[String]): String =
     p.map(v => s"${v}D").mkString("array(", ", ", ")")
 
-  /** bucket = bitmask of hyperplane-side signs. */
-  private def sparkBucket(e: String): String =
+  /** Full maxBits-bit signature for one hash table = bitmask of
+    * hyperplane-side signs.
+    */
+  private def sparkSig(e: String, planes: Seq[Seq[String]]): String =
     planes.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN ${sparkDot(e, sparkPlaneLit(p))} >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -58,10 +90,16 @@ object AnnSql {
   private def duckPlaneLit(p: Seq[String]): String =
     p.mkString("[", ", ", "]")
 
-  private def duckBucket(e: String): String =
+  private def duckSig(e: String, planes: Seq[Seq[String]]): String =
     planes.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_dot_product(${duckD(e)}, ${duckPlaneLit(p)}) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** clamp(ceil(log2(COUNT(*) / targetBucket)), lo, maxBits) — identical
+    * text shape in both dialects (log2/CEIL/GREATEST/LEAST exist in both).
+    */
+  private def nbitsSql(lo: Int): String =
+    s"SELECT GREATEST($lo, LEAST($maxBits, CAST(CEIL(log2(CAST(COUNT(*) AS DOUBLE) / $targetBucket.0)) AS INT))) AS nbits FROM embeddings"
 
   // ---- queries ----
 
@@ -97,42 +135,123 @@ object AnnSql {
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
 
-  /** LSH-bucketed top-k: candidates restricted to the query's sign bucket. */
+  /** LSH-bucketed top-k, size-parameterized: nbits-bit bucket keys over
+    * [[numTables]] hash tables, single-bit-flip multi-probe on the query
+    * side only, DISTINCT candidate merge, then exact re-scoring. Every join
+    * is an equi-join on (table id, bucket); the probe explosion is a
+    * Generate over a constant-bounded (maxBits+1)-element sequence.
+    */
+  private def sparkLshCtes: String =
+    s"""WITH n AS (${nbitsSql(1)}),
+       |sig AS (SELECT vec_id, ${sparkSig("embedding", tables(0))} AS s1,
+       |               ${sparkSig("embedding", tables(1))} AS s2 FROM embeddings),
+       |e AS (SELECT vec_id, tid,
+       |             (CASE WHEN tid = 1 THEN s1 ELSE s2 END) & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
+       |      FROM sig LATERAL VIEW explode(array(1, 2)) t AS tid),
+       |q AS (SELECT vec_id AS qid, tid, bucket FROM e WHERE vec_id % 50 = 0),
+       |probes AS (SELECT qid, tid,
+       |                  CASE WHEN i = 0 THEN bucket
+       |                       ELSE CAST(bucket ^ shiftleft(1, i - 1) AS INT) END AS pbucket
+       |           FROM (SELECT qid, tid, bucket, i
+       |                 FROM q LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
+       |           WHERE i <= (SELECT nbits FROM n)),
+       |cand AS (SELECT DISTINCT p.qid, e.vec_id AS cid
+       |         FROM probes p JOIN e ON e.tid = p.tid AND e.bucket = p.pbucket AND e.vec_id != p.qid)""".stripMargin
+
   def lshTopKSpark(k: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding, ${sparkBucket("embedding")} AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e WHERE vec_id % 50 = 0),
-       |sims AS (SELECT qid, c.vec_id AS cid, ${sparkCos("qe", "c.embedding")} AS cos
-       |         FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != qid)
+    s"""$sparkLshCtes,
+       |sims AS (SELECT c.qid, c.cid, ${sparkCos("a.embedding", "b.embedding")} AS cos
+       |         FROM cand c JOIN embeddings a ON a.vec_id = c.qid
+       |                     JOIN embeddings b ON b.vec_id = c.cid)
        |SELECT qid, cid, ROUND(cos, 6) AS cos FROM (
        |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
+
+  /** Structural-invariant audit (PlanAuditSpec): per-query candidate count
+    * can never exceed (nbits+1) probes × numTables tables × the largest
+    * bucket population — the bound that keeps the candidate join linear in
+    * N at any scale.
+    */
+  def candidateBoundSpark: String =
+    s"""$sparkLshCtes,
+       |bsz AS (SELECT tid, bucket, COUNT(*) AS b FROM e GROUP BY tid, bucket),
+       |c AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid)
+       |SELECT MAX(c.n_cand) AS max_cand,
+       |       ((SELECT nbits FROM n) + 1) * $numTables * (SELECT MAX(b) FROM bsz) AS bound,
+       |       (SELECT nbits FROM n) AS nbits
+       |FROM c""".stripMargin
 
   def lshTopKDuck(k: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding, ${duckBucket("embedding")} AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e WHERE vec_id % 50 = 0),
-       |sims AS (SELECT qid, c.vec_id AS cid, ${duckCos("qe", "c.embedding")} AS cos
-       |         FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != qid)
+    s"""WITH n AS (${nbitsSql(1)}),
+       |sig AS (SELECT vec_id, ${duckSig("embedding", tables(0))} AS s1,
+       |               ${duckSig("embedding", tables(1))} AS s2 FROM embeddings),
+       |e AS (SELECT vec_id, tid,
+       |             (CASE WHEN tid = 1 THEN s1 ELSE s2 END) & ((1 << (SELECT nbits FROM n)) - 1) AS bucket
+       |      FROM (SELECT vec_id, s1, s2, unnest([1, 2]) AS tid FROM sig) t),
+       |q AS (SELECT vec_id AS qid, tid, bucket FROM e WHERE vec_id % 50 = 0),
+       |probes AS (SELECT qid, tid,
+       |                  CASE WHEN i = 0 THEN bucket
+       |                       ELSE xor(bucket, 1 << (i - 1)) END AS pbucket
+       |           FROM (SELECT qid, tid, bucket, unnest(range(0, ${maxBits + 1})) AS i FROM q) t
+       |           WHERE i <= (SELECT nbits FROM n)),
+       |cand AS (SELECT DISTINCT p.qid, e.vec_id AS cid
+       |         FROM probes p JOIN e ON e.tid = p.tid AND e.bucket = p.pbucket AND e.vec_id != p.qid),
+       |sims AS (SELECT c.qid, c.cid, ${duckCos("a.embedding", "b.embedding")} AS cos
+       |         FROM cand c JOIN embeddings a ON a.vec_id = c.qid
+       |                     JOIN embeddings b ON b.vec_id = c.cid)
        |SELECT qid, cid, ROUND(cos, 6) AS cos FROM (
        |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
 
-  /** Near-duplicate pairs by cosine ≥ threshold, blocked by label (standard
-    * blocking: only same-label pairs are compared — bounded block sizes).
-    * Scoring uses the native graft_cosine expression (single pass, stays in
-    * whole-stage codegen); the pure-SQL lambda fold lives on in
-    * bruteTopKSpark as the no-extension formulation.
+  /** Near-duplicate pairs by cosine ≥ threshold. Blocking key = (label,
+    * sign sub-bucket): the sub-bucket masks the table-1 signature to
+    * `blockBits = clamp(ceil(log2(N / |labels| / targetBucket)), 0,
+    * maxBits)` bits, so per-block population stays ≈[[targetBucket]] no
+    * matter how large the corpus grows (round 2 blocked on label alone,
+    * which is O(N²/|labels|) pairs). Single-bit-flip multi-probe on one
+    * side keeps recall: a pair is compared iff its sub-buckets are within
+    * hamming distance 1 — each such pair matches exactly one probe, so no
+    * DISTINCT is needed. At fixture scale blockBits clamps to 0 and this
+    * reduces to exact label blocking. Scoring uses the native graft_cosine
+    * expression (single pass, stays in whole-stage codegen); the pure-SQL
+    * lambda fold lives on in bruteTopKSpark as the no-extension
+    * formulation.
     */
+  private def blockBitsSql: String =
+    s"SELECT GREATEST(0, LEAST($maxBits, CAST(CEIL(log2(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT label) / $targetBucket.0)) AS INT))) AS nbits FROM embeddings"
+
   def nearDupSpark(threshold: String): String =
-    s"""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, graft_cosine(a.embedding, b.embedding) AS cos
-       |           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+    s"""WITH n AS ($blockBitsSql),
+       |e AS (SELECT vec_id, embedding, label,
+       |             ${sparkSig("embedding", tables(0))} & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
+       |      FROM embeddings),
+       |probes AS (SELECT vec_id, embedding, label,
+       |                  CASE WHEN i = 0 THEN bucket
+       |                       ELSE CAST(bucket ^ shiftleft(1, i - 1) AS INT) END AS pbucket
+       |           FROM (SELECT vec_id, embedding, label, bucket, i
+       |                 FROM e LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
+       |           WHERE i <= (SELECT nbits FROM n)),
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, graft_cosine(a.embedding, b.embedding) AS cos
+       |      FROM probes a JOIN e b
+       |        ON a.label = b.label AND a.pbucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id1, id2, ROUND(cos, 6) AS cos FROM p WHERE cos >= $threshold
        |ORDER BY id1, id2""".stripMargin
 
   def nearDupDuck(threshold: String): String =
-    s"""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, ${duckCos("a.embedding", "b.embedding")} AS cos
-       |           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+    s"""WITH n AS ($blockBitsSql),
+       |e AS (SELECT vec_id, embedding, label,
+       |             ${duckSig("embedding", tables(0))} & ((1 << (SELECT nbits FROM n)) - 1) AS bucket
+       |      FROM embeddings),
+       |probes AS (SELECT vec_id, embedding, label,
+       |                  CASE WHEN i = 0 THEN bucket
+       |                       ELSE xor(bucket, 1 << (i - 1)) END AS pbucket
+       |           FROM (SELECT vec_id, embedding, label, bucket, unnest(range(0, ${maxBits + 1})) AS i FROM e) t
+       |           WHERE i <= (SELECT nbits FROM n)),
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, ${duckCos("a.embedding", "b.embedding")} AS cos
+       |      FROM probes a JOIN e b
+       |        ON a.label = b.label AND a.pbucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT id1, id2, ROUND(cos, 6) AS cos FROM p WHERE cos >= $threshold
        |ORDER BY id1, id2""".stripMargin
 }

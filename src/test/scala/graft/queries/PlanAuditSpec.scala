@@ -73,6 +73,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q_ann_topk").contains("Broadcast"))
   }
 
+  test("ANN LSH candidate generation is equi-join only (q_ann_lsh)") {
+    val p = plan("q_ann_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("embedding dedup blocks on (label, sub-bucket) via equi-joins (q_dedup_embedding)") {
+    val p = plan("q_dedup_embedding")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ANN LSH candidates stay inside the (nbits+1) x tables x bucket bound") {
+    import graft.llm.AnnSql
+    graft.queries.Tables.registerAll(spark, sf)
+    val row = spark.sql(AnnSql.candidateBoundSpark).collect().head
+    val (maxCand, bound, nbits) = (row.getLong(0), row.getLong(1), row.getInt(2))
+    assert(maxCand <= bound,
+      s"candidate count $maxCand exceeds structural bound $bound (nbits=$nbits)")
+    val n = spark.table("embeddings").count()
+    assert(nbits === AnnSql.nbitsFor(n), "SQL nbits clamp must mirror AnnSql.nbitsFor")
+  }
+
+  test("nbitsFor keeps expected bucket population near targetBucket at any scale") {
+    import graft.llm.AnnSql.{maxBits, nbitsFor, targetBucket}
+    assert(nbitsFor(500) === 1)          // corpus smaller than a bucket
+    assert(nbitsFor(1L << 40) === maxBits) // clamped at signature width
+    // across 6 orders of magnitude the expected population stays in
+    // [targetBucket/2, targetBucket] (ceil halves at worst)
+    for (n <- Seq(100_000L, 1_000_000L, 10_000_000L, 100_000_000L, 1_000_000_000L)) {
+      val pop = n.toDouble / (1L << nbitsFor(n))
+      assert(pop <= targetBucket && pop >= targetBucket / 2.0,
+        s"n=$n nbits=${nbitsFor(n)} expected-pop=$pop")
+    }
+  }
+
   test("aggregation is partial->final (q_agg_q1)") {
     val p = plan("q_agg_q1")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial + final HashAggregate")
