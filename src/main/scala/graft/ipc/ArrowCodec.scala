@@ -142,6 +142,32 @@ object ArrowCodec {
     }
   }
 
+  /** Header types of every message in an IPC stream, in order (values from
+    * org.apache.arrow.flatbuf.MessageHeader; EOS markers are skipped by the
+    * reader). Lets the service reproduce the reference's exact
+    * parameter-stream error distinctions — batch-before-schema vs second
+    * schema vs no schema at all (service.rs:826-853, 1123-1141) — which a
+    * plain ArrowStreamReader pass cannot tell apart.
+    */
+  def messageHeaderTypes(bytes: Array[Byte]): Seq[Byte] = {
+    val allocator = new RootAllocator(Long.MaxValue)
+    val reader = new org.apache.arrow.vector.ipc.message.MessageChannelReader(
+      new ReadChannel(Channels.newChannel(new ByteArrayInputStream(bytes))), allocator)
+    try {
+      val kinds = ArrayBuffer.empty[Byte]
+      var res = reader.readNext()
+      while (res != null) {
+        kinds += res.getMessage.headerType()
+        Option(res.getBodyBuffer).foreach(_.close())
+        res = reader.readNext()
+      }
+      kinds.toSeq
+    } finally {
+      reader.close()
+      allocator.close()
+    }
+  }
+
   private def normalize(v: Any): Any = v match {
     case t: Text => t.toString
     case l: java.util.List[_] => l.asScala.map(normalize).toSeq

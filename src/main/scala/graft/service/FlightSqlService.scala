@@ -191,13 +191,27 @@ class FlightSqlService(
       parameterStream: Array[Byte],
       meta: Meta = noMeta): Array[Byte] = wrap {
     val handle = QueryHandle.decode(handleBytes)
-    val decoded =
-      try ArrowCodec.decode(parameterStream)
+    // Replicate the reference's three parameter-stream error distinctions
+    // (service.rs:826-853 + decode_schema at service.rs:1123-1141): a batch
+    // before any schema, a second schema mid-stream, and no schema at all
+    // each get their own message.
+    val schemaHeader = org.apache.arrow.flatbuf.MessageHeader.Schema
+    val batchHeader = org.apache.arrow.flatbuf.MessageHeader.RecordBatch
+    val kinds =
+      try ArrowCodec.messageHeaderTypes(parameterStream)
       catch {
         case e: Exception =>
           throw Status.invalidArgument(s"parameter flight data must have a schema: ${e.getMessage}")
       }
-    if (decoded.rows.size > 1)
+    val firstSchema = kinds.indexOf(schemaHeader)
+    if (kinds.exists(_ == batchHeader) &&
+        (firstSchema < 0 || kinds.indexOf(batchHeader) < firstSchema))
+      throw Status.invalidArgument("parameter flight data must have a known schema")
+    if (kinds.count(_ == schemaHeader) > 1)
+      throw Status.invalidArgument("parameter flight data must contain a single schema")
+    if (firstSchema < 0)
+      throw Status.invalidArgument("parameter flight data must have a schema")
+    if (ArrowCodec.decode(parameterStream).rows.size > 1)
       throw Status.invalidArgument("parameters should contain a single row")
     handle.copy(parameters = Some(parameterStream)).encode
   }
@@ -261,4 +275,11 @@ class FlightSqlService(
     throw Status.unimplemented("Implement do_action_end_savepoint")
   def doActionCancelQuery(): Nothing =
     throw Status.unimplemented("Implement do_action_cancel_query")
+
+  /** Deliberate no-op hook, like the reference's empty default impl
+    * (`async fn register_sql_info(&self, _id: i32, _result: &SqlInfo) {}`,
+    * service.rs:1013): servers that want to advertise SqlInfo override it;
+    * the default registers nothing.
+    */
+  def registerSqlInfo(id: Int, result: Any): Unit = ()
 }

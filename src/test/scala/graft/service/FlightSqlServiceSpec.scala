@@ -109,6 +109,55 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(e.message.contains("single row"))
   }
 
+  test("prepared statement rejects a second schema mid-stream (service.rs:836-841)") {
+    val created = service.createPreparedStatement("SELECT name FROM users WHERE id = $1")
+    val schema = {
+      import org.apache.arrow.vector.types.pojo.{ArrowType, Field, Schema}
+      new Schema(java.util.Arrays.asList(
+        Field.nullable("$1", new ArrowType.Int(32, true))))
+    }
+    // two concatenated schema messages form a syntactically readable stream
+    // with a duplicate schema — the reference's "single schema" case
+    val twoSchemas = ArrowCodec.encodeSchema(schema) ++ ArrowCodec.encodeSchema(schema)
+    val e = intercept[Status] {
+      service.doPutPreparedStatementQuery(created.handle, twoSchemas)
+    }
+    assert(e.code == Status.InvalidArgument)
+    assert(e.message == "parameter flight data must contain a single schema")
+  }
+
+  test("prepared statement rejects a batch before any schema (service.rs:1123-1141)") {
+    val created = service.createPreparedStatement("SELECT name FROM users WHERE id = $1")
+    val paramDf = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      spark.createDataFrame(
+        java.util.Arrays.asList(Row(2)),
+        StructType(Seq(StructField("$1", IntegerType, nullable = false))))
+    }
+    val full = ArrowCodec.encodeStream(paramDf).toBytes
+    // slice off the leading schema message so the first message is a batch
+    val kinds = ArrowCodec.messageHeaderTypes(full)
+    assert(kinds.head == org.apache.arrow.flatbuf.MessageHeader.Schema)
+    // IPC framing: 0xFFFFFFFF continuation, little-endian metadata length,
+    // flatbuffer; the schema message has no body, so it spans 8+len bytes
+    val len = java.nio.ByteBuffer.wrap(full, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val headless = full.drop(8 + len)
+    val e = intercept[Status] {
+      service.doPutPreparedStatementQuery(created.handle, headless)
+    }
+    assert(e.code == Status.InvalidArgument)
+    assert(e.message == "parameter flight data must have a known schema")
+  }
+
+  test("register_sql_info is a no-op hook (service.rs:1013)") {
+    service.registerSqlInfo(0, "anything") // must not throw, registers nothing
+    // the SqlInfo surface stays unimplemented exactly as before
+    val e = intercept[Status](service.getFlightInfoSqlInfo())
+    assert(e.message == "Implement CommandGetSqlInfo")
+  }
+
   test("close prepared statement is a NOP (service.rs:927-941)") {
     val created = service.createPreparedStatement("SELECT 1")
     service.closePreparedStatement(created.handle) // must not throw
