@@ -87,8 +87,13 @@ object Metadata {
       if cmd.tableTypes.isEmpty || cmd.tableTypes.contains(tableType)
     } yield {
       if (cmd.includeSchema) {
+        // Qualify with the owning database: an unqualified lookup resolves
+        // against the current database / temp views, returning the wrong
+        // schema (or failing) for tables in other databases.
+        val qualified =
+          if (t.database != null && t.database.nonEmpty) s"${t.database}.${t.name}" else t.name
         val arrowSchema = org.apache.spark.sql.graftbridge.SparkArrowBridge
-          .toArrowSchema(spark.table(t.name).schema,
+          .toArrowSchema(spark.table(qualified).schema,
             spark.sessionState.conf.sessionLocalTimeZone)
         Row(catalogName, dbName, t.name, tableType, ArrowCodec.encodeSchema(arrowSchema))
       } else Row(catalogName, dbName, t.name, tableType)

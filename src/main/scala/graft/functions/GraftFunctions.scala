@@ -1,16 +1,21 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.graftbridge.CosineSimilarity
+import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct}
 
 /** Registration hook for the engine's custom functions — an embedding
   * application calls this from its SessionProvider (mirrors per-session
   * function registration, examples/bearer_auth_flight_sql.rs:95-114).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)),
+      "built-in")
+  }
 }

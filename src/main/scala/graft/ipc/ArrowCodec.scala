@@ -33,12 +33,22 @@ object ArrowCodec {
   /** One encoded result stream: the concatenation of `frames` is a complete
     * Arrow IPC stream (schema message, N record batches, EOS).
     */
-  final case class EncodedStream(arrowSchema: ArrowSchema, frames: Iterator[Array[Byte]]) {
+  final case class EncodedStream(
+      arrowSchema: ArrowSchema,
+      frames: Iterator[Array[Byte]],
+      private val closer: () => Unit = () => ()) {
     def toBytes: Array[Byte] = {
       val out = new ByteArrayOutputStream()
       frames.foreach(out.write)
       out.toByteArray
     }
+
+    /** Idempotent. Releases the stream's Arrow direct-memory buffers when
+      * the frame iterator is abandoned before natural completion (execution
+      * error mid-stream, client disconnect) — without this, every failed
+      * DoGet leaks a RootAllocator in a long-running server.
+      */
+    def close(): Unit = closer()
   }
 
   /** Attach per-field metadata (e.g. table_name qualifiers, A23) to an
@@ -68,7 +78,10 @@ object ArrowCodec {
       SparkArrowBridge.toArrowSchema(df.schema, df.sparkSession.sessionState.conf.sessionLocalTimeZone),
       fieldMetadata)
 
-    val frames = new Iterator[Array[Byte]] {
+    abstract class CloseableFrames extends Iterator[Array[Byte]] {
+      def close(): Unit
+    }
+    val frames = new CloseableFrames {
       private val allocator = new RootAllocator(Long.MaxValue)
       private val root = VectorSchemaRoot.create(arrowSchema, allocator)
       private val writer = SparkArrowBridge.createWriter(root)
@@ -77,6 +90,14 @@ object ArrowCodec {
       private var rows: Iterator[org.apache.spark.sql.catalyst.InternalRow] = _
       private var started = false
       private var finished = false
+      private var closed = false
+
+      override def close(): Unit = if (!closed) {
+        closed = true
+        finished = true
+        root.close()
+        allocator.close()
+      }
 
       private def takeChunk(): Array[Byte] = {
         val chunk = out.toByteArray
@@ -86,7 +107,10 @@ object ArrowCodec {
 
       override def hasNext: Boolean = !finished
 
-      override def next(): Array[Byte] = {
+      // Any failure (executor error surfacing through the row iterator,
+      // vector write error) closes the direct-memory buffers before the
+      // exception escapes to the transport.
+      override def next(): Array[Byte] = try {
         if (!started) {
           started = true
           streamWriter.start() // schema message
@@ -105,15 +129,17 @@ object ArrowCodec {
           takeChunk()
         } else {
           streamWriter.end() // EOS marker
-          finished = true
           val chunk = takeChunk()
-          root.close()
-          allocator.close()
+          close()
           chunk
         }
+      } catch {
+        case t: Throwable =>
+          close()
+          throw t
       }
     }
-    EncodedStream(arrowSchema, frames)
+    EncodedStream(arrowSchema, frames, () => frames.close())
   }
 
   /** Decoded IPC stream: schema + row-major values (Arrow `Text` → String).

