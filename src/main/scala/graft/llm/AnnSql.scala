@@ -272,6 +272,63 @@ object AnnSql {
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
 
+  /** IVF (inverted-file) ANN: the second classic scale path next to LSH.
+    * nlist ≈ sqrt(N) centroids are chosen deterministically (every
+    * stride-th vec_id, stride = ceil(N / ceil(sqrt(N))) via scalar
+    * subqueries, so the list count grows with the corpus — the standard
+    * IVF sizing heuristic giving ≈sqrt(N) lists of ≈sqrt(N) vectors.
+    * Every vector is assigned to its nearest centroid (a broadcast join
+    * against the constant-size centroid table — the one-off index-build
+    * cost every IVF index pays); queries probe their nprobe=2 nearest
+    * lists and re-score candidates exactly. Candidate lists are disjoint
+    * (each vector lives in exactly one list), so no DISTINCT is needed.
+    * A production build would replace the deterministic centroid pick
+    * with k-means iterations of this same assignment join.
+    */
+  def ivfTopKSpark(k: Int, nprobe: Int = 2): String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |asn AS (SELECT vec_id, embedding, cent_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY graft_cosine(e.embedding, c.ce) DESC, c.cent_id) AS rn
+       |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |qp AS (SELECT qid, qe, cent_id FROM (
+       |  SELECT q.qid, q.qe, c.cent_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY graft_cosine(q.qe, c.ce) DESC, c.cent_id) AS rn
+       |  FROM q CROSS JOIN c) t WHERE rn <= $nprobe),
+       |sims AS (SELECT qp.qid, a.vec_id AS cid, graft_cosine(qp.qe, a.embedding) AS cos
+       |         FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid)
+       |SELECT qid, cid, ROUND(cos, 6) AS cos FROM (
+       |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
+
+  def ivfTopKDuck(k: Int, nprobe: Int = 2): String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |asn AS (SELECT vec_id, embedding, cent_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |qp AS (SELECT qid, qe, cent_id FROM (
+       |  SELECT q.qid, q.qe, c.cent_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY ${duckCos("q.qe", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM q CROSS JOIN c) t WHERE rn <= $nprobe),
+       |sims AS (SELECT qp.qid, a.vec_id AS cid, ${duckCos("qp.qe", "a.embedding")} AS cos
+       |         FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid)
+       |SELECT qid, cid, ROUND(cos, 6) AS cos FROM (
+       |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
+
   /** Near-duplicate pairs by cosine ≥ threshold. Blocking key = (label,
     * sign sub-bucket): the sub-bucket masks the table-1 signature to
     * `blockBits = clamp(ceil(log2(N / |labels| / targetBucket)), 0,

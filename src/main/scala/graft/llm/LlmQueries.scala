@@ -166,6 +166,13 @@ object LlmQueries {
         s.sql(AnnSql.lshTopKFromSigSpark(3))
       },
       Some(AnnSql.lshTopKDuck(3))),
+    "q_ann_ivf" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.ivfTopKSpark(3))
+      },
+      Some(AnnSql.ivfTopKDuck(3))),
 
     // ---- text analysis ----
     "q_text_stats" -> sql2(

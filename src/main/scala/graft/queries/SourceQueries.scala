@@ -52,6 +52,40 @@ object SourceQueries {
     * TO equivalent), read it back, aggregate. Distributed write — no
     * coalesce(1), partitions land as separate files.
     */
+  /** Avro scan (§2.B.1, reference Cargo.toml `avro` feature): Spark 4.1
+    * bundles AvroFileFormat inside spark-sql (no separate spark-avro jar),
+    * but without a DataSourceRegister entry — so the format is addressed
+    * by class name. Round-trip: write a filtered projection as Avro, scan
+    * it back, aggregate.
+    */
+  private val avroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    val out = s"$fixtureDir/avro_out"
+    s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 350000")
+      .write.mode("overwrite").format(avroFormat).save(out)
+    s.read.format(avroFormat).load(out).createOrReplaceTempView("avro_back")
+    s.sql(
+      """SELECT o_custkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM avro_back GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  }
+
+  /** ORC scan: columnar-format breadth beyond parquet/avro (ORC ships
+    * registered in Spark's DataSourceRegister).
+    */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    val out = s"$fixtureDir/orc_out"
+    s.sql("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).createOrReplaceTempView("orc_back")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS qty FROM orc_back
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
   private def copyRoundtrip(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
     val out = s"$fixtureDir/copy_out.parquet"
@@ -84,6 +118,16 @@ object SourceQueries {
       Some(
         """SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000
           |ORDER BY o_orderkey""".stripMargin)),
+
+    "q_src_avro_roundtrip" -> df(avroRoundtrip,
+      """SELECT o_custkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders WHERE o_totalprice > 350000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
+    "q_src_orc_roundtrip" -> df(orcRoundtrip,
+      """SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS qty FROM lineitem
+        |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
     "q_src_copy_roundtrip" -> df(copyRoundtrip,
       """SELECT o_custkey, COUNT(*) AS n,
