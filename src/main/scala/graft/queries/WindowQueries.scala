@@ -76,6 +76,39 @@ object WindowQueries {
         |COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
+    // GROUPS frame — Spark's window engine has no GROUPS mode, but GROUPS
+    // semantics compose from existing operators: aggregate per distinct
+    // ORDER BY value, run the equivalent ROWS frame over the deduped
+    // groups (one row per distinct value = one GROUPS step), and join the
+    // per-group result back to the detail rows. The oracle verifies via an
+    // independent formulation (this DuckDB build lacks GROUPS too): a
+    // native RANGE frame of ±1 over dense_rank() — rows within one
+    // dense-rank step are exactly the adjacent value-groups. All stages
+    // are hash shuffles on (partition) / (partition, value) — scale-safe.
+    "q_win_groups_frame" -> QuerySpec.sql2(
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+        |                  CAST(l_quantity AS INT) AS qv,
+        |                  CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |           FROM lineitem WHERE l_suppkey % 10 = 0),
+        |g AS (SELECT l_suppkey, qv, SUM(price) AS gx FROM t GROUP BY l_suppkey, qv),
+        |gw AS (SELECT l_suppkey, qv,
+        |              CAST(SUM(gx) OVER (PARTITION BY l_suppkey ORDER BY qv
+        |                   ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS gsum
+        |       FROM g)
+        |SELECT t.l_orderkey, t.l_linenumber, t.l_suppkey, t.qv, gw.gsum
+        |FROM t JOIN gw ON t.l_suppkey = gw.l_suppkey AND t.qv = gw.qv
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+        |                  CAST(l_quantity AS INT) AS qv,
+        |                  CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |                  dense_rank() OVER (PARTITION BY l_suppkey
+        |                                     ORDER BY CAST(l_quantity AS INT)) AS dr
+        |           FROM lineitem WHERE l_suppkey % 10 = 0)
+        |SELECT l_orderkey, l_linenumber, l_suppkey, qv,
+        |CAST(SUM(price) OVER (PARTITION BY l_suppkey ORDER BY dr
+        |     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS gsum
+        |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // RANGE frame over a numeric ordering key (same decimal hardening as
     // q_win_rows_frame — this passed on raw doubles by luck only)
     "q_win_range_frame" -> sql(
