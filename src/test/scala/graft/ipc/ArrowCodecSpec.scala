@@ -68,6 +68,29 @@ class ArrowCodecSpec extends AnyFunSuite {
     assert(decoded.getFields.get(0).getMetadata.get("table_name") == "users")
   }
 
+  test("abandoned/failed streams release Arrow buffers (close is idempotent)") {
+    // Execution error mid-stream: the iterator's own catch must close the
+    // RootAllocator (allocator.close() throws if buffers leak, so a leak
+    // fails this test), and the transport's finally-close must be a no-op.
+    val failing = spark.sql("SELECT raise_error('boom') AS x FROM range(10)")
+    val stream = ArrowCodec.encodeStream(failing)
+    intercept[Throwable] { stream.frames.foreach(_ => ()) }
+    stream.close() // already closed by the error path — must not throw
+    stream.close() // idempotent
+
+    // Abandonment without error: client disconnects after the first frame.
+    val ok = spark.range(5).toDF("id")
+    val abandoned = ArrowCodec.encodeStream(ok)
+    abandoned.frames.next() // schema frame only, batches never pulled
+    abandoned.close() // must release root + allocator without throwing
+    abandoned.close()
+
+    // Natural completion: close after EOS is a no-op.
+    val complete = ArrowCodec.encodeStream(ok)
+    complete.toBytes
+    complete.close()
+  }
+
   test("timestamp columns round-trip (µs precision)") {
     val schema = StructType(Seq(
       StructField("ts", TimestampNTZType, nullable = false)))
