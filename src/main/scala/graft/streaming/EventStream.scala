@@ -43,6 +43,15 @@ object EventStream {
       """SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
         |ORDER BY user_id""".stripMargin),
 
+    // Streaming deduplication: stateful dropDuplicates on (user_id,
+    // event_type) — the streaming-ingest dedup primitive (state keyed on
+    // the dedup tuple, watermark bounds state lifetime at scale); the
+    // emitted first-occurrences aggregate to the batch distinct counts.
+    "q_stream_dedup" -> QuerySpec.df(
+      (s, d) => dedupCounts(s, d),
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // Session windows (12h gap); oracle = gaps-and-islands over the batch
     // table. Spark's session_window is half-open [start, last_ts + gap), so
     // an event exactly 12h after its predecessor starts a NEW session — the
@@ -192,6 +201,25 @@ object EventStream {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Streaming dedup: dropDuplicates keyed on (user_id, event_type) emits
+    * each pair's first occurrence (append mode); the batch-side rollup of
+    * the sink equals COUNT(DISTINCT user_id) per event_type. The watermark
+    * lets the state store evict old keys on a real unbounded stream.
+    */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stage(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val firsts = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("user_id", "event_type")
+    runToTable(firsts, "append")
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
   }
 
   /** Custom per-key state (mapGroupsWithState): running per-user event
