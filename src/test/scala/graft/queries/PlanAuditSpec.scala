@@ -85,6 +85,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("IVF assignment broadcasts only the constant-size centroid table (q_ann_ivf)") {
+    val p = plan("q_ann_ivf")
+    // centroid scoring is the one tolerated nested-loop: its build side is
+    // the ~sqrt(N) centroid list, broadcast; candidate->list and re-score
+    // joins must be hash equi-joins
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "candidate fetch must be a hash/merge equi-join")
+  }
+
+  test("GROUPS-frame emulation plans only equi-joins and one window (q_win_groups_frame)") {
+    val p = plan("q_win_groups_frame")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"))
+  }
+
+  test("TPC-H Q5 shape broadcasts the dimension tables (q_tpch_q5ish)") {
+    val p = plan("q_tpch_q5ish")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "region/nation/supplier joins should broadcast the small sides")
+  }
+
   test("ANN LSH candidates stay inside the (nbits+1) x tables x bucket bound") {
     import graft.llm.AnnSql
     graft.queries.Tables.registerAll(spark, sf)
