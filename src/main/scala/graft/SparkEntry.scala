@@ -26,7 +26,8 @@ object SparkEntry {
     val o = spark.read.parquet(s"$d/orders.parquet")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("rev"))
       .orderBy(col("o_orderpriority"))
   }
 

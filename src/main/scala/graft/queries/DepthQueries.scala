@@ -54,6 +54,34 @@ object DepthQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Salted skew join: 90% of fact rows share one join key, which would
+    // funnel through a single reducer in a plain shuffle join. The fact
+    // side gets a deterministic 16-way salt and the dim side is replicated
+    // x16, so the hot key spreads over 16 partitions; joining on
+    // (key, salt) is still a hash equi-join and the result equals the
+    // plain join (the DuckDB oracle). AQE's skew-join split handles this
+    // adaptively at runtime; explicit salting is the portable plan-level
+    // form that also works mid-pipeline where AQE can't re-split.
+    "q_join_skew_salted" -> sql2(
+      """WITH f AS (SELECT o_orderkey,
+        |                  CASE WHEN o_orderkey % 10 != 0 THEN 1 ELSE o_orderkey END AS k,
+        |                  CAST(o_orderkey % 16 AS INT) AS salt FROM orders),
+        |d AS (SELECT DISTINCT CASE WHEN o_orderkey % 10 != 0 THEN 1 ELSE o_orderkey END AS k
+        |      FROM orders),
+        |ds AS (SELECT k, CAST(k % 1000 AS INT) AS dval, salt
+        |       FROM d LATERAL VIEW explode(sequence(0, 15)) s AS salt)
+        |SELECT f.o_orderkey, f.k, ds.dval
+        |FROM f JOIN ds ON f.k = ds.k AND f.salt = ds.salt
+        |ORDER BY f.o_orderkey""".stripMargin,
+      """WITH f AS (SELECT o_orderkey,
+        |                  CASE WHEN o_orderkey % 10 != 0 THEN 1 ELSE o_orderkey END AS k
+        |           FROM orders),
+        |d AS (SELECT DISTINCT CASE WHEN o_orderkey % 10 != 0 THEN 1 ELSE o_orderkey END AS k
+        |      FROM orders)
+        |SELECT f.o_orderkey, f.k, CAST(f.k % 1000 AS INT) AS dval
+        |FROM f JOIN d ON f.k = d.k
+        |ORDER BY f.o_orderkey""".stripMargin),
+
     "q_fn_regex2" -> sql2(
       """SELECT doc_id,
         |regexp_count(text, '[aeiou]{2}') AS n_vv,

@@ -132,6 +132,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("salted skew join stays a hash equi-join on (key, salt)") {
+    val p = plan("q_join_skew_salted")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("shuffle queries run under adaptive execution (AQE re-plans at runtime)") {
+    assert(plan("q_agg_q1").contains("AdaptiveSparkPlan"),
+      "AQE must be active so skew/shuffle sizing adapts at 100 TB")
+  }
+
   test("aggregation is partial->final (q_agg_q1)") {
     val p = plan("q_agg_q1")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial + final HashAggregate")
