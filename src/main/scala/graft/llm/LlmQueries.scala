@@ -174,6 +174,73 @@ object LlmQueries {
       },
       Some(AnnSql.ivfTopKDuck(3))),
 
+    // Document chunking: 128-word sliding windows with 64-word stride (50%
+    // overlap) — the splitting step that turns long documents into
+    // training-context-sized pieces. Pure per-row explode + slice: no
+    // shuffle until the final sort, embarrassingly parallel at any scale.
+    "q_text_chunk" -> sql2(
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS words FROM documents
+        |           WHERE doc_id % 20 = 0),
+        |c AS (SELECT doc_id, i AS chunk_id,
+        |             array_join(slice(words, i * 64 + 1, 128), ' ') AS chunk
+        |      FROM w LATERAL VIEW explode(sequence(0, CAST(ceil(size(words) / 64.0) AS INT))) x AS i
+        |      WHERE i * 64 < size(words))
+        |SELECT doc_id, chunk_id, chunk, size(split(chunk, ' ')) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE doc_id % 20 = 0),
+        |c AS (SELECT doc_id, i AS chunk_id,
+        |             array_to_string(list_slice(words, i * 64 + 1, i * 64 + 128), ' ') AS chunk
+        |      FROM w, (SELECT unnest(range(0, 1000)) AS i) s
+        |      WHERE i * 64 < len(words))
+        |SELECT doc_id, chunk_id, chunk, len(string_split(chunk, ' ')) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // Sequence packing: deterministic start-offset binning — docs are laid
+    // end-to-end per shard in doc_id order and a doc's bin is the 2048-token
+    // block its first token lands in (integer arithmetic, so both engines
+    // agree exactly). Sharding keeps the running-sum window partitioned (no
+    // global single-reducer sort at scale); production packing runs the
+    // same plan with shard = input split.
+    "q_text_pack" -> sql2(
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard, size(split(text, ' ')) AS n
+        |           FROM documents),
+        |c AS (SELECT shard, doc_id, n,
+        |             SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT shard, CAST(floor((cum - n) / 2048.0) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs, SUM(n) AS n_tokens
+        |FROM c GROUP BY shard, CAST(floor((cum - n) / 2048.0) AS BIGINT)
+        |ORDER BY shard, bin""".stripMargin,
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |c AS (SELECT shard, doc_id, n,
+        |             SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT shard, CAST(floor((cum - n) / 2048.0) AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs, SUM(n) AS n_tokens
+        |FROM c GROUP BY shard, CAST(floor((cum - n) / 2048.0) AS BIGINT)
+        |ORDER BY shard, bin""".stripMargin),
+
+    // Deterministic stratified sampling: per-source rates (a data-mixing
+    // step — upsample rare sources, downsample bulk crawl) via an
+    // md5-derived bucket, so the sample is reproducible on any engine and
+    // any run — the same primitive as q_text_train_split, parameterized
+    // per stratum. Pure scan + filter: no shuffle except the final rollup.
+    "q_text_sample" -> sql2(
+      """SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS chars FROM (
+        |  SELECT source, n_chars,
+        |         CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 AS b
+        |  FROM documents) t
+        |WHERE b < CASE source WHEN 'web' THEN 25 WHEN 'books' THEN 80 ELSE 50 END
+        |GROUP BY source ORDER BY source""".stripMargin,
+      """SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS chars FROM (
+        |  SELECT source, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents) t
+        |WHERE b < CASE source WHEN 'web' THEN 25 WHEN 'books' THEN 80 ELSE 50 END
+        |GROUP BY source ORDER BY source""".stripMargin),
+
     // ---- text analysis ----
     "q_text_stats" -> sql2(
       """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
