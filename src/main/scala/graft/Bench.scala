@@ -30,9 +30,12 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warm-up (untimed): a scan+join+agg+sort covers the codegen paths the
-    // matrix reuses; round-1 showed the first query absorbing ~4s of JIT.
-    Seq("q_agg_q1", "q_join_inner", "q_scan_project")
+    // Warm-up (untimed): a scan+join+agg+sort covers the batch codegen
+    // paths the matrix reuses (round-1 showed the first query absorbing
+    // ~4s of JIT); one streaming query warms the micro-batch engine +
+    // state store the same way (the first streaming query otherwise pays
+    // ~10s of one-off JIT that is engine setup, not query cost).
+    Seq("q_agg_q1", "q_join_inner", "q_scan_project", "q_stream_window")
       .filter(SparkEntry.queries.contains)
       .foreach(n => try materialize(n) catch { case _: Throwable => () })
 

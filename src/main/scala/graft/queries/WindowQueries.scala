@@ -56,25 +56,28 @@ object WindowQueries {
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
 
     // aggregates as windows, ROWS frames. Running SUM/AVG accumulate in
-    // DECIMAL(18,2) (o_totalprice is a 2-decimal double, so the cast is
-    // exact) because double accumulation order differs between Spark's
+    // exact integer CENTS (o_totalprice is a 2-decimal double, so
+    // ROUND(x*100) recovers the exact cent count identically on both
+    // engines) because double accumulation order differs between Spark's
     // sequential frame evaluation and DuckDB's segment-tree windows —
-    // last-ulp drift flips cents at ROUND boundaries. Decimal window
-    // arithmetic is exact in both engines; the moving average divides the
-    // exact decimal sum by the frame COUNT so no engine-specific AVG
-    // decimal-scale rules apply.
+    // last-ulp drift flips cents at ROUND boundaries. Integer window sums
+    // are exact AND stay in codegen (the DECIMAL formulation is equally
+    // exact but interpreted — ~5x slower at sf0.1); the final /100
+    // divides identical BIGINT-derived doubles, so results match
+    // bit-for-bit. The moving average divides the exact cent sum by the
+    // frame COUNT.
     "q_win_rows_frame" -> sql(
-      """SELECT o_custkey, o_orderkey,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
-        |ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS run_sum,
+        |ROUND(CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
         |    / (COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)), 2) AS mov_avg,
         |COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin),
 
     // GROUPS frame — Spark's window engine has no GROUPS mode, but GROUPS
     // semantics compose from existing operators: aggregate per distinct
@@ -109,13 +112,14 @@ object WindowQueries {
         |     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS gsum
         |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
-    // RANGE frame over a numeric ordering key (same decimal hardening as
+    // RANGE frame over a numeric ordering key (same cents hardening as
     // q_win_rows_frame — this passed on raw doubles by luck only)
     "q_win_range_frame" -> sql(
-      """SELECT o_custkey, o_orderkey,
-        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-        |     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |      RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS range_sum
+        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 }
