@@ -241,6 +241,31 @@ object LlmQueries {
         |WHERE b < CASE source WHEN 'web' THEN 25 WHEN 'books' THEN 80 ELSE 50 END
         |GROUP BY source ORDER BY source""".stripMargin),
 
+    // End-to-end pipeline composition: exact dedup -> length/quality gate
+    // -> deterministic train/eval split -> per-(split, source) token
+    // accounting, all in ONE declarative plan so Catalyst fuses the whole
+    // chain (single scan, two shuffles: the dedup groupBy and the final
+    // rollup) — the shape of a production corpus-preparation job.
+    "q_llm_pipeline" -> sql2(
+      """WITH kept AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |              GROUP BY md5(lower(trim(text)))),
+        |d AS (SELECT doc_id, source, size(split(text, ' ')) AS n_words
+        |      FROM documents JOIN kept USING (doc_id)),
+        |f AS (SELECT * FROM d WHERE n_words >= 20 AND n_words <= 500),
+        |s AS (SELECT *, CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 90
+        |                     THEN 'train' ELSE 'eval' END AS split FROM f)
+        |SELECT split, source, COUNT(*) AS n_docs, SUM(n_words) AS n_tokens
+        |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin,
+      """WITH kept AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |              GROUP BY md5(lower(trim(text)))),
+        |d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+        |      FROM documents JOIN kept USING (doc_id)),
+        |f AS (SELECT * FROM d WHERE n_words >= 20 AND n_words <= 500),
+        |s AS (SELECT *, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+        |                     THEN 'train' ELSE 'eval' END AS split FROM f)
+        |SELECT split, source, COUNT(*) AS n_docs, SUM(n_words) AS n_tokens
+        |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin),
+
     // ---- text analysis ----
     "q_text_stats" -> sql2(
       """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
