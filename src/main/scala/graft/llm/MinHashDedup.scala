@@ -54,7 +54,22 @@ object MinHashDedup {
     words.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** Candidate pairs: documents sharing at least one LSH band bucket. */
+  /** Salt fan-out for the band self-join: a dense band bucket of B docs
+    * emits B²/2 pairs, and without salting all of them are produced by the
+    * ONE task owning that (band, key) — a straggler at any scale (this
+    * corpus has a 538-doc bucket at sf0.1). Salting splits each bucket's
+    * pair generation `saltFactor` ways at the cost of replicating the
+    * narrow banded table.
+    */
+  val saltFactor = 8
+
+  /** Candidate pairs: documents sharing at least one LSH band bucket.
+    * The self-join is salted: the left side is replicated across all
+    * salts, the right side carries one deterministic salt per doc, so
+    * every qualifying pair is generated exactly once (by the cell of the
+    * right doc's salt) while a hot bucket's quadratic pair output spreads
+    * over `saltFactor` independent join cells.
+    */
   def candidatePairs(docs: DataFrame): DataFrame = {
     val bandExprs = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -63,10 +78,13 @@ object MinHashDedup {
     val banded = signatures(docs)
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
+    val left = banded.withColumn("salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    val right = banded.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltFactor)))
+    left.as("a")
+      .join(right.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
   }
