@@ -43,6 +43,16 @@ object EventStream {
       """SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
         |ORDER BY user_id""".stripMargin),
 
+    // Stream-static join: each micro-batch hash-joins against a static
+    // dimension (re-broadcast per batch by the engine) — the enrichment
+    // shape of a streaming ingest pipeline. Oracle = the batch join.
+    "q_stream_static_join" -> QuerySpec.df(
+      (s, d) => staticJoinCounts(s, d),
+      """WITH dim AS (SELECT DISTINCT user_id, user_id % 4 AS tier FROM events)
+        |SELECT tier, event_type, COUNT(*) AS n
+        |FROM events JOIN dim USING (user_id)
+        |GROUP BY tier, event_type ORDER BY tier, event_type""".stripMargin),
+
     // Streaming deduplication: stateful dropDuplicates on (user_id,
     // event_type) — the streaming-ingest dedup primitive (state keyed on
     // the dedup tuple, watermark bounds state lifetime at scale); the
@@ -201,6 +211,24 @@ object EventStream {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Stream-static enrichment join: the static dim side is planned as a
+    * broadcast into every micro-batch; aggregation runs post-join in the
+    * same streaming query.
+    */
+  def staticJoinCounts(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stage(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val dim = spark.read.parquet(staged)
+      .select(col("user_id")).distinct()
+      .withColumn("tier", col("user_id") % 4)
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .join(dim, "user_id")
+      .groupBy("tier", "event_type").agg(count(lit(1)).as("n"))
+    runToTable(stream, "complete").orderBy("tier", "event_type")
   }
 
   /** Streaming dedup: dropDuplicates keyed on (user_id, event_type) emits
