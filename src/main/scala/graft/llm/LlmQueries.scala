@@ -272,6 +272,43 @@ object LlmQueries {
         |SELECT split, source, COUNT(*) AS n_docs, SUM(n_words) AS n_tokens
         |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin),
 
+    // Text cleaning: strip URL/email tokens and collapse whitespace — the
+    // normalization pass ahead of dedup/tokenization. (The fixture corpus
+    // contains neither, so the oracle additionally verifies the two
+    // engines' regex dialects agree on no-op inputs.)
+    "q_text_clean" -> sql2(
+      """SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(text, 'https?://\\S+|\\S+@\\S+\\.\\S+', ' '), '\\s+', ' ')) AS clean,
+        |size(split(trim(regexp_replace(regexp_replace(text, 'https?://\\S+|\\S+@\\S+\\.\\S+', ' '), '\\s+', ' ')), ' ')) AS n_words
+        |FROM documents WHERE doc_id % 40 = 0 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(text, 'https?://\S+|\S+@\S+\.\S+', ' ', 'g'), '\s+', ' ', 'g')) AS clean,
+        |len(string_split(trim(regexp_replace(regexp_replace(text, 'https?://\S+|\S+@\S+\.\S+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS n_words
+        |FROM documents WHERE doc_id % 40 = 0 ORDER BY doc_id""".stripMargin),
+
+    // Repetition quality signals (Gopher-style filters): top-unigram
+    // frequency ratio and distinct-word ratio per document — high top_ratio
+    // or low distinct_ratio flags degenerate/repetitive text. One explode +
+    // two hash aggregations, map-side combined.
+    "q_text_repetition" -> sql2(
+      """WITH w AS (SELECT doc_id, word FROM documents
+        |           LATERAL VIEW explode(split(text, ' ')) t AS word
+        |           WHERE doc_id % 25 = 0),
+        |f AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+        |a AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS topc, COUNT(*) AS nd FROM f GROUP BY doc_id)
+        |SELECT doc_id, n AS n_words,
+        |ROUND(CAST(topc AS DOUBLE) / n, 4) AS top_ratio,
+        |ROUND(CAST(nd AS DOUBLE) / n, 4) AS distinct_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |           WHERE doc_id % 25 = 0),
+        |f AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
+        |a AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS topc, COUNT(*) AS nd FROM f GROUP BY doc_id)
+        |SELECT doc_id, n AS n_words,
+        |ROUND(CAST(topc AS DOUBLE) / n, 4) AS top_ratio,
+        |ROUND(CAST(nd AS DOUBLE) / n, 4) AS distinct_ratio
+        |FROM a ORDER BY doc_id""".stripMargin),
+
     // ---- text analysis ----
     "q_text_stats" -> sql2(
       """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,

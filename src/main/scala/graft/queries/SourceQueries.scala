@@ -86,6 +86,23 @@ object SourceQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   }
 
+  /** Hive-style partitioned layout + partition pruning: write orders
+    * partitioned by status, read back with a partition predicate — the
+    * scan must prune to one directory (PartitionFilters, pinned in
+    * PlanAuditSpec). At 100 TB, partition layout is the first-line data
+    *-skipping mechanism ahead of row-group stats.
+    */
+  private def partitionedWrite(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    val out = s"$fixtureDir/part_orders"
+    s.sql("SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders")
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out).createOrReplaceTempView("part_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM part_orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin)
+  }
+
   private def copyRoundtrip(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
     val out = s"$fixtureDir/copy_out.parquet"
@@ -128,6 +145,10 @@ object SourceQueries {
     "q_src_orc_roundtrip" -> df(orcRoundtrip,
       """SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS qty FROM lineitem
         |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    "q_src_partitioned_write" -> df(partitionedWrite,
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin),
 
     "q_src_copy_roundtrip" -> df(copyRoundtrip,
       """SELECT o_custkey, COUNT(*) AS n,

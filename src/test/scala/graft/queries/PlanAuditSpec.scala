@@ -132,6 +132,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned layout prunes to the matching partition (q_src_partitioned_write)") {
+    val p = plan("q_src_partitioned_write")
+    assert(p.contains("PartitionFilters"), "scan must carry partition filters")
+    assert(p.contains("o_orderstatus"), "the status predicate must prune partitions")
+  }
+
   test("salted skew join stays a hash equi-join on (key, salt)") {
     val p = plan("q_join_skew_salted")
     assert(!p.contains("CartesianProduct"))
