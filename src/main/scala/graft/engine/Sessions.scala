@@ -21,5 +21,11 @@ trait SessionProvider {
   * if wanted, belongs in a custom provider via `spark.newSession()`).
   */
 final class StaticSessionProvider(base: SparkSession) extends SessionProvider {
+  // Engine functions are part of the SQL surface every client sees (the
+  // config-driven path is graft.plans.GraftSparkSessionExtension via
+  // spark.sql.extensions; registering here covers sessions built without
+  // that conf).
+  graft.functions.GraftFunctions.register(base)
+
   override def session(requestMetadata: Map[String, String]): SparkSession = base
 }

@@ -158,6 +158,13 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(e.message == "Implement CommandGetSqlInfo")
   }
 
+  test("engine functions are callable through the service SQL surface") {
+    val info = service.getFlightInfoStatement(
+      "SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), array(2.0D, 3.0D)) AS d")
+    val result = ArrowCodec.decode(service.doGet(info.ticket).toBytes)
+    assert(result.rows == Seq(Seq(8.0)))
+  }
+
   test("close prepared statement is a NOP (service.rs:927-941)") {
     val created = service.createPreparedStatement("SELECT 1")
     service.closePreparedStatement(created.handle) // must not throw
