@@ -192,7 +192,7 @@ object AnnSql {
     * (session, dir) instead of once per CTE branch, and scoring runs
     * through the codegen'd graft_cosine.
     */
-  def lshTopKFromSigSpark(k: Int): String =
+  private def sparkLshCtesFromSig: String =
     s"""WITH n AS (${nbitsSql(1)}),
        |e AS (SELECT vec_id, tid,
        |             (CASE WHEN tid = 1 THEN s1 ELSE s2 END) & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
@@ -205,7 +205,10 @@ object AnnSql {
        |                 FROM q LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
        |           WHERE i <= (SELECT nbits FROM n)),
        |cand AS (SELECT DISTINCT p.qid, e.vec_id AS cid
-       |         FROM probes p JOIN e ON e.tid = p.tid AND e.bucket = p.pbucket AND e.vec_id != p.qid),
+       |         FROM probes p JOIN e ON e.tid = p.tid AND e.bucket = p.pbucket AND e.vec_id != p.qid)""".stripMargin
+
+  def lshTopKFromSigSpark(k: Int): String =
+    s"""$sparkLshCtesFromSig,
        |sims AS (SELECT c.qid, c.cid, graft_cosine(a.embedding, b.embedding) AS cos
        |         FROM cand c JOIN ann_sig a ON a.vec_id = c.qid
        |                     JOIN ann_sig b ON b.vec_id = c.cid)
@@ -247,6 +250,21 @@ object AnnSql {
        |SELECT MAX(c.n_cand) AS max_cand,
        |       ((SELECT nbits FROM n) + 1) * $numTables * (SELECT MAX(b) FROM bsz) AS bound,
        |       (SELECT nbits FROM n) AS nbits
+       |FROM c""".stripMargin
+
+  /** Same structural audit over the staged `ann_sig` view (codegen'd
+    * signatures), plus the populated-bucket count — used by the synthetic
+    * 20x-corpus scale test.
+    */
+  def candidateBoundFromSigSpark: String =
+    s"""$sparkLshCtesFromSig,
+       |bsz AS (SELECT tid, bucket, COUNT(*) AS b FROM e GROUP BY tid, bucket),
+       |c AS (SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid)
+       |SELECT MAX(c.n_cand) AS max_cand,
+       |       ((SELECT nbits FROM n) + 1) * $numTables * (SELECT MAX(b) FROM bsz) AS bound,
+       |       (SELECT nbits FROM n) AS nbits,
+       |       (SELECT COUNT(*) FROM bsz) AS n_buckets,
+       |       (SELECT MAX(b) FROM bsz) AS max_bucket
        |FROM c""".stripMargin
 
   def lshTopKDuck(k: Int): String =

@@ -1,0 +1,47 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Empirical scale behavior beyond the fixture size: a deterministic
+  * synthetic corpus 20x the sf0.001 embeddings table checks that the LSH
+  * parameterization actually adapts — more signature bits, more buckets,
+  * bounded bucket population — instead of just passing at toy N. This is
+  * the "would it still hold at 1000x" property exercised, not asserted.
+  */
+class ScaleBehaviorSpec extends AnyFunSuite {
+
+  test("LSH bucket key widens with corpus size and candidates stay bounded (20k vectors)") {
+    val n = 20000L
+    // isolated session: the synthetic corpus shadows the `embeddings` view
+    val s = TestSpark.spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    s.range(n).selectExpr(
+      "id AS vec_id",
+      // deterministic pseudo-random float64 vector from xxhash64(id, j)
+      "CAST(transform(sequence(1, 64), j -> CAST(xxhash64(id, j) % 1000 AS DOUBLE) / 1000.0 - 0.5) AS ARRAY<FLOAT>) AS embedding",
+      "CAST(id % 10 AS INT) AS label")
+      .createOrReplaceTempView("embeddings")
+    s.sql(AnnSql.sigStageSpark).localCheckpoint(true).createOrReplaceTempView("ann_sig")
+
+    val row = s.sql(AnnSql.candidateBoundFromSigSpark).collect().head
+    val (maxCand, bound, nbits, nBuckets, maxBucket) =
+      (row.getLong(0), row.getLong(1), row.getInt(2), row.getLong(3), row.getLong(4))
+
+    assert(nbits === AnnSql.nbitsFor(n), "SQL clamp mirrors nbitsFor at 20x scale")
+    assert(nbits > AnnSql.nbitsFor(500), "bucket key must WIDEN as the corpus grows")
+    // pseudo-random data populates (nearly) every (table, bucket) cell —
+    // the signed-hash vectors are slightly sign-biased, so allow a few
+    // empty cells
+    val fullCells = AnnSql.numTables.toLong * (1L << nbits)
+    assert(nBuckets >= fullCells * 9 / 10,
+      s"expected >=90% of $fullCells bucket cells populated, got $nBuckets")
+    // population stays near target: no bucket within 8x of the corpus size
+    assert(maxBucket < n / 4,
+      s"bucket population must stay bounded, got max=$maxBucket of n=$n")
+    assert(maxCand <= bound,
+      s"candidates $maxCand exceed the (nbits+1) x tables x bucket bound $bound")
+  }
+}
