@@ -20,8 +20,10 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(s)
     s.range(n).selectExpr(
       "id AS vec_id",
-      // deterministic pseudo-random float64 vector from xxhash64(id, j)
-      "CAST(transform(sequence(1, 64), j -> CAST(xxhash64(id, j) % 1000 AS DOUBLE) / 1000.0 - 0.5) AS ARRAY<FLOAT>) AS embedding",
+      // deterministic pseudo-random vector, uniform in [-0.5, 0.5) per
+      // element (pmod keeps the hash residue non-negative — a signed %
+      // skews the sign distribution and with it the bucket balance)
+      "CAST(transform(sequence(1, 64), j -> CAST(pmod(xxhash64(id, j), 1000) AS DOUBLE) / 1000.0 - 0.5) AS ARRAY<FLOAT>) AS embedding",
       "CAST(id % 10 AS INT) AS label")
       .createOrReplaceTempView("embeddings")
     s.sql(AnnSql.sigStageSpark).localCheckpoint(true).createOrReplaceTempView("ann_sig")
