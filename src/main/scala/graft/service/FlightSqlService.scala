@@ -40,9 +40,20 @@ final case class FlightSqlServiceConfig(schemaWithMetadata: Boolean = false)
   */
 final case class FlightInfo(
     schemaBytes: Array[Byte],
-    ticket: Array[Byte],
+    endpoints: Seq[Array[Byte]],
     totalRecords: Long = -1,
-    totalBytes: Long = -1)
+    totalBytes: Long = -1) {
+  /** Single-endpoint convenience: this server emits one endpoint per query
+    * (like the reference, service.rs:337); clients must still handle N
+    * (RemoteSqlClient merges all endpoint streams, lib.rs:33-59).
+    */
+  def ticket: Array[Byte] = endpoints.head
+}
+
+object FlightInfo {
+  def apply(schemaBytes: Array[Byte], ticket: Array[Byte]): FlightInfo =
+    FlightInfo(schemaBytes, Seq(ticket))
+}
 
 final case class PreparedStatementResult(
     handle: Array[Byte],

@@ -24,11 +24,19 @@ class RemoteSqlClient(
     val name: String = "remote") {
 
   /** Execute SQL on the remote service → local DataFrame (A32/A34). */
-  def execute(sql: String): DataFrame = {
-    val info = service.getFlightInfoStatement(sql)
+  def execute(sql: String): DataFrame =
+    executeInfo(service.getFlightInfoStatement(sql))
+
+  /** Fetch and merge every endpoint of a FlightInfo, unordered — the
+    * reference's select_all merge (lib.rs:33-59). This server emits one
+    * endpoint per query, but a federated FlightInfo may carry many; in a
+    * full DataSourceV2 integration each endpoint becomes one partition.
+    */
+  def executeInfo(info: FlightInfo): DataFrame = {
     val schema = sparkSchema(info.schemaBytes)
-    val decoded = ArrowCodec.decode(service.doGet(info.ticket).toBytes)
-    val rows = decoded.rows.map(values => Row.fromSeq(values)).asJava
+    val rows = info.endpoints.flatMap { t =>
+      ArrowCodec.decode(service.doGet(t).toBytes).rows.map(Row.fromSeq)
+    }.asJava
     spark.createDataFrame(rows, schema)
   }
 

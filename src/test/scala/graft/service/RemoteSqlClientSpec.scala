@@ -33,6 +33,17 @@ class RemoteSqlClientSpec extends AnyFunSuite {
       Seq(("Alice", 150L), ("Bob", 75L), ("Charlie", 25L)))
   }
 
+  test("multi-endpoint FlightInfo streams merge unordered (A33, lib.rs:33-59)") {
+    val service = new FlightSqlService(new StaticSessionProvider(spark))
+    val i1 = service.getFlightInfoStatement("SELECT id FROM users WHERE id <= 1")
+    val i2 = service.getFlightInfoStatement("SELECT id FROM users WHERE id > 1")
+    // a federated FlightInfo carrying both endpoints; the client must pull
+    // and union every stream
+    val merged = client.executeInfo(
+      FlightInfo(i1.schemaBytes, i1.endpoints ++ i2.endpoints))
+    assert(merged.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("tableSchema via LIMIT 1 trick, no data pulled (A35)") {
     val schema = client.tableSchema("users")
     assert(schema.fields.map(f => (f.name, f.dataType)).toSeq ==
