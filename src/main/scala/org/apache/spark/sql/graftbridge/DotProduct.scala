@@ -37,7 +37,11 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  /** Index-order fold (determinism contract with the DuckDB oracle). */
+  /** Index-order fold (determinism contract with the DuckDB oracle).
+    * Precondition: element slots are non-null (embedding vectors are dense
+    * float arrays); a null slot reads as 0.0 here whereas the SQL lambda
+    * fold would return NULL — matching the graft_cosine kernel's contract.
+    */
   def compute(l: ArrayData, r: ArrayData): Double = {
     val n = math.min(l.numElements(), r.numElements())
     var dot = 0.0
