@@ -249,9 +249,10 @@ object LlmQueries {
 
     // End-to-end pipeline composition: exact dedup -> length/quality gate
     // -> deterministic train/eval split -> per-(split, source) token
-    // accounting, all in ONE declarative plan so Catalyst fuses the whole
-    // chain (single scan, two shuffles: the dedup groupBy and the final
-    // rollup) — the shape of a production corpus-preparation job.
+    // accounting, all in ONE declarative plan — the shape of a production
+    // corpus-preparation job. Plan: two pruned scans of documents (the
+    // dedup-keeper aggregate and the detail side it joins back to; both
+    // read only the needed columns) and the dedup/join/rollup shuffles.
     "q_llm_pipeline" -> sql2(
       """WITH kept AS (SELECT MIN(doc_id) AS doc_id FROM documents
         |              GROUP BY md5(lower(trim(text)))),
@@ -308,6 +309,30 @@ object LlmQueries {
         |ROUND(CAST(topc AS DOUBLE) / n, 4) AS top_ratio,
         |ROUND(CAST(nd AS DOUBLE) / n, 4) AS distinct_ratio
         |FROM a ORDER BY doc_id""".stripMargin),
+
+    // Decontamination: flag training documents sharing any 8-gram with the
+    // eval set (doc_id % 97) — the benchmark-leakage check every training
+    // corpus needs. Candidate generation is an equi-join on the shingle
+    // text (distinct eval shingles are the small build side → broadcast);
+    // output restricted to a doc_id % 25 sample so the degenerate fixture
+    // vocabulary doesn't explode the verified row set.
+    "q_text_decontaminate" -> sql2(
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, array_join(slice(w, i, 8), ' ') AS g
+        |       FROM t LATERAL VIEW explode(sequence(1, GREATEST(size(w) - 7, 1))) x AS i
+        |       WHERE i + 7 <= size(w)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.g = ev.g
+        |         WHERE s.doc_id % 97 != 0)
+        |SELECT doc_id FROM hits WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 7, 1) + 1)) AS i FROM t) z
+        |       WHERE i + 7 <= len(w)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.g = ev.g
+        |         WHERE s.doc_id % 97 != 0)
+        |SELECT doc_id FROM hits WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin),
 
     // ---- text analysis ----
     "q_text_stats" -> sql2(
