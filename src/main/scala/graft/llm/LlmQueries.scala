@@ -142,6 +142,45 @@ object LlmQueries {
          |SELECT node AS doc_id, MIN(label) AS cluster_rep
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+    // Keep-BEST-per-cluster: the production variant of keep-representative
+    // — within each near-dup cluster retain the longest document (ties to
+    // the highest doc_id), not the smallest id. Composes the clustering
+    // operator with a ranked window over a metadata join.
+    "q_dedup_keep_best" -> df(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cl = DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, d, 0.95))
+        val meta = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val w = Window.partitionBy(col("cluster_rep"))
+          .orderBy(col("n_chars").desc, col("doc_id").desc)
+        cl.join(meta, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster_rep"), col("doc_id").as("keep_id"), col("n_chars"))
+          .orderBy("cluster_rep")
+      },
+      s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+         |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+         |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT id1, id2
+         |          FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+         |          WHERE c >= 0.95 * (s1.n + s2.n - c)),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+         |cl AS (SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY node),
+         |ranked AS (SELECT cl.cluster_rep, cl.doc_id, doc.n_chars,
+         |                  row_number() OVER (PARTITION BY cl.cluster_rep
+         |                    ORDER BY doc.n_chars DESC, cl.doc_id DESC) AS rn
+         |           FROM cl JOIN documents doc ON cl.doc_id = doc.doc_id)
+         |SELECT cluster_rep, doc_id AS keep_id, n_chars
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin),
+
     // Deterministic hash-based train/eval split (md5-derived so the oracle
     // reproduces the exact assignment — the reproducible-split primitive of
     // a training-data pipeline).

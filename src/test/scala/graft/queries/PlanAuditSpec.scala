@@ -138,6 +138,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("o_orderstatus"), "the status predicate must prune partitions")
   }
 
+  test("decontamination shingle join is equi-only (q_text_decontaminate)") {
+    val p = plan("q_text_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("salted skew join stays a hash equi-join on (key, salt)") {
     val p = plan("q_join_skew_salted")
     assert(!p.contains("CartesianProduct"))
