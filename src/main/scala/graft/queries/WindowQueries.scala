@@ -62,22 +62,50 @@ object WindowQueries {
     // sequential frame evaluation and DuckDB's segment-tree windows —
     // last-ulp drift flips cents at ROUND boundaries. Integer window sums
     // are exact AND stay in codegen (the DECIMAL formulation is equally
-    // exact but interpreted — ~5x slower at sf0.1); the final /100
-    // divides identical BIGINT-derived doubles, so results match
-    // bit-for-bit. The moving average divides the exact cent sum by the
-    // frame COUNT.
-    "q_win_rows_frame" -> sql(
+    // exact but interpreted — ~5x slower at sf0.1). The moving average is
+    // rounded to cents in INTEGER arithmetic (S div c + carry): the
+    // rational S/(100c) lands exactly on .xx5 ties for 2-row frames, where
+    // Spark's ROUND (BigDecimal.valueOf string path) rounds up but DuckDB
+    // rounds the raw double's binary value down — sf0.1 exposed two such
+    // rows. Dialect split only for the integer-division operator
+    // (Spark `div`, DuckDB `//`).
+    "q_win_rows_frame" -> QuerySpec.sql2(
       """WITH o AS (SELECT o_custkey, o_orderkey,
-        |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |w AS (SELECT o_custkey, o_orderkey,
+        |             SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
+        |             SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_cents,
+        |             COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n,
+        |             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |      FROM o)
         |SELECT o_custkey, o_orderkey,
-        |CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS run_sum,
-        |ROUND(CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
-        |    / (COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)), 2) AS mov_avg,
-        |COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
-        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin),
+        |CAST(run_cents AS DOUBLE) / 100 AS run_sum,
+        |CAST(mov_cents div mov_n
+        |     + (CASE WHEN 2 * (mov_cents % mov_n) >= mov_n THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / 100 AS mov_avg,
+        |n_orders
+        |FROM w ORDER BY o_custkey, o_orderkey""".stripMargin,
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |w AS (SELECT o_custkey, o_orderkey,
+        |             SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents,
+        |             SUM(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_cents,
+        |             COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n,
+        |             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+        |      FROM o)
+        |SELECT o_custkey, o_orderkey,
+        |CAST(run_cents AS DOUBLE) / 100 AS run_sum,
+        |CAST(mov_cents // mov_n
+        |     + (CASE WHEN 2 * (mov_cents % mov_n) >= mov_n THEN 1 ELSE 0 END)
+        |     AS DOUBLE) / 100 AS mov_avg,
+        |n_orders
+        |FROM w ORDER BY o_custkey, o_orderkey""".stripMargin),
 
     // GROUPS frame — Spark's window engine has no GROUPS mode, but GROUPS
     // semantics compose from existing operators: aggregate per distinct
