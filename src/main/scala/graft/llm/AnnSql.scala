@@ -176,16 +176,6 @@ object AnnSql {
        |cand AS (SELECT DISTINCT p.qid, e.vec_id AS cid
        |         FROM probes p JOIN e ON e.tid = p.tid AND e.bucket = p.pbucket AND e.vec_id != p.qid)""".stripMargin
 
-  def lshTopKSpark(k: Int): String =
-    s"""$sparkLshCtes,
-       |sims AS (SELECT c.qid, c.cid, ${sparkCos("a.embedding", "b.embedding")} AS cos
-       |         FROM cand c JOIN embeddings a ON a.vec_id = c.qid
-       |                     JOIN embeddings b ON b.vec_id = c.cid)
-       |SELECT qid, cid, ROUND(cos, 6) AS cos FROM (
-       |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
-       |  FROM sims) t
-       |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
-
   /** Production LSH top-k over the staged `ann_sig` view (vec_id,
     * embedding, label, s1, s2): same algorithm as the self-contained chain
     * but the 2×maxBits signature dot products are paid once per
@@ -363,23 +353,6 @@ object AnnSql {
     */
   private def blockBitsSql: String =
     s"SELECT GREATEST(0, LEAST($maxBits, CAST(CEIL(log2(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT label) / $targetBucket.0)) AS INT))) AS nbits FROM embeddings"
-
-  def nearDupSpark(threshold: String): String =
-    s"""WITH n AS ($blockBitsSql),
-       |e AS (SELECT vec_id, embedding, label,
-       |             ${sparkSig("embedding", tables(0))} & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
-       |      FROM embeddings),
-       |probes AS (SELECT vec_id, embedding, label,
-       |                  CASE WHEN i = 0 THEN bucket
-       |                       ELSE CAST(bucket ^ shiftleft(1, i - 1) AS INT) END AS pbucket
-       |           FROM (SELECT vec_id, embedding, label, bucket, i
-       |                 FROM e LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
-       |           WHERE i <= (SELECT nbits FROM n)),
-       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, graft_cosine(a.embedding, b.embedding) AS cos
-       |      FROM probes a JOIN e b
-       |        ON a.label = b.label AND a.pbucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT id1, id2, ROUND(cos, 6) AS cos FROM p WHERE cos >= $threshold
-       |ORDER BY id1, id2""".stripMargin
 
   def nearDupDuck(threshold: String): String =
     s"""WITH n AS ($blockBitsSql),
