@@ -373,6 +373,22 @@ object LlmQueries {
         |         WHERE s.doc_id % 97 != 0)
         |SELECT doc_id FROM hits WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin),
 
+    // Length histogram: width_bucket binning — the corpus-profiling
+    // primitive behind length-filter threshold tuning. Integer bin edges,
+    // so both engines bin identically.
+    "q_text_length_hist" -> sql2(
+      """SELECT width_bucket(n_chars, 0, 500, 20) AS bin,
+        |COUNT(*) AS n_docs, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+        |FROM documents GROUP BY width_bucket(n_chars, 0, 500, 20)
+        |ORDER BY bin""".stripMargin,
+      // DuckDB has no width_bucket: manual integer binning (bins of 25,
+      // overflow bucket 21) reproduces it exactly
+      """SELECT CASE WHEN n_chars < 0 THEN 0 WHEN n_chars >= 500 THEN 21
+        |            ELSE CAST(FLOOR(n_chars / 25.0) AS INT) + 1 END AS bin,
+        |COUNT(*) AS n_docs, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+        |FROM documents
+        |GROUP BY 1 ORDER BY bin""".stripMargin),
+
     // ---- text analysis ----
     "q_text_stats" -> sql2(
       """SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 2) AS avg_chars,
