@@ -135,7 +135,9 @@ object ArrowCodec {
         }
       } catch {
         case t: Throwable =>
-          close()
+          // cleanup must never mask the execution error (allocator.close
+          // itself throws on outstanding buffers)
+          try close() catch { case c: Throwable => t.addSuppressed(c) }
           throw t
       }
     }

@@ -159,13 +159,15 @@ object AnnSql {
     * is an equi-join on (table id, bucket); the probe explosion is a
     * Generate over a constant-bounded (maxBits+1)-element sequence.
     */
-  private def sparkLshCtes: String =
-    s"""WITH n AS (${nbitsSql(1)}),
-       |sig AS (SELECT vec_id, ${sparkSig("embedding", tables(0))} AS s1,
-       |               ${sparkSig("embedding", tables(1))} AS s2 FROM embeddings),
-       |e AS (SELECT vec_id, tid,
+  /** The probe/candidate CTE chain over a signature relation (columns
+    * vec_id, s1, s2) — ONE definition so the production query and the
+    * audit query can never desynchronize on the multi-probe or bucket-mask
+    * logic; only the signature source differs.
+    */
+  private def lshCandidateCtes(sigTable: String): String =
+    s"""e AS (SELECT vec_id, tid,
        |             (CASE WHEN tid = 1 THEN s1 ELSE s2 END) & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
-       |      FROM sig LATERAL VIEW explode(array(1, 2)) t AS tid),
+       |      FROM $sigTable LATERAL VIEW explode(array(1, 2)) t AS tid),
        |q AS (SELECT vec_id AS qid, tid, bucket FROM e WHERE vec_id % 50 = 0),
        |probes AS (SELECT qid, tid,
        |                  CASE WHEN i = 0 THEN bucket
@@ -176,26 +178,23 @@ object AnnSql {
        |cand AS (SELECT DISTINCT p.qid, e.vec_id AS cid
        |         FROM probes p JOIN e ON e.tid = p.tid AND e.bucket = p.pbucket AND e.vec_id != p.qid)""".stripMargin
 
-  /** Production LSH top-k over the staged `ann_sig` view (vec_id,
-    * embedding, label, s1, s2): same algorithm as the self-contained chain
-    * but the 2×maxBits signature dot products are paid once per
-    * (session, dir) instead of once per CTE branch, and scoring runs
-    * through the codegen'd graft_cosine.
+  /** Self-contained chain (inline lambda signatures) — the no-extension
+    * formulation kept for the audit query.
+    */
+  private def sparkLshCtes: String =
+    s"""WITH n AS (${nbitsSql(1)}),
+       |sig AS (SELECT vec_id, ${sparkSig("embedding", tables(0))} AS s1,
+       |               ${sparkSig("embedding", tables(1))} AS s2 FROM embeddings),
+       |${lshCandidateCtes("sig")}""".stripMargin
+
+  /** Production chain over the staged `ann_sig` view (vec_id, embedding,
+    * label, s1, s2): the 2×maxBits signature dot products are paid once
+    * per (session, dir), and scoring runs through the codegen'd
+    * graft_cosine.
     */
   private def sparkLshCtesFromSig: String =
     s"""WITH n AS (${nbitsSql(1)}),
-       |e AS (SELECT vec_id, tid,
-       |             (CASE WHEN tid = 1 THEN s1 ELSE s2 END) & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
-       |      FROM ann_sig LATERAL VIEW explode(array(1, 2)) t AS tid),
-       |q AS (SELECT vec_id AS qid, tid, bucket FROM e WHERE vec_id % 50 = 0),
-       |probes AS (SELECT qid, tid,
-       |                  CASE WHEN i = 0 THEN bucket
-       |                       ELSE CAST(bucket ^ shiftleft(1, i - 1) AS INT) END AS pbucket
-       |           FROM (SELECT qid, tid, bucket, i
-       |                 FROM q LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
-       |           WHERE i <= (SELECT nbits FROM n)),
-       |cand AS (SELECT DISTINCT p.qid, e.vec_id AS cid
-       |         FROM probes p JOIN e ON e.tid = p.tid AND e.bucket = p.pbucket AND e.vec_id != p.qid)""".stripMargin
+       |${lshCandidateCtes("ann_sig")}""".stripMargin
 
   def lshTopKFromSigSpark(k: Int): String =
     s"""$sparkLshCtesFromSig,
@@ -207,9 +206,10 @@ object AnnSql {
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
 
-  /** Production embedding near-dup over the staged `ann_sig` view — same
-    * (label, sub-bucket) blocking + hamming<=1 multi-probe as
-    * nearDupSpark, signatures read instead of recomputed.
+  /** Production embedding near-dup over the staged `ann_sig` view:
+    * (label, sign sub-bucket) blocking with hamming<=1 multi-probe; the
+    * mirrored DuckDB formulation below recomputes the same signatures
+    * inline (the oracle has no staging).
     */
   def nearDupFromSigSpark(threshold: String): String =
     s"""WITH n AS ($blockBitsSql),

@@ -47,6 +47,10 @@ object LlmQueries {
   private def registerSig(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Tables.registerAll(s, d)
     graft.functions.GraftFunctions.register(s)
+    // Bound the memo for long-running servers with per-client sessions:
+    // dropping the map's strong references lets the ContextCleaner reclaim
+    // the checkpoint blocks; evicted entries just recompute.
+    if (sigCache.size > 8) sigCache.clear()
     sigCache.computeIfAbsent((s, d), { _ => s.sql(AnnSql.sigStageSpark).localCheckpoint(true) })
       .createOrReplaceTempView("ann_sig")
   }
@@ -236,7 +240,9 @@ object LlmQueries {
         |           WHERE doc_id % 20 = 0),
         |c AS (SELECT doc_id, i AS chunk_id,
         |             array_to_string(list_slice(words, i * 64 + 1, i * 64 + 128), ' ') AS chunk
-        |      FROM w, (SELECT unnest(range(0, 1000)) AS i) s
+        |      FROM (SELECT doc_id, words,
+        |                   unnest(range(0, CAST(CEIL(len(words) / 64.0) AS BIGINT) + 1)) AS i
+        |            FROM w) s
         |      WHERE i * 64 < len(words))
         |SELECT doc_id, chunk_id, chunk, len(string_split(chunk, ' ')) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin),

@@ -31,13 +31,16 @@ object MinHashDedup {
     * per session/dir.
     */
   def nearDuplicatesCached(
-      spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double): DataFrame =
+      spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double): DataFrame = {
+    // bound the memo (see LlmQueries.registerSig): evicted entries recompute
+    if (cache.size > 8) cache.clear()
     cache.computeIfAbsent((spark, dir, threshold), { _ =>
       nearDuplicates(
         graft.queries.Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0),
         threshold)
         .localCheckpoint(true)
     })
+  }
 
   /** Distinct (doc_id, word) pairs — word-set semantics (1-gram shingles;
     * this corpus' 31-word vocabulary makes longer shingles degenerate).

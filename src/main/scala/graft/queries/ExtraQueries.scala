@@ -101,23 +101,22 @@ object ExtraQueries {
     * target/fixtures via explicit path (no warehouse pollution).
     */
   // Bucketed-table creation is setup, not query: do it only when the
-  // session's bucketed tables don't already hold THIS dir's data, so
-  // repeat invocations (and the bench) time the shuffle-free join itself,
-  // not two table rewrites. The single b_orders/b_orders2 names mean the
-  // guard tracks the staged dir, not a per-dir flag — switching dirs
-  // rebuilds, same dir is free.
-  private val bucketedFor =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // bucketed tables don't already hold THIS dir's data, so repeat
+  // invocations (and the bench) time the shuffle-free join itself, not two
+  // table rewrites. The b_orders/b_orders2 names and their fixture paths
+  // are SHARED across sessions (sessions share the catalog's SharedState),
+  // so the guard is a single JVM-global dir — per-session guards would let
+  // one session's rebuild silently invalidate another's.
+  private val bucketedFor = new java.util.concurrent.atomic.AtomicReference[String]()
 
-  /** Create the bucketed fixture tables for (session, dir) if they don't
-    * already hold this dir's data. Setup, not query — Bench calls this in
-    * its untimed phase so the timed region measures the shuffle-free join
-    * itself, not two table rewrites.
+  /** Create the bucketed fixture tables for dir if they don't already hold
+    * this dir's data. Setup, not query — Bench calls this in its untimed
+    * phase so the timed region measures the shuffle-free join itself.
     */
   def ensureBucketed(s: SparkSession, d: String): Unit = {
     Tables.registerAll(s, d)
-    bucketedFor.compute(s, { (_, prev) =>
-      if (prev != d) {
+    bucketedFor.synchronized {
+      if (bucketedFor.get != d || !s.catalog.tableExists("b_orders")) {
         def ensure(name: String, sql: String): Unit = {
           s.sql(s"DROP TABLE IF EXISTS $name")
           s.sql(sql).write
@@ -128,10 +127,9 @@ object ExtraQueries {
         }
         ensure("b_orders", "SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
         ensure("b_orders2", "SELECT o_orderkey AS o2_orderkey, o_custkey, o_totalprice AS o2_totalprice FROM orders")
+        bucketedFor.set(d)
       }
-      d
-    })
-    ()
+    }
   }
 
   private def bucketedJoin(s: SparkSession, d: String): DataFrame = {

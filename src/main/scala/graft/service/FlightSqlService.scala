@@ -222,6 +222,10 @@ class FlightSqlService(
       throw Status.invalidArgument("parameter flight data must contain a single schema")
     if (firstSchema < 0)
       throw Status.invalidArgument("parameter flight data must have a schema")
+    // A corrupt batch BODY past well-formed headers decodes outside the
+    // invalid-argument guard and surfaces as Internal — matching the
+    // reference, where mid-stream Arrow decode errors propagate as decoder
+    // errors rather than the three classified invalid-argument cases.
     if (ArrowCodec.decode(parameterStream).rows.size > 1)
       throw Status.invalidArgument("parameters should contain a single row")
     handle.copy(parameters = Some(parameterStream)).encode

@@ -82,10 +82,15 @@ object EventStream {
     * fixture is ns-precision parquet which Spark can't stream directly.
     * The staged path is derived from the source dir so interleaved sfDirs
     * or concurrent sessions never clobber each other, and repeat queries
-    * pay zero rewrites (ConcurrentHashMap guard, same pattern as Tables).
+    * pay zero rewrites (ConcurrentHashMap guard). Keyed by dir ONLY: the
+    * staged bytes depend on nothing session-specific, and a per-session
+    * key would let two sessions with the same dir race mode("overwrite")
+    * rewrites of the same path under each other's running streams.
+    * computeIfAbsent serializes writers per dir; later sessions reuse the
+    * file. Keys are bounded by the number of distinct fixture dirs.
     */
   private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def dirKey(dir: String): String =
     java.lang.Integer.toHexString(
@@ -93,7 +98,7 @@ object EventStream {
         .take(4).foldLeft(0)((a, b) => (a << 8) | (b & 0xff)))
 
   private def stage(spark: SparkSession, dir: String): String =
-    stagedCache.computeIfAbsent((spark, dir), { _ =>
+    stagedCache.computeIfAbsent(dir, { _ =>
       val staged = s"/root/repo/target/fixtures/events_us_${dirKey(dir)}.parquet"
       Tables.events(spark, dir).write.mode("overwrite").parquet(staged)
       staged
@@ -168,9 +173,13 @@ object EventStream {
     * watermark past every real session, the second evicts and emits them
     * (standard stream-closing technique). The sentinel user is dropped.
     */
-  private def stageSession(spark: SparkSession, dir: String): String =
-    stagedCache.computeIfAbsent((spark, s"$dir#session"), { _ =>
-      val base = spark.read.parquet(stage(spark, dir))
+  private def stageSession(spark: SparkSession, dir: String): String = {
+    // stage() BEFORE entering computeIfAbsent: a nested computeIfAbsent on
+    // the same ConcurrentHashMap throws "Recursive update" when both keys
+    // hash to one bin
+    val src = stage(spark, dir)
+    stagedCache.computeIfAbsent(s"$dir#session", { _ =>
+      val base = spark.read.parquet(src)
       val dedicated = s"/root/repo/target/fixtures/events_session_${dirKey(dir)}"
       base.coalesce(2).write.mode("overwrite").parquet(dedicated)
       Seq("2099-01-01 00:00:00", "2099-06-01 00:00:00").foreach { far =>
@@ -181,6 +190,7 @@ object EventStream {
       }
       dedicated
     })
+  }
 
   def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
