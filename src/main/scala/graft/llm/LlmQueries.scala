@@ -525,6 +525,14 @@ object LlmQueries {
         |CASE WHEN octet_length(encode(text)) > 100 THEN 1 ELSE 0 END AS big
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
 
+    "q_multimodal_resize" -> df(
+      (s, d) => Multimodal.resize(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), 224, 224),
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS src_bytes,
+        |224 AS target_w, 224 AS target_h,
+        |LEAST(CAST(octet_length(encode(text)) AS BIGINT), (224 * 224) // 64) AS resized_bytes
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
+
     "q_multimodal_decode" -> df(
       (s, d) => Multimodal.extractFeatures(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0)),
