@@ -124,6 +124,10 @@ object ExtraQueries {
             .option("path", s"/root/repo/target/fixtures/bucketed_$name")
             .mode("overwrite")
             .saveAsTable(name)
+          // the relation/file-listing caches are shared across sessions;
+          // without this, a session that read the PREVIOUS incarnation
+          // fails with FILE_NOT_EXIST on the rewritten path
+          s.catalog.refreshTable(name)
         }
         ensure("b_orders", "SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
         ensure("b_orders2", "SELECT o_orderkey AS o2_orderkey, o_custkey, o_totalprice AS o2_totalprice FROM orders")
