@@ -17,8 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    # Full-precision repr: the driver hashes exact values, so a float64
+    # column (e.g. from DuckDB's HUGEINT SUM) must NOT collapse to the same
+    # string as Spark's int64 ("2049.0" vs "2049"), and last-ulp double
+    # differences must not be masked. %.6g here hid exactly that in round 3.
     if isinstance(v, float):
-        return f"{v:.6g}"
+        return repr(v)
     return str(v)
 
 def main():

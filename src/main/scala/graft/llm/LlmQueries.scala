@@ -253,6 +253,10 @@ object LlmQueries {
     // agree exactly). Sharding keeps the running-sum window partitioned (no
     // global single-reducer sort at scale); production packing runs the
     // same plan with shard = input split.
+    // Oracle note (applies to every integer SUM below): DuckDB widens
+    // SUM(BIGINT) to HUGEINT, which the oracle harness materializes as
+    // float64 ("2049.0" vs Spark's int64 "2049" → hash mismatch); CAST the
+    // aggregate back to BIGINT on the DuckDB side.
     "q_text_pack" -> sql2(
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard, size(split(text, ' ')) AS n
         |           FROM documents),
@@ -269,7 +273,7 @@ object LlmQueries {
         |             SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
         |                          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
         |SELECT shard, CAST(floor((cum - n) / 2048.0) AS BIGINT) AS bin,
-        |       COUNT(*) AS n_docs, SUM(n) AS n_tokens
+        |       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
         |FROM c GROUP BY shard, CAST(floor((cum - n) / 2048.0) AS BIGINT)
         |ORDER BY shard, bin""".stripMargin),
 
@@ -285,7 +289,7 @@ object LlmQueries {
         |  FROM documents) t
         |WHERE b < CASE source WHEN 'web' THEN 25 WHEN 'books' THEN 80 ELSE 50 END
         |GROUP BY source ORDER BY source""".stripMargin,
-      """SELECT source, COUNT(*) AS n_sampled, SUM(n_chars) AS chars FROM (
+      """SELECT source, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars FROM (
         |  SELECT source, n_chars,
         |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
         |  FROM documents) t
@@ -315,7 +319,7 @@ object LlmQueries {
         |f AS (SELECT * FROM d WHERE n_words >= 20 AND n_words <= 500),
         |s AS (SELECT *, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
         |                     THEN 'train' ELSE 'eval' END AS split FROM f)
-        |SELECT split, source, COUNT(*) AS n_docs, SUM(n_words) AS n_tokens
+        |SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
         |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin),
 
     // Text cleaning: strip URL/email tokens and collapse whitespace — the
@@ -349,7 +353,7 @@ object LlmQueries {
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
         |           WHERE doc_id % 25 = 0),
         |f AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
-        |a AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS topc, COUNT(*) AS nd FROM f GROUP BY doc_id)
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS topc, COUNT(*) AS nd FROM f GROUP BY doc_id)
         |SELECT doc_id, n AS n_words,
         |ROUND(CAST(topc AS DOUBLE) / n, 4) AS top_ratio,
         |ROUND(CAST(nd AS DOUBLE) / n, 4) AS distinct_ratio

@@ -41,14 +41,31 @@ object AggQueries {
 
     // Self-verifying approximate aggregates: HLL++ distinct count and
     // quantile sketch within 5% of exact, asserted inside the query.
+    // Plan shape is deliberate for scale: mixing COUNT(DISTINCT) with other
+    // aggregates in one SELECT triggers an Expand (duplicates every input
+    // row), and exact percentile() funnels all rows into one ObjectHashAgg
+    // buffer per group (3 groups = 3 hot reducers). Instead: (a) sketches in
+    // one codegen'd hash-agg pass; (b) exact distinct as its own two-phase
+    // aggregate (no Expand); (c) exact median over a value-compressed
+    // (flag, qty, count) frequency table via percentile's frequency arg —
+    // the buffers hold |distinct qty| entries, not |rows|; then join the
+    // per-flag results (tiny).
     "q_agg_approx" -> sql2(
-      """SELECT l_returnflag,
-        |COUNT(DISTINCT l_partkey) AS exact_nd,
-        |CASE WHEN abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
-        |          <= 0.05 * COUNT(DISTINCT l_partkey) THEN 1 ELSE 0 END AS hll_ok,
-        |CASE WHEN abs(percentile_approx(l_quantity, 0.5, 100) - percentile(l_quantity, 0.5))
-        |          <= 1.0 THEN 1 ELSE 0 END AS pct_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """WITH sk AS (SELECT l_returnflag, approx_count_distinct(l_partkey) AS hll_nd,
+        |                   percentile_approx(l_quantity, 0.5, 100) AS approx_med
+        |            FROM lineitem GROUP BY l_returnflag),
+        |nd AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd
+        |       FROM lineitem GROUP BY l_returnflag),
+        |fq AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |       FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |md AS (SELECT l_returnflag, percentile(l_quantity, 0.5, c) AS exact_med
+        |       FROM fq GROUP BY l_returnflag)
+        |SELECT nd.l_returnflag, nd.exact_nd,
+        |CASE WHEN abs(sk.hll_nd - nd.exact_nd) <= 0.05 * nd.exact_nd THEN 1 ELSE 0 END AS hll_ok,
+        |CASE WHEN abs(sk.approx_med - md.exact_med) <= 1.0 THEN 1 ELSE 0 END AS pct_ok
+        |FROM nd JOIN sk ON nd.l_returnflag = sk.l_returnflag
+        |        JOIN md ON nd.l_returnflag = md.l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd,
         |1 AS hll_ok, 1 AS pct_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
