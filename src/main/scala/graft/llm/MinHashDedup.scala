@@ -114,6 +114,9 @@ object MinHashDedup {
       .filter(col("c") >= lit(threshold) * (col("n1") + col("n2") - col("c")))
       .select(col("id1"), col("id2"),
         round(col("c") / (col("n1") + col("n2") - col("c")), 4).as("jaccard"))
-      .orderBy("id1", "id2")
+    // Deliberately UNSORTED: this is a shared intermediate (pair query sorts
+    // for output determinism; clustering doesn't care), and a range sort
+    // here would sample-execute the whole verify pipeline a second time
+    // before the checkpoint materializes it.
   }
 }
