@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD}
 
 /** Registration hook for the engine's custom functions — an embedding
   * application calls this from its SessionProvider (mirrors per-session
@@ -16,6 +16,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_d",
+      exprs => DotProductDD(exprs(0), exprs(1)),
       "built-in")
   }
 }

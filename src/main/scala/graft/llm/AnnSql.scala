@@ -337,6 +337,66 @@ object AnnSql {
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
 
+  /** One k-means (Lloyd) refinement step over the IVF centroid seed set —
+    * the index-build iteration [[ivfTopKSpark]]'s doc promises: assign
+    * every vector to its nearest centroid, then report per-cluster size,
+    * within-cluster squared distance, and the new-centroid numerator for
+    * dimension 0 (SUM of the member values; the full update divides each
+    * dimension's sum by n). A production build loops this plan to a
+    * fixpoint, re-broadcasting the (≈sqrt N)-row centroid table each pass.
+    *
+    * Cross-engine exactness: embeddings are fixed-point quantized
+    * (FLOOR(x*1000 + 0.5), integer-valued doubles — the engine-identical
+    * rounding q_embed_quantize established), so every dot product, squared
+    * L2 distance, and SUM is integer arithmetic carried in doubles far
+    * below 2^53 — exact in ANY fold/accumulation order, no decimal-casting
+    * gymnastics needed. Assignment ties break on centroid id. The N×k
+    * distance join is the same broadcast shape as IVF assignment (linear
+    * in N, constant-factor k); Spark computes dots with the codegen'd
+    * graft_dot_d, DuckDB with list_dot_product.
+    */
+  private val kmQ = "list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5))"
+  private val kmQSpark =
+    "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE))"
+
+  def kmeansStepSpark: String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |qv AS (SELECT vec_id, $kmQSpark AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM qv
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |d AS (SELECT qv.vec_id, c.cent_id,
+       |             graft_dot_d(qv.v, qv.v) + graft_dot_d(c.cv, c.cv)
+       |               - 2 * graft_dot_d(qv.v, c.cv) AS d2,
+       |             qv.v[0] AS v0
+       |      FROM qv CROSS JOIN c),
+       |asn AS (SELECT vec_id, cent_id, d2, v0 FROM (
+       |  SELECT vec_id, cent_id, d2, v0,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |  FROM d) t WHERE rn = 1)
+       |SELECT cent_id, COUNT(*) AS n_members,
+       |       CAST(SUM(d2) AS BIGINT) AS ssd,
+       |       CAST(SUM(v0) AS BIGINT) AS sum_dim0
+       |FROM asn GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
+  def kmeansStepDuck: String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |qv AS (SELECT vec_id, $kmQ AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM qv
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |d AS (SELECT qv.vec_id, c.cent_id,
+       |             list_dot_product(qv.v, qv.v) + list_dot_product(c.cv, c.cv)
+       |               - 2 * list_dot_product(qv.v, c.cv) AS d2,
+       |             qv.v[1] AS v0
+       |      FROM qv CROSS JOIN c),
+       |asn AS (SELECT vec_id, cent_id, d2, v0 FROM (
+       |  SELECT vec_id, cent_id, d2, v0,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |  FROM d) t WHERE rn = 1)
+       |SELECT cent_id, COUNT(*) AS n_members,
+       |       CAST(SUM(d2) AS BIGINT) AS ssd,
+       |       CAST(SUM(v0) AS BIGINT) AS sum_dim0
+       |FROM asn GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
   /** Near-duplicate pairs by cosine ≥ threshold. Blocking key = (label,
     * sign sub-bucket): the sub-bucket masks the table-1 signature to
     * `blockBits = clamp(ceil(log2(N / |labels| / targetBucket)), 0,

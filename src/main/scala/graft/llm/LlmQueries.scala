@@ -200,6 +200,29 @@ object LlmQueries {
         |  FROM documents) t
         |GROUP BY split ORDER BY split""".stripMargin),
 
+    // Incremental dedup: near-dup the NEW batch (doc_id % 10 = 5) against
+    // the EXISTING corpus (doc_id % 10 = 0) only — the daily-crawl
+    // production shape; no corpus×corpus or new×new pair work. Oracle:
+    // brute-force cross-subset Jaccard.
+    "q_dedup_incremental" -> df(
+      (s, d) => MinHashDedup.incrementalNearDuplicates(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 5),
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        0.95),
+      """WITH dn AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5),
+        |dc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |wn AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM dn),
+        |wc AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM dc),
+        |szn AS (SELECT doc_id, COUNT(*) AS n FROM wn GROUP BY doc_id),
+        |szc AS (SELECT doc_id, COUNT(*) AS n FROM wc GROUP BY doc_id),
+        |c AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id, COUNT(*) AS c
+        |      FROM wn n JOIN wc o ON n.word = o.word GROUP BY n.doc_id, o.doc_id),
+        |m AS (SELECT new_id, old_id
+        |      FROM c JOIN szn ON new_id = szn.doc_id JOIN szc ON old_id = szc.doc_id
+        |      WHERE c >= 0.95 * (szn.n + szc.n - c))
+        |SELECT new_id, COUNT(*) AS n_matches, MIN(old_id) AS first_match
+        |FROM m GROUP BY new_id ORDER BY new_id""".stripMargin),
+
     // ---- similarity search ----
     "q_ann_topk" -> sql2(AnnSql.bruteTopKSpark(5), AnnSql.bruteTopKDuck(5)),
     "q_ann_topk_native" -> QuerySpec(
@@ -222,6 +245,17 @@ object LlmQueries {
         s.sql(AnnSql.ivfTopKSpark(3))
       },
       Some(AnnSql.ivfTopKDuck(3))),
+
+    // One k-means Lloyd step over the IVF centroid seeds (fixed-point
+    // quantized, so assignment + per-cluster stats are integer-exact in
+    // both engines) — the index-build iteration behind q_ann_ivf.
+    "q_ann_kmeans" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.kmeansStepSpark)
+      },
+      Some(AnnSql.kmeansStepDuck)),
 
     // Document chunking: 128-word sliding windows with 64-word stride (50%
     // overlap) — the splitting step that turns long documents into
@@ -295,6 +329,51 @@ object LlmQueries {
         |  FROM documents) t
         |WHERE b < CASE source WHEN 'web' THEN 25 WHEN 'books' THEN 80 ELSE 50 END
         |GROUP BY source ORDER BY source""".stripMargin),
+
+    // Token-budget data mixing: each source admits documents in doc_id
+    // order until its token budget fills (a doc is admitted iff its FIRST
+    // token lands inside the budget — same integer running-sum rule as
+    // q_text_pack, so both engines agree exactly). The per-source budgets
+    // are the mixture weights of a training run; at scale this is one
+    // windowed running sum per source partition, no global sort.
+    "q_mix_budget" -> sql2(
+      """WITH t AS (SELECT doc_id, source, size(split(text, ' ')) AS n,
+        |                  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2000 ELSE 800 END AS budget
+        |           FROM documents),
+        |c AS (SELECT source, budget, doc_id, n,
+        |             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT source, budget, COUNT(*) AS n_docs, SUM(n) AS n_tokens
+        |FROM c WHERE cum - n < budget
+        |GROUP BY source, budget ORDER BY source""".stripMargin,
+      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n,
+        |                  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2000 ELSE 800 END AS budget
+        |           FROM documents),
+        |c AS (SELECT source, budget, doc_id, n,
+        |             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT source, budget, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM c WHERE cum - n < budget
+        |GROUP BY source, budget ORDER BY source""".stripMargin),
+
+    // Fixed-size deterministic per-stratum sample: the k smallest md5
+    // hashes per source — a reproducible "random" eval subset of exactly k
+    // docs per stratum on any engine, any run. One ranked window per
+    // source partition; at scale the per-partition top-k never globally
+    // sorts.
+    "q_sample_fixed_k" -> sql2(
+      """SELECT source, CAST(rk AS INT) AS rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+      """SELECT source, CAST(rk AS INT) AS rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
 
     // End-to-end pipeline composition: exact dedup -> length/quality gate
     // -> deterministic train/eval split -> per-(split, source) token

@@ -66,6 +66,17 @@ object MinHashDedup {
     */
   val saltFactor = 8
 
+  /** (doc_id, band, key) — one row per document per LSH band. */
+  private def banded(docs: DataFrame): DataFrame = {
+    val bandExprs = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("key"))
+    }
+    signatures(docs)
+      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   /** Candidate pairs: documents sharing at least one LSH band bucket.
     * The self-join is salted: the left side is replicated across all
     * salts, the right side carries one deterministic salt per doc, so
@@ -74,22 +85,59 @@ object MinHashDedup {
     * over `saltFactor` independent join cells.
     */
   def candidatePairs(docs: DataFrame): DataFrame = {
-    val bandExprs = (0 until bands).map { b =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("key"))
-    }
-    val banded = signatures(docs)
-      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val left = banded.withColumn("salt",
+    val bk = banded(docs)
+    val left = bk.withColumn("salt",
       explode(array((0 until saltFactor).map(lit): _*)))
-    val right = banded.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltFactor)))
+    val right = bk.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltFactor)))
     left.as("a")
       .join(right.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+  }
+
+  /** Incremental near-dup: which documents of a NEW batch near-duplicate
+    * (Jaccard ≥ threshold) anything in the EXISTING corpus — the daily
+    * production shape (dedup the incoming crawl against the corpus without
+    * re-pairing the corpus with itself). Candidates come from the same
+    * banded equi-join, but strictly new×corpus: corpus-side band buckets
+    * are the big build side a long-lived pipeline keeps materialized, the
+    * new batch streams against them, and |new|² / |corpus|² pair work is
+    * never generated. Salting mirrors [[candidatePairs]]: the (small) new
+    * side is replicated across salts, the corpus side carries one
+    * deterministic salt per doc, so a hot band bucket's match output
+    * spreads over [[saltFactor]] join cells.
+    *
+    * Returns one row per new doc with ≥1 corpus match:
+    * (new_id, n_matches, first_match = min matching corpus doc_id).
+    */
+  def incrementalNearDuplicates(
+      newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+    val left = banded(newDocs).withColumn("salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    val right = banded(corpus).withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(saltFactor)))
+    val cands = left.as("a")
+      .join(right.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.salt") === col("b.salt"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    val newWords = newDocs.select(
+      col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
+    val oldWords = corpus.select(
+      col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
+    cands
+      .join(newWords.as("wa"), col("new_id") === col("wa.doc_id"))
+      .join(oldWords.as("wb"), col("old_id") === col("wb.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        size(array_intersect(col("wa.words"), col("wb.words"))).cast("double").as("c"),
+        size(col("wa.words")).as("n1"), size(col("wb.words")).as("n2"))
+      .filter(col("c") >= lit(threshold) * (col("n1") + col("n2") - col("c")))
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("old_id")).as("first_match"))
+      .orderBy("new_id")
   }
 
   /** LSH candidates verified by exact word-set Jaccard ≥ threshold; output

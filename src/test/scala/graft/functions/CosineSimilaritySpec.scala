@@ -46,6 +46,25 @@ class CosineSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_dot_d on integer-valued double arrays is exact (k-means contract)") {
+    GraftFunctions.register(spark)
+    vecs(
+      1L -> Seq(0.123f, -0.456f, 0.789f, 0.001f),
+      2L -> Seq(-0.5f, 0.25f, 0.125f, 0.999f)).createOrReplaceTempView("vecs_dd")
+    // quantize exactly as the k-means query does, then check the codegen'd
+    // dot equals the interpreted lambda fold AND plain integer math
+    val r = spark.sql(
+      """SELECT graft_dot_d(qa, qb) AS native,
+        |aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS lambda
+        |FROM (SELECT
+        |  (SELECT transform(v, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE)) FROM vecs_dd WHERE id = 1) AS qa,
+        |  (SELECT transform(v, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE)) FROM vecs_dd WHERE id = 2) AS qb)""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == r.getDouble(1))
+    // 123*-500 + -456*250 + 789*125 + 1*999 = -75876
+    assert(r.getDouble(0) == -75876.0)
+  }
+
   test("identical vectors give 1.0; nulls propagate") {
     GraftFunctions.register(spark)
     vecs(1L -> Seq(0.3f, 0.4f), 2L -> null).createOrReplaceTempView("vecs_null")

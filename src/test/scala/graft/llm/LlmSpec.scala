@@ -34,6 +34,20 @@ class LlmSpec extends AnyFunSuite {
     assert(result.head.getDouble(2) == 1.0)
   }
 
+  test("incremental dedup flags new-vs-corpus duplicates but never new-vs-new") {
+    val corpus = docs(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta",
+      20L -> "one two three four five six seven eight")
+    val fresh = docs(
+      15L -> "alpha beta gamma delta epsilon zeta eta theta", // dup of corpus 10
+      25L -> "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+      35L -> "nine ten eleven twelve thirteen fourteen fifteen sixteen") // dup of NEW 25 only
+    val out = MinHashDedup.incrementalNearDuplicates(fresh, corpus, 0.9).collect()
+    // only 15 matches the corpus; the 25/35 new-new pair must not surface
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((15L, 1L, 10L)))
+  }
+
   test("MinHash candidates contain every high-Jaccard pair (recall)") {
     // 9/11 shared words → J ≈ 0.82; with r=4,b=8 the miss rate at 0.82 is ~0.2% —
     // this seed must produce the candidate.

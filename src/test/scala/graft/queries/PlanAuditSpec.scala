@@ -60,6 +60,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental dedup pairs new x corpus via banded equi-joins only (q_dedup_incremental)") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("k-means step broadcasts only the sqrt(N) centroid table (q_ann_kmeans)") {
+    val p = plan("q_ann_kmeans")
+    // the N x k distance join is the tolerated broadcast nested loop (its
+    // build side is the constant ~sqrt(N) centroid list); nothing else may
+    // nest and there must be no unbroadcast cartesian
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+  }
+
   test("banded theta join puts SUPPLIER rows through hash joins (q_join_theta_banded)") {
     val p = plan("q_join_theta_banded")
     // The supplier-carrying joins must be hash equi-joins on the band key;
