@@ -62,6 +62,23 @@ object EventStream {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Stream-stream interval join: click→purchase attribution within 1h,
+    // per user — both sides are live streams (not stream-static), joined
+    // on user_id with a time-range predicate. Watermarks on BOTH sides let
+    // the state store evict rows once they can no longer match (Spark
+    // derives the retention bound from the range condition), so state is
+    // bounded on an unbounded stream; the shuffle is on user_id for both
+    // sides. Inner-join matches emit as soon as both rows arrive; the sink
+    // rollup equals the batch interval join.
+    "q_stream_stream_join" -> QuerySpec.df(
+      (s, d) => streamStreamJoinCounts(s, d),
+      """WITH a AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, COUNT(*) AS n_pairs
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin),
+
     // Session windows (12h gap); oracle = gaps-and-islands over the batch
     // table. Spark's session_window is half-open [start, last_ts + gap), so
     // an event exactly 12h after its predecessor starts a NEW session — the
@@ -221,6 +238,32 @@ object EventStream {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Stream-stream interval join (see the spec comment): two independent
+    * readStream scans of the staged events, filtered to clicks and
+    * purchases, joined per user within [click_ts, click_ts + 1h]. The
+    * memory sink collects matched pairs (append); the batch-side rollup
+    * makes the result oracle-comparable.
+    */
+  def streamStreamJoinCounts(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stage(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    def side(eventType: String, tsName: String) = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .filter(col("event_type") === eventType)
+      .select(col("user_id"), col("ts").cast("timestamp").as(tsName))
+      .withWatermark(tsName, "1 hour")
+    val clicks = side("click", "click_ts")
+    val purchases = side("purchase", "p_ts").withColumnRenamed("user_id", "p_user")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    runToTable(joined, "append")
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
   }
 
   /** Stream-static enrichment join: the static dim side is planned as a
