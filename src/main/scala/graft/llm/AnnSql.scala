@@ -397,6 +397,57 @@ object AnnSql {
        |       CAST(SUM(v0) AS BIGINT) AS sum_dim0
        |FROM asn GROUP BY cent_id ORDER BY cent_id""".stripMargin
 
+  /** Product quantization (PQ) codebook assignment — the memory-bound
+    * scale path of ANN (IVF-PQ): split the [[dim]]-dim vector into
+    * [[pqSubspaces]] sub-vectors and replace each with the id of its
+    * nearest codebook centroid, compressing 64 floats to 8 codes. Codebook
+    * per subspace = the sub-vectors of the first [[pqCodebook]] vec_ids
+    * (the deterministic seed pick, same convention as IVF; production
+    * would k-means-refine each subspace codebook with the
+    * [[kmeansStepSpark]] join). Everything runs on the same fixed-point
+    * quantization as k-means, so assignments and the per-subspace
+    * distortion sums are integer-exact in both engines. The N×(8×16)
+    * distance join broadcasts only the constant 128-row codebook.
+    *
+    * Output: per (subspace, code) member count + total squared distortion
+    * — the codebook-utilization histogram an index build monitors.
+    */
+  val pqSubspaces = 8
+  val pqCodebook = 16
+
+  private def pqSql(
+      quant: String, sliceFn: (String, String) => String,
+      dotFn: (String, String) => String, explodeSub: String): String = {
+    val subDim = dim / pqSubspaces
+    s"""WITH qv AS (SELECT vec_id, $quant AS v FROM embeddings),
+       |sub AS (SELECT vec_id, s, ${sliceFn("v", s"s * $subDim + 1")} AS sv
+       |        FROM (SELECT vec_id, v, $explodeSub FROM qv) t),
+       |cb AS (SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $pqCodebook),
+       |d AS (SELECT sub.vec_id, sub.s, cb.code,
+       |             ${dotFn("sub.sv", "sub.sv")} + ${dotFn("cb.cv", "cb.cv")}
+       |               - 2 * ${dotFn("sub.sv", "cb.cv")} AS d2
+       |      FROM sub JOIN cb ON sub.s = cb.s),
+       |asn AS (SELECT vec_id, s, code, d2 FROM (
+       |  SELECT vec_id, s, code, d2,
+       |         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+       |  FROM d) t WHERE rn = 1)
+       |SELECT s AS subspace, code, COUNT(*) AS n_members,
+       |       CAST(SUM(d2) AS BIGINT) AS distortion
+       |FROM asn GROUP BY s, code ORDER BY subspace, code""".stripMargin
+  }
+
+  def pqAssignSpark: String = pqSql(
+    kmQSpark,
+    (v, from) => s"slice($v, $from, ${dim / pqSubspaces})",
+    (a, b) => s"graft_dot_d($a, $b)",
+    s"explode(sequence(0, ${pqSubspaces - 1})) AS s")
+
+  def pqAssignDuck: String = pqSql(
+    kmQ,
+    (v, from) => s"list_slice($v, $from, $from + ${dim / pqSubspaces} - 1)",
+    (a, b) => s"list_dot_product($a, $b)",
+    s"unnest(range(0, $pqSubspaces)) AS s")
+
   /** Near-duplicate pairs by cosine ≥ threshold. Blocking key = (label,
     * sign sub-bucket): the sub-bucket masks the table-1 signature to
     * `blockBits = clamp(ceil(log2(N / |labels| / targetBucket)), 0,

@@ -246,6 +246,17 @@ object LlmQueries {
       },
       Some(AnnSql.ivfTopKDuck(3))),
 
+    // Product-quantization codebook assignment (the IVF-PQ compression
+    // path): 64 floats → 8 codebook codes, integer-exact distortion
+    // accounting per (subspace, code).
+    "q_ann_pq" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.pqAssignSpark)
+      },
+      Some(AnnSql.pqAssignDuck)),
+
     // One k-means Lloyd step over the IVF centroid seeds (fixed-point
     // quantized, so assignment + per-cluster stats are integer-exact in
     // both engines) — the index-build iteration behind q_ann_ivf.

@@ -75,6 +75,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
   }
 
+  test("PQ codebook assignment joins on the subspace key, no cartesian (q_ann_pq)") {
+    val p = plan("q_ann_pq")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("banded theta join puts SUPPLIER rows through hash joins (q_join_theta_banded)") {
     val p = plan("q_join_theta_banded")
     // The supplier-carrying joins must be hash equi-joins on the band key;
