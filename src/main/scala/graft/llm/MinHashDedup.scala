@@ -113,21 +113,38 @@ object MinHashDedup {
     * (new_id, n_matches, first_match = min matching corpus doc_id).
     */
   def incrementalNearDuplicates(
-      newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+      newDocs: DataFrame, corpus: DataFrame, threshold: Double): DataFrame =
+    incrementalNearDuplicates(newDocs, CorpusIndex.build(corpus), threshold)
+
+  /** The persistent corpus side of incremental dedup: salted band buckets
+    * for candidate generation plus the word-set arrays for verification. A
+    * long-lived pipeline materializes this once and appends to it as
+    * batches are admitted; each daily batch then only pays its own
+    * signature pass (see the cached wiring in LlmQueries).
+    */
+  final case class CorpusIndex(banded: DataFrame, words: DataFrame)
+
+  object CorpusIndex {
+    def build(corpus: DataFrame): CorpusIndex = CorpusIndex(
+      MinHashDedup.banded(corpus).withColumn("salt",
+        pmod(xxhash64(col("doc_id")), lit(saltFactor))),
+      corpus.select(
+        col("doc_id"), array_distinct(split(col("text"), " ")).as("words")))
+  }
+
+  def incrementalNearDuplicates(
+      newDocs: DataFrame, index: CorpusIndex, threshold: Double): DataFrame = {
     val left = banded(newDocs).withColumn("salt",
       explode(array((0 until saltFactor).map(lit): _*)))
-    val right = banded(corpus).withColumn("salt",
-      pmod(xxhash64(col("doc_id")), lit(saltFactor)))
     val cands = left.as("a")
-      .join(right.as("b"),
+      .join(index.banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.salt") === col("b.salt"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .distinct()
     val newWords = newDocs.select(
       col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
-    val oldWords = corpus.select(
-      col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
+    val oldWords = index.words
     cands
       .join(newWords.as("wa"), col("new_id") === col("wa.doc_id"))
       .join(oldWords.as("wb"), col("old_id") === col("wb.doc_id"))

@@ -141,7 +141,15 @@ object EventStream {
       .start()
     try query.processAllAvailable()
     finally query.stop()
-    spark.table(queryName)
+    // Drop the sink's temp view: each run registers a fresh UUID-named
+    // view which would otherwise accumulate for the life of the session (a
+    // leak per streaming query in a long-running server). spark.table()
+    // analyzes eagerly, so the returned frame holds the resolved memory
+    // relation and survives the drop — no data copy needed; the sink's
+    // rows live exactly as long as the frame does.
+    val out = spark.table(queryName)
+    spark.catalog.dropTempView(queryName)
+    out
   }
 
   /** Replay events as a stream → tumbling-window counts. Returns the final
@@ -232,7 +240,10 @@ object EventStream {
     try query.awaitTermination()
     finally if (query.isActive) query.stop()
 
-    spark.table(queryName)
+    // same sink-view cleanup as runToTable (eager analysis survives the drop)
+    val sunk = spark.table(queryName)
+    spark.catalog.dropTempView(queryName)
+    sunk
       .filter(col("user_id") >= 0)
       .select(col("user_id"),
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
