@@ -31,8 +31,18 @@ object Status {
   def unauthenticated(msg: String): Status = Status(Unauthenticated, msg)
 }
 
-/** One config flag, mirroring config.rs:1-14. */
-final case class FlightSqlServiceConfig(schemaWithMetadata: Boolean = false)
+/** Mirrors config.rs:1-14 (`schemaWithMetadata`), plus one engine-side
+  * knob the reference doesn't have: `planCacheSize` bounds an optional LRU
+  * of analyzed statement plans. The reference deliberately re-plans every
+  * request from SQL text (statelessness invariant, SURVEY §3.4); that
+  * costs a parse+analyze on DoGet for a statement GetFlightInfo already
+  * planned. OFF by default (0 = reference behavior); when enabled, only
+  * parameter-free statements are cached (parameterized text must keep its
+  * per-path semantics), keyed per session so per-user isolation holds.
+  */
+final case class FlightSqlServiceConfig(
+    schemaWithMetadata: Boolean = false,
+    planCacheSize: Int = 0)
 
 /** FlightInfo: result schema (known BEFORE execution) + the opaque ticket
   * the client passes back to doGet — possibly on a different instance
@@ -106,6 +116,34 @@ class FlightSqlService(
       case _ => Map.empty[String, String]
     }
 
+  /** Opt-in LRU of analyzed plans for parameter-free statements (see
+    * FlightSqlServiceConfig.planCacheSize). A GetFlightInfo/DoGet pair for
+    * the same statement then parses + analyzes once, not twice; DataFrames
+    * are immutable and lazy, so reuse across calls on the same session is
+    * safe. Parameterized SQL never enters (its two paths differ: schema
+    * planning substitutes typed NULLs, execution must reject unbound
+    * markers exactly as without the cache).
+    */
+  private val planCache =
+    new java.util.LinkedHashMap[(Int, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean =
+        size() > config.planCacheSize
+    }
+
+  /** Test probe: current number of cached plans. */
+  private[service] def planCacheEntries: Int = planCache.synchronized(planCache.size)
+
+  private def plannedStatement(spark: SparkSession, sql: String)(
+      plan: => DataFrame): DataFrame =
+    if (config.planCacheSize <= 0 || Params.rewrite(sql)._2.nonEmpty) plan
+    else planCache.synchronized {
+      val key = (System.identityHashCode(spark), sql)
+      val hit = planCache.get(key)
+      if (hit != null) hit
+      else { val df = plan; planCache.put(key, df); df }
+    }
+
   // ---- handshake (A5): auth belongs to transport middleware ----
   def doHandshake(): Nothing =
     throw Status.unimplemented("handshake is not supported")
@@ -114,7 +152,7 @@ class FlightSqlService(
 
   def getFlightInfoStatement(sql: String, meta: Meta = noMeta): FlightInfo = wrap {
     val spark = provider.session(meta)
-    val df = Params.planForSchema(spark, sql, sqlOptions)
+    val df = plannedStatement(spark, sql)(Params.planForSchema(spark, sql, sqlOptions))
     FlightInfo(
       ArrowCodec.encodeSchema(schemaForPlan(df)),
       CommandTicket(CommandStatementQuery(sql)).encode)
@@ -162,7 +200,7 @@ class FlightSqlService(
     val spark = provider.session(meta)
     CommandTicket.decode(ticketBytes).command match {
       case CommandStatementQuery(sql) =>
-        val df = SqlGate.plan(spark, sql, sqlOptions)
+        val df = plannedStatement(spark, sql)(SqlGate.plan(spark, sql, sqlOptions))
         ArrowCodec.encodeStream(df, fieldMetadata(df))
       case CommandPreparedStatementQuery(handleBytes) =>
         val handle = QueryHandle.decode(handleBytes)

@@ -38,6 +38,30 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(result.rows.map(_(1)).toSet == Set("Alice", "Bob", "Charlie"))
   }
 
+  test("opt-in plan cache: GetFlightInfo + DoGet plan once, params bypass, LRU bounds") {
+    val cached = new FlightSqlService(
+      new StaticSessionProvider(spark), FlightSqlServiceConfig(planCacheSize = 2))
+    assert(cached.planCacheEntries == 0)
+    val info = cached.getFlightInfoStatement("SELECT * FROM users")
+    assert(cached.planCacheEntries == 1)
+    // DoGet reuses the cached analyzed plan (no second entry) and the
+    // results are identical to the uncached service
+    val result = ArrowCodec.decode(cached.doGet(info.ticket).toBytes)
+    assert(cached.planCacheEntries == 1)
+    assert(result.rows.size == 3)
+    assert(result.rows.map(_(1)).toSet == Set("Alice", "Bob", "Charlie"))
+    // parameterized text never enters the cache
+    cached.getFlightInfoStatement("SELECT * FROM users WHERE id = $1")
+    assert(cached.planCacheEntries == 1)
+    // LRU bound: a third distinct statement evicts the eldest
+    cached.getFlightInfoStatement("SELECT name FROM users")
+    cached.getFlightInfoStatement("SELECT id FROM users")
+    assert(cached.planCacheEntries == 2)
+    // default config stays reference-faithful: nothing is cached
+    service.getFlightInfoStatement("SELECT * FROM users")
+    assert(service.planCacheEntries == 0)
+  }
+
   test("filtered SELECT name WHERE id > 1: 2 rows (integration_test.rs:116-146)") {
     val result = fetch(service, "SELECT name FROM users WHERE id > 1")
     assert(result.schema.getFields.size == 1)
