@@ -311,6 +311,47 @@ object LlmQueries {
         |SELECT doc_id, chunk_id, chunk, len(string_split(chunk, ' ')) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
 
+    // Content-defined chunking (CDC): chunk boundaries where the rolling
+    // hash of a 4-word window ≡ 0 (mod 16), so boundaries — unlike fixed
+    // 64-word strides — survive insertions/deletions and shifted copies
+    // still produce identical chunks for dedup. Hash = the engines' shared
+    // md5-prefix integer (the q_text_train_split primitive); chunk ids via
+    // a per-document running boundary count, chunk text recovered by
+    // slicing the original word array between boundary extents (no
+    // collect_list ordering hazards). Per-row explode + one partitioned
+    // window + one equi-join back to the doc — linear in corpus size.
+    "q_text_chunk_cdc" -> sql2(
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0),
+        |p AS (SELECT doc_id, i,
+        |             CASE WHEN i = 1 OR (i + 3 <= size(w) AND
+        |                  CAST(conv(substr(md5(array_join(slice(w, i, 4), ' ')), 1, 8), 16, 10) AS BIGINT) % 16 = 0)
+        |                  THEN 1 ELSE 0 END AS b
+        |      FROM d LATERAL VIEW explode(sequence(1, size(w))) x AS i),
+        |c AS (SELECT doc_id, i,
+        |             SUM(b) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS cid
+        |      FROM p),
+        |e AS (SELECT doc_id, CAST(cid AS INT) AS chunk_id, MIN(i) AS s, MAX(i) AS e
+        |      FROM c GROUP BY doc_id, cid)
+        |SELECT e.doc_id, chunk_id, CAST(e.e - e.s + 1 AS INT) AS n_words,
+        |       md5(array_join(slice(d.w, e.s, e.e - e.s + 1), ' ')) AS chunk_hash
+        |FROM e JOIN d ON e.doc_id = d.doc_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0),
+        |p AS (SELECT doc_id, i,
+        |             CASE WHEN i = 1 OR (i + 3 <= len(w) AND
+        |                  ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 3), ' ')), 1, 8))::BIGINT % 16 = 0)
+        |                  THEN 1 ELSE 0 END AS b
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d) z),
+        |c AS (SELECT doc_id, i,
+        |             SUM(b) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS cid
+        |      FROM p),
+        |e AS (SELECT doc_id, CAST(cid AS INT) AS chunk_id, MIN(i) AS s, MAX(i) AS e
+        |      FROM c GROUP BY doc_id, cid)
+        |SELECT e.doc_id, chunk_id, CAST(e.e - e.s + 1 AS INT) AS n_words,
+        |       md5(array_to_string(list_slice(d.w, e.s, e.e), ' ')) AS chunk_hash
+        |FROM e JOIN d ON e.doc_id = d.doc_id
+        |ORDER BY e.doc_id, chunk_id""".stripMargin),
+
     // Sequence packing: deterministic start-offset binning — docs are laid
     // end-to-end per shard in doc_id order and a doc's bin is the 2048-token
     // block its first token lands in (integer arithmetic, so both engines
