@@ -448,6 +448,73 @@ object AnnSql {
     (a, b) => s"list_dot_product($a, $b)",
     s"unnest(range(0, $pqSubspaces)) AS s")
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus (the IVF assignment join — nearest of ≈sqrt(N)
+    * deterministic seed centroids), find within-cluster pairs with cosine
+    * ≥ threshold, and in each duplicate pair mark the member CLOSER to its
+    * centroid as redundant (the paper keeps low-centroid-similarity
+    * members to preserve diversity). Output = the dropped ids with their
+    * cluster and centroid similarity. Within-cluster pair generation is an
+    * equi-join on cent_id; production sizing sets nlist ≈ N/targetBucket so
+    * cluster populations stay bounded (and can compose the sign-sub-bucket
+    * key exactly as [[nearDupFromSigSpark]] does — at fixture scale the
+    * ≈sqrt(N)-member clusters are already below targetBucket). Tie on equal
+    * centroid similarity breaks toward the larger vec_id so the kept set is
+    * deterministic.
+    */
+  private def semDedupSql(cosFn: (String, String) => String): String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |asn AS (SELECT vec_id, embedding, cent_id, ccos FROM (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         ${cosFn("e.embedding", "c.ce")} AS ccos,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosFn("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+       |p AS (SELECT a.vec_id AS ida, a.ccos AS ca, b.vec_id AS idb, b.ccos AS cb, a.cent_id
+       |      FROM asn a JOIN asn b
+       |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |      WHERE ${cosFn("a.embedding", "b.embedding")} >= 0.3),
+       |drops AS (SELECT CASE WHEN ca > cb OR (ca = cb AND ida < idb) THEN ida ELSE idb END AS vec_id,
+       |                 cent_id,
+       |                 CASE WHEN ca > cb OR (ca = cb AND ida < idb) THEN ca ELSE cb END AS ccos
+       |          FROM p)
+       |SELECT DISTINCT vec_id, cent_id, ROUND(ccos, 6) AS cent_cos
+       |FROM drops ORDER BY vec_id""".stripMargin
+    // (cross join c = broadcast of the constant-size centroid table — the
+    // same shape every IVF build pays; flagged OK by PlanAuditSpec's
+    // broadcast-only pin.)
+
+  def semDedupSpark: String = semDedupSql((a, b) => s"graft_cosine($a, $b)")
+  def semDedupDuck: String = semDedupSql(duckCos)
+
+  /** Coreset / prototype selection: the m most-central members of every
+    * cluster (highest cosine to their centroid) — the diversity-aware
+    * subsampling pass (per-cluster quotas) a curation pipeline runs after
+    * clustering. Same assignment join as [[semDedupSpark]]; the per-cluster
+    * top-m is one partitioned window, no global sort.
+    */
+  private def coresetSql(cosFn: (String, String) => String, m: Int): String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |asn AS (SELECT vec_id, cent_id, ccos FROM (
+       |  SELECT e.vec_id, c.cent_id,
+       |         ${cosFn("e.embedding", "c.ce")} AS ccos,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cosFn("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+       |r AS (SELECT vec_id, cent_id, ccos,
+       |             row_number() OVER (PARTITION BY cent_id
+       |               ORDER BY ccos DESC, vec_id) AS rank
+       |      FROM asn)
+       |SELECT cent_id, CAST(rank AS INT) AS rank, vec_id, ROUND(ccos, 6) AS cent_cos
+       |FROM r WHERE rank <= $m ORDER BY cent_id, rank""".stripMargin
+
+  def coresetSpark(m: Int): String = coresetSql((a, b) => s"graft_cosine($a, $b)", m)
+  def coresetDuck(m: Int): String = coresetSql(duckCos, m)
+
   /** Near-duplicate pairs by cosine ≥ threshold. Blocking key = (label,
     * sign sub-bucket): the sub-bucket masks the table-1 signature to
     * `blockBits = clamp(ceil(log2(N / |labels| / targetBucket)), 0,

@@ -265,6 +265,24 @@ object LlmQueries {
       },
       Some(AnnSql.ivfTopKDuck(3))),
 
+    // SemDeDup: cluster-then-prune semantic dedup (AnnSql.semDedupSql doc).
+    "q_dedup_semantic" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.semDedupSpark)
+      },
+      Some(AnnSql.semDedupDuck)),
+
+    // Coreset / prototype selection: per-cluster top-m most-central members.
+    "q_sample_coreset" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.coresetSpark(4))
+      },
+      Some(AnnSql.coresetDuck(4))),
+
     // Product-quantization codebook assignment (the IVF-PQ compression
     // path): 64 floats → 8 codebook codes, integer-exact distortion
     // accounting per (subspace, code).
@@ -485,6 +503,48 @@ object LlmQueries {
         |trim(regexp_replace(regexp_replace(text, 'https?://\S+|\S+@\S+\.\S+', ' ', 'g'), '\s+', ' ', 'g')) AS clean,
         |len(string_split(trim(regexp_replace(regexp_replace(text, 'https?://\S+|\S+@\S+\.\S+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS n_words
         |FROM documents WHERE doc_id % 40 = 0 ORDER BY doc_id""".stripMargin),
+
+    // PII redaction with REAL matches (q_text_clean only proves the no-op
+    // case): a contact string is composed from customer columns, then
+    // email / phone / IPv4 patterns are replaced with typed placeholders
+    // and counted. Patterns use [.] and [+] classes instead of
+    // backslash-escapes so the identical pattern text is valid in both
+    // regex dialects (Spark escapes backslashes inside SQL strings, DuckDB
+    // does not). Pure scan→project, whole-stage codegen'd, trivially
+    // partition-parallel at any scale.
+    "q_text_pii" -> sql2(
+      """WITH t AS (SELECT c_custkey,
+        |  'reach ' || c_name || ' at user' || CAST(c_custkey AS STRING)
+        |   || '@mail.example.com or +1-' || lpad(CAST(c_custkey % 1000 AS STRING), 3, '0')
+        |   || '-' || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0')
+        |   || ' from 10.' || CAST(c_custkey % 256 AS STRING) || '.'
+        |   || CAST(c_nationkey % 256 AS STRING) || '.7' AS text
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._]+@[a-z0-9.-]+[a-z]', '<EMAIL>'),
+        |    '[+]1-[0-9]{3}-[0-9]{4}', '<PHONE>'),
+        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>') AS redacted,
+        |  size(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+[a-z]', 0)) AS n_email,
+        |  size(regexp_extract_all(text, '[+]1-[0-9]{3}-[0-9]{4}', 0)) AS n_phone,
+        |  size(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', 0)) AS n_ip
+        |FROM t ORDER BY c_custkey""".stripMargin,
+      """WITH t AS (SELECT c_custkey,
+        |  'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+        |   || '@mail.example.com or +1-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+        |   || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |   || ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+        |   || CAST(c_nationkey % 256 AS VARCHAR) || '.7' AS text
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._]+@[a-z0-9.-]+[a-z]', '<EMAIL>', 'g'),
+        |    '[+]1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+[a-z]')) AS n_email,
+        |  len(regexp_extract_all(text, '[+]1-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ip
+        |FROM t ORDER BY c_custkey""".stripMargin),
 
     // Repetition quality signals (Gopher-style filters): top-unigram
     // frequency ratio and distinct-word ratio per document — high top_ratio

@@ -105,6 +105,44 @@ object RelationalQueries {
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
         |ORDER BY o_custkey""".stripMargin),
 
+    // PIVOT: wide-format conditional aggregation (Spark's native PIVOT
+    // clause; physical plan is a single hash aggregate over CASE
+    // projections — no extra shuffle vs plain GROUP BY). Oracle spells the
+    // identical semantics as FILTERed aggregates, so the two sides are
+    // independent formulations. Money sums in lossless DECIMAL(18,2).
+    "q_pivot" -> sql2(
+      """SELECT o_orderpriority,
+        |       CAST(st_o AS DOUBLE) AS rev_o,
+        |       CAST(st_f AS DOUBLE) AS rev_f,
+        |       CAST(st_p AS DOUBLE) AS rev_p
+        |FROM (SELECT o_orderpriority, o_orderstatus,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders)
+        |PIVOT (SUM(tp) FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        |ORDER BY o_orderpriority""".stripMargin,
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_o,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS rev_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // UNPIVOT: long-format melt (Spark's native UNPIVOT clause, a
+    // Generate/Expand — no shuffle at all). INCLUDE NULLS so the semantics
+    // equal the oracle's UNION ALL exactly even for null measures.
+    "q_unpivot" -> sql2(
+      """SELECT c_custkey, metric, val
+        |FROM (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |             CAST(c_nationkey AS DOUBLE) AS nationkey
+        |      FROM customer WHERE c_custkey % 10 = 0)
+        |UNPIVOT INCLUDE NULLS (val FOR metric IN (acctbal, nationkey))
+        |ORDER BY c_custkey, metric""".stripMargin,
+      """SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS val
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+        |FROM customer WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey, metric""".stripMargin),
+
     // Residual cross-engine risk: stddev/var/corr/covar accumulate in double
     // internally in BOTH engines (no decimal form exists), so last-ulp drift
     // is possible in principle; ROUND granularity (1e-4 on sd≈14, 1e-2 on
@@ -185,6 +223,35 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
+
+    // As-of join (click→purchase attribution): each purchase matched to the
+    // latest click at-or-before it by the same user. The reference line
+    // declares as-of a non-goal (DataFusion 53 has none), so this is
+    // beyond-parity surface; the Spark formulation is the scale-safe one —
+    // union-tag both sides and take a running MAX over a window partitioned
+    // by user_id (ONE shuffle on the join key, no range join, no
+    // BroadcastNestedLoop). Ordering (ts, event_type) puts 'click' before
+    // 'purchase' at equal ts, matching the oracle's c.ts <= p.ts bound.
+    // The oracle is DuckDB's native ASOF LEFT JOIN — an independent engine
+    // implementation of the same semantics, not a mirrored rewrite.
+    "q_join_asof" -> sql2(
+      """WITH u AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT user_id, ts, event_id, event_type,
+        |             MAX(CASE WHEN event_type = 'click' THEN ts END)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_type
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        |      FROM u)
+        |SELECT event_id, user_id, ts, click_ts,
+        |       unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(click_ts AS TIMESTAMP)) AS gap_us
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY event_id""".stripMargin),
 
     "q_join_using" -> sql(
       """SELECT nationkey, n_name, c_custkey

@@ -116,6 +116,43 @@ class PlanAuditSpec extends AnyFunSuite {
       "candidate fetch must be a hash/merge equi-join")
   }
 
+  test("SemDeDup broadcasts only the centroid table; pair join is equi (q_dedup_semantic)") {
+    val p = plan("q_dedup_semantic")
+    // centroid assignment is the tolerated nested-loop (constant-size
+    // broadcast centroid list, the IVF-build shape); Catalyst inlines the
+    // assignment CTE into both pair-join sides, so it appears twice. The
+    // within-cluster pair join must be a hash/merge equi-join on cent_id.
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "within-cluster pair generation must be a hash/merge equi-join")
+  }
+
+  test("coreset selection broadcasts only the centroid table (q_sample_coreset)") {
+    val p = plan("q_sample_coreset")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    assert(p.contains("Window"), "per-cluster top-m must be a partitioned window")
+  }
+
+  test("as-of join is one filtered scan + one partitioned window, no join operator (q_join_asof)") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of must resolve via the running-MAX window, not a range join")
+    assert(p.contains("Window"))
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+      "the two-sided IN filter must reach the parquet scan")
+  }
+
+  test("PIVOT stays a single grouped aggregation, no cartesian (q_pivot)") {
+    val p = plan("q_pivot")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("GROUPS-frame emulation plans only equi-joins and one window (q_win_groups_frame)") {
     val p = plan("q_win_groups_frame")
     assert(!p.contains("CartesianProduct"))
