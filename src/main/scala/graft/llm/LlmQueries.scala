@@ -504,6 +504,64 @@ object LlmQueries {
         |len(string_split(trim(regexp_replace(regexp_replace(text, 'https?://\S+|\S+@\S+\.\S+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS n_words
         |FROM documents WHERE doc_id % 40 = 0 ORDER BY doc_id""".stripMargin),
 
+    // TF-IDF keyword extraction: top-3 salient terms per document. Two
+    // hash aggregations (term frequency per doc, document frequency per
+    // term — both map-side combined), one equi-join on the term, one
+    // partitioned window for the per-doc top-k; no global sort of the
+    // score table. Cross-engine determinism: the idf ln() is transcendental
+    // (its 6-decimal rounding has no exact-tie boundary, unlike money
+    // sums), the ranking runs on the ROUNDED score, and ties break on the
+    // term text.
+    "q_text_tfidf" -> sql2(
+      """WITH w AS (SELECT doc_id, word FROM documents
+        |           LATERAL VIEW explode(split(text, ' ')) t AS word
+        |           WHERE doc_id % 5 = 0),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+        |s AS (SELECT tf.doc_id, tf.word,
+        |             ROUND(tf * ln(CAST((SELECT n FROM nd) AS DOUBLE)
+        |                           / (CAST(1 AS DOUBLE) + CAST(df AS DOUBLE))), 6) AS tfidf
+        |      FROM tf JOIN dfreq ON tf.word = dfreq.word)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, word, tfidf FROM (
+        |  SELECT doc_id, word, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+        |  FROM s) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents WHERE doc_id % 5 = 0),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+        |s AS (SELECT tf.doc_id, tf.word,
+        |             ROUND(tf * ln(CAST((SELECT n FROM nd) AS DOUBLE)
+        |                           / (CAST(1 AS DOUBLE) + CAST(df AS DOUBLE))), 6) AS tfidf
+        |      FROM tf JOIN dfreq ON tf.word = dfreq.word)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, word, tfidf FROM (
+        |  SELECT doc_id, word, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+        |  FROM s) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    // BPE-style merge-candidate counting (the inner step of tokenizer
+    // vocabulary induction): count adjacent symbol pairs corpus-wide and
+    // rank the merge candidates. Pairs come straight from array indexing
+    // over the split text (no window, no self-join — one explode over a
+    // per-doc index range, then one map-side-combined aggregation); the
+    // final top-20 sort runs on the |vocab|² pair table, which is constant
+    // in corpus size. Spark element_at and DuckDB w[i] are both 1-based.
+    "q_text_bigram_merge" -> sql2(
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE size(split(text, ' ')) >= 2),
+        |p AS (SELECT element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+        |      FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) x AS i)
+        |SELECT w1, w2, COUNT(*) AS cnt FROM p GROUP BY w1, w2
+        |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT w[i] AS w1, w[i + 1] AS w2
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM d) z)
+        |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY w1, w2
+        |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin),
+
     // PII redaction with REAL matches (q_text_clean only proves the no-op
     // case): a contact string is composed from customer columns, then
     // email / phone / IPv4 patterns are replaced with typed placeholders

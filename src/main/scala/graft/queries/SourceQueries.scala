@@ -86,6 +86,24 @@ object SourceQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   }
 
+  /** XML scan: Spark 4 bundles the (former spark-xml) XML source,
+    * registered as `xml`. Round-trip nation through row-tagged XML; the
+    * reader's schema inference widens ints to BIGINT, so the readback
+    * projection casts back to INT for a type-stable oracle compare.
+    */
+  private def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    val out = s"$fixtureDir/xml_out"
+    s.sql("SELECT n_nationkey, n_name, n_regionkey FROM nation")
+      .write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
+    s.read.option("rowTag", "nation").format("xml").load(out)
+      .createOrReplaceTempView("xml_back")
+    s.sql(
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        |CAST(n_regionkey AS INT) AS n_regionkey
+        |FROM xml_back ORDER BY n_nationkey""".stripMargin)
+  }
+
   /** Hive-style partitioned layout + partition pruning: write orders
     * partitioned by status, read back with a partition predicate — the
     * scan must prune to one directory (PartitionFilters, pinned in
@@ -145,6 +163,10 @@ object SourceQueries {
     "q_src_orc_roundtrip" -> df(orcRoundtrip,
       """SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS qty FROM lineitem
         |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    "q_src_xml_roundtrip" -> df(xmlRoundtrip,
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin),
 
     "q_src_partitioned_write" -> df(partitionedWrite,
       """SELECT o_orderkey, o_custkey FROM orders

@@ -26,6 +26,20 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
 
+    // Time-based RANGE frame (trailing-1h per-user activity features — the
+    // rolling-feature shape a training pipeline computes over event
+    // streams). The frame is an interval predicate on the ORDER BY
+    // timestamp, so one shuffle on user_id serves every feature column;
+    // money-grade sums go through lossless DECIMAL(18,2).
+    "q_win_time_range" -> sql(
+      """SELECT event_id, user_id,
+        |COUNT(*) OVER w AS n_1h,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+        |FROM events WHERE event_type = 'click'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
     "q_win_percent" -> sql(
       """SELECT o_custkey, o_orderkey,
         |ROUND(percent_rank() OVER w, 6) AS pr,
