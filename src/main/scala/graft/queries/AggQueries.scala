@@ -39,6 +39,45 @@ object AggQueries {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin),
 
+    // Winsorization (outlier clamping at exact p01/p99) — the numeric
+    // data-cleaning pass ahead of feature aggregation. Quantiles are exact
+    // and engine-identical: the rank thresholds are pure integer arithmetic
+    // (ceil(p*n) as (p*n + 99) DIV 100 — no float percentile), the value at
+    // rank k is the smallest x with running-count >= k over the (group,
+    // value) FREQUENCY table (the q_agg_approx scale pattern: the window
+    // runs over distinct values per group, not raw rows, and bounded-
+    // precision real data compresses hard), and money stays in lossless
+    // DECIMAL(18,2) until the final DOUBLE cast. The clamp is a CASE, not
+    // LEAST/GREATEST: DuckDB's LEAST promotes DECIMAL args to DOUBLE,
+    // which would put the whole sum back on the inexact path.
+    "q_agg_winsorize" -> sql2(
+      """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS x FROM lineitem),
+        |f AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x),
+        |n AS (SELECT g, SUM(c) AS n FROM f GROUP BY g),
+        |r AS (SELECT g, x, c, SUM(c) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum FROM f),
+        |b AS (SELECT r.g,
+        |        MIN(CASE WHEN cum >= (n.n + 99) DIV 100 THEN x END) AS lo,
+        |        MIN(CASE WHEN cum >= (99 * n.n + 99) DIV 100 THEN x END) AS hi
+        |      FROM r JOIN n ON r.g = n.g GROUP BY r.g)
+        |SELECT v.g, COUNT(*) AS n_rows,
+        |       CAST(b.lo AS DOUBLE) AS p01, CAST(b.hi AS DOUBLE) AS p99,
+        |       CAST(SUM(CASE WHEN v.x < b.lo THEN b.lo WHEN v.x > b.hi THEN b.hi ELSE v.x END) AS DOUBLE) AS wsum
+        |FROM v JOIN b ON v.g = b.g GROUP BY v.g, b.lo, b.hi
+        |ORDER BY v.g""".stripMargin,
+      """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS x FROM lineitem),
+        |f AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x),
+        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM f GROUP BY g),
+        |r AS (SELECT g, x, c, CAST(SUM(c) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f),
+        |b AS (SELECT r.g,
+        |        MIN(CASE WHEN cum >= (n.n + 99) // 100 THEN x END) AS lo,
+        |        MIN(CASE WHEN cum >= (99 * n.n + 99) // 100 THEN x END) AS hi
+        |      FROM r JOIN n ON r.g = n.g GROUP BY r.g)
+        |SELECT v.g, COUNT(*) AS n_rows,
+        |       CAST(b.lo AS DOUBLE) AS p01, CAST(b.hi AS DOUBLE) AS p99,
+        |       CAST(SUM(CASE WHEN v.x < b.lo THEN b.lo WHEN v.x > b.hi THEN b.hi ELSE v.x END) AS DOUBLE) AS wsum
+        |FROM v JOIN b ON v.g = b.g GROUP BY v.g, b.lo, b.hi
+        |ORDER BY v.g""".stripMargin),
+
     // Self-verifying approximate aggregates: HLL++ distinct count and
     // quantile sketch within 5% of exact, asserted inside the query.
     // Plan shape is deliberate for scale: mixing COUNT(DISTINCT) with other
