@@ -59,11 +59,11 @@ object AggQueries {
         |        MIN(CASE WHEN cum >= (n.n + 99) DIV 100 THEN x END) AS lo,
         |        MIN(CASE WHEN cum >= (99 * n.n + 99) DIV 100 THEN x END) AS hi
         |      FROM r JOIN n ON r.g = n.g GROUP BY r.g)
-        |SELECT v.g, COUNT(*) AS n_rows,
+        |SELECT f.g, CAST(SUM(f.c) AS BIGINT) AS n_rows,
         |       CAST(b.lo AS DOUBLE) AS p01, CAST(b.hi AS DOUBLE) AS p99,
-        |       CAST(SUM(CASE WHEN v.x < b.lo THEN b.lo WHEN v.x > b.hi THEN b.hi ELSE v.x END) AS DOUBLE) AS wsum
-        |FROM v JOIN b ON v.g = b.g GROUP BY v.g, b.lo, b.hi
-        |ORDER BY v.g""".stripMargin,
+        |       CAST(SUM((CASE WHEN f.x < b.lo THEN b.lo WHEN f.x > b.hi THEN b.hi ELSE f.x END) * f.c) AS DOUBLE) AS wsum
+        |FROM f JOIN b ON f.g = b.g GROUP BY f.g, b.lo, b.hi
+        |ORDER BY f.g""".stripMargin,
       """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS x FROM lineitem),
         |f AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x),
         |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM f GROUP BY g),
@@ -72,11 +72,11 @@ object AggQueries {
         |        MIN(CASE WHEN cum >= (n.n + 99) // 100 THEN x END) AS lo,
         |        MIN(CASE WHEN cum >= (99 * n.n + 99) // 100 THEN x END) AS hi
         |      FROM r JOIN n ON r.g = n.g GROUP BY r.g)
-        |SELECT v.g, COUNT(*) AS n_rows,
+        |SELECT f.g, CAST(SUM(f.c) AS BIGINT) AS n_rows,
         |       CAST(b.lo AS DOUBLE) AS p01, CAST(b.hi AS DOUBLE) AS p99,
-        |       CAST(SUM(CASE WHEN v.x < b.lo THEN b.lo WHEN v.x > b.hi THEN b.hi ELSE v.x END) AS DOUBLE) AS wsum
-        |FROM v JOIN b ON v.g = b.g GROUP BY v.g, b.lo, b.hi
-        |ORDER BY v.g""".stripMargin),
+        |       CAST(SUM((CASE WHEN f.x < b.lo THEN b.lo WHEN f.x > b.hi THEN b.hi ELSE f.x END) * f.c) AS DOUBLE) AS wsum
+        |FROM f JOIN b ON f.g = b.g GROUP BY f.g, b.lo, b.hi
+        |ORDER BY f.g""".stripMargin),
 
     // Self-verifying approximate aggregates: HLL++ distinct count and
     // quantile sketch within 5% of exact, asserted inside the query.
