@@ -121,6 +121,28 @@ object SourceQueries {
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Schema evolution across ingest batches: two parquet batches with
+    * drifting columns (an early batch without `o_totalprice`, a later one
+    * with it) read back under `mergeSchema` — missing columns surface as
+    * NULLs, the 100 TB ingest reality where producers add fields over
+    * time. The oracle replays the same drift with an explicit NULL-padded
+    * UNION ALL.
+    */
+  private def schemaMerge(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    val out = s"$fixtureDir/evolving_orders"
+    s.sql("SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    s.sql("SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1")
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .createOrReplaceTempView("evolving")
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |CAST(o_totalprice AS DOUBLE) AS o_totalprice, CAST(batch AS INT) AS batch
+        |FROM evolving ORDER BY o_orderkey""".stripMargin)
+  }
+
   private def copyRoundtrip(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
     val out = s"$fixtureDir/copy_out.parquet"
@@ -163,6 +185,14 @@ object SourceQueries {
     "q_src_orc_roundtrip" -> df(orcRoundtrip,
       """SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 2) AS qty FROM lineitem
         |WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    "q_src_schema_merge" -> df(schemaMerge,
+      """SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice, 1 AS batch
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, 2 AS batch
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin),
 
     "q_src_xml_roundtrip" -> df(xmlRoundtrip,
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
