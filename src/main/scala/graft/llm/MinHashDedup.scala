@@ -85,7 +85,15 @@ object MinHashDedup {
     * over `saltFactor` independent join cells.
     */
   def candidatePairs(docs: DataFrame): DataFrame = {
-    val bk = banded(docs)
+    // Materialize the banded signature table before the self-join: both
+    // join sides read the SAME 64k-row LSH index instead of re-running the
+    // 32-hash signature aggregation once per side (Catalyst inlines the
+    // shared subtree and exchange reuse does not fire across the salted
+    // self-join's asymmetric sides — measured 2x on the whole pair
+    // pipeline at sf0.1). This is the batch-side twin of CorpusIndex.banded,
+    // which persists exactly this table for incremental dedup; on a
+    // cluster the localCheckpoint swaps for a durable checkpoint/table.
+    val bk = banded(docs).localCheckpoint(true)
     val left = bk.withColumn("salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     val right = bk.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltFactor)))
