@@ -49,34 +49,40 @@ object AggQueries {
     // precision real data compresses hard), and money stays in lossless
     // DECIMAL(18,2) until the final DOUBLE cast. The clamp is a CASE, not
     // LEAST/GREATEST: DuckDB's LEAST promotes DECIMAL args to DOUBLE,
-    // which would put the whole sum back on the inexact path.
+    // which would put the whole sum back on the inexact path. Single-pass
+    // plan: the frequency CTE is referenced exactly once — the totals and
+    // the two thresholds ride the SAME partition-by-g window stage as the
+    // running count (a second CTE reference would recompute the whole
+    // aggregation; Catalyst inlines CTEs).
     "q_agg_winsorize" -> sql2(
-      """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS x FROM lineitem),
-        |f AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x),
-        |n AS (SELECT g, SUM(c) AS n FROM f GROUP BY g),
-        |r AS (SELECT g, x, c, SUM(c) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum FROM f),
-        |b AS (SELECT r.g,
-        |        MIN(CASE WHEN cum >= (n.n + 99) DIV 100 THEN x END) AS lo,
-        |        MIN(CASE WHEN cum >= (99 * n.n + 99) DIV 100 THEN x END) AS hi
-        |      FROM r JOIN n ON r.g = n.g GROUP BY r.g)
-        |SELECT f.g, CAST(SUM(f.c) AS BIGINT) AS n_rows,
-        |       CAST(b.lo AS DOUBLE) AS p01, CAST(b.hi AS DOUBLE) AS p99,
-        |       CAST(SUM((CASE WHEN f.x < b.lo THEN b.lo WHEN f.x > b.hi THEN b.hi ELSE f.x END) * f.c) AS DOUBLE) AS wsum
-        |FROM f JOIN b ON f.g = b.g GROUP BY f.g, b.lo, b.hi
-        |ORDER BY f.g""".stripMargin,
-      """WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS x FROM lineitem),
-        |f AS (SELECT g, x, COUNT(*) AS c FROM v GROUP BY g, x),
-        |n AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM f GROUP BY g),
-        |r AS (SELECT g, x, c, CAST(SUM(c) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f),
-        |b AS (SELECT r.g,
-        |        MIN(CASE WHEN cum >= (n.n + 99) // 100 THEN x END) AS lo,
-        |        MIN(CASE WHEN cum >= (99 * n.n + 99) // 100 THEN x END) AS hi
-        |      FROM r JOIN n ON r.g = n.g GROUP BY r.g)
-        |SELECT f.g, CAST(SUM(f.c) AS BIGINT) AS n_rows,
-        |       CAST(b.lo AS DOUBLE) AS p01, CAST(b.hi AS DOUBLE) AS p99,
-        |       CAST(SUM((CASE WHEN f.x < b.lo THEN b.lo WHEN f.x > b.hi THEN b.hi ELSE f.x END) * f.c) AS DOUBLE) AS wsum
-        |FROM f JOIN b ON f.g = b.g GROUP BY f.g, b.lo, b.hi
-        |ORDER BY f.g""".stripMargin),
+      """WITH f AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS x, COUNT(*) AS c
+        |           FROM lineitem GROUP BY l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2))),
+        |r AS (SELECT g, x, c,
+        |        SUM(c) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(c) OVER (PARTITION BY g) AS ntot FROM f),
+        |s AS (SELECT g, x, c,
+        |        MIN(CASE WHEN cum >= (ntot + 99) DIV 100 THEN x END) OVER (PARTITION BY g) AS lo,
+        |        MIN(CASE WHEN cum >= (99 * ntot + 99) DIV 100 THEN x END) OVER (PARTITION BY g) AS hi
+        |      FROM r)
+        |SELECT g, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       CAST(lo AS DOUBLE) AS p01, CAST(hi AS DOUBLE) AS p99,
+        |       CAST(SUM((CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END) * c) AS DOUBLE) AS wsum
+        |FROM s GROUP BY g, lo, hi
+        |ORDER BY g""".stripMargin,
+      """WITH f AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS x, COUNT(*) AS c
+        |           FROM lineitem GROUP BY l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2))),
+        |r AS (SELECT g, x, c,
+        |        CAST(SUM(c) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |        CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS ntot FROM f),
+        |s AS (SELECT g, x, c,
+        |        MIN(CASE WHEN cum >= (ntot + 99) // 100 THEN x END) OVER (PARTITION BY g) AS lo,
+        |        MIN(CASE WHEN cum >= (99 * ntot + 99) // 100 THEN x END) OVER (PARTITION BY g) AS hi
+        |      FROM r)
+        |SELECT g, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       CAST(lo AS DOUBLE) AS p01, CAST(hi AS DOUBLE) AS p99,
+        |       CAST(SUM((CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END) * c) AS DOUBLE) AS wsum
+        |FROM s GROUP BY g, lo, hi
+        |ORDER BY g""".stripMargin),
 
     // Self-verifying approximate aggregates: HLL++ distinct count and
     // quantile sketch within 5% of exact, asserted inside the query.

@@ -131,16 +131,35 @@ object EventStream {
     ()
   }
 
+  /** Stateful-shuffle width for the replayed streams. Every stateful
+    * operator instantiates one state store PER shuffle partition (two for
+    * a stream-stream join), each with its own checkpoint directory and
+    * maintenance — at this fixture's volume that fixed overhead dominates
+    * wall time (measured: the interval join runs 8s at 32 partitions, 3s
+    * at 8, identical results). Streaming state width should be sized to
+    * stream volume / key cardinality, NOT inherited from the batch shuffle
+    * default; a production deployment raises it with throughput.
+    */
+  private val streamShufflePartitions = "8"
+
   private def runToTable(stream: DataFrame, mode: String): DataFrame = {
     val spark = stream.sparkSession
     val queryName = s"graft_event_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val query = stream.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try query.processAllAvailable()
-    finally query.stop()
+    // The width is captured into the stream's cloned session when the
+    // query starts; hold it until the replay drains, then restore the
+    // session default (runners execute streams synchronously, so the
+    // mutation window is contained).
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    try {
+      val query = stream.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
     // Drop the sink's temp view: each run registers a fresh UUID-named
     // view which would otherwise accumulate for the life of the session (a
     // leak per streaming query in a long-running server). spark.table()
