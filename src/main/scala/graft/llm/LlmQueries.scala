@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.functions._
 
 import graft.queries.{QuerySpec, Tables}
-import graft.queries.QuerySpec.{df, sql2}
+import graft.queries.QuerySpec.{df, sql, sql2}
 
 /** LLM-training-data pipeline operators over the `documents`, `embeddings`
   * and `events` fixtures: deduplication (exact, MinHash+LSH, SimHash,
@@ -216,6 +216,47 @@ object LlmQueries {
         |              THEN 'train' ELSE 'eval' END AS split, n_chars
         |  FROM documents) t
         |GROUP BY split ORDER BY split""".stripMargin),
+
+    // Corpus snapshot diff — the incremental-refresh primitive: compare two
+    // corpus versions by content hash and emit the delta (added / removed /
+    // changed rows), so downstream stages (dedup, embedding, indexing)
+    // re-process only what moved. Versions are carved deterministically
+    // from the fixture (v2 drops some docs, adds others, and edits
+    // doc_id % 17 = 0). One shuffle on doc_id (full outer hash join);
+    // per-side hashing is a pure projection, so at 100 TB the cost is the
+    // join alone and AQE handles any hot-key skew.
+    "q_corpus_snapshot_diff" -> sql(
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 3),
+        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 THEN upper(text) ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 13 <> 4)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |     WHEN v2.doc_id IS NULL THEN 'removed'
+        |     ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.h <> v2.h
+        |ORDER BY doc_id""".stripMargin),
+
+    // Deterministic global shuffle + shard assignment — the last step before
+    // writing training shards: an md5-keyed pseudo-random order that any
+    // engine reproduces, a fixed shard count, and a within-shard position.
+    // Shard assignment is a pure projection (no shuffle); the position
+    // needs exactly one shuffle on shard — at 100 TB this is
+    // write.partitionBy(shard) + sortWithinPartitions(hx), which keeps each
+    // output file independently ordered with no global sort.
+    "q_text_shard" -> sql2(
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS STRING) || ':42') AS hx FROM documents)
+        |SELECT doc_id,
+        |CAST(CAST(conv(substr(hx, 1, 4), 16, 10) AS BIGINT) % 16 AS INT) AS shard,
+        |row_number() OVER (PARTITION BY CAST(conv(substr(hx, 1, 4), 16, 10) AS BIGINT) % 16
+        |                   ORDER BY hx, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS hx FROM documents)
+        |SELECT doc_id,
+        |CAST(('0x' || substr(hx, 1, 4))::BIGINT % 16 AS INT) AS shard,
+        |row_number() OVER (PARTITION BY ('0x' || substr(hx, 1, 4))::BIGINT % 16
+        |                   ORDER BY hx, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin),
 
     // Incremental dedup: near-dup the NEW batch (doc_id % 10 = 5) against
     // the EXISTING corpus (doc_id % 10 = 0) only — the daily-crawl

@@ -40,6 +40,46 @@ object WindowQueries {
         |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin),
 
+    // Batch sessionization — the log-analytics twin of the streaming
+    // session_window query: a gap > 30 min starts a new session, the
+    // session id is the running count of gap flags, then sessions are
+    // aggregated. All three window passes (lag, running sum) and the final
+    // group ride ONE shuffle on user_id; the session aggregate keys on
+    // (user_id, sid), a refinement of the window partitioning, so AQE
+    // coalesces rather than reshuffles. Timestamps compare in integer
+    // microseconds — no interval arithmetic to diverge across engines.
+    "q_win_sessionize" -> QuerySpec.sql2(
+      """WITH e AS (SELECT user_id, event_id, unix_micros(CAST(ts AS TIMESTAMP)) AS tus
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT user_id, event_id, tus,
+        |        CASE WHEN lag(tus) OVER w IS NULL
+        |                  OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, event_id, tus,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MIN(tus) AS start_us, MAX(tus) AS end_us
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_seq""".stripMargin,
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT user_id, event_id, tus,
+        |        CASE WHEN lag(tus) OVER w IS NULL
+        |                  OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, event_id, tus,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MIN(tus) AS start_us, MAX(tus) AS end_us
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_seq""".stripMargin),
+
     "q_win_percent" -> sql(
       """SELECT o_custkey, o_orderkey,
         |ROUND(percent_rank() OVER w, 6) AS pr,

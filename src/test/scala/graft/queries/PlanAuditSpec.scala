@@ -146,6 +146,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "the two-sided IN filter must reach the parquet scan")
   }
 
+  test("batch sessionization reuses one user_id shuffle end-to-end (q_win_sessionize)") {
+    val p = plan("q_win_sessionize")
+    // lag + running-sum windows and the (user_id, sid) session aggregate
+    // must all ride the single hashpartitioning(user_id) exchange — the
+    // aggregate keys refine the window partitioning, so EnsureRequirements
+    // adds no second hash exchange; the only other exchange is the final
+    // presentation sort's range partitioning.
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (user_id) shared by windows + session agg, got $hashExchanges:\n$p")
+    assert(p.contains("Window"))
+    assert(p.contains("In(event_type"), "event-type filter must push into the scan")
+  }
+
+  test("snapshot diff is one equi full-outer join on doc_id (q_corpus_snapshot_diff)") {
+    val p = plan("q_corpus_snapshot_diff")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("FullOuter"), "diff must plan as a full outer hash/merge join")
+  }
+
+  test("shard assignment shuffles once on shard, never globally sorts the corpus (q_text_shard)") {
+    val p = plan("q_text_shard")
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (shard) for the position window, got $hashExchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("PIVOT stays a single grouped aggregation, no cartesian (q_pivot)") {
     val p = plan("q_pivot")
     assert(!p.contains("CartesianProduct"))
