@@ -1,6 +1,8 @@
 package graft.queries
 
-import QuerySpec.{sql, sql2}
+import org.apache.spark.sql.functions.{col, count, lit}
+
+import QuerySpec.{df, sql, sql2}
 
 /** Aggregation long tail (SURVEY.md §2.B.4): GROUPING SETS / ROLLUP / CUBE,
   * approximate aggregates, array_agg/string_agg, bool/bit aggregates,
@@ -41,34 +43,22 @@ object AggQueries {
 
     // Winsorization (outlier clamping at exact p01/p99) — the numeric
     // data-cleaning pass ahead of feature aggregation. Quantiles are exact
-    // and engine-identical: the rank thresholds are pure integer arithmetic
-    // (ceil(p*n) as (p*n + 99) DIV 100 — no float percentile), the value at
-    // rank k is the smallest x with running-count >= k over the (group,
-    // value) FREQUENCY table (the q_agg_approx scale pattern: the window
-    // runs over distinct values per group, not raw rows, and bounded-
-    // precision real data compresses hard), and money stays in lossless
-    // DECIMAL(18,2) until the final DOUBLE cast. The clamp is a CASE, not
-    // LEAST/GREATEST: DuckDB's LEAST promotes DECIMAL args to DOUBLE,
-    // which would put the whole sum back on the inexact path. Single-pass
-    // plan: the frequency CTE is referenced exactly once — the totals and
-    // the two thresholds ride the SAME partition-by-g window stage as the
-    // running count (a second CTE reference would recompute the whole
-    // aggregation; Catalyst inlines CTEs).
-    "q_agg_winsorize" -> sql2(
-      """WITH f AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS x, COUNT(*) AS c
-        |           FROM lineitem GROUP BY l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2))),
-        |r AS (SELECT g, x, c,
-        |        SUM(c) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum,
-        |        SUM(c) OVER (PARTITION BY g) AS ntot FROM f),
-        |s AS (SELECT g, x, c,
-        |        MIN(CASE WHEN cum >= (ntot + 99) DIV 100 THEN x END) OVER (PARTITION BY g) AS lo,
-        |        MIN(CASE WHEN cum >= (99 * ntot + 99) DIV 100 THEN x END) OVER (PARTITION BY g) AS hi
-        |      FROM r)
-        |SELECT g, CAST(SUM(c) AS BIGINT) AS n_rows,
-        |       CAST(lo AS DOUBLE) AS p01, CAST(hi AS DOUBLE) AS p99,
-        |       CAST(SUM((CASE WHEN x < lo THEN lo WHEN x > hi THEN hi ELSE x END) * c) AS DOUBLE) AS wsum
-        |FROM s GROUP BY g, lo, hi
-        |ORDER BY g""".stripMargin,
+    // and engine-identical: rank thresholds are pure integer arithmetic
+    // (ceil(p*n) as (p*n + 99) DIV 100 — no float percentile) and money
+    // stays in lossless DECIMAL(18,2) until the final DOUBLE cast (the
+    // clamp is a CASE, not LEAST/GREATEST: DuckDB's LEAST promotes DECIMAL
+    // args to DOUBLE). The Spark side is the DISTRIBUTED exact quantile
+    // (ExactQuantile: histogram routing + boundary-bucket refinement) —
+    // l_extendedprice is nearly unique, so a per-group running-count
+    // window would sort each group's whole frequency table in ONE task;
+    // with 3 groups that is 3 straggler tasks at 100 TB. The oracle keeps
+    // the sequential-window form: an independent formulation of the same
+    // discrete quantile.
+    "q_agg_winsorize" -> df(
+      (s, d) => ExactQuantile.winsorizedSums(
+        Tables.lineitem(s, d).select(
+          col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("decimal(18,2)").as("x"))),
       """WITH f AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS x, COUNT(*) AS c
         |           FROM lineitem GROUP BY l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2))),
         |r AS (SELECT g, x, c,

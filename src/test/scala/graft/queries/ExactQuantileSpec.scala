@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** ExactQuantile vs a brute-force in-memory reference, covering the edges
+  * the histogram path must survive: a single-value group (zero range),
+  * groups smaller than the percentile denominator (k_lo = 1), and values
+  * landing exactly on bucket boundaries.
+  */
+class ExactQuantileSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def brute(xs: Seq[BigDecimal]): (BigDecimal, BigDecimal, BigDecimal) = {
+    val sorted = xs.sorted
+    val n = sorted.size
+    def at(k: Long): BigDecimal = sorted((k - 1).toInt)
+    val lo = at((n + 99L) / 100L)
+    val hi = at((99L * n + 99L) / 100L)
+    val w = sorted.map(x => if (x < lo) lo else if (x > hi) hi else x).sum
+    (lo, hi, w)
+  }
+
+  test("matches brute force incl. single-value and tiny groups") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val big = Seq.fill(2500)(BigDecimal(rng.nextInt(100000)) / 100)
+    val tiny = Seq(BigDecimal("5.00"), BigDecimal("1.00"), BigDecimal("9.00"))
+    val const = Seq.fill(40)(BigDecimal("3.14"))
+    val data =
+      big.map(("big", _)) ++ tiny.map(("tiny", _)) ++ const.map(("const", _))
+    val df = data.toDF("g", "x")
+      .select($"g", $"x".cast("decimal(18,2)").as("x"))
+
+    val got = ExactQuantile.winsorizedSums(df, buckets = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    for ((g, xs) <- Seq("big" -> big, "tiny" -> tiny, "const" -> const)) {
+      val (lo, hi, w) = brute(xs.map(_.setScale(2)))
+      val (n, gLo, gHi, gW) = got(g)
+      assert(n === xs.size.toLong, s"$g n_rows")
+      assert(gLo === lo.toDouble, s"$g p01")
+      assert(gHi === hi.toDouble, s"$g p99")
+      assert(gW === w.toDouble, s"$g wsum")
+    }
+  }
+}

@@ -175,6 +175,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("winsorize quantiles avoid the per-group global sort (q_agg_winsorize)") {
+    val p = plan("q_agg_winsorize")
+    assert(!p.contains("SortMergeJoin"),
+      "stat/threshold joins must broadcast (they are group-cardinality tables)")
+    val windows = "windowspecdefinition".r.findAllIn(p).length
+    assert(windows == 2,
+      s"expected exactly the two bounded windows (bucket cumulative + boundary refinement), got $windows")
+  }
+
   test("PIVOT stays a single grouped aggregation, no cartesian (q_pivot)") {
     val p = plan("q_pivot")
     assert(!p.contains("CartesianProduct"))
