@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD}
+import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD, SortedOverlap}
 
 /** Registration hook for the engine's custom functions — an embedding
   * application calls this from its SessionProvider (mirrors per-session
@@ -20,6 +20,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_d",
       exprs => DotProductDD(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_overlap",
+      exprs => SortedOverlap(exprs(0), exprs(1)),
       "built-in")
   }
 }

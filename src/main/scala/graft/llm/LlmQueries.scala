@@ -92,25 +92,11 @@ object LlmQueries {
       (s, d) => MinHashDedup.nearDuplicatesCached(s, d, 0.95).orderBy("id1", "id2"),
       jaccardOracleDuck("0.95")),
 
-    // Direct scale-safe n-gram (word-set) Jaccard: pair generation by
-    // equi-join on shared shingles, no LSH approximation. The shingle join
-    // is salted 8 ways (left replicated, right deterministically salted)
-    // so a stop-word-grade hot shingle — every shingle here, with the
-    // 31-word fixture vocabulary — spreads its quadratic match output over
-    // 8 join cells instead of one straggler task.
-    "q_dedup_ngram_jaccard" -> sql2(
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-        |w AS (SELECT DISTINCT doc_id, word FROM d LATERAL VIEW explode(split(text, ' ')) t AS word),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
-        |wl AS (SELECT doc_id, word, s FROM w LATERAL VIEW explode(sequence(0, 7)) x AS s),
-        |wr AS (SELECT doc_id, word, CAST(pmod(xxhash64(doc_id), 8) AS INT) AS s FROM w),
-        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
-        |      FROM wl a JOIN wr b ON a.word = b.word AND a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY a.doc_id, b.doc_id)
-        |SELECT id1, id2, ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
-        |FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
-        |WHERE c >= 0.9 * (s1.n + s2.n - c)
-        |ORDER BY id1, id2""".stripMargin,
+    // Direct (no-LSH) exact word-set Jaccard join via prefix filtering —
+    // see PrefixJaccard for the algorithm and its scale properties.
+    "q_dedup_ngram_jaccard" -> df(
+      (s, d) => PrefixJaccard.pairs(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0), 9, 10),
       jaccardOracleDuck("0.9")),
 
     // SimHash with banded candidates; pigeonhole (4 bands, hamming ≤ 3)
