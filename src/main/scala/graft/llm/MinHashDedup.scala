@@ -137,11 +137,12 @@ object MinHashDedup {
       MinHashDedup.banded(corpus).withColumn("salt",
         pmod(xxhash64(col("doc_id")), lit(saltFactor))),
       corpus.select(
-        col("doc_id"), array_distinct(split(col("text"), " ")).as("words")))
+        col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("words")))
   }
 
   def incrementalNearDuplicates(
       newDocs: DataFrame, index: CorpusIndex, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
     val left = banded(newDocs).withColumn("salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     val cands = left.as("a")
@@ -151,13 +152,13 @@ object MinHashDedup {
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .distinct()
     val newWords = newDocs.select(
-      col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
+      col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("words"))
     val oldWords = index.words
     cands
       .join(newWords.as("wa"), col("new_id") === col("wa.doc_id"))
       .join(oldWords.as("wb"), col("old_id") === col("wb.doc_id"))
       .select(col("new_id"), col("old_id"),
-        size(array_intersect(col("wa.words"), col("wb.words"))).cast("double").as("c"),
+        expr("graft_overlap(wa.words, wb.words)").cast("double").as("c"),
         size(col("wa.words")).as("n1"), size(col("wb.words")).as("n2"))
       .filter(col("c") >= lit(threshold) * (col("n1") + col("n2") - col("c")))
       .groupBy(col("new_id"))
@@ -168,21 +169,21 @@ object MinHashDedup {
   /** LSH candidates verified by exact word-set Jaccard ≥ threshold; output
     * matches the brute-force answer (modulo the ~1e-6 band-miss rate).
     *
-    * Verification joins each candidate pair to its two pre-deduped word
-    * ARRAYS and intersects per pair — O(|pair| · doc-length) with no
-    * exploded-word shuffle (the word-level join formulation shuffles
-    * |pairs| × |common words| rows, which is what q_dedup_ngram_jaccard
-    * demonstrates; for verified-candidate sets this array form is the
-    * cheaper plan at every scale).
+    * Verification joins each candidate pair to its two pre-deduped SORTED
+    * word arrays and counts the overlap with the codegen'd graft_overlap
+    * sorted-merge kernel — O(|pair| · doc-length) with no exploded-word
+    * shuffle, and no per-row hash-set build (size(array_intersect) runs
+    * in generic eval at ~7 µs/pair — it was the dominant verify cost).
     */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val wordArrays = docs.select(
-      col("doc_id"), array_distinct(split(col("text"), " ")).as("words"))
+      col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("words"))
     candidatePairs(docs)
       .join(wordArrays.as("wa"), col("id1") === col("wa.doc_id"))
       .join(wordArrays.as("wb"), col("id2") === col("wb.doc_id"))
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("wa.words"), col("wb.words"))).cast("double").as("c"),
+        expr("graft_overlap(wa.words, wb.words)").cast("double").as("c"),
         size(col("wa.words")).as("n1"), size(col("wb.words")).as("n2"))
       .filter(col("c") >= lit(threshold) * (col("n1") + col("n2") - col("c")))
       .select(col("id1"), col("id2"),
