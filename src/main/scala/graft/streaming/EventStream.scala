@@ -250,14 +250,21 @@ object EventStream {
       .withWatermark("ts", "1 minute")
       .groupBy(session_window(col("ts"), "12 hours"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-    val query = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try query.awaitTermination()
-    finally if (query.isActive) query.stop()
+    // same state-width sizing as runToTable: one state store per shuffle
+    // partition PER micro-batch; hold the narrowed width until the replay
+    // drains (the cloned session captures it at start())
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    try {
+      val query = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try query.awaitTermination()
+      finally if (query.isActive) query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
 
     // same sink-view cleanup as runToTable (eager analysis survives the drop)
     val sunk = spark.table(queryName)
