@@ -26,6 +26,21 @@ object DedupCluster {
     // Materialize the (possibly expensive) pair pipeline ONCE before the
     // union references it twice.
     val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    // The iterative rounds shuffle only the label frontier (|nodes| rows,
+    // a sliver of the corpus); run them at a narrow shuffle width and
+    // restore afterwards — per-round latency is joins x partitions x
+    // scheduling, so width should track frontier size, not the scan
+    // default. A production run sizes this to |nodes| / target-partition
+    // rows. Each round's single action materializes inside the loop, so
+    // the narrowed width is captured by every round's plan.
+    val spark = pairs.sparkSession
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try clustersLoop(p)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+  }
+
+  private def clustersLoop(p: DataFrame): DataFrame = {
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(true)

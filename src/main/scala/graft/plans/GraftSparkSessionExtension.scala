@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD, SortedOverlap}
 
 /** The engine's `SparkSessionExtensions` entry point: set
   * `spark.sql.extensions=graft.plans.GraftSparkSessionExtension` and every
@@ -25,6 +25,12 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_dot_d"),
+      new ExpressionInfo(classOf[DotProductDD].getName, "graft_dot_d"),
+      (exprs: Seq[Expression]) => DotProductDD(exprs(0), exprs(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_overlap"),
+      new ExpressionInfo(classOf[SortedOverlap].getName, "graft_overlap"),
+      (exprs: Seq[Expression]) => SortedOverlap(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => CanonicalizeCosine)
   }
 }

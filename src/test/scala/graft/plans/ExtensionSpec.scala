@@ -37,10 +37,15 @@ class ExtensionSpec extends AnyFunSuite {
     withExtensionSession { s =>
       import s.implicits._
       Seq((Seq(1f, 2f), Seq(2f, 4f))).toDF("a", "b").createOrReplaceTempView("v")
-      val row = s.sql("SELECT graft_cosine(a, b) AS c, graft_dot(a, array(1.0D, 1.0D)) AS d FROM v")
+      val row = s.sql(
+        """SELECT graft_cosine(a, b) AS c, graft_dot(a, array(1.0D, 1.0D)) AS d,
+          |graft_dot_d(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS dd,
+          |graft_overlap(array('x', 'y'), array('y', 'z')) AS ov FROM v""".stripMargin)
         .collect().head
       assert(math.abs(row.getDouble(0) - 1.0) < 1e-12) // parallel vectors
       assert(row.getDouble(1) == 3.0)
+      assert(row.getDouble(2) == 23.0)
+      assert(row.getInt(3) == 1)
     }
   }
 
