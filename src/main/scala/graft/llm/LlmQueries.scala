@@ -61,7 +61,7 @@ object LlmQueries {
   private val corpusIndexCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), MinHashDedup.CorpusIndex]()
 
-  private def corpusIndexCached(
+  private[graft] def corpusIndexCached(
       s: org.apache.spark.sql.SparkSession, d: String): MinHashDedup.CorpusIndex = {
     if (corpusIndexCache.size > 8) corpusIndexCache.clear()
     corpusIndexCache.computeIfAbsent((s, d), { _ =>

@@ -67,7 +67,7 @@ object MinHashDedup {
   val saltFactor = 8
 
   /** (doc_id, band, key) — one row per document per LSH band. */
-  private def banded(docs: DataFrame): DataFrame = {
+  private[llm] def banded(docs: DataFrame): DataFrame = {
     val bandExprs = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(hs: _*).as("key"))
@@ -75,6 +75,26 @@ object MinHashDedup {
     signatures(docs)
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Row-wise twin of signatures + banded as ONE expression: the same
+    * min(xxhash64(i, word)) fold computed over the word array by
+    * array_min/transform instead of a per-doc aggregation. Returns the
+    * array of (band, key) structs for a text column. Because it is a pure
+    * projection, a STREAMING micro-batch can compute band keys
+    * statelessly (no streaming aggregation, no state store) and equi-join
+    * them against the persistent corpus index — the ingest-time dedup
+    * path. Equivalence with the grouped form is pinned by LlmSpec (the
+    * buckets must align or stream and batch would silently disagree).
+    */
+  def rowBandKeys(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = array_distinct(split(text, " "))
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(words, w => xxhash64(lit(i), w))))
+    array((0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => sigs(b * rowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("key"))
+    }: _*)
   }
 
   /** Candidate pairs: documents sharing at least one LSH band bucket.

@@ -79,6 +79,27 @@ object EventStream {
         |              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin),
 
+    // Ingest-time corpus dedup: incoming docs stream STATELESSLY against
+    // the persistent corpus band index (row-wise band keys + broadcast
+    // stream-static equi-join + graft_overlap verify) — see CorpusIngest.
+    // Oracle = the batch brute-force cross-subset Jaccard.
+    "q_stream_dedup_corpus" -> QuerySpec.df(
+      (s, d) => CorpusIngest.dedupedIngest(
+        s, d, graft.llm.LlmQueries.corpusIndexCached(s, d), 0.95),
+      """WITH dn AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9),
+        |dc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |wn AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM dn),
+        |wc AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM dc),
+        |szn AS (SELECT doc_id, COUNT(*) AS n FROM wn GROUP BY doc_id),
+        |szc AS (SELECT doc_id, COUNT(*) AS n FROM wc GROUP BY doc_id),
+        |c AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id, COUNT(*) AS c
+        |      FROM wn n JOIN wc o ON n.word = o.word GROUP BY n.doc_id, o.doc_id),
+        |m AS (SELECT new_id, old_id
+        |      FROM c JOIN szn ON new_id = szn.doc_id JOIN szc ON old_id = szc.doc_id
+        |      WHERE c >= 0.95 * (szn.n + szc.n - c))
+        |SELECT new_id, COUNT(*) AS n_matches, MIN(old_id) AS first_match
+        |FROM m GROUP BY new_id ORDER BY new_id""".stripMargin),
+
     // Session windows (12h gap); oracle = gaps-and-islands over the batch
     // table. Spark's session_window is half-open [start, last_ts + gap), so
     // an event exactly 12h after its predecessor starts a NEW session — the
@@ -128,6 +149,7 @@ object EventStream {
   def stageAll(spark: SparkSession, dir: String): Unit = {
     stage(spark, dir)
     stageSession(spark, dir)
+    CorpusIngest.stageAll(spark, dir)
     ()
   }
 

@@ -24,6 +24,22 @@ class LlmSpec extends AnyFunSuite {
       java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t) }: _*), schema)
   }
 
+  test("row-wise band keys equal the grouped signature aggregation (stream/batch bucket alignment)") {
+    import org.apache.spark.sql.functions._
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "alpha beta gamma delta epsilon zeta eta iota",
+      4L -> "one")
+    val grouped = MinHashDedup.banded(d)
+      .select("doc_id", "band", "key").collect().map(_.toSeq).toSet
+    val rowWise = d
+      .select(col("doc_id"), explode(MinHashDedup.rowBandKeys(col("text"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .collect().map(_.toSeq).toSet
+    assert(rowWise === grouped)
+  }
+
   test("MinHash LSH finds an exact duplicate pair and skips disjoint docs") {
     val d = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
