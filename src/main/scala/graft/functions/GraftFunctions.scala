@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD, SortedOverlap}
+import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD, SortedOverlap, WordNgrams}
 
 /** Registration hook for the engine's custom functions — an embedding
   * application calls this from its SessionProvider (mirrors per-session
@@ -24,6 +24,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_overlap",
       exprs => SortedOverlap(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams",
+      exprs => WordNgrams(exprs(0), exprs(1)),
       "built-in")
   }
 }

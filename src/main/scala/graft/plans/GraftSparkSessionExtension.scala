@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD, SortedOverlap}
+import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD, SortedOverlap, WordNgrams}
 
 /** The engine's `SparkSessionExtensions` entry point: set
   * `spark.sql.extensions=graft.plans.GraftSparkSessionExtension` and every
@@ -31,6 +31,9 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("graft_overlap"),
       new ExpressionInfo(classOf[SortedOverlap].getName, "graft_overlap"),
       (exprs: Seq[Expression]) => SortedOverlap(exprs(0), exprs(1))))
+    ext.injectFunction((new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),
+      (exprs: Seq[Expression]) => WordNgrams(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => CanonicalizeCosine)
   }
 }
