@@ -184,6 +184,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly the two bounded windows (bucket cumulative + boundary refinement), got $windows")
   }
 
+  test("per-group top-k pushes the rank limit below the sort (q_ann_topk WindowGroupLimit)") {
+    // rank <= k over a window must NOT fully sort every group: Spark's
+    // WindowGroupLimit keeps a bounded per-group heap on the map side and
+    // again after the shuffle — the difference between O(n log k) and a
+    // full per-group sort at 100 TB. Pin that the optimization fires for
+    // the brute-force ANN top-k filter.
+    assert(plan("q_ann_topk").contains("WindowGroupLimit"))
+  }
+
   test("PIVOT stays a single grouped aggregation, no cartesian (q_pivot)") {
     val p = plan("q_pivot")
     assert(!p.contains("CartesianProduct"))
