@@ -56,6 +56,14 @@ object StructureQueries {
     "q_show" -> dfOnly((s, d) => {
       Tables.registerAll(s, d)
       s.sql("SHOW TABLES")
+    }),
+
+    // DESCRIBE — same engine-specific-output family as EXPLAIN/SHOW
+    // (DataFusion's DESCRIBE is delegated through the same SQL-text entry,
+    // service.rs:171); rows-only check by design.
+    "q_describe" -> dfOnly((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("DESCRIBE TABLE orders")
     })
   )
 }
