@@ -42,14 +42,20 @@ object PrefixJaccard {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       // prefix length = n - ceil(t*n) + 1, ceil in pure integer arithmetic
       .filter(col("p") <= col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + 1)
-      .select("doc_id", "word")
+      .select("doc_id", "word", "n")
 
     val prl = pre.withColumn("s", explode(sequence(lit(0), lit(salt - 1))))
     val prr = pre.withColumn("s", pmod(xxhash64(col("doc_id")), lit(salt)).cast("int"))
+    // LENGTH FILTER (AllPairs companion bound): J >= t forces
+    // overlap >= t*max(|x|,|y|) and overlap <= min(|x|,|y|), so
+    // tDen*min >= tNum*max — size-mismatched pairs die inside the join,
+    // before the distinct pays to shuffle them.
     val cand = prl.as("a")
       .join(prr.as("b"),
         col("a.word") === col("b.word") && col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * tDen >= col("b.n") * tNum &&
+          col("b.n") * tDen >= col("a.n") * tNum)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
 
