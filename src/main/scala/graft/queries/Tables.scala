@@ -60,6 +60,12 @@ object Tables {
     * reference them by name (mirrors the reference's `register_table` /
     * `register_csv` catalog registration,
     * datafusion-flight-sql-server/tests/integration_test.rs:34-35).
+    *
+    * Temp views are a per-session namespace: if the caller has registered
+    * its OWN view under a fixture name, the per-(session, dir) guard will
+    * not re-point it — callers that mix fixture queries with their own
+    * same-named views must use separate sessions (which is the service's
+    * per-user session model anyway, A2).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     if (lastDir.get(spark) != dir) {

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Global physical-plan sweep: EVERY query in the inventory is audited for
+  * the two unbounded-at-scale join shapes. CartesianProduct is forbidden
+  * everywhere; BroadcastNestedLoopJoin is allowed ONLY where the broadcast
+  * side is constant-bounded by construction — the brute-force ANN scoring
+  * joins (query-vector side), centroid-assignment joins (<= sqrt(N)
+  * centroids), single-row aggregate joins, and the two deliberate
+  * non-equi parity forms. A new query that accidentally plans an
+  * unbounded nested-loop join fails here, not at 100 TB.
+  */
+class GlobalPlanSweepSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** BNLJ-allowed: every entry must broadcast a side whose size is bounded
+    * by construction (documented per query at its definition site).
+    */
+  private val bnljBounded = Set(
+    "q_join_cross",          // the CROSS JOIN operator itself (parity row)
+    "q_join_theta",          // non-equi parity form (banded twin is the scale path)
+    "q_join_theta_banded",   // residual band-local non-equi over a dimension side
+    "q_ann_topk",            // brute-force baseline: broadcast query vectors
+    "q_ann_topk_native",     // same shape, native kernel
+    "q_ann_ivf",             // broadcast centroid table (nlist ~ sqrt(N))
+    "q_ann_kmeans",          // broadcast centroid table
+    "q_dedup_semantic",      // broadcast centroid table
+    "q_sample_coreset",      // broadcast centroid table
+    "q_agg_hll_merge",       // single-row sketch-union join
+    "q_text_unigram_logprob" // broadcast unigram LM (vocabulary-bounded)
+  )
+
+  test("no cartesian anywhere; nested-loop joins only with constant-bounded broadcast sides") {
+    // own session: temp views are a per-session namespace, and the
+    // reference-replay suites register their own in-memory `orders` on the
+    // shared session (registerAll's per-(session, dir) guard would then
+    // skip re-pointing it — the view-shadowing hazard its doc calls out)
+    val spark = TestSpark.spark.newSession()
+    val skip = (n: String) => n.startsWith("q_stream_") // sink-scan plans, not stream plans
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skip(name) => Nil
+      case (name, fn) =>
+        val p = fn(spark, sf)
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.executedPlan.toString
+        val cart = if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+        val bnlj = if (p.contains("BroadcastNestedLoopJoin") && !bnljBounded(name))
+          Seq(s"$name: unlisted BroadcastNestedLoopJoin") else Nil
+        cart ++ bnlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
