@@ -332,6 +332,29 @@ object LlmQueries {
       },
       Some(AnnSql.kmeansStepDuck)),
 
+    // ADC top-k search over the PQ codes (the query path of IVF-PQ): LUT
+    // equi-join on (subspace, code), 8 lookups + one SUM per candidate —
+    // the corpus side is codes only, never raw vectors (AnnSql.pqSearchSql
+    // doc).
+    "q_ann_pq_search" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.pqSearchSpark(5))
+      },
+      Some(AnnSql.pqSearchDuck(5))),
+
+    // Linear-probe classifier inference over embeddings: broadcast weight
+    // vector, codegen'd dot, sign prediction + per-label agreement rollup
+    // (AnnSql.linearProbeSql doc).
+    "q_embed_classify" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.linearProbeSpark)
+      },
+      Some(AnnSql.linearProbeDuck)),
+
     // Document chunking: 128-word sliding windows with 64-word stride (50%
     // overlap) — the splitting step that turns long documents into
     // training-context-sized pieces. Pure per-row explode + slice: no
@@ -677,6 +700,45 @@ object LlmQueries {
         |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.g = ev.g
         |         WHERE s.doc_id % 97 != 0)
         |SELECT doc_id FROM hits WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin),
+
+    // Corpus-frequency boilerplate fraction (the CCNet/RefinedWeb
+    // repeated-content filter): a 6-gram occurring in >= 3 distinct
+    // documents is boilerplate; each document's quality signal is the
+    // fraction of its shingle positions covered by boilerplate shingles.
+    // Plan: one explode, one map-side-combined document-frequency
+    // aggregate, one equi-join of the shingle stream against the
+    // boilerplate set (shuffle hash join on the shingle — never pairwise),
+    // one rollup. The fraction is reported in engine-identical
+    // FLOOR(x*1e4 + 0.5) basis points (no ROUND-on-double tie class).
+    // Output restricted to doc_id % 10 = 0; the frequency table is
+    // corpus-wide.
+    "q_text_boilerplate" -> sql2(
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, array_join(slice(w, i, 6), ' ') AS g
+        |       FROM t LATERAL VIEW explode(sequence(1, GREATEST(size(w) - 5, 1))) x AS i
+        |       WHERE i + 5 <= size(w)),
+        |bp AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g) f
+        |       WHERE df >= 3),
+        |per AS (SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(bp.g) AS n_boiler
+        |        FROM sh s LEFT JOIN bp ON s.g = bp.g
+        |        WHERE s.doc_id % 10 = 0
+        |        GROUP BY s.doc_id)
+        |SELECT doc_id, n_shingles, n_boiler,
+        |       CAST(FLOOR(n_boiler * 10000.0 / n_shingles + 0.5) AS BIGINT) AS boiler_bp
+        |FROM per ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 5), ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 5, 1) + 1)) AS i FROM t) z
+        |       WHERE i + 5 <= len(w)),
+        |bp AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g) f
+        |       WHERE df >= 3),
+        |per AS (SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(bp.g) AS n_boiler
+        |        FROM sh s LEFT JOIN bp ON s.g = bp.g
+        |        WHERE s.doc_id % 10 = 0
+        |        GROUP BY s.doc_id)
+        |SELECT doc_id, n_shingles, n_boiler,
+        |       CAST(FLOOR(n_boiler * 10000.0 / n_shingles + 0.5) AS BIGINT) AS boiler_bp
+        |FROM per ORDER BY doc_id""".stripMargin),
 
     // Length histogram: width_bucket binning — the corpus-profiling
     // primitive behind length-filter threshold tuning. Integer bin edges,
