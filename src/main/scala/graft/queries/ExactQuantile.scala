@@ -13,29 +13,36 @@ import org.apache.spark.sql.functions._
   * an oracle, a straggler at 100 TB when there are few groups. And for
   * near-unique values (money columns), the (g, x) frequency-table variant
   * is no better: it hash-aggregates N rows into ~N groups before the
-  * window. The scale shape instead works straight off the raw rows:
+  * window. The scale shape instead works straight off the raw rows, in
+  * exactly THREE column-pruned scans of the fact table:
   *
-  *   1. per-group min / max / count          — 3-row hash agg
-  *   2. route rows into B ordered histogram buckets — pure projection
-  *   3. per-(g, bucket) counts               — hash agg, <= B rows/group,
-  *                                             map-side combined
-  *   4. cumulative over buckets              — the only per-group window,
-  *                                             bounded at B rows at ANY N
-  *   5. exact refinement inside just each threshold's boundary bucket
-  *                                             (~N/B rows, broadcast-joined)
-  *   6. broadcast thresholds back, clamp, hash-agg the winsorized sum
+  *   1. per-group min / max / count / total sum — 1-row-per-group hash agg
+  *   2. route rows into B ordered histogram buckets (pure projection),
+  *      then per-(g, bucket) count + sum — hash agg, <= B rows/group,
+  *      map-side combined; cumulative over buckets is the only per-group
+  *      window, bounded at B rows at ANY N
+  *   3. exact refinement inside just each threshold's boundary bucket
+  *      (~N/B rows survive the broadcast-joined bucket filter)
   *
-  * Three column-pruned scans of the fact table replace one global sort.
-  * Bucket routing divides in double but only ROUTES: decimal -> double is
-  * monotonic, so bucket ids are monotonic in x and the refined result is
-  * exact wherever float fuzz lands a boundary. Money stays in lossless
-  * DECIMAL(18,2) (the clamp is CASE/when; sums convert to DOUBLE only at
-  * the output edge), so the result is bit-identical to the sequential
-  * window oracle.
+  * There is no fourth clamp pass: with per-bucket and in-bucket prefix
+  * sums available, the winsorized sum is algebra —
+  *
+  *   wsum = total_sum + n_below*lo - sum_below + n_above*hi - sum_above
+  *
+  * where n/sum_below count x < lo (rows in buckets before lo's boundary
+  * bucket, plus the refined in-bucket prefix) and n/sum_above count
+  * x > hi symmetrically. Bucket routing divides in double but only
+  * ROUTES: decimal -> double is monotonic, so bucket ids are monotonic in
+  * x and strictly ordered between buckets (b(x1) < b(x2) implies
+  * x1 < x2); the refined result is exact wherever float fuzz lands a
+  * boundary. Money stays in lossless DECIMAL(18,2) end to end (sums,
+  * prefix sums, and the closed-form correction are all decimal/long
+  * arithmetic; conversion to DOUBLE happens only at the output edge), so
+  * the result is bit-identical to the sequential window oracle.
   */
 object ExactQuantile {
 
-  /** raw: (g: any, x: decimal). Returns one row per group:
+  /** raw: (g: any, x: decimal non-null). Returns one row per group:
     * (g, n_rows, p01, p99, wsum) with p01/p99 the exact 1st/99th discrete
     * percentiles and wsum the sum with x clamped into [p01, p99].
     */
@@ -43,7 +50,8 @@ object ExactQuantile {
     val r = raw.select(col("g"), col("x"))
 
     val stats = r.groupBy("g").agg(
-      min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("ntot"))
+      min("x").as("mn"), max("x").as("mx"),
+      count(lit(1)).as("ntot"), sum("x").as("tsum"))
 
     // Monotonic double routing; +1e-9 keeps single-value groups (mx = mn)
     // off the divide-by-zero path and x = mx strictly under bucket B.
@@ -54,12 +62,14 @@ object ExactQuantile {
         lit(0)), lit(buckets - 1)).cast("int"))
       .select("g", "b", "x")
 
-    val bh = rb.groupBy(col("g"), col("b")).agg(count(lit(1)).as("bc"))
+    val bh = rb.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("bc"), sum("x").as("bs"))
     val overBuckets = Window.partitionBy("g").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bh
       .withColumn("cum", sum("bc").over(overBuckets))
       .withColumn("off", col("cum") - col("bc"))
+      .withColumn("soff", sum("bs").over(overBuckets) - col("bs"))
       .join(broadcast(stats.select(col("g"), col("ntot"))), "g")
       .withColumn("k_lo", expr("(ntot + 99) div 100"))
       .withColumn("k_hi", expr("(99 * ntot + 99) div 100"))
@@ -67,43 +77,62 @@ object ExactQuantile {
     // Each threshold's boundary bucket: the first whose cumulative reaches
     // k. One pass — a UNION of two filters would duplicate the whole
     // histogram subtree (Catalyst inlines, so each branch re-scans and
-    // re-aggregates the fact table).
+    // re-aggregates the fact table). `off`/`soff` carry the count and sum
+    // of every row in the buckets strictly before it.
     val bounds = cum
-      .select(col("g"), col("b"), col("off"), explode(array(
+      .select(col("g"), col("b"), col("off"), col("soff"), explode(array(
         when(col("off") < col("k_lo") && col("k_lo") <= col("cum"),
           struct(lit("lo").as("which"), col("k_lo").as("k"))),
         when(col("off") < col("k_hi") && col("k_hi") <= col("cum"),
           struct(lit("hi").as("which"), col("k_hi").as("k"))))).as("wk"))
       .filter(col("wk").isNotNull)
       .select(col("g"), col("b"), col("wk.which").as("which"),
-        col("wk.k").as("k"), col("off"))
+        col("wk.k").as("k"), col("off"), col("soff"))
 
-    // Refine within boundary buckets only: compress the ~N/B surviving rows
-    // to per-value counts, then the smallest x whose in-bucket cumulative,
-    // offset by the buckets before, reaches k.
+    // Refine within boundary buckets only: compress the ~N/B surviving
+    // rows to per-value counts + sums, then the threshold is the smallest
+    // x whose in-bucket cumulative, offset by the buckets before, reaches
+    // k. min_by on x picks that row WITH its prefix aggregates, giving
+    // the exact count/sum of rows below (for lo) and through (for hi)
+    // the threshold — the clamp correction needs nothing else.
     val inBucket = Window.partitionBy("g", "which").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = rb
       .join(broadcast(bounds), Seq("g", "b"))
-      .groupBy("g", "which", "k", "off", "x").agg(count(lit(1)).as("c"))
+      .groupBy("g", "which", "k", "off", "soff", "x").agg(
+        count(lit(1)).as("c"), sum("x").as("s"))
       .withColumn("cumIn", sum("c").over(inBucket))
+      .withColumn("sumIn", sum("s").over(inBucket))
       .filter(col("off") + col("cumIn") >= col("k"))
-      .groupBy("g", "which").agg(min("x").as("v"))
+      .groupBy("g", "which").agg(
+        min_by(struct(
+          col("x").as("v"),
+          (col("off") + col("cumIn")).as("nThru"),
+          (col("soff") + col("sumIn")).as("sThru"),
+          col("c"), col("s")), col("x")).as("t"))
       .groupBy("g").agg(
-        min(when(col("which") === "lo", col("v"))).as("lo"),
-        min(when(col("which") === "hi", col("v"))).as("hi"))
+        min(when(col("which") === "lo", col("t.v"))).as("lo"),
+        // rows strictly below lo and their sum (prefix through v minus
+        // v's own frequency row)
+        min(when(col("which") === "lo", col("t.nThru") - col("t.c")))
+          .as("nBelow"),
+        min(when(col("which") === "lo", col("t.sThru") - col("t.s")))
+          .as("sBelow"),
+        min(when(col("which") === "hi", col("t.v"))).as("hi"),
+        // rows through hi and their sum; above = ntot/tsum minus these
+        min(when(col("which") === "hi", col("t.nThru"))).as("nThruHi"),
+        min(when(col("which") === "hi", col("t.sThru"))).as("sThruHi"))
 
-    r.join(broadcast(thr), "g")
-      .withColumn("cx",
-        when(col("x") < col("lo"), col("lo"))
-          .when(col("x") > col("hi"), col("hi"))
-          .otherwise(col("x")))
-      .groupBy("g").agg(
-        count(lit(1)).as("n_rows"),
-        max("lo").cast("double").as("p01"),
-        max("hi").cast("double").as("p99"),
-        sum(col("cx")).cast("double").as("wsum"))
-      .select("g", "n_rows", "p01", "p99", "wsum")
+    thr.join(broadcast(stats.select("g", "ntot", "tsum")), "g")
+      .select(
+        col("g"),
+        col("ntot").as("n_rows"),
+        col("lo").cast("double").as("p01"),
+        col("hi").cast("double").as("p99"),
+        (col("tsum")
+          + col("nBelow") * col("lo") - col("sBelow")
+          + (col("ntot") - col("nThruHi")) * col("hi")
+          - (col("tsum") - col("sThruHi"))).cast("double").as("wsum"))
       .orderBy("g")
   }
 }
