@@ -701,6 +701,49 @@ object LlmQueries {
         |         WHERE s.doc_id % 97 != 0)
         |SELECT doc_id FROM hits WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin),
 
+    // Paragraph-level corpus dedup (the CCNet/C4 line-dedup pass): hash
+    // every 16-word block, keep only each block's FIRST occurrence
+    // corpus-wide (min (doc_id, block) — encoded as one BIGINT key so the
+    // first-occurrence pick is a single map-side-combined MIN, no window;
+    // valid while blocks/doc < 1e6 and doc_id < 9e12), and reassemble each
+    // document from its surviving blocks in order. One explode, one hash
+    // aggregate, one equi-join on the block text, one per-doc rollup —
+    // never pairwise. Output: per-doc block counts + md5 of the cleaned
+    // text (restricted to doc_id % 20 = 0; dedup itself is corpus-wide).
+    "q_text_paragraph_dedup" -> sql2(
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, i AS blk, array_join(slice(w, i * 16 + 1, 16), ' ') AS btext
+        |      FROM t LATERAL VIEW explode(sequence(0,
+        |        GREATEST(CAST(ceil(size(w) / 16.0) AS INT) - 1, 0))) x AS i),
+        |f AS (SELECT btext, MIN(doc_id * 1000000 + blk) AS fkey FROM b GROUP BY btext),
+        |k AS (SELECT b.doc_id, b.blk, b.btext FROM b JOIN f
+        |        ON b.btext = f.btext AND b.doc_id * 1000000 + b.blk = f.fkey),
+        |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
+        |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |              md5(concat_ws(' ',
+        |                transform(sort_array(collect_list(struct(blk, btext))),
+        |                          s -> s.btext))) AS clean_hash
+        |       FROM k GROUP BY doc_id)
+        |SELECT nb.doc_id, n_blocks, COALESCE(n_kept, 0) AS n_kept,
+        |       COALESCE(clean_hash, '') AS clean_hash
+        |FROM nb LEFT JOIN nk ON nb.doc_id = nk.doc_id
+        |WHERE nb.doc_id % 20 = 0 ORDER BY nb.doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, i AS blk, array_to_string(list_slice(w, i * 16 + 1, i * 16 + 16), ' ') AS btext
+        |      FROM (SELECT doc_id, w, unnest(range(0,
+        |              GREATEST(CAST(ceil(len(w) / 16.0) AS INT), 1))) AS i FROM t) z),
+        |f AS (SELECT btext, MIN(doc_id * 1000000 + blk) AS fkey FROM b GROUP BY btext),
+        |k AS (SELECT b.doc_id, b.blk, b.btext FROM b JOIN f
+        |        ON b.btext = f.btext AND b.doc_id * 1000000 + b.blk = f.fkey),
+        |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
+        |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |              md5(string_agg(btext, ' ' ORDER BY blk)) AS clean_hash
+        |       FROM k GROUP BY doc_id)
+        |SELECT nb.doc_id, n_blocks, COALESCE(n_kept, 0) AS n_kept,
+        |       COALESCE(clean_hash, '') AS clean_hash
+        |FROM nb LEFT JOIN nk ON nb.doc_id = nk.doc_id
+        |WHERE nb.doc_id % 20 = 0 ORDER BY nb.doc_id""".stripMargin),
+
     // Corpus-frequency boilerplate fraction (the CCNet/RefinedWeb
     // repeated-content filter): a 6-gram occurring in >= 3 distinct
     // documents is boilerplate; each document's quality signal is the

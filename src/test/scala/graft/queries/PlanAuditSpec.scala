@@ -179,9 +179,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_agg_winsorize")
     assert(!p.contains("SortMergeJoin"),
       "stat/threshold joins must broadcast (they are group-cardinality tables)")
-    val windows = "windowspecdefinition".r.findAllIn(p).length
+    // Two Window OPERATORS (bucket cumulative + boundary refinement), each
+    // carrying a count and a sum expression over the same bounded frame.
+    val windows = "(?m)^[^\\n]*\\bWindow \\[".r.findAllIn(p).length
     assert(windows == 2,
-      s"expected exactly the two bounded windows (bucket cumulative + boundary refinement), got $windows")
+      s"expected exactly the two bounded window operators (bucket cumulative + boundary refinement), got $windows:\n$p")
   }
 
   test("per-group top-k pushes the rank limit below the sort (q_ann_topk WindowGroupLimit)") {
@@ -286,5 +288,58 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_agg_grouping_sets")
     assert(p.contains("Expand"))
     assert(!p.contains("Union"), "grouping sets must not expand into a union of scans")
+  }
+
+  test("PQ ADC search and linear probe use only equi-joins / broadcasts") {
+    for (q <- Seq("q_ann_pq_search", "q_embed_classify")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("paragraph dedup and boilerplate fraction never plan pairwise joins") {
+    for (q <- Seq("q_text_paragraph_dedup", "q_text_boilerplate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  // At 100 TB a selective dim-side predicate should cut the fact-side scan
+  // before the shuffle: Spark's runtime bloom filter (injected when the
+  // creation side is small and the application side is large) does exactly
+  // that. The default size thresholds are tuned for real tables, so the
+  // fixture forces them to zero ONLY to pin that the rule still fires on
+  // our join shapes — production keeps the defaults and gets the filter
+  // exactly when it pays for itself.
+  test("runtime bloom filter injects on a selective fact-dim join") {
+    val conf = spark.conf
+    val enabled = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val appThresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    // The rule targets shuffle joins (a broadcast join already prunes on
+    // the build side); fixture tables all broadcast, so pin the shuffle
+    // shape explicitly.
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prevEnabled = conf.get(enabled)
+    val prevApp = conf.get(appThresh)
+    val prevBcast = conf.get(bcast)
+    conf.set(enabled, "true")
+    conf.set(appThresh, "0")
+    conf.set(bcast, "-1")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+    } finally {
+      conf.set(enabled, prevEnabled)
+      conf.set(appThresh, prevApp)
+      conf.set(bcast, prevBcast)
+    }
   }
 }
