@@ -494,6 +494,23 @@ object AnnSql {
        |WHERE rk <= $k ORDER BY qid, rk""".stripMargin
   }
 
+  /** Exact L2 top-k over the fixed-point-quantized vectors — the metric
+    * [[pqSearchSpark]] approximates; used by LlmSpec to measure ADC
+    * recall against ground truth.
+    */
+  def l2BruteSpark(k: Int): String =
+    s"""WITH qv AS (SELECT vec_id, $kmQSpark AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qe FROM qv WHERE vec_id % 50 = 0),
+       |d AS (SELECT qid, c.vec_id AS cid,
+       |             graft_dot_d(qe, qe) + graft_dot_d(c.v, c.v)
+       |               - 2 * graft_dot_d(qe, c.v) AS d2
+       |      FROM q JOIN qv c ON c.vec_id != qid)
+       |SELECT qid, cid, CAST(d2 AS BIGINT) AS d2 FROM (
+       |  SELECT qid, cid, d2,
+       |         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+       |  FROM d) t
+       |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
+
   def pqSearchSpark(k: Int): String = pqSearchSql(
     kmQSpark,
     (v, from) => s"slice($v, $from, ${dim / pqSubspaces})",

@@ -21,6 +21,28 @@ import graft.queries.QuerySpec.{df, sql, sql2}
   */
 object LlmQueries {
 
+  /** Spark side of q_text_paragraph_dedup, exposed so LlmSpec can replay
+    * it over a hand-built corpus with known duplicate-block structure.
+    */
+  private[llm] val paragraphDedupSparkSql: String =
+    """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, i AS blk, array_join(slice(w, i * 16 + 1, 16), ' ') AS btext
+      |      FROM t LATERAL VIEW explode(sequence(0,
+      |        GREATEST(CAST(ceil(size(w) / 16.0) AS INT) - 1, 0))) x AS i),
+      |f AS (SELECT btext, MIN(doc_id * 1000000 + blk) AS fkey FROM b GROUP BY btext),
+      |k AS (SELECT b.doc_id, b.blk, b.btext FROM b JOIN f
+      |        ON b.btext = f.btext AND b.doc_id * 1000000 + b.blk = f.fkey),
+      |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
+      |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |              md5(concat_ws(' ',
+      |                transform(sort_array(collect_list(struct(blk, btext))),
+      |                          s -> s.btext))) AS clean_hash
+      |       FROM k GROUP BY doc_id)
+      |SELECT nb.doc_id, n_blocks, COALESCE(n_kept, 0) AS n_kept,
+      |       COALESCE(clean_hash, '') AS clean_hash
+      |FROM nb LEFT JOIN nk ON nb.doc_id = nk.doc_id
+      |WHERE nb.doc_id % 20 = 0 ORDER BY nb.doc_id""".stripMargin
+
   /** Exact brute-force word-set Jaccard (the oracle for both the LSH and
     * the direct formulation), restricted to the doc_id % 5 subset.
     */
@@ -711,23 +733,7 @@ object LlmQueries {
     // never pairwise. Output: per-doc block counts + md5 of the cleaned
     // text (restricted to doc_id % 20 = 0; dedup itself is corpus-wide).
     "q_text_paragraph_dedup" -> sql2(
-      """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
-        |b AS (SELECT doc_id, i AS blk, array_join(slice(w, i * 16 + 1, 16), ' ') AS btext
-        |      FROM t LATERAL VIEW explode(sequence(0,
-        |        GREATEST(CAST(ceil(size(w) / 16.0) AS INT) - 1, 0))) x AS i),
-        |f AS (SELECT btext, MIN(doc_id * 1000000 + blk) AS fkey FROM b GROUP BY btext),
-        |k AS (SELECT b.doc_id, b.blk, b.btext FROM b JOIN f
-        |        ON b.btext = f.btext AND b.doc_id * 1000000 + b.blk = f.fkey),
-        |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
-        |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
-        |              md5(concat_ws(' ',
-        |                transform(sort_array(collect_list(struct(blk, btext))),
-        |                          s -> s.btext))) AS clean_hash
-        |       FROM k GROUP BY doc_id)
-        |SELECT nb.doc_id, n_blocks, COALESCE(n_kept, 0) AS n_kept,
-        |       COALESCE(clean_hash, '') AS clean_hash
-        |FROM nb LEFT JOIN nk ON nb.doc_id = nk.doc_id
-        |WHERE nb.doc_id % 20 = 0 ORDER BY nb.doc_id""".stripMargin,
+      paragraphDedupSparkSql,
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |b AS (SELECT doc_id, i AS blk, array_to_string(list_slice(w, i * 16 + 1, i * 16 + 16), ' ') AS btext
         |      FROM (SELECT doc_id, w, unnest(range(0,

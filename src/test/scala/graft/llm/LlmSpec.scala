@@ -108,6 +108,52 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("paragraph dedup keeps first occurrence, drops later copies, reassembles in order") {
+    val blockA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val blockB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val blockC = (1 to 16).map(i => s"c$i").mkString(" ")
+    // doc 0 owns A and B; doc 20 repeats A (dropped) and introduces C;
+    // doc 40 is an exact copy of doc 0 — every block dropped.
+    val d = docs(
+      0L -> s"$blockA $blockB",
+      20L -> s"$blockA $blockC",
+      40L -> s"$blockA $blockB")
+    d.createOrReplaceTempView("documents")
+    try {
+      val rows = spark.sql(LlmQueries.paragraphDedupSparkSql).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(rows(0L)._1 == 2 && rows(0L)._2 == 2, "doc 0 keeps both blocks")
+      assert(rows(20L)._1 == 2 && rows(20L)._2 == 1, "doc 20 keeps only block C")
+      assert(rows(40L)._1 == 2 && rows(40L)._2 == 0, "doc 40 loses every block")
+      assert(rows(40L)._3 == "", "fully-deduped doc reassembles to the empty sentinel")
+      val md5C = java.security.MessageDigest.getInstance("MD5")
+        .digest(blockC.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(rows(20L)._3 == md5C, "doc 20's cleaned text is exactly block C")
+    } finally spark.catalog.dropTempView("documents")
+  }
+
+  test("PQ ADC search ranks true near neighbors highly (recall vs brute force)") {
+    val sf = "/root/testdata/sf0.001"
+    graft.queries.Tables.registerAll(spark, sf)
+    graft.functions.GraftFunctions.register(spark)
+    val adc = spark.sql(AnnSql.pqSearchSpark(5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val brute = spark.sql(AnnSql.l2BruteSpark(5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // The fixture's near-random vectors are PQ's worst case (no cluster
+    // structure for 8x16 codes to exploit), so absolute recall is modest
+    // by construction: deterministically 0.18 here vs ~0.01 for a random
+    // ranking (5/499). The pin guards against ranking collapse — a broken
+    // LUT join or sum would drop this to the random baseline.
+    val common = adc.keySet intersect brute.keySet
+    assert(common.nonEmpty, "query sets must overlap")
+    val recall = common.toSeq.map(q => (adc(q) intersect brute(q)).size / 5.0).sum / common.size
+    assert(recall >= 0.15, s"mean recall@5 $recall collapsed — ADC ranking is broken")
+  }
+
   test("multimodal stub decode is deterministic byte statistics") {
     val d = docs(1L -> "ab cd", 2L -> "")
     val result = Multimodal.extractFeatures(d).collect()
