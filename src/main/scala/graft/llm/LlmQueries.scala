@@ -22,10 +22,12 @@ import graft.queries.QuerySpec.{df, sql, sql2}
 object LlmQueries {
 
   /** Spark side of q_text_paragraph_dedup, exposed so LlmSpec can replay
-    * it over a hand-built corpus with known duplicate-block structure.
+    * it over a hand-built corpus with known duplicate-block structure
+    * (under its own view name — the shared `documents` registration must
+    * stay untouched across suites).
     */
-  private[llm] val paragraphDedupSparkSql: String =
-    """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+  private[llm] def paragraphDedupSparkSql(table: String = "documents"): String =
+    s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM $table),
       |b AS (SELECT doc_id, i AS blk, array_join(slice(w, i * 16 + 1, 16), ' ') AS btext
       |      FROM t LATERAL VIEW explode(sequence(0,
       |        GREATEST(CAST(ceil(size(w) / 16.0) AS INT) - 1, 0))) x AS i),
@@ -733,7 +735,7 @@ object LlmQueries {
     // never pairwise. Output: per-doc block counts + md5 of the cleaned
     // text (restricted to doc_id % 20 = 0; dedup itself is corpus-wide).
     "q_text_paragraph_dedup" -> sql2(
-      paragraphDedupSparkSql,
+      paragraphDedupSparkSql(),
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |b AS (SELECT doc_id, i AS blk, array_to_string(list_slice(w, i * 16 + 1, i * 16 + 16), ' ') AS btext
         |      FROM (SELECT doc_id, w, unnest(range(0,

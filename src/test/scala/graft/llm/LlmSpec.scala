@@ -118,9 +118,9 @@ class LlmSpec extends AnyFunSuite {
       0L -> s"$blockA $blockB",
       20L -> s"$blockA $blockC",
       40L -> s"$blockA $blockB")
-    d.createOrReplaceTempView("documents")
+    d.createOrReplaceTempView("docs_pdedup")
     try {
-      val rows = spark.sql(LlmQueries.paragraphDedupSparkSql).collect()
+      val rows = spark.sql(LlmQueries.paragraphDedupSparkSql("docs_pdedup")).collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
         .toMap
       assert(rows(0L)._1 == 2 && rows(0L)._2 == 2, "doc 0 keeps both blocks")
@@ -130,7 +130,7 @@ class LlmSpec extends AnyFunSuite {
       val md5C = java.security.MessageDigest.getInstance("MD5")
         .digest(blockC.getBytes("UTF-8")).map("%02x".format(_)).mkString
       assert(rows(20L)._3 == md5C, "doc 20's cleaned text is exactly block C")
-    } finally spark.catalog.dropTempView("documents")
+    } finally spark.catalog.dropTempView("docs_pdedup")
   }
 
   test("PQ ADC search ranks true near neighbors highly (recall vs brute force)") {
