@@ -322,6 +322,34 @@ object RelationalQueries {
 
     "q_distinct" -> sql(
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // DISTINCT ON (postgres-style first-row-per-key, in DataFusion's SQL
+    // surface): Spark has no DISTINCT ON clause — the equivalent is the
+    // ranked-window top-1, which Catalyst executes as WindowGroupLimit
+    // (per-group limit pushed below the sort, no full per-group
+    // materialization). Oracle = DuckDB's native DISTINCT ON, an
+    // independent engine implementation of the same semantics.
+    "q_distinct_on" -> sql2(
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+      """SELECT o_custkey, o_orderkey, o_orderdate
+        |FROM (SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        |      FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey) t
+        |ORDER BY o_custkey""".stripMargin),
+
+    // ILIKE (case-insensitive LIKE, in DataFusion's SQL surface since its
+    // postgres-dialect parser) + LIKE ... ESCAPE with a custom escape
+    // character. Both spell identically in Spark and DuckDB.
+    "q_filter_ilike" -> sql(
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment ILIKE '%build%'
+        |AND c_name NOT ILIKE '%ZZZZ%'
+        |AND c_name LIKE 'Customer#%' ESCAPE '|'
+        |ORDER BY c_custkey""".stripMargin)
   )
 }

@@ -195,6 +195,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q_ann_topk").contains("WindowGroupLimit"))
   }
 
+  test("DISTINCT ON emulation runs as a per-group limit, not a full sort (q_distinct_on)") {
+    assert(plan("q_distinct_on").contains("WindowGroupLimit"))
+  }
+
   test("PIVOT stays a single grouped aggregation, no cartesian (q_pivot)") {
     val p = plan("q_pivot")
     assert(!p.contains("CartesianProduct"))
