@@ -342,6 +342,15 @@ object RelationalQueries {
         |      FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey) t
         |ORDER BY o_custkey""".stripMargin),
 
+    // Wildcard modifiers (DataFusion supports SELECT * EXCEPT/EXCLUDE):
+    // Spark 4 spells it EXCEPT, DuckDB EXCLUDE — same projection pruning
+    // (the scan reads only the surviving columns).
+    "q_select_except" -> sql2(
+      """SELECT * EXCEPT (text) FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT * EXCLUDE (text) FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY doc_id""".stripMargin),
+
     // ILIKE (case-insensitive LIKE, in DataFusion's SQL surface since its
     // postgres-dialect parser) + LIKE ... ESCAPE with a custom escape
     // character. Both spell identically in Spark and DuckDB.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import QuerySpec.sql
+import QuerySpec.{sql, sql2}
 
 /** Window-function matrix (SURVEY.md §2.B.5): ranking, analytic, aggregates
   * as windows, ROWS/RANGE frames, named WINDOW clause. All delegated rows of
@@ -108,6 +108,27 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // IGNORE NULLS window modifiers (SQL-standard, in DataFusion's window
+    // surface): last non-null carried forward + previous non-null — the
+    // gap-fill primitive for sparse event attributes. Spark puts IGNORE
+    // NULLS after the call, DuckDB inside the argument list; values match
+    // exactly.
+    "q_win_ignore_nulls" -> sql2(
+      """SELECT o_custkey, o_orderkey,
+        |last_value(NULLIF(o_orderpriority, '1-URGENT')) IGNORE NULLS
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_np,
+        |lag(NULLIF(o_orderpriority, '1-URGENT')) IGNORE NULLS
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_np
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      """SELECT o_custkey, o_orderkey,
+        |last_value(NULLIF(o_orderpriority, '1-URGENT') IGNORE NULLS)
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_np,
+        |lag(NULLIF(o_orderpriority, '1-URGENT') IGNORE NULLS)
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_np
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
     // aggregates as windows, ROWS frames. Running SUM/AVG accumulate in
     // exact integer CENTS (o_totalprice is a 2-decimal double, so
