@@ -463,6 +463,15 @@ object AnnSql {
     * story. Same fixed-point quantization as k-means, so every LUT cell
     * and ADC sum is integer-exact in both engines; ties break on the
     * candidate id.
+    *
+    * Scale sizing: a production query BATCH is constant-size (requests,
+    * not corpus), so the LUT is constant and broadcasts; the fixture's
+    * vec_id % 50 query set (shared with every other ANN query so rankings
+    * are comparable) makes |Q| scale with N here, which only the fixture
+    * pays. Scoring every code row is flat-PQ (FAISS IndexPQ) — candidate
+    * REDUCTION is the IVF probe's job: production composes this LUT
+    * scoring after [[ivfTopKSpark]]'s nprobe list restriction (= IVF-PQ),
+    * multiplying the two cuts rather than re-deriving either.
     */
   private def pqSearchSql(
       quant: String, sliceFn: (String, String) => String,

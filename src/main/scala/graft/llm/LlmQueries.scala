@@ -34,7 +34,7 @@ object LlmQueries {
       |f AS (SELECT btext, MIN(doc_id * 1000000 + blk) AS fkey FROM b GROUP BY btext),
       |k AS (SELECT b.doc_id, b.blk, b.btext FROM b JOIN f
       |        ON b.btext = f.btext AND b.doc_id * 1000000 + b.blk = f.fkey),
-      |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
+      |nb AS (SELECT doc_id, CAST(GREATEST(CAST(ceil(size(w) / 16.0) AS INT), 1) AS BIGINT) AS n_blocks FROM t),
       |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
       |              md5(concat_ws(' ',
       |                transform(sort_array(collect_list(struct(blk, btext))),
@@ -730,10 +730,13 @@ object LlmQueries {
     // corpus-wide (min (doc_id, block) — encoded as one BIGINT key so the
     // first-occurrence pick is a single map-side-combined MIN, no window;
     // valid while blocks/doc < 1e6 and doc_id < 9e12), and reassemble each
-    // document from its surviving blocks in order. One explode, one hash
-    // aggregate, one equi-join on the block text, one per-doc rollup —
-    // never pairwise. Output: per-doc block counts + md5 of the cleaned
-    // text (restricted to doc_id % 20 = 0; dedup itself is corpus-wide).
+    // document from its surviving blocks in order. Two block-stream
+    // consumers (the first-occurrence aggregate and the join probe side) —
+    // the per-doc total block count is a pure projection off the word
+    // array, NOT a third explode — plus one equi-join on the block text
+    // and one per-doc rollup; never pairwise. Output: per-doc block counts
+    // + md5 of the cleaned text (restricted to doc_id % 20 = 0; dedup
+    // itself is corpus-wide).
     "q_text_paragraph_dedup" -> sql2(
       paragraphDedupSparkSql(),
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -743,7 +746,7 @@ object LlmQueries {
         |f AS (SELECT btext, MIN(doc_id * 1000000 + blk) AS fkey FROM b GROUP BY btext),
         |k AS (SELECT b.doc_id, b.blk, b.btext FROM b JOIN f
         |        ON b.btext = f.btext AND b.doc_id * 1000000 + b.blk = f.fkey),
-        |nb AS (SELECT doc_id, COUNT(*) AS n_blocks FROM b GROUP BY doc_id),
+        |nb AS (SELECT doc_id, CAST(GREATEST(CAST(ceil(len(w) / 16.0) AS INT), 1) AS BIGINT) AS n_blocks FROM t),
         |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
         |              md5(string_agg(btext, ' ' ORDER BY blk)) AS clean_hash
         |       FROM k GROUP BY doc_id)
