@@ -759,10 +759,12 @@ object LlmQueries {
     // repeated-content filter): a 6-gram occurring in >= 3 distinct
     // documents is boilerplate; each document's quality signal is the
     // fraction of its shingle positions covered by boilerplate shingles.
-    // Plan: one explode, one map-side-combined document-frequency
-    // aggregate, one equi-join of the shingle stream against the
-    // boilerplate set (shuffle hash join on the shingle — never pairwise),
-    // one rollup. The fraction is reported in engine-identical
+    // Plan: the shingle stream feeds two consumers — the map-side-combined
+    // document-frequency aggregate and the join probe side — so the
+    // explode runs twice (Catalyst inlines CTEs; a production pipeline
+    // persists the shingle stage once, exactly like the staged ann_sig
+    // signatures). The boilerplate join is an equi-join on the shingle —
+    // never pairwise. The fraction is reported in engine-identical
     // FLOOR(x*1e4 + 0.5) basis points (no ROUND-on-double tie class).
     // Output restricted to doc_id % 10 = 0; the frequency table is
     // corpus-wide.
