@@ -47,4 +47,36 @@ class ExactQuantileSpec extends AnyFunSuite {
       assert(gW === w.toDouble, s"$g wsum")
     }
   }
+
+  // Property guard for the closed-form clamp correction (wsum computed
+  // from histogram + in-bucket prefix sums, never a clamp pass): random
+  // group sizes, duplicate-heavy value sets, and a bucket count small
+  // enough that boundary buckets hold many rows. Any off-by-one in the
+  // below/through bookkeeping shows up as a wrong wsum here.
+  test("closed-form winsorized sum matches brute force on randomized inputs") {
+    import spark.implicits._
+    // 12 deterministic (size, seed) cases in one Spark job: group = case id
+    val cases = (1 to 12).map { i =>
+      val rng = new scala.util.Random(1000L + i)
+      val n = 1 + rng.nextInt(400)
+      // duplicate-heavy: values drawn from a domain ~n/3 wide so boundary
+      // buckets contain repeated values (the refinement's hard case)
+      val dom = math.max(3, n / 3)
+      val xs = Seq.fill(n)(BigDecimal(rng.nextInt(dom) * 25 + rng.nextInt(4)) / 100)
+      s"c$i" -> xs
+    }
+    val df = cases.flatMap { case (g, xs) => xs.map((g, _)) }.toDF("g", "x")
+      .select($"g", $"x".cast("decimal(18,2)").as("x"))
+    val got = ExactQuantile.winsorizedSums(df, buckets = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((g, xs) <- cases) {
+      val (lo, hi, w) = brute(xs.map(_.setScale(2)))
+      val (n, gLo, gHi, gW) = got(g)
+      assert(n === xs.size.toLong, s"$g n_rows")
+      assert(gLo === lo.toDouble, s"$g p01")
+      assert(gHi === hi.toDouble, s"$g p99")
+      assert(gW === w.toDouble, s"$g wsum")
+    }
+  }
 }
