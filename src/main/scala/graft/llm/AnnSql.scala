@@ -526,6 +526,76 @@ object AnnSql {
     (a, b) => s"graft_dot_d($a, $b)",
     s"explode(sequence(0, ${pqSubspaces - 1})) AS s", k)
 
+  /** IVF-PQ search — the COMPOSED production index: the IVF probe cuts
+    * candidates to nprobe lists (assignment by exact L2 over the
+    * quantized vectors, the FAISS IVF metric, same seed-centroid
+    * convention as [[ivfTopKSpark]]) and the PQ LUT scores only those
+    * codes. Per query the work is nprobe × (N/nlist) candidates × 8 LUT
+    * lookups — both cuts multiply, neither re-derives the other. Every
+    * join is equi (probed-list restriction on cent_id; LUT lookup on
+    * (qid, subspace, code)); everything is integer-exact fixed-point, so
+    * Spark and DuckDB rank identically.
+    */
+  private def ivfPqSearchSql(
+      quant: String, sliceFn: (String, String) => String,
+      dotFn: (String, String) => String, explodeSub: String,
+      k: Int, nprobe: Int): String = {
+    val subDim = dim / pqSubspaces
+    def d2(a: String, b: String) =
+      s"${dotFn(a, a)} + ${dotFn(b, b)} - 2 * ${dotFn(a, b)}"
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |qv AS (SELECT vec_id, $quant AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM qv
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |asn AS (SELECT vec_id, cent_id FROM (
+       |  SELECT qv.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY qv.vec_id
+       |           ORDER BY ${d2("qv.v", "c.cv")}, c.cent_id) AS rn
+       |  FROM qv CROSS JOIN c) t WHERE rn = 1),
+       |sub AS (SELECT vec_id, s, ${sliceFn("v", s"s * $subDim + 1")} AS sv
+       |        FROM (SELECT vec_id, v, $explodeSub FROM qv) t),
+       |cb AS (SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $pqCodebook),
+       |enc AS (SELECT vec_id, s, code FROM (
+       |  SELECT sub.vec_id, sub.s, cb.code,
+       |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |           ORDER BY ${d2("sub.sv", "cb.cv")}, cb.code) AS rn
+       |  FROM sub JOIN cb ON sub.s = cb.s) t WHERE rn = 1),
+       |cand AS (SELECT enc.vec_id, asn.cent_id, enc.s, enc.code
+       |         FROM enc JOIN asn ON enc.vec_id = asn.vec_id),
+       |qp AS (SELECT qid, cent_id FROM (
+       |  SELECT qv.vec_id AS qid, c.cent_id,
+       |         row_number() OVER (PARTITION BY qv.vec_id
+       |           ORDER BY ${d2("qv.v", "c.cv")}, c.cent_id) AS rn
+       |  FROM qv CROSS JOIN c WHERE qv.vec_id % 50 = 0) t WHERE rn <= $nprobe),
+       |lut AS (SELECT q.vec_id AS qid, cb.s, cb.code,
+       |               ${d2("q.sv", "cb.cv")} AS d2
+       |        FROM sub q JOIN cb ON q.s = cb.s
+       |        WHERE q.vec_id % 50 = 0),
+       |adc AS (SELECT qp.qid, cand.vec_id AS cid, SUM(lut.d2) AS d2
+       |        FROM cand
+       |        JOIN qp ON cand.cent_id = qp.cent_id
+       |        JOIN lut ON lut.qid = qp.qid AND lut.s = cand.s AND lut.code = cand.code
+       |        WHERE cand.vec_id != qp.qid
+       |        GROUP BY qp.qid, cand.vec_id)
+       |SELECT qid, CAST(rk AS INT) AS rk, cid, CAST(d2 AS BIGINT) AS adc_d2 FROM (
+       |  SELECT qid, cid, d2,
+       |         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rk
+       |  FROM adc) t
+       |WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+  }
+
+  def ivfPqSearchSpark(k: Int, nprobe: Int = 2): String = ivfPqSearchSql(
+    kmQSpark,
+    (v, from) => s"slice($v, $from, ${dim / pqSubspaces})",
+    (a, b) => s"graft_dot_d($a, $b)",
+    s"explode(sequence(0, ${pqSubspaces - 1})) AS s", k, nprobe)
+
+  def ivfPqSearchDuck(k: Int, nprobe: Int = 2): String = ivfPqSearchSql(
+    kmQ,
+    (v, from) => s"list_slice($v, $from, $from + ${dim / pqSubspaces} - 1)",
+    (a, b) => s"list_dot_product($a, $b)",
+    s"unnest(range(0, $pqSubspaces)) AS s", k, nprobe)
+
   def pqSearchDuck(k: Int): String = pqSearchSql(
     kmQ,
     (v, from) => s"list_slice($v, $from, $from + ${dim / pqSubspaces} - 1)",

@@ -368,6 +368,17 @@ object LlmQueries {
       },
       Some(AnnSql.pqSearchDuck(5))),
 
+    // IVF-PQ composed search: nprobe IVF-list restriction × PQ LUT
+    // scoring — the production ANN index shape (AnnSql.ivfPqSearchSql
+    // doc).
+    "q_ann_ivfpq" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.ivfPqSearchSpark(5))
+      },
+      Some(AnnSql.ivfPqSearchDuck(5))),
+
     // Linear-probe classifier inference over embeddings: broadcast weight
     // vector, codegen'd dot, sign prediction + per-label agreement rollup
     // (AnnSql.linearProbeSql doc).

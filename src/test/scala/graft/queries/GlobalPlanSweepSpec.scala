@@ -28,6 +28,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_topk",            // brute-force baseline: broadcast query vectors
     "q_ann_topk_native",     // same shape, native kernel
     "q_ann_ivf",             // broadcast centroid table (nlist ~ sqrt(N))
+    "q_ann_ivfpq",           // broadcast centroid table (assignment + probe)
     "q_ann_kmeans",          // broadcast centroid table
     "q_dedup_semantic",      // broadcast centroid table
     "q_sample_coreset",      // broadcast centroid table
