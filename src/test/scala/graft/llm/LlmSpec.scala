@@ -133,25 +133,31 @@ class LlmSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("docs_pdedup")
   }
 
-  test("PQ ADC search ranks true near neighbors highly (recall vs brute force)") {
+  test("PQ ADC and IVF-PQ search rank true near neighbors highly (recall vs brute force)") {
     val sf = "/root/testdata/sf0.001"
     graft.queries.Tables.registerAll(spark, sf)
     graft.functions.GraftFunctions.register(spark)
-    val adc = spark.sql(AnnSql.pqSearchSpark(5)).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
-      .view.mapValues(_.map(_._2).toSet).toMap
     val brute = spark.sql(AnnSql.l2BruteSpark(5)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
     // The fixture's near-random vectors are PQ's worst case (no cluster
     // structure for 8x16 codes to exploit), so absolute recall is modest
-    // by construction: deterministically 0.18 here vs ~0.01 for a random
-    // ranking (5/499). The pin guards against ranking collapse — a broken
-    // LUT join or sum would drop this to the random baseline.
-    val common = adc.keySet intersect brute.keySet
-    assert(common.nonEmpty, "query sets must overlap")
-    val recall = common.toSeq.map(q => (adc(q) intersect brute(q)).size / 5.0).sum / common.size
-    assert(recall >= 0.15, s"mean recall@5 $recall collapsed — ADC ranking is broken")
+    // by construction: deterministically 0.18 (flat ADC) / 0.14 (IVF-PQ,
+    // which additionally pays probe misses) vs ~0.01 for a random ranking
+    // (5/499). The pins guard against ranking collapse — a broken LUT
+    // join, probe restriction, or sum would drop these to the random
+    // baseline.
+    for ((sql, floor, tag) <- Seq(
+        (AnnSql.pqSearchSpark(5), 0.15, "flat ADC"),
+        (AnnSql.ivfPqSearchSpark(5), 0.10, "IVF-PQ"))) {
+      val adc = spark.sql(sql).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val common = adc.keySet intersect brute.keySet
+      assert(common.nonEmpty, s"$tag: query sets must overlap")
+      val recall = common.toSeq.map(q => (adc(q) intersect brute(q)).size / 5.0).sum / common.size
+      assert(recall >= floor, s"$tag mean recall@5 $recall collapsed")
+    }
   }
 
   test("multimodal stub decode is deterministic byte statistics") {
