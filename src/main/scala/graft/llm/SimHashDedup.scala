@@ -20,21 +20,27 @@ object SimHashDedup {
   val bands = 4
   val maxHamming = 3
 
-  /** 32-bit simhash per document. */
+  /** 32-bit simhash per document. One hash aggregation with 32 per-bit
+    * tally columns over the word rows — NOT an explode to (word × 32)
+    * rows: the blown-up form shuffles 32× the data and aggregates twice,
+    * while 32 sum buffers combine map-side in a single pass (the same
+    * reshape the winsorize histogram uses: wide aggregation state instead
+    * of tall row multiplication).
+    */
   def simhashes(docs: DataFrame): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word")).distinct()
     val hashed =
       words.withColumn("hv", expr("CAST(conv(substr(md5(word), 1, 8), 16, 10) AS BIGINT)"))
+    val tallies = (0 until bits).map(b =>
+      sum(expr(s"CASE WHEN (shiftright(hv, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val recombine = (0 until bits)
+      .map(b => s"CASE WHEN s$b >= 0 THEN shiftleft(CAST(1 AS BIGINT), $b) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
     hashed
-      .select(col("doc_id"), col("hv"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr("CASE WHEN (shiftright(hv, b) & 1) = 1 THEN 1 ELSE -1 END")).as("s"))
       .groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+      .agg(tallies.head, tallies.tail: _*)
+      .select(col("doc_id"), expr(recombine).as("simhash"))
   }
 
   /** Pairs within Hamming distance maxHamming, via band-bucket equi-join. */
