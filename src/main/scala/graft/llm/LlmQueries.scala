@@ -944,9 +944,11 @@ object LlmQueries {
         |octet_length(encode(substring(text, CAST(f * 16 + 1 AS INT), 16))) AS frame_len
         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin),
     // Binary near-dup via aligned chunk fingerprints: md5 each 8-byte
-    // chunk of the payload, candidates = payloads sharing ANY
-    // (chunk_idx, hash) cell (equi-join — the binary twin of the shingle
-    // joins), verified by the count of matching aligned chunks. This is
+    // chunk of the payload, then ONE self-equi-join on (chunk_idx, hash)
+    // whose hit count per (id1, id2) IS the matching-chunk tally — no
+    // candidate-distinct-then-rejoin pass, and per-doc chunk totals are a
+    // projection off the payload length, so the chunk stream has exactly
+    // two consumers (the join's build and probe sides). This is
     // the fixed-size baseline of binary dedup; production derives chunk
     // boundaries content-defined (the q_text_chunk_cdc rolling hash) so
     // insertions don't shift every downstream chunk, and chunk width
@@ -956,32 +958,26 @@ object LlmQueries {
     "q_multimodal_dedup" -> sql2(
       """WITH p AS (SELECT doc_id, lower(hex(encode(text, 'UTF-8'))) AS hx
         |           FROM documents WHERE doc_id % 5 = 0),
+        |sz AS (SELECT doc_id, CAST(ceil(length(hx) / 16.0) AS BIGINT) AS n FROM p),
         |ch AS (SELECT doc_id, i, md5(substr(hx, i * 16 + 1, 16)) AS h
         |       FROM p LATERAL VIEW explode(sequence(0,
         |         CAST(ceil(length(hx) / 16.0) AS INT) - 1)) x AS i),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM ch GROUP BY doc_id),
-        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |         FROM ch a JOIN ch b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
-        |m AS (SELECT c.id1, c.id2, COUNT(*) AS n_match
-        |      FROM cand c JOIN ch a ON a.doc_id = c.id1
-        |      JOIN ch b ON b.doc_id = c.id2 AND b.i = a.i AND b.h = a.h
-        |      GROUP BY c.id1, c.id2)
+        |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_match
+        |      FROM ch a JOIN ch b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id)
         |SELECT id1, id2, n_match, GREATEST(s1.n, s2.n) AS n_chunks
         |FROM m JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
         |WHERE n_match >= 2
         |ORDER BY id1, id2""".stripMargin,
       """WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS hx
         |           FROM documents WHERE doc_id % 5 = 0),
+        |sz AS (SELECT doc_id, CAST(ceil(length(hx) / 16.0) AS BIGINT) AS n FROM p),
         |ch AS (SELECT doc_id, i, md5(substr(hx, CAST(i * 16 + 1 AS INT), 16)) AS h
         |       FROM (SELECT doc_id, hx, unnest(range(0,
         |         CAST(ceil(length(hx) / 16.0) AS INT))) AS i FROM p) z),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM ch GROUP BY doc_id),
-        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        |         FROM ch a JOIN ch b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id),
-        |m AS (SELECT c.id1, c.id2, COUNT(*) AS n_match
-        |      FROM cand c JOIN ch a ON a.doc_id = c.id1
-        |      JOIN ch b ON b.doc_id = c.id2 AND b.i = a.i AND b.h = a.h
-        |      GROUP BY c.id1, c.id2)
+        |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_match
+        |      FROM ch a JOIN ch b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id)
         |SELECT id1, id2, CAST(n_match AS BIGINT) AS n_match, GREATEST(s1.n, s2.n) AS n_chunks
         |FROM m JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
         |WHERE n_match >= 2
