@@ -46,4 +46,31 @@ class ScaleBehaviorSpec extends AnyFunSuite {
     assert(maxCand <= bound,
       s"candidates $maxCand exceed the (nbits+1) x tables x bucket bound $bound")
   }
+
+  test("paragraph dedup keeps a constant block set as duplicate copies multiply") {
+    // The scale property of first-occurrence dedup: replicating the corpus
+    // k-fold must not grow the KEPT set — every extra copy dedups away.
+    // k = 1 vs k = 8 over the same 12 base documents of 3 blocks each.
+    val s = TestSpark.spark.newSession()
+    def corpus(copies: Int) = s.range(12L * copies).selectExpr(
+      // doc i of copy c repeats base doc (i % 12); doc_id = c * 1200 + i
+      // keeps ids unique and base docs (copy 0) FIRST in min() order.
+      // Block text derives from the base id only -> exact duplicate blocks.
+      "id % 12 AS base",
+      "CAST((id div 12) * 1200 + (id % 12) * 20 AS BIGINT) AS doc_id")
+      .selectExpr("doc_id",
+        ("concat_ws(' ', " +
+          "transform(sequence(0, 47), j -> concat('w', base, '_', CAST(j div 16 AS STRING), '_', j % 16))" +
+          ") AS text"))
+    for ((copies, expectKept) <- Seq(1 -> 36L, 8 -> 36L)) {
+      corpus(copies).createOrReplaceTempView("docs_pdedup_scale")
+      val rows = s.sql(LlmQueries.paragraphDedupSparkSql("docs_pdedup_scale")).collect()
+      val totalKept = rows.map(_.getLong(2)).sum
+      assert(rows.map(_.getLong(1)).sum === 3L * 12 * copies,
+        s"copies=$copies total blocks")
+      assert(totalKept === expectKept,
+        s"copies=$copies: kept blocks must stay at the base-corpus set, got $totalKept")
+    }
+    s.catalog.dropTempView("docs_pdedup_scale")
+  }
 }
