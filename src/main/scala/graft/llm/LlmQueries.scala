@@ -590,10 +590,13 @@ object LlmQueries {
         |FROM documents WHERE doc_id % 40 = 0 ORDER BY doc_id""".stripMargin),
 
     // TF-IDF keyword extraction: top-3 salient terms per document. Two
-    // hash aggregations (term frequency per doc, document frequency per
-    // term — both map-side combined), one equi-join on the term, one
-    // partitioned window for the per-doc top-k; no global sort of the
-    // score table. Cross-engine determinism: the idf ln() is transcendental
+    // hash aggregations over the word stream (term frequency per doc,
+    // document frequency per term — both map-side combined), one
+    // equi-join on the term, one partitioned window for the per-doc
+    // top-k; no global sort of the score table. The corpus size N is a
+    // column-pruned row count of the documents subset — every doc has a
+    // word row (split('') = ['']), so COUNT(*) == COUNT(DISTINCT doc_id)
+    // over the explode, without a third pass through it. Cross-engine determinism: the idf ln() is transcendental
     // (its 6-decimal rounding has no exact-tie boundary, unlike money
     // sums), the ranking runs on the ROUNDED score, and ties break on the
     // term text.
@@ -603,7 +606,7 @@ object LlmQueries {
         |           WHERE doc_id % 5 = 0),
         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
         |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
-        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+        |nd AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 = 0),
         |s AS (SELECT tf.doc_id, tf.word,
         |             ROUND(tf * ln(CAST((SELECT n FROM nd) AS DOUBLE)
         |                           / (CAST(1 AS DOUBLE) + CAST(df AS DOUBLE))), 6) AS tfidf
@@ -617,7 +620,7 @@ object LlmQueries {
         |           FROM documents WHERE doc_id % 5 = 0),
         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
         |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
-        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM w),
+        |nd AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 = 0),
         |s AS (SELECT tf.doc_id, tf.word,
         |             ROUND(tf * ln(CAST((SELECT n FROM nd) AS DOUBLE)
         |                           / (CAST(1 AS DOUBLE) + CAST(df AS DOUBLE))), 6) AS tfidf
