@@ -49,9 +49,15 @@ object ExactQuantile {
   def winsorizedSums(raw: DataFrame, buckets: Int = 1024): DataFrame = {
     val r = raw.select(col("g"), col("x"))
 
+    // Materialize the group-cardinality stats ONCE: four downstream
+    // consumers broadcast it, and an unmaterialized plan re-executes the
+    // whole scan+aggregate subtree per consumer — four extra fact-table
+    // passes at 100 TB for a table with one row per group. (On a cluster:
+    // persist or checkpoint against durable storage.)
     val stats = r.groupBy("g").agg(
       min("x").as("mn"), max("x").as("mx"),
       count(lit(1)).as("ntot"), sum("x").as("tsum"))
+      .localCheckpoint(true)
 
     // Monotonic double routing; +1e-9 keeps single-value groups (mx = mn)
     // off the divide-by-zero path and x = mx strictly under bucket B.
