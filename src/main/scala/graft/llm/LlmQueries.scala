@@ -889,16 +889,19 @@ object LlmQueries {
     // broadcast) joined back to tokens, average log-probability per doc —
     // the language-model-free version of perplexity filtering.
     "q_text_unigram_logprob" -> sql2(
+      // tot = corpus token count, computed as a pruned aggregate of the
+      // documents table directly — summing freq's counts re-derives the
+      // whole explode+aggregate subtree (CTEs re-inline per consumer).
       """WITH w AS (SELECT doc_id, word FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word),
         |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT SUM(c) AS n FROM freq)
+        |tot AS (SELECT CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n FROM documents)
         |SELECT doc_id, ROUND(AVG(LN(c / CAST(n AS DOUBLE))), 4) AS avg_logp, COUNT(*) AS n_tokens
         |FROM w JOIN freq USING (word) CROSS JOIN tot
         |WHERE doc_id % 10 = 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT SUM(c) AS n FROM freq)
+        |tot AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n FROM documents)
         |SELECT doc_id, ROUND(AVG(LN(c / CAST(n AS DOUBLE))), 4) AS avg_logp, COUNT(*) AS n_tokens
         |FROM w JOIN freq USING (word) CROSS JOIN tot
         |WHERE doc_id % 10 = 0
