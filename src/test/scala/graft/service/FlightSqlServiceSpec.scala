@@ -91,6 +91,26 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(e.code == Status.Internal)
   }
 
+  test("malformed ticket bytes yield a clean error status, never a hang or raw throw") {
+    // A long-running server faces hostile/corrupt tickets; every byte
+    // pattern must map to a Status. Seeded junk of varying lengths plus a
+    // truncated VALID ticket (well-formed prefix, cut mid-payload).
+    val rng = new scala.util.Random(99)
+    val cases = Seq.fill(20)(Array.fill(1 + rng.nextInt(64))(rng.nextInt(256).toByte)) :+
+      service.getFlightInfoStatement("SELECT 1 AS x").ticket.take(3)
+    for (junk <- cases) {
+      try {
+        // some byte patterns decode into a structurally valid ticket whose
+        // inner SQL/handle then fails — either way it must be a Status;
+        // consume the stream so lazily-surfacing failures count too
+        service.doGet(junk).toBytes
+        ()
+      } catch {
+        case s: Status => assert(s.code == Status.Internal || s.code == Status.InvalidArgument)
+      }
+    }
+  }
+
   test("prepared statement: dataset schema 2 fields, parameter schema 1 field (integration_test.rs:148-171)") {
     val res = service.createPreparedStatement("SELECT * FROM users WHERE id = $1")
     assert(ArrowCodec.decodeSchema(res.datasetSchema).getFields.size == 2)
