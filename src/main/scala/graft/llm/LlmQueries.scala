@@ -575,6 +575,38 @@ object LlmQueries {
         |SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
         |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin),
 
+    // Pipeline funnel: per-stage survivor accounting for the SAME stages
+    // as q_llm_pipeline (input -> exact-dedup keep -> quality gate ->
+    // train/eval split), computed as ONE conditional aggregate over
+    // per-doc stage flags — the observability query a curation run emits
+    // so a stage silently dropping 40% of the corpus is visible. One scan
+    // + the dedup-keeper LEFT JOIN; no per-stage re-scans.
+    "q_pipeline_funnel" -> sql2(
+      """WITH kept AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |              GROUP BY md5(lower(trim(text)))),
+        |f AS (SELECT d.doc_id, size(split(d.text, ' ')) AS n_words,
+        |             k.doc_id IS NOT NULL AS is_kept,
+        |             CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 90 AS is_train
+        |      FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id)
+        |SELECT COUNT(*) AS n_input,
+        |CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_post_dedup,
+        |CAST(SUM(CASE WHEN is_kept AND n_words BETWEEN 20 AND 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_gate,
+        |CAST(SUM(CASE WHEN is_kept AND n_words BETWEEN 20 AND 500 AND is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |CAST(SUM(CASE WHEN is_kept AND n_words BETWEEN 20 AND 500 AND NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+        |FROM f""".stripMargin,
+      """WITH kept AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |              GROUP BY md5(lower(trim(text)))),
+        |f AS (SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_words,
+        |             k.doc_id IS NOT NULL AS is_kept,
+        |             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 AS is_train
+        |      FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id)
+        |SELECT COUNT(*) AS n_input,
+        |CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_post_dedup,
+        |CAST(SUM(CASE WHEN is_kept AND n_words BETWEEN 20 AND 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_gate,
+        |CAST(SUM(CASE WHEN is_kept AND n_words BETWEEN 20 AND 500 AND is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |CAST(SUM(CASE WHEN is_kept AND n_words BETWEEN 20 AND 500 AND NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+        |FROM f""".stripMargin),
+
     // Text cleaning: strip URL/email tokens and collapse whitespace — the
     // normalization pass ahead of dedup/tokenization. (The fixture corpus
     // contains neither, so the oracle additionally verifies the two
