@@ -575,6 +575,39 @@ object LlmQueries {
         |SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
         |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin),
 
+    // Soft quality filtering (DCLM/FineWeb-style): instead of a hard
+    // score cutoff, each document's keep PROBABILITY follows its quality
+    // score (a lexicon-hit ratio in integer basis points — the lexicon
+    // drawn from the fixture vocabulary so the score actually varies),
+    // realized deterministically by comparing an md5-derived bucket
+    // against the per-doc rate — reproducible on any engine, no RNG
+    // state. Pure scan -> project -> filter -> rollup; the aggregate
+    // reports kept counts and mean quality per source so the reweighting
+    // effect is visible.
+    "q_text_soft_filter" -> sql2(
+      """WITH q AS (SELECT doc_id, source,
+        |  size(split(text, ' ')) AS n_words,
+        |  CAST(FLOOR(size(filter(split(text, ' '), w -> w IN ('join', 'hash', 'row', 'scan', 'filter')))
+        |       * 10000.0 / size(split(text, ' ')) + 0.5) AS BIGINT) AS stop_bp,
+        |  CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000 AS b
+        |  FROM documents),
+        |k AS (SELECT * FROM q WHERE b < 2000 + 7 * stop_bp)
+        |SELECT source, COUNT(*) AS n_kept,
+        |CAST(FLOOR(AVG(CAST(stop_bp AS DOUBLE)) + 0.5) AS BIGINT) AS mean_stop_bp,
+        |CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+      """WITH q AS (SELECT doc_id, source,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  CAST(FLOOR(len(list_filter(string_split(text, ' '), w -> w IN ('join', 'hash', 'row', 'scan', 'filter')))
+        |       * 10000.0 / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS stop_bp,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS b
+        |  FROM documents),
+        |k AS (SELECT * FROM q WHERE b < 2000 + 7 * stop_bp)
+        |SELECT source, COUNT(*) AS n_kept,
+        |CAST(FLOOR(AVG(CAST(stop_bp AS DOUBLE)) + 0.5) AS BIGINT) AS mean_stop_bp,
+        |CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        |FROM k GROUP BY source ORDER BY source""".stripMargin),
+
     // Pipeline funnel: per-stage survivor accounting for the SAME stages
     // as q_llm_pipeline (input -> exact-dedup keep -> quality gate ->
     // train/eval split), computed as ONE conditional aggregate over

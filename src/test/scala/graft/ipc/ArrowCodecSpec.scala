@@ -91,6 +91,22 @@ class ArrowCodecSpec extends AnyFunSuite {
     complete.close()
   }
 
+  test("junk bytes fail decode cleanly and release their allocator (no leak, no hang)") {
+    // The federation client (RemoteSqlClient) decodes peer-supplied bytes;
+    // corrupt input must throw without leaking direct memory. Seeded junk
+    // plus a truncated VALID stream (headers ok, cut mid-body).
+    val rng = new scala.util.Random(43)
+    val valid = ArrowCodec.encodeStream(spark.range(100).toDF("id")).toBytes
+    val cases = Seq.fill(15)(Array.fill(1 + rng.nextInt(200))(rng.nextInt(256).toByte)) :+
+      valid.take(valid.length / 2)
+    for (junk <- cases) {
+      try { ArrowCodec.decode(junk); () }
+      catch { case _: Exception => () } // any Exception is fine; an OOM/hang is not
+    }
+    // allocator health: a full valid round-trip still works after the junk
+    assert(ArrowCodec.decode(valid).rows.size == 100)
+  }
+
   test("timestamp columns round-trip (µs precision)") {
     val schema = StructType(Seq(
       StructField("ts", TimestampNTZType, nullable = false)))
