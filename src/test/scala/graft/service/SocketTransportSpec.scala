@@ -50,6 +50,30 @@ class SocketTransportSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("raw junk bytes on a connection never take down the server") {
+    val spark = TestSpark.fixtures()
+    val server = new SocketServer(new FlightSqlService(new StaticSessionProvider(spark)))
+    val port = server.start()
+    try {
+      // hostile connection: garbage instead of a framed request
+      val rng = new scala.util.Random(7)
+      for (_ <- 1 to 3) {
+        val raw = new java.net.Socket("127.0.0.1", port)
+        try {
+          val out = raw.getOutputStream
+          out.write(Array.fill(64 + rng.nextInt(128))(rng.nextInt(256).toByte))
+          out.flush()
+        } finally raw.close() // some writes may be mid-frame: just drop the link
+      }
+      // the acceptor and worker pool must still serve a legitimate client
+      val client = new SocketClient("127.0.0.1", port)
+      try {
+        val (_, t) = client.getFlightInfoStatement("SELECT COUNT(*) AS n FROM users")
+        assert(ArrowCodec.decode(client.doGet(t)).rows == Seq(Seq(3L)))
+      } finally client.close()
+    } finally server.stop()
+  }
+
   test("concurrent clients each get correct, isolated responses") {
     val spark = TestSpark.fixtures()
     val server = new SocketServer(new FlightSqlService(new StaticSessionProvider(spark)))
