@@ -71,5 +71,12 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(got.count() == expected, "every input row lands in the sink exactly once")
     assert(got.select("event_id").distinct().count() == expected,
       "no event is duplicated across the restart")
+
+    // tidy the nanoTime-named fixture dirs (they'd otherwise accumulate
+    // across runs); only on success so a failure leaves evidence behind
+    for (dir <- Seq(staged, source, sink, ckpt)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
   }
 }
