@@ -65,36 +65,30 @@ object LlmQueries {
     * q_dedup_embedding via the `ann_sig` temp view (the same staged shared
     * intermediate a production ANN pipeline would persist).
     */
-  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  private[llm] val sigCache = new LruMemo[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame](8)
 
   private def registerSig(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Tables.registerAll(s, d)
     graft.functions.GraftFunctions.register(s)
-    // Bound the memo for long-running servers with per-client sessions:
-    // dropping the map's strong references lets the ContextCleaner reclaim
-    // the checkpoint blocks; evicted entries just recompute.
-    if (sigCache.size > 8) sigCache.clear()
-    sigCache.computeIfAbsent((s, d), { _ => s.sql(AnnSql.sigStageSpark).localCheckpoint(true) })
+    sigCache.getOrElseUpdate((s, d)) { s.sql(AnnSql.sigStageSpark).localCheckpoint(true) }
       .createOrReplaceTempView("ann_sig")
   }
 
   /** Memoized persistent corpus index for incremental dedup (same
     * lifecycle pattern as sigCache / the MinHash pair memo).
     */
-  private val corpusIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), MinHashDedup.CorpusIndex]()
+  private[llm] val corpusIndexCache = new LruMemo[
+    (org.apache.spark.sql.SparkSession, String), MinHashDedup.CorpusIndex](8)
 
   private[graft] def corpusIndexCached(
-      s: org.apache.spark.sql.SparkSession, d: String): MinHashDedup.CorpusIndex = {
-    if (corpusIndexCache.size > 8) corpusIndexCache.clear()
-    corpusIndexCache.computeIfAbsent((s, d), { _ =>
+      s: org.apache.spark.sql.SparkSession, d: String): MinHashDedup.CorpusIndex =
+    corpusIndexCache.getOrElseUpdate((s, d)) {
       val idx = MinHashDedup.CorpusIndex.build(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
       MinHashDedup.CorpusIndex(
         idx.banded.localCheckpoint(true), idx.words.localCheckpoint(true))
-    })
-  }
+    }
 
   val specs: Map[String, QuerySpec] = Map(
     // ---- deduplication ----
@@ -1001,6 +995,7 @@ object LlmQueries {
         |lower(hex(substring(payload, f * 16 + 1, 16))) AS frame_hex,
         |octet_length(substring(payload, f * 16 + 1, 16)) AS frame_len
         |FROM p LATERAL VIEW explode(sequence(0, CAST(CEIL(octet_length(payload) / 16.0) AS INT) - 1)) t AS f
+        |WHERE octet_length(payload) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
       // DuckDB can't substring BLOBs; the payload is UTF-8 of 1-byte ASCII
       // chars, so chunking the string then encoding each chunk is
@@ -1032,7 +1027,8 @@ object LlmQueries {
         |sz AS (SELECT doc_id, CAST(ceil(length(hx) / 16.0) AS BIGINT) AS n FROM p),
         |ch AS (SELECT doc_id, i, md5(substr(hx, i * 16 + 1, 16)) AS h
         |       FROM p LATERAL VIEW explode(sequence(0,
-        |         CAST(ceil(length(hx) / 16.0) AS INT) - 1)) x AS i),
+        |         CAST(ceil(length(hx) / 16.0) AS INT) - 1)) x AS i
+        |       WHERE length(hx) > 0),
         |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_match
         |      FROM ch a JOIN ch b ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
         |      GROUP BY a.doc_id, b.doc_id)

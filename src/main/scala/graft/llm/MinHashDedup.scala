@@ -24,23 +24,20 @@ object MinHashDedup {
   // Verified pair sets are consumed by both the pair query and the
   // clustering query; materialize once per (session, dir, threshold)
   // (a shared intermediate, same as a production pipeline would persist).
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Double), DataFrame]()
+  private[llm] val cache = new LruMemo[
+    (org.apache.spark.sql.SparkSession, String, Double), DataFrame](8)
 
   /** Near-duplicates of the doc_id % 5 fixture subset, materialized once
     * per session/dir.
     */
   def nearDuplicatesCached(
-      spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double): DataFrame = {
-    // bound the memo (see LlmQueries.registerSig): evicted entries recompute
-    if (cache.size > 8) cache.clear()
-    cache.computeIfAbsent((spark, dir, threshold), { _ =>
+      spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double): DataFrame =
+    cache.getOrElseUpdate((spark, dir, threshold)) {
       nearDuplicates(
         graft.queries.Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0),
         threshold)
         .localCheckpoint(true)
-    })
-  }
+    }
 
   /** Distinct (doc_id, word) pairs — word-set semantics (1-gram shingles;
     * this corpus' 31-word vocabulary makes longer shingles degenerate).

@@ -33,8 +33,11 @@ class StreamRecoverySpec extends AnyFunSuite {
       .select("event_id", "user_id", "event_type", "value")
     val staged = freshDir("staged")
     events.repartition(3).write.mode("overwrite").parquet(staged.toString)
-    val parts = Files.list(staged).toArray.map(_.asInstanceOf[Path])
-      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    val listing = Files.list(staged)
+    val parts =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+      finally listing.close()
     assert(parts.length == 3, s"expected 3 staged files, got ${parts.length}")
 
     val source = freshDir("source")
@@ -75,8 +78,10 @@ class StreamRecoverySpec extends AnyFunSuite {
     // tidy the nanoTime-named fixture dirs (they'd otherwise accumulate
     // across runs); only on success so a failure leaves evidence behind
     for (dir <- Seq(staged, source, sink, ckpt)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
     }
   }
 }
