@@ -49,8 +49,26 @@ object Bench {
     try graft.queries.ExtraQueries.ensureBucketed(spark, sfDir)
     catch { case _: Throwable => () }
 
+    // Dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed matrix
+    // (isolating one query from cross-query JVM state is the first step of
+    // any regression bisect). The driver's invocation sets nothing and
+    // times everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown bench query name(s): ${unknown.mkString(", ")}")
+    }
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+    }
+
     var failures = List.empty[String]
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map { name =>
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { materialize(name); true }
@@ -59,14 +77,32 @@ object Bench {
             failures ::= s"$name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
             false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, (System.nanoTime() - t0) / 1e9, ok, (gcMillis() - g0) / 1e3)
     }
 
     val qs = results
-      .map { case (k, v, ok) => s""""$k":${if (ok) f"$v%.3f" else "null"}""" }
+      .map { case (k, v, ok, _) => s""""$k":${if (ok) f"$v%.3f" else "null"}""" }
+      .mkString("{", ",", "}")
+    val gcs = results
+      .map { case (k, _, _, g) => s""""$k":${f"$g%.3f"}""" }
       .mkString("{", ",", "}")
     val errs = results.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    // Per-query deltas vs the committed previous-round record, so the
+    // round's JSON carries its own regression report (a total-only gate
+    // let a 10-query 2-6x cluster hide inside an improved total in r4).
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_PREV.json")
+    val regressions =
+      if (!Files.exists(Paths.get(prevPath))) "{}"
+      else try {
+        val txt = Files.readString(Paths.get(prevPath))
+        val entry = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+        val prev = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.collect {
+          case (n, v, true, _) if prev.get(n).exists(p => p > 0 && v / p > 1.5 && v - p > 0.2) =>
+            f""""$n":{"prev":${prev(n)}%.3f,"now":$v%.3f,"ratio":${v / prev(n)}%.2f}"""
+        }.mkString("{", ",", "}")
+      } catch { case _: Throwable => "{}" }
     // The 33-query round-1 matrix (all names unchanged) — reported separately
     // so matrix growth isn't mistaken for a slowdown.
     val r1Names = Set(
@@ -78,12 +114,12 @@ object Bench {
       "q_join_derived", "q_sort_nulls", "q_sort_multi_desc", "q_limit_offset",
       "q_union_all", "q_union_distinct", "q_intersect", "q_intersect_all",
       "q_except", "q_except_all", "q_distinct")
-    val r1Total = results.collect { case (n, v, true) if r1Names.contains(n) => v }.sum
+    val r1Total = results.collect { case (n, v, true, _) if r1Names.contains(n) => v }.sum
     val note = "r2 re-baseline: materializing noop-write action + warm-up " +
       "(r1 used count(), which let Catalyst drop sorts/projections); " +
       "r1_queries_total covers the original 33-query matrix under the new harness"
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"regressions_vs_prev":$regressions,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     failures.foreach(f => System.err.println(s"[bench] FAIL $f"))

@@ -832,15 +832,20 @@ object LlmQueries {
     // repeated-content filter): a 6-gram occurring in >= 3 distinct
     // documents is boilerplate; each document's quality signal is the
     // fraction of its shingle positions covered by boilerplate shingles.
-    // Plan: the shingle stream feeds two consumers — the map-side-combined
-    // document-frequency aggregate and the join probe side — so the
-    // explode runs twice (Catalyst inlines CTEs; a production pipeline
-    // persists the shingle stage once, exactly like the staged ann_sig
-    // signatures). The boilerplate join is an equi-join on the shingle —
-    // never pairwise. The fraction is reported in engine-identical
-    // FLOOR(x*1e4 + 0.5) basis points (no ROUND-on-double tie class).
-    // Output restricted to doc_id % 10 = 0; the frequency table is
-    // corpus-wide.
+    // Plan: the shingle stream feeds two consumers, and Catalyst inlines
+    // the CTE per consumer — but the two inlined copies are NOT the same
+    // work: the document-frequency side must explode the full corpus
+    // (irreducible — corpus-wide df is the operator), while the join-probe
+    // copy inherits the pushed-down doc_id % 10 filter and explodes only
+    // the 10% output slice BELOW its Generate. Staging the full stream
+    // once and reading it twice was measured SLOWER at sf0.1 (2.2 s vs
+    // 1.8 s): materializing costs a full write+2 reads and forfeits the
+    // probe-side pruning, versus 1.1 explode-passes inline — and the
+    // pruned shape holds at any scale (PlanAuditSpec pins 2 Generates +
+    // the pre-explode filter). The boilerplate join is an equi-join on
+    // the shingle — never pairwise. The fraction is reported in
+    // engine-identical FLOOR(x*1e4 + 0.5) basis points (no
+    // ROUND-on-double tie class).
     "q_text_boilerplate" -> sql2(
       """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, array_join(slice(w, i, 6), ' ') AS g
@@ -948,9 +953,13 @@ object LlmQueries {
     // broadcast) joined back to tokens, average log-probability per doc —
     // the language-model-free version of perplexity filtering.
     "q_text_unigram_logprob" -> sql2(
-      // tot = corpus token count, computed as a pruned aggregate of the
-      // documents table directly — summing freq's counts re-derives the
-      // whole explode+aggregate subtree (CTEs re-inline per consumer).
+      // The word stream feeds the frequency aggregate AND the join probe;
+      // as in q_text_boilerplate the probe-side inline copy explodes only
+      // the pushed-down doc_id % 10 slice, so the inline form beats a
+      // staged materialization (measured 0.5 s vs 1.0 s at sf0.1). tot =
+      // corpus token count, computed as a pruned aggregate of the
+      // documents table directly — summing freq's counts would re-derive
+      // the full explode+aggregate subtree.
       """WITH w AS (SELECT doc_id, word FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word),
         |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
         |tot AS (SELECT CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n FROM documents)

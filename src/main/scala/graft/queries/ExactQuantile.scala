@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,62 +14,76 @@ import org.apache.spark.sql.functions._
   * near-unique values (money columns), the (g, x) frequency-table variant
   * is no better: it hash-aggregates N rows into ~N groups before the
   * window. The scale shape instead works straight off the raw rows, in
-  * exactly THREE column-pruned scans of the fact table:
+  * exactly TWO column-pruned scans of the fact table:
   *
-  *   1. per-group min / max / count / total sum — 1-row-per-group hash agg
-  *   2. route rows into B ordered histogram buckets (pure projection),
-  *      then per-(g, bucket) count + sum — hash agg, <= B rows/group,
-  *      map-side combined; cumulative over buckets is the only per-group
-  *      window, bounded at B rows at ANY N
-  *   3. exact refinement inside just each threshold's boundary bucket
-  *      (~N/B rows survive the broadcast-joined bucket filter)
+  *   1. route rows into significant-digit histogram buckets (pure
+  *      projection — the bucket id needs NO prior min/max pass), then
+  *      per-(g, bucket) count + sum — hash agg, map-side combined,
+  *      <= ~34k rows/group at ANY N. Group totals (n, sum) roll up from
+  *      the bucket table itself; cumulative over buckets is the only
+  *      per-group window, bounded by the bucket count.
+  *   2. exact refinement inside just each threshold's boundary bucket
+  *      (<= 1% relative width, so only the rows tied to ~3 significant
+  *      digits of the threshold survive the broadcast-joined filter).
   *
-  * There is no fourth clamp pass: with per-bucket and in-bucket prefix
-  * sums available, the winsorized sum is algebra —
+  * Bucketing is base-10 DDSketch-shaped but EXACT integer/string
+  * arithmetic, no floats: for cents = x*100 (lossless for scale-2
+  * decimals), the id is (digit-count * 1000 + first-3-digits), negated
+  * for negative values. Monotonicity in x is by construction (longer
+  * digit string => larger magnitude; same length => prefix order =
+  * numeric order), which is what lets "buckets before the boundary"
+  * stand in for "values below the threshold".
+  *
+  * There is no clamp pass: with per-bucket and in-bucket prefix sums
+  * available, the winsorized sum is algebra —
   *
   *   wsum = total_sum + n_below*lo - sum_below + n_above*hi - sum_above
   *
   * where n/sum_below count x < lo (rows in buckets before lo's boundary
   * bucket, plus the refined in-bucket prefix) and n/sum_above count
-  * x > hi symmetrically. Bucket routing divides in double but only
-  * ROUTES: decimal -> double is monotonic, so bucket ids are monotonic in
-  * x and strictly ordered between buckets (b(x1) < b(x2) implies
-  * x1 < x2); the refined result is exact wherever float fuzz lands a
-  * boundary. Money stays in lossless DECIMAL(18,2) end to end (sums,
-  * prefix sums, and the closed-form correction are all decimal/long
+  * x > hi symmetrically. Money stays in lossless DECIMAL(18,2) end to end
+  * (sums, prefix sums, and the closed-form correction are all decimal/long
   * arithmetic; conversion to DOUBLE happens only at the output edge), so
   * the result is bit-identical to the sequential window oracle.
   */
 object ExactQuantile {
 
-  /** raw: (g: any, x: decimal non-null). Returns one row per group:
-    * (g, n_rows, p01, p99, wsum) with p01/p99 the exact 1st/99th discrete
-    * percentiles and wsum the sum with x clamped into [p01, p99].
+  /** Monotone significant-digit bucket id for a scale-<=2 decimal column.
+    * cents = x*100 is exact; d = decimal digit count of |cents|; pre =
+    * first min(d,3) digits. id = d*1000 + pre, sign-flipped for x < 0
+    * (so all negative buckets order below all non-negative ones and
+    * increase toward zero). Bounded at ~2*19*900 ids regardless of N.
     */
-  def winsorizedSums(raw: DataFrame, buckets: Int = 1024): DataFrame = {
-    val r = raw.select(col("g"), col("x"))
+  private def bucketId(x: Column): Column = {
+    def mag(cents: Column): Column = {
+      val s = cents.cast("string")
+      length(s).cast("bigint") * 1000 + substring(s, 1, 3).cast("bigint")
+    }
+    val cents = (x * 100).cast("bigint")
+    when(cents >= 0, mag(cents)).otherwise(-mag(-cents))
+  }
 
-    // Materialize the group-cardinality stats ONCE: four downstream
-    // consumers broadcast it, and an unmaterialized plan re-executes the
-    // whole scan+aggregate subtree per consumer — four extra fact-table
-    // passes at 100 TB for a table with one row per group. (On a cluster:
-    // persist or checkpoint against durable storage.)
-    val stats = r.groupBy("g").agg(
-      min("x").as("mn"), max("x").as("mx"),
-      count(lit(1)).as("ntot"), sum("x").as("tsum"))
-      .localCheckpoint(true)
+  /** raw: (g: any, x: decimal scale <= 2, non-null). Returns one row per
+    * group: (g, n_rows, p01, p99, wsum) with p01/p99 the exact 1st/99th
+    * discrete percentiles and wsum the sum with x clamped into [p01, p99].
+    */
+  def winsorizedSums(raw: DataFrame): DataFrame = {
+    val rb = raw.select(col("g"), col("x")).withColumn("b", bucketId(col("x")))
 
-    // Monotonic double routing; +1e-9 keeps single-value groups (mx = mn)
-    // off the divide-by-zero path and x = mx strictly under bucket B.
-    val rb = r.join(broadcast(stats.select("g", "mn", "mx")), "g")
-      .withColumn("b", least(greatest(floor(
-        (col("x").cast("double") - col("mn").cast("double")) /
-          ((col("mx").cast("double") - col("mn").cast("double") + 1e-9) / buckets)),
-        lit(0)), lit(buckets - 1)).cast("int"))
-      .select("g", "b", "x")
-
+    // Materialize the bucket histogram ONCE (fact scan #1): the group
+    // totals, the cumulative bucket walk, and the final correction all
+    // read it, and an unmaterialized plan would re-execute the whole
+    // scan+aggregate subtree per consumer. It is <= ~34k rows per group
+    // at ANY scale. (On a cluster: persist or checkpoint against durable
+    // storage.)
     val bh = rb.groupBy(col("g"), col("b"))
       .agg(count(lit(1)).as("bc"), sum("x").as("bs"))
+      .localCheckpoint(true)
+
+    // Group stats roll up from the bucket table — no second scan.
+    val stats = bh.groupBy("g").agg(
+      sum("bc").as("ntot"), sum("bs").as("tsum"))
+
     val overBuckets = Window.partitionBy("g").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bh
@@ -82,9 +96,8 @@ object ExactQuantile {
 
     // Each threshold's boundary bucket: the first whose cumulative reaches
     // k. One pass — a UNION of two filters would duplicate the whole
-    // histogram subtree (Catalyst inlines, so each branch re-scans and
-    // re-aggregates the fact table). `off`/`soff` carry the count and sum
-    // of every row in the buckets strictly before it.
+    // histogram subtree. `off`/`soff` carry the count and sum of every
+    // row in the buckets strictly before it.
     val bounds = cum
       .select(col("g"), col("b"), col("off"), col("soff"), explode(array(
         when(col("off") < col("k_lo") && col("k_lo") <= col("cum"),
@@ -95,12 +108,12 @@ object ExactQuantile {
       .select(col("g"), col("b"), col("wk.which").as("which"),
         col("wk.k").as("k"), col("off"), col("soff"))
 
-    // Refine within boundary buckets only: compress the ~N/B surviving
-    // rows to per-value counts + sums, then the threshold is the smallest
-    // x whose in-bucket cumulative, offset by the buckets before, reaches
-    // k. min_by on x picks that row WITH its prefix aggregates, giving
-    // the exact count/sum of rows below (for lo) and through (for hi)
-    // the threshold — the clamp correction needs nothing else.
+    // Refine within boundary buckets only (fact scan #2): compress the
+    // surviving rows to per-value counts + sums, then the threshold is the
+    // smallest x whose in-bucket cumulative, offset by the buckets before,
+    // reaches k. min_by on x picks that row WITH its prefix aggregates,
+    // giving the exact count/sum of rows below (for lo) and through (for
+    // hi) the threshold — the clamp correction needs nothing else.
     val inBucket = Window.partitionBy("g", "which").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = rb
@@ -129,7 +142,7 @@ object ExactQuantile {
         min(when(col("which") === "hi", col("t.nThru"))).as("nThruHi"),
         min(when(col("which") === "hi", col("t.sThru"))).as("sThruHi"))
 
-    thr.join(broadcast(stats.select("g", "ntot", "tsum")), "g")
+    thr.join(broadcast(stats), "g")
       .select(
         col("g"),
         col("ntot").as("n_rows"),

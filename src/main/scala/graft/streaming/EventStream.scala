@@ -164,6 +164,17 @@ object EventStream {
     */
   private val streamShufflePartitions = "8"
 
+  /** Unload state-store providers (and their maintenance task) once a
+    * replay-to-completion query drains. Loaded providers otherwise outlive
+    * the query for the JVM's lifetime — snapshot/cleanup maintenance keeps
+    * running in the background and competes with every subsequent batch
+    * query on the same executors (a mixed batch+streaming server pays it
+    * on every batch query). The next streaming query reloads providers
+    * lazily and restarts maintenance, so this is pure lifecycle hygiene.
+    */
+  private[streaming] def releaseStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   private def runToTable(stream: DataFrame, mode: String): DataFrame = {
     val spark = stream.sparkSession
     val queryName = s"graft_event_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -180,7 +191,7 @@ object EventStream {
         .queryName(queryName)
         .start()
       try query.processAllAvailable()
-      finally query.stop()
+      finally { query.stop(); releaseStateStores() }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
     // Drop the sink's temp view: each run registers a fresh UUID-named
     // view which would otherwise accumulate for the life of the session (a
@@ -285,7 +296,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       try query.awaitTermination()
-      finally if (query.isActive) query.stop()
+      finally { if (query.isActive) query.stop(); releaseStateStores() }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
 
     // same sink-view cleanup as runToTable (eager analysis survives the drop)

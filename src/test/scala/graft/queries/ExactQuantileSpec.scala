@@ -29,16 +29,23 @@ class ExactQuantileSpec extends AnyFunSuite {
     val big = Seq.fill(2500)(BigDecimal(rng.nextInt(100000)) / 100)
     val tiny = Seq(BigDecimal("5.00"), BigDecimal("1.00"), BigDecimal("9.00"))
     val const = Seq.fill(40)(BigDecimal("3.14"))
+    // signed: exercises the negative branch of the digit-bucket id (all
+    // negative ids must order below all non-negative ones, increasing
+    // toward zero) and zero itself
+    val signed = Seq.fill(300)(BigDecimal(rng.nextInt(20000) - 10000) / 100) :+
+      BigDecimal("0.00")
     val data =
-      big.map(("big", _)) ++ tiny.map(("tiny", _)) ++ const.map(("const", _))
+      big.map(("big", _)) ++ tiny.map(("tiny", _)) ++ const.map(("const", _)) ++
+        signed.map(("signed", _))
     val df = data.toDF("g", "x")
       .select($"g", $"x".cast("decimal(18,2)").as("x"))
 
-    val got = ExactQuantile.winsorizedSums(df, buckets = 64)
+    val got = ExactQuantile.winsorizedSums(df)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
 
-    for ((g, xs) <- Seq("big" -> big, "tiny" -> tiny, "const" -> const)) {
+    for ((g, xs) <- Seq("big" -> big, "tiny" -> tiny, "const" -> const,
+        "signed" -> signed)) {
       val (lo, hi, w) = brute(xs.map(_.setScale(2)))
       val (n, gLo, gHi, gW) = got(g)
       assert(n === xs.size.toLong, s"$g n_rows")
@@ -50,9 +57,9 @@ class ExactQuantileSpec extends AnyFunSuite {
 
   // Property guard for the closed-form clamp correction (wsum computed
   // from histogram + in-bucket prefix sums, never a clamp pass): random
-  // group sizes, duplicate-heavy value sets, and a bucket count small
-  // enough that boundary buckets hold many rows. Any off-by-one in the
-  // below/through bookkeeping shows up as a wrong wsum here.
+  // group sizes and duplicate-heavy value sets whose cents share leading
+  // digits, so boundary buckets hold many distinct repeated values. Any
+  // off-by-one in the below/through bookkeeping shows up as a wrong wsum.
   test("closed-form winsorized sum matches brute force on randomized inputs") {
     import spark.implicits._
     // 12 deterministic (size, seed) cases in one Spark job: group = case id
@@ -67,7 +74,7 @@ class ExactQuantileSpec extends AnyFunSuite {
     }
     val df = cases.flatMap { case (g, xs) => xs.map((g, _)) }.toDF("g", "x")
       .select($"g", $"x".cast("decimal(18,2)").as("x"))
-    val got = ExactQuantile.winsorizedSums(df, buckets = 8)
+    val got = ExactQuantile.winsorizedSums(df)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     for ((g, xs) <- cases) {

@@ -184,6 +184,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val windows = "(?m)^[^\\n]*\\bWindow \\[".r.findAllIn(p).length
     assert(windows == 2,
       s"expected exactly the two bounded window operators (bucket cumulative + boundary refinement), got $windows:\n$p")
+    // Exactly TWO fact-table scans total: the histogram build runs eagerly
+    // at checkpoint time (scan #1, outside this plan), so the final plan
+    // must show exactly ONE parquet scan (boundary refinement) plus the
+    // checkpointed bucket table. Group totals roll up from the bucket
+    // table — a min/max pre-pass or a stats re-scan would surface here as
+    // a second in-plan parquet scan.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"expected exactly 1 in-plan lineitem scan (refinement; histogram is checkpointed), got $scans:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"histogram consumers must read the checkpointed bucket table:\n$p")
   }
 
   test("per-group top-k pushes the rank limit below the sort (q_ann_topk WindowGroupLimit)") {
@@ -306,6 +317,25 @@ class PlanAuditSpec extends AnyFunSuite {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), q)
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("word/shingle stream consumers: full explode once, probe explode pruned") {
+    // The exploded stream CTE has two consumers (corpus-wide frequency
+    // aggregate + join probe). Catalyst inlines one copy per consumer —
+    // which is the CHEAPER shape here, because the probe copy inherits
+    // the pushed-down doc_id % 10 filter and explodes only 10% of the
+    // corpus (measured faster than staging the full stream once and
+    // reading it twice, which forfeits that pruning). Pin both halves:
+    // exactly 2 Generates (a third would mean a duplicated frequency
+    // subtree), and a pre-Generate doc_id filter on the probe copy.
+    for (q <- Seq("q_text_boilerplate", "q_text_unigram_logprob")) {
+      val p = plan(q)
+      val generates = "(?m)^[^\\n]*\\bGenerate explode".r.findAllIn(p).length
+      assert(generates == 2,
+        s"$q: expected 2 explodes (full df side + pruned probe side), got $generates:\n$p")
+      assert("\\(doc_id#\\d+L? % 10\\) = 0".r.findAllIn(p).length >= 2,
+        s"$q: the %10 filter must prune the probe side below its explode:\n$p")
     }
   }
 
