@@ -310,6 +310,17 @@ object LlmQueries {
       },
       Some(AnnSql.ivfTopKDuck(3))),
 
+    // Two-level IVF: coarse assignment probes ~sqrt(nlist) first-level
+    // cells, then equi-joins to the centroids inside them — kills the flat
+    // design's O(N·sqrt N) assignment (AnnSql.ivfHierSql doc).
+    "q_ann_ivf_hier" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.ivfHierTopKSpark(3))
+      },
+      Some(AnnSql.ivfHierTopKDuck(3))),
+
     // SemDeDup: cluster-then-prune semantic dedup (AnnSql.semDedupSql doc).
     "q_dedup_semantic" -> QuerySpec(
       (s, d) => {
@@ -372,6 +383,17 @@ object LlmQueries {
         s.sql(AnnSql.ivfPqSearchSpark(5))
       },
       Some(AnnSql.ivfPqSearchDuck(5))),
+
+    // Residual IVF-PQ: codes quantize x − centroid(x), per-list query LUTs
+    // — the full FAISS IVFPQ fidelity at the same 8-byte code budget
+    // (AnnSql.ivfPqResidualSql doc).
+    "q_ann_ivfpq_residual" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.ivfPqResidualSpark(5))
+      },
+      Some(AnnSql.ivfPqResidualDuck(5))),
 
     // Linear-probe classifier inference over embeddings: broadcast weight
     // vector, codegen'd dot, sign prediction + per-label agreement rollup

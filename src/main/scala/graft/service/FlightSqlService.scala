@@ -134,6 +134,59 @@ class FlightSqlService(
   /** Test probe: current number of cached plans. */
   private[service] def planCacheEntries: Int = planCache.synchronized(planCache.size)
 
+  /** LRU of ANALYZED parameter templates for parameterized prepared
+    * statements (same bound and keying as [[planCache]]): the template —
+    * parse + gate + type inference + analysis, with typed ParamHole
+    * leaves where values go — is built once per (session, SQL text), at
+    * create_prepared_statement or first execution, and every execution
+    * after that only swaps same-type literals into the analyzed tree.
+    * Anything template-ineligible (uninferable placeholder types, value
+    * conversion mismatches) falls back to the uncached [[Params.bind]]
+    * path so error behavior stays canonical.
+    */
+  private val paramTemplateCache =
+    new java.util.LinkedHashMap[(Int, String), org.apache.spark.sql.catalyst.plans.logical.LogicalPlan](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Boolean =
+        size() > config.planCacheSize
+    }
+
+  private[service] def paramTemplateEntries: Int =
+    paramTemplateCache.synchronized(paramTemplateCache.size)
+
+  /** Template for (session, sql), building + caching on miss; None when
+    * caching is off, the SQL is parameter-free, or the template cannot be
+    * built (uninferable types).
+    */
+  private def cachedTemplate(
+      spark: SparkSession,
+      sql: String): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    if (config.planCacheSize <= 0) None
+    else paramTemplateCache.synchronized {
+      val key = (System.identityHashCode(spark), sql)
+      Option(paramTemplateCache.get(key)).orElse {
+        try {
+          val built = Params.prepareTemplate(spark, sql, sqlOptions)
+          built.foreach(paramTemplateCache.put(key, _))
+          built
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+
+  /** Prepared-statement execution: bind into the cached analyzed template
+    * when possible, else the canonical uncached path.
+    */
+  private def boundPrepared(
+      spark: SparkSession,
+      sql: String,
+      parameters: Option[Array[Byte]]): DataFrame = {
+    val viaTemplate =
+      try cachedTemplate(spark, sql)
+        .flatMap(t => Params.bindIntoTemplate(spark, t, parameters))
+      catch { case scala.util.control.NonFatal(_) => None }
+    viaTemplate.getOrElse(Params.bind(spark, sql, parameters, sqlOptions))
+  }
+
   private def plannedStatement(spark: SparkSession, sql: String)(
       plan: => DataFrame): DataFrame =
     if (config.planCacheSize <= 0 || Params.rewrite(sql)._2.nonEmpty) plan
@@ -204,7 +257,7 @@ class FlightSqlService(
         ArrowCodec.encodeStream(df, fieldMetadata(df))
       case CommandPreparedStatementQuery(handleBytes) =>
         val handle = QueryHandle.decode(handleBytes)
-        val df = Params.bind(spark, handle.query, handle.parameters, sqlOptions)
+        val df = boundPrepared(spark, handle.query, handle.parameters)
         ArrowCodec.encodeStream(df, fieldMetadata(df))
       case CommandStatementSubstraitPlan(_) =>
         throw Status.unimplemented(
@@ -221,6 +274,10 @@ class FlightSqlService(
   def createPreparedStatement(sql: String, meta: Meta = noMeta): PreparedStatementResult =
     wrap {
       val spark = provider.session(meta)
+      // warm the parameter-template cache so the statement's executions
+      // start on the analyzed template immediately (no-op when caching is
+      // off or the text is parameter-free / template-ineligible)
+      cachedTemplate(spark, sql)
       val df = Params.planForSchema(spark, sql, sqlOptions)
       val paramFields = Params.parameterTypes(spark, sql)
         .map { case (name, t) => StructField(name, t, nullable = false) }

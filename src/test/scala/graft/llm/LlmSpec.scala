@@ -160,6 +160,74 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchical IVF keeps flat IVF's recall (vs brute-force cosine)") {
+    val sf = "/root/testdata/sf0.001"
+    graft.queries.Tables.registerAll(spark, sf)
+    graft.functions.GraftFunctions.register(spark)
+    def topk(sql: String): Map[Long, Set[Long]] =
+      spark.sql(sql).collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(AnnSql.bruteTopKSpark(3))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val common = got.keySet intersect brute.keySet
+      assert(common.nonEmpty)
+      common.toSeq.map(q => (got(q) intersect brute(q)).size / 3.0).sum / common.size
+    }
+    val flat = recall(topk(AnnSql.ivfTopKSpark(3)))
+    val hier = recall(topk(AnnSql.ivfHierTopKSpark(3)))
+    // The two-level coarse assignment must not cost recall at the default
+    // probe widths (nprobe=3 recovers the small-nlist routing noise —
+    // measured 0.30 vs flat's 0.30 here); a drop means the cell routing
+    // or the second-level equi-join went wrong.
+    assert(hier >= flat - 1e-9, s"hier recall $hier collapsed vs flat $flat")
+    assert(hier >= 0.25, s"hier recall@3 $hier below floor")
+  }
+
+  test("residual PQ beats raw-vector PQ where coarse structure exists") {
+    // The parquet fixture's near-random vectors are the degenerate case
+    // (x − centroid is as random as x, nothing for residual coding to
+    // remove — measured there: raw 0.14 vs residual 0.10). The claim
+    // residual coding exists for — FAISS IVFPQ, Jégou TPAMI'11 §IV —
+    // needs data with coarse structure, so pin it on a clustered fixture:
+    // 7 well-separated centers (id % 7 keeps the stride-16 centroid seeds
+    // spread across clusters), noise sigma 5% of center scale. Residuals
+    // then span ~5% of the raw range and the same 16-entry codebook
+    // resolves them ~20x finer. Deterministic seed, so the measured
+    // recalls are stable: raw 0.233, residual 0.300.
+    val rnd = new scala.util.Random(42)
+    val nclu = 7
+    val centers = Array.fill(nclu)(Array.fill(AnnSql.dim)(rnd.nextGaussian().toFloat))
+    val rows = (0L until 256L).map { id =>
+      val c = (id % nclu).toInt
+      (id, centers(c).map(v => v + rnd.nextGaussian().toFloat * 0.05f).toSeq, c)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    graft.functions.GraftFunctions.register(spark)
+    try {
+      def topk(sql: String): Map[Long, Set[Long]] =
+        spark.sql(sql).collect().map(r => r.getLong(0) -> r.getLong(2))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val brute = spark.sql(AnnSql.l2BruteSpark(5)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      def recall(got: Map[Long, Set[Long]]): Double = {
+        val common = got.keySet intersect brute.keySet
+        assert(common.nonEmpty)
+        common.toSeq.map(q => (got(q) intersect brute(q)).size / 5.0).sum / common.size
+      }
+      val raw = recall(topk(AnnSql.ivfPqSearchSpark(5)))
+      val res = recall(topk(AnnSql.ivfPqResidualSpark(5)))
+      assert(res > raw,
+        s"residual recall $res must beat raw-vector recall $raw on clustered data")
+      assert(res >= 0.29, s"residual recall@5 $res below the measured 0.30 floor")
+    } finally {
+      // the shared session's `embeddings` view must go back to the parquet
+      // fixture for every later suite
+      graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    }
+  }
+
   test("multimodal stub decode is deterministic byte statistics") {
     val d = docs(1L -> "ab cd", 2L -> "")
     val result = Multimodal.extractFeatures(d).collect()

@@ -116,6 +116,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "candidate fetch must be a hash/merge equi-join")
   }
 
+  test("hierarchical IVF scores O(sqrt nlist) centroids per vector (q_ann_ivf_hier)") {
+    import graft.llm.AnnSql
+    graft.queries.Tables.registerAll(spark, sf)
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(AnnSql.ivfHierBoundSpark()).collect().head
+    val (nlist, nlist1, maxCell, maxEvals) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(maxEvals <= 2 * maxCell,
+      s"per-vector L2 candidates $maxEvals exceed p1=2 cells of $maxCell")
+    assert(nlist1 + maxEvals < nlist,
+      s"two-level budget ${nlist1 + maxEvals} must undercut flat nlist=$nlist")
+    // and the search plan itself: vector-sized joins are all equi — the
+    // only nested loops are against the N^(1/4)-row cell table
+    val p = plan("q_ann_ivf_hier")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "second-level assignment must be a hash/merge equi-join on c1_id")
+  }
+
   test("SemDeDup broadcasts only the centroid table; pair join is equi (q_dedup_semantic)") {
     val p = plan("q_dedup_semantic")
     // centroid assignment is the tolerated nested-loop (constant-size

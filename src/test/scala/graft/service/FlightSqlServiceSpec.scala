@@ -137,6 +137,34 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(result.rows == Seq(Seq("Bob")))
   }
 
+  test("parameterized plan cache: one analysis serves executions with different values") {
+    val cached = new FlightSqlService(
+      new StaticSessionProvider(spark), FlightSqlServiceConfig(planCacheSize = 2))
+    def paramBytes(id: Int): Array[Byte] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      ArrowCodec.encodeStream(spark.createDataFrame(
+        java.util.Arrays.asList(Row(id)),
+        StructType(Seq(StructField("$1", IntegerType, nullable = false))))).toBytes
+    }
+    def run(created: PreparedStatementResult, id: Int): Seq[Seq[Any]] = {
+      val handle = cached.doPutPreparedStatementQuery(created.handle, paramBytes(id))
+      ArrowCodec.decode(cached.doGet(
+        CommandTicket(CommandPreparedStatementQuery(handle)).encode).toBytes).rows
+    }
+    val before = graft.engine.Params.templateBuilds.get()
+    val created = cached.createPreparedStatement("SELECT name FROM users WHERE id = $1")
+    assert(cached.paramTemplateEntries == 1, "create must warm the template cache")
+    assert(run(created, 2) == Seq(Seq("Bob")))
+    assert(run(created, 3) == Seq(Seq("Charlie")))
+    assert(graft.engine.Params.templateBuilds.get() - before == 1,
+      "two executions with different $1 values must share ONE parse+gate+analysis")
+    assert(cached.paramTemplateEntries == 1)
+    // default config never builds templates (reference-faithful re-plan)
+    service.createPreparedStatement("SELECT name FROM users WHERE id = $1")
+    assert(service.paramTemplateEntries == 0)
+  }
+
   test("prepared statement rejects multi-row parameter streams (service.rs:849-853)") {
     val created = service.createPreparedStatement("SELECT name FROM users WHERE id = $1")
     val paramDf = {
