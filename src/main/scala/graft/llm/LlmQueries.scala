@@ -1091,6 +1091,41 @@ object LlmQueries {
         |CASE WHEN octet_length(encode(text)) > 100 THEN 1 ELSE 0 END AS big
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
 
+    // REAL binary decode: deterministic P6 PPM payloads are constructed
+    // IN-ENGINE as a binary column (text header incl. `#` comments on
+    // every other image + raw RGB bytes), decoded executor-side by the
+    // genuine Multimodal.decodePpm parser, and the decoded dimensions /
+    // per-channel byte sums / first+last pixels are checked against the
+    // oracle's closed-form over the same construction — a parse that
+    // mis-reads the header or lands one byte off diverges immediately.
+    "q_multimodal_ppm_decode" -> df(
+      (s, d) => Multimodal.ppmStats(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .selectExpr("doc_id",
+            "CAST(4 + doc_id % 5 AS INT) AS w",
+            "CAST(3 + doc_id % 4 AS INT) AS h")
+          .selectExpr("doc_id",
+            """concat(
+              |  encode(concat('P6\n',
+              |    CASE WHEN doc_id % 20 = 0 THEN '# synthetic fixture\n' ELSE '' END,
+              |    CAST(w AS STRING), ' ', CAST(h AS STRING), '\n255\n'), 'UTF-8'),
+              |  unhex(aggregate(
+              |    transform(sequence(0, w * h * 3 - 1),
+              |              i -> lpad(hex(pmod(doc_id * 7 + i * 13, 256)), 2, '0')),
+              |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin)),
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |v AS (SELECT doc_id, w, h, i, (doc_id * 7 + i * 13) % 256 AS b
+        |      FROM (SELECT doc_id, w, h, unnest(range(0, CAST(w * h * 3 AS INT))) AS i FROM p) z)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(255 AS INT) AS maxval,
+        |       CAST(SUM(CASE WHEN i % 3 = 0 THEN b END) AS BIGINT) AS sum_r,
+        |       CAST(SUM(CASE WHEN i % 3 = 1 THEN b END) AS BIGINT) AS sum_g,
+        |       CAST(SUM(CASE WHEN i % 3 = 2 THEN b END) AS BIGINT) AS sum_b,
+        |       CAST(MIN(CASE WHEN i = 0 THEN b END) AS INT) AS px0,
+        |       CAST(MIN(CASE WHEN i = w * h * 3 - 1 THEN b END) AS INT) AS pxn
+        |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
+
     "q_multimodal_resize" -> df(
       (s, d) => Multimodal.resize(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0), 224, 224),

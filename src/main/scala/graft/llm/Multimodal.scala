@@ -60,6 +60,100 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** A decoded P6 (binary RGB) PPM image. */
+  final case class PpmImage(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
+
+  /** REAL P6 PPM decoder — no codec library needed, the format is a text
+    * header (`P6`, width, height, maxval as ASCII decimals separated by
+    * whitespace, `#` comments legal between tokens) followed by exactly
+    * width*height*3 raw RGB bytes after the single whitespace that
+    * terminates maxval. This replaces [[stubDecode]] for the one format a
+    * pure JVM can decode byte-exactly offline; JPEG/WAV/MP4 remain
+    * declared stubs.
+    */
+  def decodePpm(bytes: Array[Byte]): Either[String, PpmImage] = {
+    var i = 0
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val c = bytes(i)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+    def token(): Either[String, Int] = {
+      skipWsAndComments()
+      val start = i
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+        if (v > Int.MaxValue) return Left("header value overflows")
+      }
+      if (i == start) Left(s"expected decimal at offset $start") else Right(v.toInt)
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+      return Left("not a P6 PPM (bad magic)")
+    i = 2
+    for {
+      w <- token()
+      h <- token()
+      mv <- token()
+      img <- {
+        if (w <= 0 || h <= 0) Left(s"non-positive dimensions ${w}x$h")
+        else if (mv <= 0 || mv > 255) Left(s"unsupported maxval $mv (1-byte channels only)")
+        else if (i >= bytes.length) Left("truncated after header")
+        else {
+          i += 1 // the single whitespace byte terminating maxval
+          val need = w.toLong * h * 3
+          if (bytes.length - i < need)
+            Left(s"truncated pixel data: need $need, have ${bytes.length - i}")
+          else Right(PpmImage(w, h, mv, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
+        }
+      }
+    } yield img
+  }
+
+  /** Per-image decode rollup (what the oracle can check byte-exactly):
+    * dimensions, maxval, per-channel byte sums, first/last pixel bytes.
+    */
+  final case class PpmStats(
+      doc_id: Long, width: Int, height: Int, maxval: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, px0: Int, pxn: Int)
+
+  /** Decode a (doc_id, payload) binary column with the REAL PPM parser,
+    * executor-side. A payload that fails to decode fails the job loudly —
+    * a corrupt fixture must never pass as a parsed one.
+    */
+  def ppmStats(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodePpm(bytes) match {
+          case Left(err) => throw new IllegalArgumentException(s"doc $id: $err")
+          case Right(img) =>
+            var (r, g, b) = (0L, 0L, 0L)
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xff
+              (i % 3: @annotation.switch) match {
+                case 0 => r += v
+                case 1 => g += v
+                case 2 => b += v
+              }
+              i += 1
+            }
+            PpmStats(id, img.width, img.height, img.maxVal, r, g, b,
+              img.pixels.head & 0xff, img.pixels.last & 0xff)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Binary payload column (text bytes standing in for media bytes) →
     * per-partition decode → typed feature frame.
     */

@@ -84,4 +84,98 @@ class StreamRecoverySpec extends AnyFunSuite {
       finally walk.close()
     }
   }
+
+  test("stream-stream interval join restarts from checkpoint with identical results") {
+    // The dual-watermark interval join carries BOTH sides' row state in
+    // the state store; a restart that loses or replays any of it produces
+    // missing or duplicated pairs. Pin: a run killed after batch 1 and
+    // resumed over the remaining files must emit exactly the pair multiset
+    // of an uninterrupted run of the SAME batch sequence
+    // (maxFilesPerTrigger=1 makes the sequences identical). The watermark
+    // delay (30 days) exceeds the fixture's whole time range so no state
+    // is evicted in either run: restart inserts an extra watermark-commit
+    // batch, and with a tight delay that timing difference evicts join
+    // state earlier than the control run — legitimate watermark semantics
+    // that would mask what this test pins, which is STATE recovery.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+
+    val events = graft.queries.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts")
+    val staged = freshDir("ssj_staged")
+    events.repartition(3).write.mode("overwrite").parquet(staged.toString)
+    val listing = Files.list(staged)
+    val parts =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+      finally listing.close()
+    assert(parts.length == 3)
+    val schema = spark.read.parquet(staged.toString).schema
+
+    def runJoin(source: Path, sink: Path, ckpt: Path): Unit = {
+      def side(eventType: String, tsName: String) = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source.toString)
+        .filter(org.apache.spark.sql.functions.col("event_type") === eventType)
+        .selectExpr("user_id", s"CAST(ts AS TIMESTAMP) AS $tsName",
+          s"event_id AS ${tsName}_id")
+        .withWatermark(tsName, "30 days")
+      val joined: DataFrame = side("click", "click_ts")
+        .withColumnRenamed("user_id", "c_user")
+        .join(side("purchase", "p_ts"),
+          org.apache.spark.sql.functions.col("c_user") ===
+            org.apache.spark.sql.functions.col("user_id") &&
+            org.apache.spark.sql.functions.col("p_ts") >=
+              org.apache.spark.sql.functions.col("click_ts") &&
+            org.apache.spark.sql.functions.col("p_ts") <=
+              org.apache.spark.sql.functions.col("click_ts") +
+                org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+        .select("c_user", "click_ts_id", "p_ts_id")
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+    }
+
+    def copyIn(dest: Path, ps: Seq[Path]): Unit =
+      ps.foreach(p => Files.copy(p, dest.resolve(p.getFileName),
+        StandardCopyOption.REPLACE_EXISTING))
+
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val (srcA, sinkA, ckptA) = (freshDir("ssj_srcA"), freshDir("ssj_sinkA"), freshDir("ssj_ckptA"))
+    val (srcB, sinkB, ckptB) = (freshDir("ssj_srcB"), freshDir("ssj_sinkB"), freshDir("ssj_ckptB"))
+    try {
+      // control: uninterrupted run over all three files
+      copyIn(srcA, parts)
+      runJoin(srcA, sinkA, ckptA)
+      // restart run: batch 1, kill, drop in the rest, resume same checkpoint
+      copyIn(srcB, parts.take(1))
+      runJoin(srcB, sinkB, ckptB)
+      copyIn(srcB, parts.drop(1))
+      runJoin(srcB, sinkB, ckptB)
+
+      def pairs(sink: Path): Seq[(Long, Long, Long)] =
+        spark.read.parquet(sink.toString)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sorted
+      val control = pairs(sinkA)
+      val restarted = pairs(sinkB)
+      assert(control.nonEmpty, "fixture must produce click->purchase pairs")
+      assert(restarted == control,
+        "restart must neither lose nor duplicate any joined pair")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+
+    for (dir <- Seq(staged, srcA, sinkA, ckptA, srcB, sinkB, ckptB)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
 }
