@@ -498,6 +498,46 @@ object AnnSql {
        |       CAST(SUM(v0) AS BIGINT) AS sum_dim0
        |FROM asn GROUP BY cent_id ORDER BY cent_id""".stripMargin
 
+  /** Sampled k-means training step — how a production IVF index actually
+    * trains its coarse quantizer: Lloyd iterations run over a bounded
+    * deterministic SAMPLE of the corpus (FAISS trains on ~max(10k, 256·k)
+    * vectors regardless of N), so training work is O(|sample|·k) — a fixed
+    * budget — instead of q_ann_kmeans' O(N·k) per iteration, and only the
+    * final one-off assignment (the [[ivfHierSql]] two-level path) touches
+    * every vector. Sample = vec_id % sampleMod = 0; centroid count stays
+    * sized to the FULL corpus (nlist ≈ sqrt N — the index's list count is
+    * a property of N, not of the training budget). Per-cluster stats
+    * estimate full-corpus values scaled by the sampling rate; same
+    * fixed-point integer exactness as [[kmeansStepSpark]].
+    */
+  private def kmeansSampledSql(
+      quant: String, dotFn: (String, String) => String, sampleMod: Int,
+      dim0Idx: Int): String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |s AS (SELECT vec_id, $quant AS v FROM embeddings WHERE vec_id % $sampleMod = 0),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM s
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |d AS (SELECT s.vec_id, c.cent_id,
+       |             ${dotFn("s.v", "s.v")} + ${dotFn("c.cv", "c.cv")}
+       |               - 2 * ${dotFn("s.v", "c.cv")} AS d2,
+       |             s.v[$dim0Idx] AS v0
+       |      FROM s CROSS JOIN c),
+       |asn AS (SELECT vec_id, cent_id, d2, v0 FROM (
+       |  SELECT vec_id, cent_id, d2, v0,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |  FROM d) t WHERE rn = 1)
+       |SELECT cent_id, COUNT(*) AS n_sample,
+       |       CAST(COUNT(*) * $sampleMod AS BIGINT) AS n_est,
+       |       CAST(SUM(d2) AS BIGINT) AS ssd,
+       |       CAST(SUM(v0) AS BIGINT) AS sum_dim0
+       |FROM asn GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
+  def kmeansSampledSpark(sampleMod: Int = 4): String =
+    kmeansSampledSql(kmQSpark, (a, b) => s"graft_dot_d($a, $b)", sampleMod, dim0Idx = 0)
+
+  def kmeansSampledDuck(sampleMod: Int = 4): String =
+    kmeansSampledSql(kmQ, (a, b) => s"list_dot_product($a, $b)", sampleMod, dim0Idx = 1)
+
   /** Product quantization (PQ) codebook assignment — the memory-bound
     * scale path of ANN (IVF-PQ): split the [[dim]]-dim vector into
     * [[pqSubspaces]] sub-vectors and replace each with the id of its

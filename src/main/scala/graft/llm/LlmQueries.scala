@@ -361,6 +361,17 @@ object LlmQueries {
       },
       Some(AnnSql.kmeansStepDuck)),
 
+    // Sampled k-means training: the Lloyd step over a bounded
+    // deterministic sample — O(|sample|·k) per iteration regardless of N,
+    // the production IVF training budget (AnnSql.kmeansSampledSql doc).
+    "q_ann_kmeans_sampled" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.kmeansSampledSpark())
+      },
+      Some(AnnSql.kmeansSampledDuck())),
+
     // ADC top-k search over the PQ codes (the query path of IVF-PQ): LUT
     // equi-join on (subspace, code), 8 lookups + one SUM per candidate —
     // the corpus side is codes only, never raw vectors (AnnSql.pqSearchSql
@@ -1125,6 +1136,50 @@ object LlmQueries {
         |       CAST(MIN(CASE WHEN i = 0 THEN b END) AS INT) AS px0,
         |       CAST(MIN(CASE WHEN i = w * h * 3 - 1 THEN b END) AS INT) AS pxn
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
+
+    // REAL audio decode, same contract as q_multimodal_ppm_decode: RIFF/
+    // WAVE PCM payloads constructed in-engine (16-bit little-endian
+    // samples from a closed formula; every 20th doc carries an extra LIST
+    // chunk so the parser's unknown-chunk skip is exercised in-flight),
+    // decoded executor-side by Multimodal.decodeWav, stats checked against
+    // the oracle's closed form.
+    "q_multimodal_wav_decode" -> df(
+      (s, d) => {
+        def le16(v: String) =
+          s"concat(lpad(hex(pmod($v, 65536) % 256), 2, '0'), lpad(hex(pmod($v, 65536) div 256), 2, '0'))"
+        def le32(v: String) =
+          s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex(($v) div 256 % 256), 2, '0'), " +
+            s"lpad(hex(($v) div 65536 % 256), 2, '0'), lpad(hex(($v) div 16777216 % 256), 2, '0'))"
+        Multimodal.wavStats(
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+            .selectExpr("doc_id",
+              "CAST(1 + doc_id % 2 AS INT) AS ch",
+              "CAST(16 + doc_id % 17 AS INT) AS n")
+            .selectExpr("doc_id",
+              s"""concat(
+                 |  encode('RIFF', 'UTF-8'), unhex(${le32("36 + CASE WHEN doc_id % 20 = 0 THEN 12 ELSE 0 END + n * ch * 2")}),
+                 |  encode('WAVEfmt ', 'UTF-8'), unhex(${le32("16")}),
+                 |  unhex(${le16("1")}), unhex(${le16("ch")}),
+                 |  unhex(${le32("8000")}), unhex(${le32("8000 * ch * 2")}),
+                 |  unhex(${le16("ch * 2")}), unhex(${le16("16")}),
+                 |  CASE WHEN doc_id % 20 = 0
+                 |       THEN concat(encode('LIST', 'UTF-8'), unhex(${le32("4")}), encode('INFO', 'UTF-8'))
+                 |       ELSE unhex('') END,
+                 |  encode('data', 'UTF-8'), unhex(${le32("n * ch * 2")}),
+                 |  unhex(aggregate(transform(sequence(0, n * ch - 1),
+                 |    i -> ${le16("pmod(doc_id * 31 + i * 17, 4096) - 2048")}),
+                 |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin))
+      },
+      """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 16 + doc_id % 17 AS n
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |v AS (SELECT doc_id, ch, n, i, ((doc_id * 31 + i * 17) % 4096) - 2048 AS s
+        |      FROM (SELECT doc_id, ch, n, unnest(range(0, CAST(n * ch AS INT))) AS i FROM p) z)
+        |SELECT doc_id, CAST(ch AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+        |       CAST(n * ch AS INT) AS n_samples,
+        |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        |       CAST(MIN(CASE WHEN i = 0 THEN s END) AS INT) AS s0,
+        |       CAST(MIN(CASE WHEN i = n * ch - 1 THEN s END) AS INT) AS sn
+        |FROM v GROUP BY doc_id, ch, n ORDER BY doc_id""".stripMargin),
 
     "q_multimodal_resize" -> df(
       (s, d) => Multimodal.resize(

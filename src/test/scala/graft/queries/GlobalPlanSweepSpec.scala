@@ -32,6 +32,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_ivfpq",           // broadcast centroid table (assignment + probe)
     "q_ann_ivfpq_residual",  // broadcast centroid table (assignment + per-list residuals)
     "q_ann_kmeans",          // broadcast centroid table
+    "q_ann_kmeans_sampled",  // broadcast centroid table; probe side is the bounded training sample
     "q_dedup_semantic",      // broadcast centroid table
     "q_sample_coreset",      // broadcast centroid table
     "q_agg_hll_merge",       // single-row sketch-union join
