@@ -117,6 +117,55 @@ object LlmQueries {
         Tables.documents(s, d).filter(col("doc_id") % 5 === 0), 9, 10),
       jaccardOracleDuck("0.9")),
 
+    // Edit-distance near-dup verification: levenshtein over length-blocked
+    // candidate pairs — the character-level verifier that catches
+    // reorder-insensitive near-dups word-set Jaccard cannot (both engines
+    // implement the same unit-cost metric, so the pair set hash-matches).
+    // Blocking here is the length bucket — a deliberate approximation
+    // (a near-boundary pair can straddle buckets; lev >= |len_a − len_b|
+    // bounds what blocking can lose) applied identically on both sides;
+    // production feeds MinHash band candidates into this verifier
+    // instead, the same compose-the-cuts pattern as q_ann_ivfpq. The 68%
+    // threshold fits this corpus: word-shuffles of one vocabulary sit at
+    // ~0.61-0.80 character-level distance, so the verifier selects the
+    // genuinely closest pairs rather than passing everything.
+    // The REPARTITION hint on the probe side is load-bearing: the
+    // optimizer pushes the lev<=threshold predicate INTO the broadcast
+    // join, so the levenshteins run in the probe-side stage — which AQE
+    // coalesces to ONE task (bytes-based sizing is blind to per-row CPU),
+    // serializing every O(len²) distance on one core. An explicit
+    // numPartitions repartition is exempt from AQE coalescing, so the
+    // join (and the pushed-in distance work) runs 64-wide — measured
+    // 20s -> <1s at sf0.1. DuckDB parses the hint as an ordinary block
+    // comment, so the SQL text stays identical on both sides. The same
+    // compute-vs-bytes skew applies to ANY expensive verify over a small
+    // candidate set at 100 TB.
+    "q_dedup_edit_distance" -> sql2(
+      """WITH d AS (SELECT /*+ REPARTITION(64) */ doc_id, text,
+        |           CAST(n_chars DIV 25 AS BIGINT) AS blk
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |             a.text AS t1, b.text AS t2
+        |      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |p AS (SELECT id1, id2, levenshtein(t1, t2) AS lev,
+        |             GREATEST(length(t1), length(t2)) AS mx
+        |      FROM c)
+        |SELECT id1, id2, CAST(lev AS INT) AS lev
+        |FROM p WHERE lev * 100 <= mx * 68
+        |ORDER BY id1, id2""".stripMargin,
+      """WITH d AS (SELECT /*+ REPARTITION(64) */ doc_id, text,
+        |           CAST(n_chars // 25 AS BIGINT) AS blk
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |             a.text AS t1, b.text AS t2
+        |      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |p AS (SELECT id1, id2, levenshtein(t1, t2) AS lev,
+        |             GREATEST(length(t1), length(t2)) AS mx
+        |      FROM c)
+        |SELECT id1, id2, CAST(lev AS INT) AS lev
+        |FROM p WHERE lev * 100 <= mx * 68
+        |ORDER BY id1, id2""".stripMargin),
+
     // SimHash with banded candidates; pigeonhole (4 bands, hamming ≤ 3)
     // makes the banded answer provably equal the oracle's all-pairs answer.
     "q_dedup_simhash" -> df(
@@ -1007,6 +1056,44 @@ object LlmQueries {
         |FROM w JOIN freq USING (word) CROSS JOIN tot
         |WHERE doc_id % 10 = 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Embedding covariance accumulation (the PCA/whitening precursor a
+    // feature-space analysis pass runs before choosing projection dims):
+    // upper-triangle raw moments (n, Σxy, Σx, Σy) per dimension pair over
+    // a deterministic sample, on the fixed-point quantization — pure
+    // integer sums, exact in any fold order, so both engines agree
+    // bit-for-bit and the caller finishes cov = (Σxy − ΣxΣy/n)/n in one
+    // driver-side pass over the 36-row result. One explode per axis with
+    // the j >= i triangle filter — work is |sample| × d(d+1)/2 rows,
+    // map-side combined to 36 groups; at 100 TB the sample bound (not N)
+    // sizes the pass, same contract as q_ann_kmeans_sampled.
+    "q_embed_covariance" -> sql2(
+      """WITH s AS (SELECT vec_id,
+        |           transform(slice(embedding, 1, 8),
+        |                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |p AS (SELECT i, j, element_at(v, i) AS vi, element_at(v, j) AS vj
+        |      FROM s LATERAL VIEW explode(sequence(1, 8)) a AS i
+        |             LATERAL VIEW explode(sequence(1, 8)) b AS j
+        |      WHERE j >= i)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, COUNT(*) AS n,
+        |       CAST(SUM(vi * vj) AS BIGINT) AS sxy,
+        |       CAST(SUM(vi) AS BIGINT) AS sx,
+        |       CAST(SUM(vj) AS BIGINT) AS sy
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
+      """WITH s AS (SELECT vec_id,
+        |           list_transform(list_slice(embedding, 1, 8),
+        |                          x -> FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)) AS v
+        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |z1 AS (SELECT vec_id, v, unnest(range(1, 9)) AS i FROM s),
+        |p AS (SELECT i, j, v[i] AS vi, v[j] AS vj
+        |      FROM (SELECT vec_id, v, i, unnest(range(1, 9)) AS j FROM z1) z2
+        |      WHERE j >= i)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, COUNT(*) AS n,
+        |       CAST(SUM(vi * vj) AS BIGINT) AS sxy,
+        |       CAST(SUM(vi) AS BIGINT) AS sx,
+        |       CAST(SUM(vj) AS BIGINT) AS sy
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin),
 
     // int8 embedding quantization (per-vector max-abs scale, explicit
     // FLOOR(x+0.5) so both engines round identically).

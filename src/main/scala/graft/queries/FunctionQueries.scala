@@ -173,6 +173,30 @@ object FunctionQueries {
         |octet_length(encode(text)) AS nbytes
         |FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin),
 
+    // Bitwise operators/functions: &, |, XOR, shifts, complement,
+    // popcount — all BIGINT-exact in both engines (DuckDB's ^ is
+    // exponentiation, so XOR goes through its xor() function; Spark's ^
+    // IS bitwise xor).
+    "q_fn_bitwise" -> sql2(
+      """SELECT o_orderkey,
+        |CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+        |CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+        |CAST(o_orderkey ^ 1535 AS BIGINT) AS b_xor,
+        |CAST(shiftleft(o_orderkey, 3) AS BIGINT) AS b_shl,
+        |CAST(shiftright(o_orderkey, 2) AS BIGINT) AS b_shr,
+        |CAST(~o_orderkey AS BIGINT) AS b_not,
+        |CAST(bit_count(o_orderkey) AS INT) AS b_pop
+        |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey,
+        |CAST(o_orderkey & 255 AS BIGINT) AS b_and,
+        |CAST(o_orderkey | 4096 AS BIGINT) AS b_or,
+        |CAST(xor(o_orderkey, 1535) AS BIGINT) AS b_xor,
+        |CAST(o_orderkey << 3 AS BIGINT) AS b_shl,
+        |CAST(o_orderkey >> 2 AS BIGINT) AS b_shr,
+        |CAST(~o_orderkey AS BIGINT) AS b_not,
+        |CAST(bit_count(o_orderkey) AS INT) AS b_pop
+        |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin),
+
     // JSON extraction from events.props (not in DataFusion core 53 —
     // SURVEY §2.B.8 marks it an extension; Spark ships it built-in).
     "q_fn_json" -> sql2(
