@@ -1268,6 +1268,42 @@ object LlmQueries {
         |       CAST(MIN(CASE WHEN i = n * ch - 1 THEN s END) AS INT) AS sn
         |FROM v GROUP BY doc_id, ch, n ORDER BY doc_id""".stripMargin),
 
+    // REAL decode → nearest-neighbor resize → stats over PPM payloads
+    // (up- AND down-scaling: sources span 4..8 × 3..6, target is 6×5).
+    // The oracle reproduces the resample closed-form — sx = x·w div tw,
+    // sy = y·h div th over the construction formula — so a one-pixel
+    // indexing error in the real byte-level resample diverges.
+    "q_multimodal_ppm_resize" -> df(
+      (s, d) => Multimodal.ppmResizeStats(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .selectExpr("doc_id",
+            "CAST(4 + doc_id % 5 AS INT) AS w",
+            "CAST(3 + doc_id % 4 AS INT) AS h")
+          .selectExpr("doc_id",
+            """concat(
+              |  encode(concat('P6\n', CAST(w AS STRING), ' ', CAST(h AS STRING), '\n255\n'), 'UTF-8'),
+              |  unhex(aggregate(
+              |    transform(sequence(0, w * h * 3 - 1),
+              |              i -> lpad(hex(pmod(doc_id * 7 + i * 13, 256)), 2, '0')),
+              |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin),
+        tw = 6, th = 5),
+      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |g AS (SELECT doc_id, w, h, x, y, c,
+        |             (((y * h // 5) * w + (x * w // 6)) * 3 + c) AS i
+        |      FROM (SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c
+        |            FROM (SELECT doc_id, w, h, x, unnest(range(0, 5)) AS y
+        |                  FROM (SELECT doc_id, w, h, unnest(range(0, 6)) AS x FROM p) z1) z2) z3),
+        |v AS (SELECT doc_id, w, h, x, y, c, (doc_id * 7 + i * 13) % 256 AS b FROM g)
+        |SELECT doc_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+        |       CAST(6 AS INT) AS out_w, CAST(5 AS INT) AS out_h,
+        |       CAST(SUM(CASE WHEN c = 0 THEN b END) AS BIGINT) AS sum_r,
+        |       CAST(SUM(CASE WHEN c = 1 THEN b END) AS BIGINT) AS sum_g,
+        |       CAST(SUM(CASE WHEN c = 2 THEN b END) AS BIGINT) AS sum_b,
+        |       CAST(MIN(CASE WHEN x = 0 AND y = 0 AND c = 0 THEN b END) AS INT) AS px0,
+        |       CAST(MIN(CASE WHEN x = 5 AND y = 4 AND c = 2 THEN b END) AS INT) AS pxn
+        |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
+
     "q_multimodal_resize" -> df(
       (s, d) => Multimodal.resize(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0), 224, 224),

@@ -154,6 +154,74 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL nearest-neighbor resize over a decoded [[PpmImage]]: output
+    * pixel (x, y) samples source pixel (x·sw div tw, y·sh div th) —
+    * integer arithmetic, so the mapping is engine-reproducible exactly.
+    * With [[decodePpm]] this replaces the resize STUB for PPM payloads;
+    * formats needing a codec stay stubbed.
+    */
+  def resizePpmNearest(img: PpmImage, tw: Int, th: Int): PpmImage = {
+    require(tw > 0 && th > 0, s"bad target ${tw}x$th")
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y * img.height / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * img.width / tw
+        val src = (sy * img.width + sx) * 3
+        val dst = (y * tw + x) * 3
+        out(dst) = img.pixels(src)
+        out(dst + 1) = img.pixels(src + 1)
+        out(dst + 2) = img.pixels(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    PpmImage(tw, th, img.maxVal, out)
+  }
+
+  /** Per-image REAL decode→resize rollup (dims + per-channel byte sums +
+    * corner pixels of the RESIZED image, all oracle-checkable).
+    */
+  final case class PpmResizeStats(
+      doc_id: Long, src_w: Int, src_h: Int, out_w: Int, out_h: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, px0: Int, pxn: Int)
+
+  /** Decode a (doc_id, payload) binary column, nearest-neighbor resize to
+    * (tw, th), and report resized-image stats — the real image-preprocess
+    * stage shape (decode → scale → stats), executor-side.
+    */
+  def ppmResizeStats(withPayload: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodePpm(bytes) match {
+          case Left(err) => throw new IllegalArgumentException(s"doc $id: $err")
+          case Right(src) =>
+            val img = resizePpmNearest(src, tw, th)
+            var (r, g, b) = (0L, 0L, 0L)
+            var i = 0
+            while (i < img.pixels.length) {
+              val v = img.pixels(i) & 0xff
+              (i % 3: @annotation.switch) match {
+                case 0 => r += v
+                case 1 => g += v
+                case 2 => b += v
+              }
+              i += 1
+            }
+            PpmResizeStats(id, src.width, src.height, tw, th, r, g, b,
+              img.pixels.head & 0xff, img.pixels.last & 0xff)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** A decoded PCM WAV clip (16-bit samples, channel-interleaved). */
   final case class WavAudio(
       channels: Int, sampleRate: Int, bitsPerSample: Int, samples: Array[Short])

@@ -41,6 +41,22 @@ class PpmDecodeSpec extends AnyFunSuite {
     assert(got.toOption.get.pixels.toSeq == px.toSeq)
   }
 
+  test("nearest-neighbor resize picks the hand-computable source pixels") {
+    // 2x2 source, channels encode position: pixel (sx, sy) = (10*sx+sy)*3+{0,1,2}
+    val src = Multimodal.PpmImage(2, 2, 255,
+      Array.tabulate(12) { i => val p = i / 3; ((p % 2) * 10 + p / 2) * 3 + i % 3 }
+        .map(_.toByte))
+    // upscale 2x2 -> 4x4: sx = x*2/4 = x/2 — each source pixel tiles 2x2
+    val up = Multimodal.resizePpmNearest(src, 4, 4)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+      val expected = ((x / 2) * 10 + y / 2) * 3 + c
+      assert((up.pixels(((y * 4) + x) * 3 + c) & 0xff) == expected, s"up ($x,$y,$c)")
+    }
+    // downscale 2x2 -> 1x1: picks (0, 0) exactly
+    val down = Multimodal.resizePpmNearest(src, 1, 1)
+    assert(down.pixels.toSeq == src.pixels.take(3).toSeq)
+  }
+
   test("rejects malformed inputs with reasons") {
     val ok = ppm("P6\n1 1\n255\n", Array.fill(3)(1.toByte))
     assert(Multimodal.decodePpm(ok).isRight)
