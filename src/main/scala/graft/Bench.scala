@@ -96,10 +96,19 @@ object Bench {
       if (!Files.exists(Paths.get(prevPath))) "{}"
       else try {
         val txt = Files.readString(Paths.get(prevPath))
+        // parse ONLY the "queries" object — the record also carries
+        // per-query gc_sec entries under the same q_* names, which would
+        // otherwise shadow the times and report nonsense ratios
+        val qObj = txt.indexOf("\"queries\":{") match {
+          case -1 => ""
+          case i => txt.substring(i + 11, txt.indexOf('}', i))
+        }
         val entry = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
-        val prev = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val prev = entry.findAllMatchIn(qObj).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // 0.3 s absolute floor: sub-second blips on a shared box are
+        // measurement noise, not regressions (see the r4 cluster diagnosis)
         results.collect {
-          case (n, v, true, _) if prev.get(n).exists(p => p > 0 && v / p > 1.5 && v - p > 0.2) =>
+          case (n, v, true, _) if prev.get(n).exists(p => p > 0 && v / p > 1.5 && v - p > 0.3) =>
             f""""$n":{"prev":${prev(n)}%.3f,"now":$v%.3f,"ratio":${v / prev(n)}%.2f}"""
         }.mkString("{", ",", "}")
       } catch { case _: Throwable => "{}" }
