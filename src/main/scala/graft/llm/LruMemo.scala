@@ -7,17 +7,27 @@ package graft.llm
   * keeps the other sessions' staged signatures warm instead of
   * clear()-ing the world. Evicted entries just recompute; dropping the
   * strong reference lets the ContextCleaner reclaim checkpoint blocks.
+  *
+  * The map lock guards only map operations: each entry is a lazy cell,
+  * so a multi-second staging compute blocks ONLY callers of its own key
+  * (they share the cell's result), never other keys — one tenant's
+  * cold-start must not serialize every other tenant's lookup.
   */
 private[llm] final class LruMemo[K, V](capacity: Int) {
-  private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+  private final class Cell(compute: () => V) { lazy val value: V = compute() }
+
+  private val map = new java.util.LinkedHashMap[K, Cell](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, Cell]): Boolean =
       size() > capacity
   }
 
-  def getOrElseUpdate(key: K)(compute: => V): V = map.synchronized {
-    val hit = map.get(key)
-    if (hit != null) hit
-    else { val v = compute; map.put(key, v); v }
+  def getOrElseUpdate(key: K)(compute: => V): V = {
+    val cell = map.synchronized {
+      val hit = map.get(key)
+      if (hit != null) hit
+      else { val c = new Cell(() => compute); map.put(key, c); c }
+    }
+    cell.value // first caller computes outside the map lock
   }
 
   /** Test probes. */

@@ -32,4 +32,34 @@ class LruMemoSpec extends AnyFunSuite {
     get(2)
     assert(computes == 1, "only the evicted entry recomputes")
   }
+
+  test("a slow compute on one key does not block other keys") {
+    // Staging a checkpoint takes seconds; one tenant's cold-start must not
+    // hold the map lock against every other tenant. Thread A parks inside
+    // its compute; key B must still complete — which is only possible if
+    // the lock is NOT held during computation.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val memo = new LruMemo[String, String](8)
+    val aEntered = new CountDownLatch(1)
+    val aRelease = new CountDownLatch(1)
+    val a = new Thread(() => {
+      memo.getOrElseUpdate("a") {
+        aEntered.countDown()
+        assert(aRelease.await(30, TimeUnit.SECONDS), "release latch")
+        "va"
+      }
+      ()
+    })
+    a.start()
+    assert(aEntered.await(10, TimeUnit.SECONDS), "A must enter its compute")
+    @volatile var bResult: Option[String] = None
+    val b = new Thread(() => { bResult = Some(memo.getOrElseUpdate("b") { "vb" }) })
+    b.start()
+    b.join(10000)
+    val got = bResult // read once: B either finished (Some) or is deadlocked (None)
+    aRelease.countDown() // un-park A before asserting so a failure can't hang the suite
+    a.join(10000)
+    assert(got.contains("vb"), "key B blocked behind key A's in-flight compute")
+    assert(memo.getOrElseUpdate("a")("never") == "va", "A's result is memoized")
+  }
 }
