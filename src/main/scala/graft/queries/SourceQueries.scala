@@ -143,6 +143,39 @@ object SourceQueries {
         |FROM evolving ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** binaryFile source — the multimodal ingest path: raw media files land
+    * as (path, length, content: binary) rows, no decode at scan time. The
+    * fixture stages one file per nation row with deterministic bytes
+    * (content differs per sfDir only if nation does; the dir is keyed by
+    * the content hash so distinct corpora never share staging). Staging
+    * collects the 25-row DIMENSION table driver-side — fixture setup, not
+    * a query hot path. The oracle reproduces name/length/md5 closed-form
+    * from the same construction, so a scan that drops or truncates a file
+    * diverges.
+    */
+  private def binaryFileScan(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    val rows = s.sql("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+      .collect().map(r => (String.valueOf(r.get(0)), r.getString(1), String.valueOf(r.get(2))))
+    val key = java.lang.Integer.toHexString(
+      java.util.Arrays.hashCode(rows.map(_.toString.hashCode): Array[Int]))
+    val dir = Paths.get(fixtureDir, s"binsrc_$key")
+    synchronized {
+      if (!Files.exists(dir)) {
+        Files.createDirectories(dir)
+        rows.foreach { case (k, name, rk) =>
+          Files.write(dir.resolve(s"nation_$k.bin"), s"$name|$rk".getBytes("UTF-8"))
+        }
+      }
+    }
+    s.read.format("binaryFile").load(dir.toString)
+      .selectExpr(
+        "element_at(split(path, '/'), -1) AS fname",
+        "length AS n_bytes",
+        "md5(content) AS content_md5")
+      .orderBy("fname")
+  }
+
   private def copyRoundtrip(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
     val out = s"$fixtureDir/copy_out.parquet"
@@ -201,6 +234,12 @@ object SourceQueries {
     "q_src_partitioned_write" -> df(partitionedWrite,
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin),
+
+    "q_src_binary_file" -> df(binaryFileScan,
+      """SELECT 'nation_' || n_nationkey || '.bin' AS fname,
+        |CAST(octet_length(encode(n_name || '|' || n_regionkey)) AS BIGINT) AS n_bytes,
+        |md5(n_name || '|' || n_regionkey) AS content_md5
+        |FROM nation ORDER BY fname""".stripMargin),
 
     "q_src_copy_roundtrip" -> df(copyRoundtrip,
       """SELECT o_custkey, COUNT(*) AS n,

@@ -43,6 +43,17 @@ object EventStream {
       """SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
         |ORDER BY user_id""".stripMargin),
 
+    // Multi-row custom state: flatMapGroupsWithState milestone emission
+    // (batch-boundary-invariant crossings — milestoneCounts doc). Oracle =
+    // the closed form floor(total/10) milestones per user.
+    "q_stream_milestones" -> QuerySpec.df(
+      (s, d) => milestoneCounts(s, d),
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, unnest(range(1, CAST(n // 10 AS INT) + 1)) * 10 AS milestone
+        |      FROM c WHERE n >= 10)
+        |SELECT user_id, CAST(milestone AS BIGINT) AS milestone
+        |FROM m ORDER BY user_id, milestone""".stripMargin),
+
     // Stream-static join: each micro-batch hash-joins against a static
     // dimension (re-broadcast per batch by the engine) — the enrichment
     // shape of a streaming ingest pipeline. Oracle = the batch join.
@@ -400,5 +411,42 @@ object EventStream {
     runToTable(updates, "update")
       .groupBy("user_id").agg(max(col("n")).as("n"))
       .orderBy("user_id")
+  }
+
+  /** Multi-row custom state (flatMapGroupsWithState): per-user MILESTONE
+    * emission — a row whenever a user's running event count crosses a
+    * multiple of 10. Each invocation may emit zero or many rows (the
+    * capability mapGroupsWithState lacks), and the emitted set is
+    * batch-boundary-INVARIANT: a crossing happens exactly once no matter
+    * how the stream is chopped into micro-batches, because each batch
+    * emits the multiples inside (prev_count, new_count]. That invariance
+    * is what makes the final sink oracle-comparable to the batch closed
+    * form (floor(total/10) milestones per user), with no watermark or
+    * timeout dependence.
+    */
+  def milestoneCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    val staged = stage(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val milestones = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .selectExpr("user_id")
+      .as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Long],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val now = prev + events.size
+          state.update(now)
+          ((prev / 10 + 1) to now / 10).iterator.map(m => (user, m * 10))
+      }
+      .toDF("user_id", "milestone")
+    runToTable(milestones, "update")
+      .orderBy("user_id", "milestone")
   }
 }

@@ -165,6 +165,40 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(service.paramTemplateEntries == 0)
   }
 
+  test("parameterized plan cache: named params bind; uninferable types fall back") {
+    val cached = new FlightSqlService(
+      new StaticSessionProvider(spark), FlightSqlServiceConfig(planCacheSize = 2))
+    def bytesFor(field: String, v: Int): Array[Byte] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      ArrowCodec.encodeStream(spark.createDataFrame(
+        java.util.Arrays.asList(Row(v)),
+        StructType(Seq(StructField(field, IntegerType, nullable = false))))).toBytes
+    }
+    // named parameter goes through the template (field name "uid", not $n)
+    val named = cached.createPreparedStatement("SELECT name FROM users WHERE id = $uid")
+    assert(cached.paramTemplateEntries == 1)
+    val h1 = cached.doPutPreparedStatementQuery(named.handle, bytesFor("uid", 3))
+    val r1 = ArrowCodec.decode(cached.doGet(
+      CommandTicket(CommandPreparedStatementQuery(h1)).encode).toBytes).rows
+    assert(r1 == Seq(Seq("Charlie")))
+    // uninferable placeholder type (bare projection): create rejects it
+    // with the reference's UninferableParameter, but tickets are
+    // STATELESS — a client can hand-construct the handle and execute
+    // anyway. The template build fails for it, so execution must route
+    // through the uncached Params.bind path and still produce the value.
+    val e = intercept[Status] {
+      cached.createPreparedStatement("SELECT $1 AS x FROM users WHERE id = 1")
+    }
+    assert(e.message.contains("unable to determine type of query parameter"))
+    val handMade = QueryHandle(
+      "SELECT $1 AS x FROM users WHERE id = 1", Some(bytesFor("$1", 42))).encode
+    val r2 = ArrowCodec.decode(cached.doGet(
+      CommandTicket(CommandPreparedStatementQuery(handMade)).encode).toBytes).rows
+    assert(r2 == Seq(Seq(42)))
+    assert(cached.paramTemplateEntries == 1, "uninferable SQL must not enter the cache")
+  }
+
   test("prepared statement rejects multi-row parameter streams (service.rs:849-853)") {
     val created = service.createPreparedStatement("SELECT name FROM users WHERE id = $1")
     val paramDf = {
