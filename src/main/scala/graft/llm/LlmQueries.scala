@@ -117,6 +117,26 @@ object LlmQueries {
         Tables.documents(s, d).filter(col("doc_id") % 5 === 0), 9, 10),
       jaccardOracleDuck("0.9")),
 
+    // Directional containment (|A∩B|/|A| >= 0.9): catches subset
+    // duplication — a document quoted wholesale inside a longer one —
+    // which symmetric Jaccard cannot (PrefixJaccard.containmentPairs
+    // doc). Candidates via the lossless one-sided prefix filter; the
+    // %25 subset bounds the brute-force oracle's all-shared-words join.
+    "q_dedup_containment" -> df(
+      (s, d) => PrefixJaccard.containmentPairs(
+        Tables.documents(s, d).filter(col("doc_id") % 25 === 0), 9, 10),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+        |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS contained, b.doc_id AS container, COUNT(*) AS c
+        |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id != b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT contained, container,
+        |       CAST(FLOOR(c * 10000.0 / s.n + 0.5) AS BIGINT) AS containment_bp
+        |FROM c JOIN sz s ON contained = s.doc_id
+        |WHERE c * 10 >= s.n * 9
+        |ORDER BY contained, container""".stripMargin),
+
     // Edit-distance near-dup verification: levenshtein over length-blocked
     // candidate pairs — the character-level verifier that catches
     // reorder-insensitive near-dups word-set Jaccard cannot (both engines
@@ -136,7 +156,7 @@ object LlmQueries {
     // serializing every O(len²) distance on one core. An explicit
     // numPartitions repartition is exempt from AQE coalescing, so the
     // join (and the pushed-in distance work) runs 64-wide — measured
-    // 20s -> <1s at sf0.1. DuckDB parses the hint as an ordinary block
+    // 20s -> ~2s cold / <1s warm at sf0.1. DuckDB parses the hint as an ordinary block
     // comment, so the SQL text stays identical on both sides. The same
     // compute-vs-bytes skew applies to ANY expensive verify over a small
     // candidate set at 100 TB.

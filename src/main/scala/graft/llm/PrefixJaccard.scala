@@ -79,4 +79,55 @@ object PrefixJaccard {
       .localCheckpoint(true)
       .orderBy("id1", "id2")
   }
+
+  /** DIRECTIONAL containment pairs: C(A→B) = |A∩B|/|A| >= tNum/tDen —
+    * the subset-duplication detector (a short document quoted wholesale
+    * inside a longer one has LOW Jaccard but containment ≈ 1, so the
+    * symmetric join above cannot see it). The prefix theorem adapts:
+    * overlap >= ceil(t·|A|) forces a shared token inside A's rarest
+    * |A| − ceil(t·|A|) + 1 tokens, so candidates come from A-PREFIX ⋈
+    * B-ALL-TOKENS — lossless, and only the contained side pays a prefix
+    * bound. The companion length filter is one-sided too: overlap <= |B|
+    * forces |B| >= t·|A|. Verification is the same codegen'd sorted-merge
+    * overlap; the threshold compare is pure integer arithmetic.
+    */
+  def containmentPairs(docs: DataFrame, tNum: Int, tDen: Int, salt: Int = 8): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+      .localCheckpoint(true)
+
+    val dfreq = w.groupBy("word").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy("df", "word")
+    val withN = w.join(broadcast(dfreq), "word")
+      .withColumn("p", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val pre = withN
+      .filter(col("p") <= col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + 1)
+      .select("doc_id", "word", "n")
+
+    val prl = pre.withColumn("s", explode(sequence(lit(0), lit(salt - 1))))
+    val allr = withN.select(col("doc_id"), col("word"), col("n"))
+      .withColumn("s", pmod(xxhash64(col("doc_id")), lit(salt)).cast("int"))
+    val cand = prl.as("a")
+      .join(allr.as("b"),
+        col("a.word") === col("b.word") && col("a.s") === col("b.s") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * tDen >= col("a.n") * tNum)
+      .select(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
+      .distinct()
+
+    val sets = w.groupBy("doc_id").agg(array_sort(collect_set("word")).as("ws"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("contained"), col("ws").as("wsa"))), "contained")
+      .join(broadcast(sets.select(col("doc_id").as("container"), col("ws").as("wsb"))), "container")
+      .select(col("contained"), col("container"),
+        expr("graft_overlap(wsa, wsb)").as("c"), size(col("wsa")).as("na"))
+      .filter(col("c") * tDen >= col("na") * tNum)
+      .select(col("contained"), col("container"),
+        expr("CAST(FLOOR(c * 10000.0 / na + 0.5) AS BIGINT)").as("containment_bp"))
+      .localCheckpoint(true)
+      .orderBy("contained", "container")
+  }
 }

@@ -10,7 +10,42 @@ import QuerySpec.{sql, sql2}
   */
 object DepthQueries {
 
+  /** 16-bit Morton (z-order) bit-spread in SQL, shared by both dialects
+    * modulo the shift operator: the classic mask ladder
+    * 0x00FF00FF → 0x0F0F0F0F → 0x33333333 → 0x55555555. Pure integer
+    * arithmetic, so Spark and DuckDB agree bit-for-bit.
+    */
+  private def mortonSql(shl: (String, Int) => String): String = {
+    def spread(col: String): String = {
+      val s1 = s"(($col | ${shl(col, 8)}) & 16711935)"
+      val s2 = s"(($s1 | ${shl(s1, 4)}) & 252645135)"
+      val s3 = s"(($s2 | ${shl(s2, 2)}) & 858993459)"
+      s"(($s3 | ${shl(s3, 1)}) & 1431655765)"
+    }
+    s"""WITH t AS (SELECT o_orderkey,
+       |           o_custkey % 65536 AS x, o_orderkey % 65536 AS y
+       |           FROM orders WHERE o_orderkey % 23 = 0)
+       |SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       |       CAST(${spread("x")} | ${shl(spread("y"), 1)} AS BIGINT) AS zkey
+       |FROM t ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** Spark side of the z-key (used by the locality property test too). */
+  private[queries] def mortonSpark: String =
+    mortonSql((c, n) => s"shiftleft($c, $n)")
+
   val specs: Map[String, QuerySpec] = Map(
+    // Z-order (Morton) layout key: interleave the bits of two columns so
+    // sorting by one key clusters BOTH dimensions — the multi-column data
+    // -layout lever behind Delta/Iceberg Z-ORDER clustering. At 100 TB
+    // the pipeline computes zkey, sortWithinPartitions(zkey) on write,
+    // and min/max row-group stats then prune on EITHER column's
+    // predicate. Pure integer bit-spread, exact in both engines;
+    // ZOrderSpec pins the locality property that justifies the layout.
+    "q_layout_zorder" -> sql2(
+      mortonSpark,
+      mortonSql((c, n) => s"($c << $n)")),
+
     // TPC-H Q5 shape: 6-table join; region/nation/supplier broadcast,
     // lineitem⋈orders shuffle on orderkey.
     "q_tpch_q5ish" -> sql(

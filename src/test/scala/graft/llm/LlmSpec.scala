@@ -183,6 +183,22 @@ class LlmSpec extends AnyFunSuite {
     assert(hier >= 0.25, s"hier recall@3 $hier below floor")
   }
 
+  test("containment finds subset duplication that symmetric Jaccard misses") {
+    // doc 2's 5 words all sit inside doc 1's 20: containment(2→1) = 1.0
+    // but J = 5/20 = 0.25 — invisible at any useful Jaccard threshold.
+    // doc 3 shares nothing. Direction matters: 1 is NOT contained in 2.
+    val d = docs(
+      1L -> (1 to 20).map(i => s"w$i").mkString(" "),
+      2L -> "w3 w7 w11 w15 w19",
+      3L -> "x1 x2 x3 x4 x5")
+    val cont = PrefixJaccard.containmentPairs(d, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cont.toSeq == Seq((2L, 1L, 10000L)),
+      s"expected exactly contained=2 in container=1 at 100%: ${cont.toSeq}")
+    val jac = PrefixJaccard.pairs(d, 9, 10).collect()
+    assert(jac.isEmpty, "Jaccard at 0.9 must NOT pair the subset docs")
+  }
+
   test("residual PQ beats raw-vector PQ where coarse structure exists") {
     // The parquet fixture's near-random vectors are the degenerate case
     // (x − centroid is as random as x, nothing for residual coding to
