@@ -267,6 +267,32 @@ object RelationalQueries {
         |      HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 800000) t
         |ON c_custkey = o_custkey ORDER BY c_custkey""".stripMargin),
 
+    // Correlated LATERAL derived table with per-row ORDER BY + LIMIT —
+    // the SQL-standard per-key top-1 shape (Spark decorrelates it into a
+    // window/aggregate; DuckDB executes the lateral directly — two
+    // independent strategies, one answer).
+    "q_join_lateral" -> QuerySpec.sql2(
+      """SELECT c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS top_price
+        |FROM customer JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |WHERE c_custkey % 29 = 0
+        |ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS top_price
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |WHERE c_custkey % 29 = 0
+        |ORDER BY c_custkey""".stripMargin),
+
+    // GROUP BY ALL / ORDER BY ALL: both engines infer the grouping keys
+    // from the non-aggregate select list (identical inference rules here).
+    "q_agg_group_by_all" -> sql(
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin),
+
     // ---- sorts / limits (§2.B.6) ----
     "q_sort_nulls" -> sql(
       """SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc_n
