@@ -47,6 +47,30 @@ class ScaleBehaviorSpec extends AnyFunSuite {
       s"candidates $maxCand exceed the (nbits+1) x tables x bucket bound $bound")
   }
 
+  test("hierarchical IVF eval budget grows sub-linearly in nlist (20k vectors)") {
+    // The whole point of the two-level quantizer: per-vector distance
+    // evaluations must track O(sqrt nlist), not nlist. At 20k vectors
+    // nlist ≈ 142 — the flat design scores all of them per vector; the
+    // two-level budget (nlist1 cells + p1 probed cells' centroids) must
+    // stay well under half of that, on data with no convenient cluster
+    // structure.
+    val n = 20000L
+    val s = TestSpark.spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    s.range(n).selectExpr(
+      "id AS vec_id",
+      "CAST(transform(sequence(1, 64), j -> CAST(pmod(xxhash64(id, j), 1000) AS DOUBLE) / 1000.0 - 0.5) AS ARRAY<FLOAT>) AS embedding",
+      "CAST(id % 10 AS INT) AS label")
+      .createOrReplaceTempView("embeddings")
+    val r = s.sql(AnnSql.ivfHierBoundSpark()).collect().head
+    val (nlist, nlist1, maxCell, maxEvals) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nlist >= 100, s"20k corpus should size nlist ~sqrt(N), got $nlist")
+    assert(maxEvals <= 2 * maxCell, "structural bound: p1=2 cells of centroids")
+    assert(nlist1 + maxEvals < nlist / 2,
+      s"two-level budget ${nlist1 + maxEvals} must undercut half of flat nlist=$nlist")
+  }
+
   test("paragraph dedup keeps a constant block set as duplicate copies multiply") {
     // The scale property of first-occurrence dedup: replicating the corpus
     // k-fold must not grow the KEPT set — every extra copy dedups away.
