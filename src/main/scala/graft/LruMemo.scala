@@ -1,4 +1,4 @@
-package graft.llm
+package graft
 
 /** Bounded access-ordered memo for staged intermediates (checkpointed
   * DataFrames, corpus indexes). Same LRU shape as the service plan cache
@@ -13,7 +13,7 @@ package graft.llm
   * (they share the cell's result), never other keys — one tenant's
   * cold-start must not serialize every other tenant's lookup.
   */
-private[llm] final class LruMemo[K, V](capacity: Int) {
+private[graft] final class LruMemo[K, V](capacity: Int) {
   private final class Cell(compute: () => V) { lazy val value: V = compute() }
 
   private val map = new java.util.LinkedHashMap[K, Cell](16, 0.75f, true) {
@@ -31,6 +31,16 @@ private[llm] final class LruMemo[K, V](capacity: Int) {
   }
 
   /** Test probes. */
-  private[llm] def contains(key: K): Boolean = map.synchronized(map.containsKey(key))
-  private[llm] def size: Int = map.synchronized(map.size())
+  private[graft] def contains(key: K): Boolean = map.synchronized(map.containsKey(key))
+  private[graft] def size: Int = map.synchronized(map.size())
+
+  /** Count of entries whose (computed) value satisfies p — forces the
+    * snapshot's cells OUTSIDE the map lock, like any reader.
+    */
+  private[graft] def countValues(p: V => Boolean): Int = {
+    val cells = map.synchronized(new java.util.ArrayList(map.values()))
+    var n = 0
+    cells.forEach(c => if (p(c.value)) n += 1)
+    n
+  }
 }

@@ -504,18 +504,22 @@ object AnnSql {
     * vectors regardless of N), so training work is O(|sample|·k) — a fixed
     * budget — instead of q_ann_kmeans' O(N·k) per iteration, and only the
     * final one-off assignment (the [[ivfHierSql]] two-level path) touches
-    * every vector. Sample = vec_id % sampleMod = 0; centroid count stays
-    * sized to the FULL corpus (nlist ≈ sqrt N — the index's list count is
-    * a property of N, not of the training budget). Per-cluster stats
-    * estimate full-corpus values scaled by the sampling rate; same
-    * fixed-point integer exactness as [[kmeansStepSpark]].
+    * every vector. Sample = vec_id % sampleMod = 0; the centroid seed
+    * set is drawn from the FULL table (vec_id % stride = 0,
+    * re-quantized), NOT from the sample — seeding from the sample would
+    * thin nlist to N / lcm(stride, sampleMod), up to sampleMod× fewer
+    * lists than the design's sqrt(N) whenever stride and sampleMod share
+    * no common factor (the list count is a property of N, not of the
+    * training budget). Per-cluster stats estimate full-corpus values
+    * scaled by the sampling rate; same fixed-point integer exactness as
+    * [[kmeansStepSpark]].
     */
   private def kmeansSampledSql(
       quant: String, dotFn: (String, String) => String, sampleMod: Int,
       dim0Idx: Int): String =
     s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
        |s AS (SELECT vec_id, $quant AS v FROM embeddings WHERE vec_id % $sampleMod = 0),
-       |c AS (SELECT vec_id AS cent_id, v AS cv FROM s
+       |c AS (SELECT vec_id AS cent_id, $quant AS cv FROM embeddings
        |      WHERE vec_id % (SELECT stride FROM st) = 0),
        |d AS (SELECT s.vec_id, c.cent_id,
        |             ${dotFn("s.v", "s.v")} + ${dotFn("c.cv", "c.cv")}

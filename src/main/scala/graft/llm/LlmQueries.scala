@@ -65,7 +65,7 @@ object LlmQueries {
     * q_dedup_embedding via the `ann_sig` temp view (the same staged shared
     * intermediate a production ANN pipeline would persist).
     */
-  private[llm] val sigCache = new LruMemo[
+  private[llm] val sigCache = new graft.LruMemo[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame](8)
 
   private def registerSig(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
@@ -78,7 +78,7 @@ object LlmQueries {
   /** Memoized persistent corpus index for incremental dedup (same
     * lifecycle pattern as sigCache / the MinHash pair memo).
     */
-  private[llm] val corpusIndexCache = new LruMemo[
+  private[llm] val corpusIndexCache = new graft.LruMemo[
     (org.apache.spark.sql.SparkSession, String), MinHashDedup.CorpusIndex](8)
 
   private[graft] def corpusIndexCached(

@@ -24,7 +24,7 @@ object MinHashDedup {
   // Verified pair sets are consumed by both the pair query and the
   // clustering query; materialize once per (session, dir, threshold)
   // (a shared intermediate, same as a production pipeline would persist).
-  private[llm] val cache = new LruMemo[
+  private[llm] val cache = new graft.LruMemo[
     (org.apache.spark.sql.SparkSession, String, Double), DataFrame](8)
 
   /** Near-duplicates of the doc_id % 5 fixture subset, materialized once

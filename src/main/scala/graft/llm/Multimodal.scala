@@ -103,6 +103,11 @@ object Multimodal {
         if (w <= 0 || h <= 0) Left(s"non-positive dimensions ${w}x$h")
         else if (mv <= 0 || mv > 255) Left(s"unsupported maxval $mv (1-byte channels only)")
         else if (i >= bytes.length) Left("truncated after header")
+        else if (bytes(i) != ' ' && bytes(i) != '\t' && bytes(i) != '\n' && bytes(i) != '\r')
+          // the spec requires EXACTLY one whitespace byte after maxval; a
+          // non-whitespace byte here is a malformed header, and consuming
+          // it blindly would decode the pixel stream one byte off
+          Left(s"expected whitespace after maxval, got byte ${bytes(i) & 0xff}")
         else {
           i += 1 // the single whitespace byte terminating maxval
           val need = w.toLong * h * 3
@@ -288,6 +293,11 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         decodeWav(bytes) match {
           case Left(err) => throw new IllegalArgumentException(s"doc $id: $err")
+          case Right(wav) if wav.samples.isEmpty =>
+            // a zero-size data chunk is structurally legal WAV; the stats
+            // contract (first/last sample) is not defined for it — fail
+            // with the doc id instead of an unlabeled NoSuchElementException
+            throw new IllegalArgumentException(s"doc $id: empty data chunk (0 samples)")
           case Right(wav) =>
             var sumAbs = 0L
             var s = 0

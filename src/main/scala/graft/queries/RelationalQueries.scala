@@ -289,6 +289,10 @@ object RelationalQueries {
 
     // GROUP BY ALL / ORDER BY ALL: both engines infer the grouping keys
     // from the non-aggregate select list (identical inference rules here).
+    // ORDER BY ALL cannot carry NULLS FIRST/LAST and the engine defaults
+    // DIVERGE (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST) — this
+    // row is deterministic ONLY because every inferred key is a non-null
+    // TPC-H column; do not copy the pattern onto nullable keys.
     "q_agg_group_by_all" -> sql(
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
         |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin),

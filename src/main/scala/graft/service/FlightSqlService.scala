@@ -140,37 +140,32 @@ class FlightSqlService(
     * leaves where values go — is built once per (session, SQL text), at
     * create_prepared_statement or first execution, and every execution
     * after that only swaps same-type literals into the analyzed tree.
-    * Anything template-ineligible (uninferable placeholder types, value
-    * conversion mismatches) falls back to the uncached [[Params.bind]]
-    * path so error behavior stays canonical.
+    * Anything template-ineligible (parameter-free text, uninferable
+    * placeholder types) is NEGATIVE-cached as None so repeat executions
+    * skip straight to the uncached [[Params.bind]] path instead of
+    * re-running the parse + inference probes every time; the entries are
+    * graft.LruMemo lazy cells, so a cold template build never blocks
+    * other sessions' lookups.
     */
-  private val paramTemplateCache =
-    new java.util.LinkedHashMap[(Int, String), org.apache.spark.sql.catalyst.plans.logical.LogicalPlan](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Boolean =
-        size() > config.planCacheSize
-    }
+  private val paramTemplateCache = new graft.LruMemo[
+    (Int, String), Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]](
+    math.max(1, config.planCacheSize))
 
+  /** Test probe: number of POSITIVE cached templates. */
   private[service] def paramTemplateEntries: Int =
-    paramTemplateCache.synchronized(paramTemplateCache.size)
+    paramTemplateCache.countValues(_.isDefined)
 
   /** Template for (session, sql), building + caching on miss; None when
     * caching is off, the SQL is parameter-free, or the template cannot be
-    * built (uninferable types).
+    * built (uninferable types) — the None is cached too.
     */
   private def cachedTemplate(
       spark: SparkSession,
       sql: String): Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     if (config.planCacheSize <= 0) None
-    else paramTemplateCache.synchronized {
-      val key = (System.identityHashCode(spark), sql)
-      Option(paramTemplateCache.get(key)).orElse {
-        try {
-          val built = Params.prepareTemplate(spark, sql, sqlOptions)
-          built.foreach(paramTemplateCache.put(key, _))
-          built
-        } catch { case scala.util.control.NonFatal(_) => None }
-      }
+    else paramTemplateCache.getOrElseUpdate((System.identityHashCode(spark), sql)) {
+      try Params.prepareTemplate(spark, sql, sqlOptions)
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** Prepared-statement execution: bind into the cached analyzed template
@@ -274,11 +269,14 @@ class FlightSqlService(
   def createPreparedStatement(sql: String, meta: Meta = noMeta): PreparedStatementResult =
     wrap {
       val spark = provider.session(meta)
-      // warm the parameter-template cache so the statement's executions
-      // start on the analyzed template immediately (no-op when caching is
-      // off or the text is parameter-free / template-ineligible)
-      cachedTemplate(spark, sql)
-      val df = Params.planForSchema(spark, sql, sqlOptions)
+      // warm the parameter-template cache AND reuse the analyzed template
+      // for the dataset schema — the holes are typed, so the schema equals
+      // the NULL-substituted probe's without a second parse+analysis
+      // (falls back to planForSchema when caching is off or the text is
+      // parameter-free / template-ineligible)
+      val df = cachedTemplate(spark, sql)
+        .map(t => SparkArrowBridge.ofRows(spark, t))
+        .getOrElse(Params.planForSchema(spark, sql, sqlOptions))
       val paramFields = Params.parameterTypes(spark, sql)
         .map { case (name, t) => StructField(name, t, nullable = false) }
       val paramSchema = SparkArrowBridge.toArrowSchema(

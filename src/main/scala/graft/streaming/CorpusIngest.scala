@@ -92,7 +92,7 @@ object CorpusIngest {
       .queryName(queryName)
       .start()
     try query.processAllAvailable()
-    finally { query.stop(); EventStream.releaseStateStores() }
+    finally { query.stop(); EventStream.releaseStateStores(spark) }
 
     val sunk = spark.table(queryName)
     spark.catalog.dropTempView(queryName)

@@ -182,9 +182,14 @@ object EventStream {
     * query on the same executors (a mixed batch+streaming server pays it
     * on every batch query). The next streaming query reloads providers
     * lazily and restarts maintenance, so this is pure lifecycle hygiene.
+    * StateStore.stop() is JVM-GLOBAL — it would evict a concurrently
+    * running stream's providers mid-batch (forcing checkpoint reload and
+    * silently stopping its maintenance) — so release only when no other
+    * streaming query is active on the session.
     */
-  private[streaming] def releaseStateStores(): Unit =
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+  private[streaming] def releaseStateStores(spark: SparkSession): Unit =
+    if (spark.streams.active.isEmpty)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
   private def runToTable(stream: DataFrame, mode: String): DataFrame = {
     val spark = stream.sparkSession
@@ -202,7 +207,7 @@ object EventStream {
         .queryName(queryName)
         .start()
       try query.processAllAvailable()
-      finally { query.stop(); releaseStateStores() }
+      finally { query.stop(); releaseStateStores(spark) }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
     // Drop the sink's temp view: each run registers a fresh UUID-named
     // view which would otherwise accumulate for the life of the session (a
@@ -307,7 +312,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       try query.awaitTermination()
-      finally { if (query.isActive) query.stop(); releaseStateStores() }
+      finally { if (query.isActive) query.stop(); releaseStateStores(spark) }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
 
     // same sink-view cleanup as runToTable (eager analysis survives the drop)

@@ -1,4 +1,4 @@
-package graft.llm
+package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 

@@ -69,5 +69,7 @@ class PpmDecodeSpec extends AnyFunSuite {
       "header without trailing separator")
     assert(Multimodal.decodePpm(ppm("P6\nx 1\n255\n", Array.fill(3)(1.toByte))).isLeft,
       "non-decimal dimension")
+    assert(Multimodal.decodePpm(ppm("P6 1 1 255X", Array.fill(3)(1.toByte))).isLeft,
+      "non-whitespace after maxval must be rejected, not consumed as the separator")
   }
 }

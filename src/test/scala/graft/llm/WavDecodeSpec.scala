@@ -59,5 +59,10 @@ class WavDecodeSpec extends AnyFunSuite {
       wav(ascii("data") ++ le32(2) ++ le16(1), fmtChunk(1, 8000, 16))).isLeft,
       "data before fmt")
     assert(Multimodal.decodeWav(wav(fmtChunk(1, 8000, 16))).isLeft, "no data chunk")
+    // a ZERO-size data chunk is structurally legal: it decodes (empty
+    // samples) rather than erroring — the stats layer is what rejects it
+    // with a labeled failure (wavStats doc)
+    val empty = Multimodal.decodeWav(wav(fmtChunk(1, 8000, 16), ascii("data") ++ le32(0)))
+    assert(empty.toOption.exists(_.samples.isEmpty))
   }
 }
