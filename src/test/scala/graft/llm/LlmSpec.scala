@@ -199,6 +199,28 @@ class LlmSpec extends AnyFunSuite {
     assert(jac.isEmpty, "Jaccard at 0.9 must NOT pair the subset docs")
   }
 
+  test("sampled k-means keeps the full-corpus centroid count at hostile N") {
+    // Regression pin: drawing centroid seeds from the SAMPLE thins nlist
+    // to N / lcm(stride, sampleMod). The fixture SFs hide it (their
+    // strides happen to be multiples of sampleMod=4); N=2500 does not:
+    // stride = 50, lcm(50, 4) = 100 — the buggy form yields 25 seeds
+    // instead of the designed 50, and the oracle can never catch it
+    // because both engines compute the same wrong set.
+    val s = TestSpark.spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    s.range(2500).selectExpr(
+      "id AS vec_id",
+      "CAST(transform(sequence(1, 64), j -> CAST(pmod(xxhash64(id, j), 1000) AS DOUBLE) / 1000.0 - 0.5) AS ARRAY<FLOAT>) AS embedding",
+      "CAST(id % 10 AS INT) AS label")
+      .createOrReplaceTempView("embeddings")
+    val clusters = s.sql(AnnSql.kmeansSampledSpark())
+      .select("cent_id").distinct().count()
+    assert(clusters > 40,
+      s"expected ~50 seed clusters (stride 50 over N=2500), got $clusters — " +
+        "seed set must come from the full table, not the sample")
+    graft.queries.Tables.registerAll(s, "/root/testdata/sf0.001")
+  }
+
   test("residual PQ beats raw-vector PQ where coarse structure exists") {
     // The parquet fixture's near-random vectors are the degenerate case
     // (x − centroid is as random as x, nothing for residual coding to
