@@ -199,6 +199,23 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(cached.paramTemplateEntries == 1, "uninferable SQL must not enter the cache")
   }
 
+  test("parameterized plan cache: NULL parameter values bind through the template") {
+    val cached = new FlightSqlService(
+      new StaticSessionProvider(spark), FlightSqlServiceConfig(planCacheSize = 2))
+    val created = cached.createPreparedStatement("SELECT name FROM users WHERE id = $1")
+    val nullParam = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      ArrowCodec.encodeStream(spark.createDataFrame(
+        java.util.Arrays.asList(Row(null)),
+        StructType(Seq(StructField("$1", IntegerType, nullable = true))))).toBytes
+    }
+    val handle = cached.doPutPreparedStatementQuery(created.handle, nullParam)
+    val rows = ArrowCodec.decode(cached.doGet(
+      CommandTicket(CommandPreparedStatementQuery(handle)).encode).toBytes).rows
+    assert(rows.isEmpty, s"id = NULL must match nothing, got $rows")
+  }
+
   test("prepared statement rejects multi-row parameter streams (service.rs:849-853)") {
     val created = service.createPreparedStatement("SELECT name FROM users WHERE id = $1")
     val paramDf = {
