@@ -358,37 +358,58 @@ object AnnSql {
     * (Ref behavior: datafusion-flight-sql-server delegates SQL execution;
     * this operator is part of the beyond-reference ANN extension set.)
     */
+  /** The two-level coarse-assignment CTE chain, factored out so EVERY
+    * index-build consumer (hier IVF search, IVF-PQ, residual IVF-PQ,
+    * SemDeDup, coreset, the k-means full step) rides the same quantizer
+    * instead of re-paying the flat O(N·sqrt N) centroid scan. Emits CTEs:
+    * `st` (centroid stride), `c` (nlist ≈ sqrt N centroids: cent_id, cv),
+    * `n2`/`c1` (nlist1 ≈ N^¼ first-level cells: c1_id, c1e), `a21`
+    * (centroid→cell routing: cent_id, cv, c1_id), and `v1` (vec_id, v,
+    * c1_id — each vector's p1 probed cells). Consumers derive the final
+    * assignment (rn = 1) or a probe set (rn <= nprobe) by EQUI-joining
+    * v1 with a21 on c1_id; the only nested-loop joins in the chain are
+    * against the N^¼-row cell table c1 — nothing sized by N or sqrt(N)
+    * is ever nested-looped. `score` renders vector-vs-centroid affinity;
+    * `desc = true` for cosine (higher is nearer), false for squared L2.
+    */
+  private def hierAsnCtes(
+      src: String, vecCol: String,
+      score: (String, String) => String, desc: Boolean, p1: Int): String = {
+    val dir = if (desc) " DESC" else ""
+    s"""st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM $src),
+       |c AS (SELECT vec_id AS cent_id, $vecCol AS cv FROM $src
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |n2 AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS s1 FROM c),
+       |c1 AS (SELECT cent_id AS c1_id, cv AS c1e FROM (
+       |  SELECT cent_id, cv, row_number() OVER (ORDER BY cent_id) AS rn FROM c) t
+       |  WHERE (rn - 1) % (SELECT s1 FROM n2) = 0),
+       |a21 AS (SELECT cent_id, cv, c1_id FROM (
+       |  SELECT c.cent_id, c.cv, c1.c1_id,
+       |         row_number() OVER (PARTITION BY c.cent_id
+       |           ORDER BY ${score("c.cv", "c1.c1e")}$dir, c1.c1_id) AS rn
+       |  FROM c CROSS JOIN c1) t WHERE rn = 1),
+       |v1 AS (SELECT vec_id, v, c1_id FROM (
+       |  SELECT e.vec_id, e.$vecCol AS v, c1.c1_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${score(s"e.$vecCol", "c1.c1e")}$dir, c1.c1_id) AS rn
+       |  FROM $src e CROSS JOIN c1) t WHERE rn <= $p1)""".stripMargin
+  }
+
   private def ivfHierSql(
       cosFn: (String, String) => String, k: Int, nprobe: Int, p1: Int): String =
-    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
-       |c2 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-       |       WHERE vec_id % (SELECT stride FROM st) = 0),
-       |n2 AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS s1 FROM c2),
-       |c1 AS (SELECT cent_id AS c1_id, ce AS c1e FROM (
-       |  SELECT cent_id, ce, row_number() OVER (ORDER BY cent_id) AS rn FROM c2) t
-       |  WHERE (rn - 1) % (SELECT s1 FROM n2) = 0),
-       |a21 AS (SELECT cent_id, ce, c1_id FROM (
-       |  SELECT c2.cent_id, c2.ce, c1.c1_id,
-       |         row_number() OVER (PARTITION BY c2.cent_id
-       |           ORDER BY ${cosFn("c2.ce", "c1.c1e")} DESC, c1.c1_id) AS rn
-       |  FROM c2 CROSS JOIN c1) t WHERE rn = 1),
-       |v1 AS (SELECT vec_id, embedding, c1_id FROM (
-       |  SELECT e.vec_id, e.embedding, c1.c1_id,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |           ORDER BY ${cosFn("e.embedding", "c1.c1e")} DESC, c1.c1_id) AS rn
-       |  FROM embeddings e CROSS JOIN c1) t WHERE rn <= $p1),
-       |asn AS (SELECT vec_id, embedding, cent_id FROM (
-       |  SELECT v.vec_id, v.embedding, a.cent_id,
+    s"""WITH ${hierAsnCtes("embeddings", "embedding", cosFn, desc = true, p1)},
+       |asn AS (SELECT vec_id, v, cent_id FROM (
+       |  SELECT v.vec_id, v.v, a.cent_id,
        |         row_number() OVER (PARTITION BY v.vec_id
-       |           ORDER BY ${cosFn("v.embedding", "a.ce")} DESC, a.cent_id) AS rn
+       |           ORDER BY ${cosFn("v.v", "a.cv")} DESC, a.cent_id) AS rn
        |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1),
-       |q1 AS (SELECT vec_id, embedding, c1_id FROM v1 WHERE vec_id % 50 = 0),
+       |q1 AS (SELECT vec_id, v, c1_id FROM v1 WHERE vec_id % 50 = 0),
        |qp AS (SELECT qid, qe, cent_id FROM (
-       |  SELECT q.vec_id AS qid, q.embedding AS qe, a.cent_id,
+       |  SELECT q.vec_id AS qid, q.v AS qe, a.cent_id,
        |         row_number() OVER (PARTITION BY q.vec_id
-       |           ORDER BY ${cosFn("q.embedding", "a.ce")} DESC, a.cent_id) AS rn
+       |           ORDER BY ${cosFn("q.v", "a.cv")} DESC, a.cent_id) AS rn
        |  FROM q1 q JOIN a21 a ON q.c1_id = a.c1_id) t WHERE rn <= $nprobe),
-       |sims AS (SELECT qp.qid, a.vec_id AS cid, ${cosFn("qp.qe", "a.embedding")} AS cos
+       |sims AS (SELECT qp.qid, a.vec_id AS cid, ${cosFn("qp.qe", "a.v")} AS cos
        |         FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid)
        |SELECT qid, cid, ROUND(cos, 6) AS cos FROM (
        |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
@@ -413,27 +434,11 @@ object AnnSql {
     * cell and that nlist1 + max_evals undercuts the flat design's nlist.
     */
   def ivfHierBoundSpark(p1: Int = 2): String =
-    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
-       |c2 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-       |       WHERE vec_id % (SELECT stride FROM st) = 0),
-       |n2 AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS s1 FROM c2),
-       |c1 AS (SELECT cent_id AS c1_id, ce AS c1e FROM (
-       |  SELECT cent_id, ce, row_number() OVER (ORDER BY cent_id) AS rn FROM c2) t
-       |  WHERE (rn - 1) % (SELECT s1 FROM n2) = 0),
-       |a21 AS (SELECT cent_id, c1_id FROM (
-       |  SELECT c2.cent_id, c1.c1_id,
-       |         row_number() OVER (PARTITION BY c2.cent_id
-       |           ORDER BY graft_cosine(c2.ce, c1.c1e) DESC, c1.c1_id) AS rn
-       |  FROM c2 CROSS JOIN c1) t WHERE rn = 1),
-       |v1 AS (SELECT vec_id, c1_id FROM (
-       |  SELECT e.vec_id, c1.c1_id,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |           ORDER BY graft_cosine(e.embedding, c1.c1e) DESC, c1.c1_id) AS rn
-       |  FROM embeddings e CROSS JOIN c1) t WHERE rn <= $p1),
+    s"""WITH ${hierAsnCtes("embeddings", "embedding", (a, b) => s"graft_cosine($a, $b)", desc = true, p1)},
        |evals AS (SELECT v.vec_id, COUNT(*) AS n_evals
        |          FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id GROUP BY v.vec_id),
        |sizes AS (SELECT c1_id, COUNT(*) AS cell FROM a21 GROUP BY c1_id)
-       |SELECT (SELECT COUNT(*) FROM c2) AS nlist,
+       |SELECT (SELECT COUNT(*) FROM c) AS nlist,
        |       (SELECT COUNT(*) FROM c1) AS nlist1,
        |       (SELECT MAX(cell) FROM sizes) AS max_cell,
        |       (SELECT MAX(n_evals) FROM evals) AS max_evals""".stripMargin
@@ -451,25 +456,32 @@ object AnnSql {
     * rounding q_embed_quantize established), so every dot product, squared
     * L2 distance, and SUM is integer arithmetic carried in doubles far
     * below 2^53 — exact in ANY fold/accumulation order, no decimal-casting
-    * gymnastics needed. Assignment ties break on centroid id. The N×k
-    * distance join is the same broadcast shape as IVF assignment (linear
-    * in N, constant-factor k); Spark computes dots with the codegen'd
-    * graft_dot_d, DuckDB with list_dot_product.
+    * gymnastics needed. Assignment ties break on centroid id. Spark
+    * computes dots with the codegen'd graft_dot_d, DuckDB with
+    * list_dot_product.
     */
   private val kmQ = "list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5))"
   private val kmQSpark =
     "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE))"
 
-  def kmeansStepSpark: String =
-    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
-       |qv AS (SELECT vec_id, $kmQSpark AS v FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, v AS cv FROM qv
-       |      WHERE vec_id % (SELECT stride FROM st) = 0),
-       |d AS (SELECT qv.vec_id, c.cent_id,
-       |             graft_dot_d(qv.v, qv.v) + graft_dot_d(c.cv, c.cv)
-       |               - 2 * graft_dot_d(qv.v, c.cv) AS d2,
-       |             qv.v[0] AS v0
-       |      FROM qv CROSS JOIN c),
+  /** Assignment rides the shared two-level quantizer ([[hierAsnCtes]]) —
+    * the standard large-scale (approximate/hierarchical) Lloyd step: each
+    * vector scores only the centroids inside its p1 probed cells, so the
+    * per-iteration cost is O(N·sqrt nlist) instead of O(N·nlist). A
+    * boundary vector whose true-nearest centroid lies outside its probed
+    * cells lands on its best in-cell centroid — the same fidelity
+    * trade-off FAISS makes with a quantizer-routed assignment; both
+    * dialects compute the identical routing, so results still hash-match.
+    */
+  private def kmeansStepSql(
+      quant: String, dotFn: (String, String) => String, dim0Idx: Int): String = {
+    def d2(a: String, b: String) =
+      s"${dotFn(a, a)} + ${dotFn(b, b)} - 2 * ${dotFn(a, b)}"
+    s"""WITH qv AS (SELECT vec_id, $quant AS v FROM embeddings),
+       |${hierAsnCtes("qv", "v", d2, desc = false, p1 = 2)},
+       |d AS (SELECT v.vec_id, a.cent_id, ${d2("v.v", "a.cv")} AS d2,
+       |             v.v[$dim0Idx] AS v0
+       |      FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id),
        |asn AS (SELECT vec_id, cent_id, d2, v0 FROM (
        |  SELECT vec_id, cent_id, d2, v0,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
@@ -478,25 +490,13 @@ object AnnSql {
        |       CAST(SUM(d2) AS BIGINT) AS ssd,
        |       CAST(SUM(v0) AS BIGINT) AS sum_dim0
        |FROM asn GROUP BY cent_id ORDER BY cent_id""".stripMargin
+  }
+
+  def kmeansStepSpark: String =
+    kmeansStepSql(kmQSpark, (a, b) => s"graft_dot_d($a, $b)", dim0Idx = 0)
 
   def kmeansStepDuck: String =
-    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
-       |qv AS (SELECT vec_id, $kmQ AS v FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, v AS cv FROM qv
-       |      WHERE vec_id % (SELECT stride FROM st) = 0),
-       |d AS (SELECT qv.vec_id, c.cent_id,
-       |             list_dot_product(qv.v, qv.v) + list_dot_product(c.cv, c.cv)
-       |               - 2 * list_dot_product(qv.v, c.cv) AS d2,
-       |             qv.v[1] AS v0
-       |      FROM qv CROSS JOIN c),
-       |asn AS (SELECT vec_id, cent_id, d2, v0 FROM (
-       |  SELECT vec_id, cent_id, d2, v0,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-       |  FROM d) t WHERE rn = 1)
-       |SELECT cent_id, COUNT(*) AS n_members,
-       |       CAST(SUM(d2) AS BIGINT) AS ssd,
-       |       CAST(SUM(v0) AS BIGINT) AS sum_dim0
-       |FROM asn GROUP BY cent_id ORDER BY cent_id""".stripMargin
+    kmeansStepSql(kmQ, (a, b) => s"list_dot_product($a, $b)", dim0Idx = 1)
 
   /** Sampled k-means training step — how a production IVF index actually
     * trains its coarse quantizer: Lloyd iterations run over a bounded
@@ -672,9 +672,9 @@ object AnnSql {
     s"explode(sequence(0, ${pqSubspaces - 1})) AS s", k)
 
   /** IVF-PQ search — the COMPOSED production index: the IVF probe cuts
-    * candidates to nprobe lists (assignment by exact L2 over the
-    * quantized vectors, the FAISS IVF metric, same seed-centroid
-    * convention as [[ivfTopKSpark]]) and the PQ LUT scores only those
+    * candidates to nprobe lists (assignment by L2 over the quantized
+    * vectors through the shared two-level quantizer [[hierAsnCtes]], the
+    * FAISS quantizer-routed convention) and the PQ LUT scores only those
     * codes. Per query the work is nprobe × (N/nlist) candidates × 8 LUT
     * lookups — both cuts multiply, neither re-derives the other. Every
     * join is equi (probed-list restriction on cent_id; LUT lookup on
@@ -688,15 +688,13 @@ object AnnSql {
     val subDim = dim / pqSubspaces
     def d2(a: String, b: String) =
       s"${dotFn(a, a)} + ${dotFn(b, b)} - 2 * ${dotFn(a, b)}"
-    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
-       |qv AS (SELECT vec_id, $quant AS v FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, v AS cv FROM qv
-       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+    s"""WITH qv AS (SELECT vec_id, $quant AS v FROM embeddings),
+       |${hierAsnCtes("qv", "v", d2, desc = false, p1 = 2)},
        |asn AS (SELECT vec_id, cent_id FROM (
-       |  SELECT qv.vec_id, c.cent_id,
-       |         row_number() OVER (PARTITION BY qv.vec_id
-       |           ORDER BY ${d2("qv.v", "c.cv")}, c.cent_id) AS rn
-       |  FROM qv CROSS JOIN c) t WHERE rn = 1),
+       |  SELECT v.vec_id, a.cent_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${d2("v.v", "a.cv")}, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1),
        |sub AS (SELECT vec_id, s, ${sliceFn("v", s"s * $subDim + 1")} AS sv
        |        FROM (SELECT vec_id, v, $explodeSub FROM qv) t),
        |cb AS (SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $pqCodebook),
@@ -708,10 +706,11 @@ object AnnSql {
        |cand AS (SELECT enc.vec_id, asn.cent_id, enc.s, enc.code
        |         FROM enc JOIN asn ON enc.vec_id = asn.vec_id),
        |qp AS (SELECT qid, cent_id FROM (
-       |  SELECT qv.vec_id AS qid, c.cent_id,
-       |         row_number() OVER (PARTITION BY qv.vec_id
-       |           ORDER BY ${d2("qv.v", "c.cv")}, c.cent_id) AS rn
-       |  FROM qv CROSS JOIN c WHERE qv.vec_id % 50 = 0) t WHERE rn <= $nprobe),
+       |  SELECT v.vec_id AS qid, a.cent_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${d2("v.v", "a.cv")}, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id
+       |  WHERE v.vec_id % 50 = 0) t WHERE rn <= $nprobe),
        |lut AS (SELECT q.vec_id AS qid, cb.s, cb.code,
        |               ${d2("q.sv", "cb.cv")} AS d2
        |        FROM sub q JOIN cb ON q.s = cb.s
@@ -750,15 +749,13 @@ object AnnSql {
     val subDim = dim / pqSubspaces
     def d2(a: String, b: String) =
       s"${dotFn(a, a)} + ${dotFn(b, b)} - 2 * ${dotFn(a, b)}"
-    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
-       |qv AS (SELECT vec_id, $quant AS v FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, v AS cv FROM qv
-       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+    s"""WITH qv AS (SELECT vec_id, $quant AS v FROM embeddings),
+       |${hierAsnCtes("qv", "v", d2, desc = false, p1 = 2)},
        |asn AS (SELECT vec_id, cent_id FROM (
-       |  SELECT qv.vec_id, c.cent_id,
-       |         row_number() OVER (PARTITION BY qv.vec_id
-       |           ORDER BY ${d2("qv.v", "c.cv")}, c.cent_id) AS rn
-       |  FROM qv CROSS JOIN c) t WHERE rn = 1),
+       |  SELECT v.vec_id, a.cent_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${d2("v.v", "a.cv")}, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1),
        |res AS (SELECT a.vec_id, a.cent_id, ${subFn("qv.v", "c.cv")} AS rv
        |        FROM asn a JOIN qv ON qv.vec_id = a.vec_id
        |                   JOIN c ON c.cent_id = a.cent_id),
@@ -771,10 +768,11 @@ object AnnSql {
        |           ORDER BY ${d2("rsub.sv", "cb.cv")}, cb.code) AS rn
        |  FROM rsub JOIN cb ON rsub.s = cb.s) t WHERE rn = 1),
        |qp AS (SELECT qid, cent_id FROM (
-       |  SELECT qv.vec_id AS qid, c.cent_id,
-       |         row_number() OVER (PARTITION BY qv.vec_id
-       |           ORDER BY ${d2("qv.v", "c.cv")}, c.cent_id) AS rn
-       |  FROM qv CROSS JOIN c WHERE qv.vec_id % 50 = 0) t WHERE rn <= $nprobe),
+       |  SELECT v.vec_id AS qid, a.cent_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${d2("v.v", "a.cv")}, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id
+       |  WHERE v.vec_id % 50 = 0) t WHERE rn <= $nprobe),
        |qres AS (SELECT qp.qid, qp.cent_id, ${subFn("qv.v", "c.cv")} AS rv
        |         FROM qp JOIN qv ON qv.vec_id = qp.qid
        |                    JOIN c ON c.cent_id = qp.cent_id),
@@ -864,8 +862,10 @@ object AnnSql {
     probeW.map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]"))
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
-    * cluster the corpus (the IVF assignment join — nearest of ≈sqrt(N)
-    * deterministic seed centroids), find within-cluster pairs with cosine
+    * cluster the corpus (nearest of ≈sqrt(N) deterministic seed centroids,
+    * routed through the shared two-level quantizer [[hierAsnCtes]] so
+    * assignment costs O(N·sqrt nlist), not O(N·nlist)), find
+    * within-cluster pairs with cosine
     * ≥ threshold, and in each duplicate pair mark the member CLOSER to its
     * centroid as redundant (the paper keeps low-centroid-similarity
     * members to preserve diversity). Output = the dropped ids with their
@@ -878,28 +878,26 @@ object AnnSql {
     * deterministic.
     */
   private def semDedupSql(cosFn: (String, String) => String): String =
-    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-       |      WHERE vec_id % (SELECT stride FROM st) = 0),
-       |asn AS (SELECT vec_id, embedding, cent_id, ccos FROM (
-       |  SELECT e.vec_id, e.embedding, c.cent_id,
-       |         ${cosFn("e.embedding", "c.ce")} AS ccos,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |           ORDER BY ${cosFn("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
-       |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+    s"""WITH ${hierAsnCtes("embeddings", "embedding", cosFn, desc = true, p1 = 2)},
+       |asn AS (SELECT vec_id, v, cent_id, ccos FROM (
+       |  SELECT v.vec_id, v.v, a.cent_id,
+       |         ${cosFn("v.v", "a.cv")} AS ccos,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${cosFn("v.v", "a.cv")} DESC, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1),
        |p AS (SELECT a.vec_id AS ida, a.ccos AS ca, b.vec_id AS idb, b.ccos AS cb, a.cent_id
        |      FROM asn a JOIN asn b
        |        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-       |      WHERE ${cosFn("a.embedding", "b.embedding")} >= 0.3),
+       |      WHERE ${cosFn("a.v", "b.v")} >= 0.3),
        |drops AS (SELECT CASE WHEN ca > cb OR (ca = cb AND ida < idb) THEN ida ELSE idb END AS vec_id,
        |                 cent_id,
        |                 CASE WHEN ca > cb OR (ca = cb AND ida < idb) THEN ca ELSE cb END AS ccos
        |          FROM p)
        |SELECT DISTINCT vec_id, cent_id, ROUND(ccos, 6) AS cent_cos
        |FROM drops ORDER BY vec_id""".stripMargin
-    // (cross join c = broadcast of the constant-size centroid table — the
-    // same shape every IVF build pays; flagged OK by PlanAuditSpec's
-    // broadcast-only pin.)
+    // (clustering = the shared two-level quantizer: the only nested-loop
+    // join is against the N^(1/4)-row cell table; centroid scoring and the
+    // within-cluster pair join are hash equi-joins — PlanAuditSpec pins it.)
 
   def semDedupSpark: String = semDedupSql((a, b) => s"graft_cosine($a, $b)")
   def semDedupDuck: String = semDedupSql(duckCos)
@@ -911,15 +909,13 @@ object AnnSql {
     * top-m is one partitioned window, no global sort.
     */
   private def coresetSql(cosFn: (String, String) => String, m: Int): String =
-    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+    s"""WITH ${hierAsnCtes("embeddings", "embedding", cosFn, desc = true, p1 = 2)},
        |asn AS (SELECT vec_id, cent_id, ccos FROM (
-       |  SELECT e.vec_id, c.cent_id,
-       |         ${cosFn("e.embedding", "c.ce")} AS ccos,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |           ORDER BY ${cosFn("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
-       |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+       |  SELECT v.vec_id, a.cent_id,
+       |         ${cosFn("v.v", "a.cv")} AS ccos,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${cosFn("v.v", "a.cv")} DESC, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1),
        |r AS (SELECT vec_id, cent_id, ccos,
        |             row_number() OVER (PARTITION BY cent_id
        |               ORDER BY ccos DESC, vec_id) AS rank

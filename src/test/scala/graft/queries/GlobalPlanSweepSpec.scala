@@ -29,12 +29,12 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_topk_native",     // same shape, native kernel
     "q_ann_ivf",             // broadcast centroid table (nlist ~ sqrt(N))
     "q_ann_ivf_hier",        // broadcast CELL table only (nlist1 ~ N^(1/4); centroids equi-join)
-    "q_ann_ivfpq",           // broadcast centroid table (assignment + probe)
-    "q_ann_ivfpq_residual",  // broadcast centroid table (assignment + per-list residuals)
-    "q_ann_kmeans",          // broadcast centroid table
+    "q_ann_ivfpq",           // broadcast CELL table only (two-level quantizer assignment)
+    "q_ann_ivfpq_residual",  // broadcast CELL table only (two-level quantizer assignment)
+    "q_ann_kmeans",          // broadcast CELL table only (two-level quantizer assignment)
     "q_ann_kmeans_sampled",  // broadcast centroid table; probe side is the bounded training sample
-    "q_dedup_semantic",      // broadcast centroid table
-    "q_sample_coreset",      // broadcast centroid table
+    "q_dedup_semantic",      // broadcast CELL table only (two-level quantizer assignment)
+    "q_sample_coreset",      // broadcast CELL table only (two-level quantizer assignment)
     "q_agg_hll_merge",       // single-row sketch-union join
     "q_text_unigram_logprob" // broadcast unigram LM (vocabulary-bounded)
   )

@@ -68,11 +68,14 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("k-means step broadcasts only the sqrt(N) centroid table (q_ann_kmeans)") {
     val p = plan("q_ann_kmeans")
-    // the N x k distance join is the tolerated broadcast nested loop (its
-    // build side is the constant ~sqrt(N) centroid list); nothing else may
-    // nest and there must be no unbroadcast cartesian
+    // assignment rides the two-level quantizer: the only nested loops are
+    // the two cell-routing joins whose build side is the N^(1/4)-row cell
+    // table (centroids->cells, vectors->cells); centroid scoring itself is
+    // the v1 JOIN a21 hash equi-join and nothing may cartesian
     assert(!p.contains("CartesianProduct"))
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "in-cell centroid scoring must be a hash/merge equi-join on c1_id")
   }
 
   test("PQ codebook assignment joins on the subspace key, no cartesian (q_ann_pq)") {
@@ -135,23 +138,57 @@ class PlanAuditSpec extends AnyFunSuite {
       "second-level assignment must be a hash/merge equi-join on c1_id")
   }
 
-  test("SemDeDup broadcasts only the centroid table; pair join is equi (q_dedup_semantic)") {
+  test("SemDeDup nests only the cell table; pair join is equi (q_dedup_semantic)") {
     val p = plan("q_dedup_semantic")
-    // centroid assignment is the tolerated nested-loop (constant-size
-    // broadcast centroid list, the IVF-build shape); Catalyst inlines the
-    // assignment CTE into both pair-join sides, so it appears twice. The
-    // within-cluster pair join must be a hash/merge equi-join on cent_id.
+    // clustering rides the two-level quantizer: per chain the only nested
+    // loops are the two cell-routing joins (build side = N^(1/4)-row cell
+    // table); Catalyst inlines the assignment chain into both pair-join
+    // sides, so the pair appears twice. The within-cluster pair join must
+    // be a hash/merge equi-join on cent_id.
     assert(!p.contains("CartesianProduct"))
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4)
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       "within-cluster pair generation must be a hash/merge equi-join")
   }
 
-  test("coreset selection broadcasts only the centroid table (q_sample_coreset)") {
+  test("coreset selection nests only the cell table (q_sample_coreset)") {
     val p = plan("q_sample_coreset")
     assert(!p.contains("CartesianProduct"))
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "in-cell centroid scoring must be a hash/merge equi-join on c1_id")
     assert(p.contains("Window"), "per-cluster top-m must be a partitioned window")
+  }
+
+  test("no index-build query nests anything bigger than the N^(1/4) cell table") {
+    import graft.llm.AnnSql
+    // The generated SQL of every two-level-quantizer consumer: the ONLY
+    // CROSS JOINs allowed are against the cell table c1 (N^(1/4) rows);
+    // the corpus- and centroid-sized relations must reach their scores via
+    // the v1 JOIN a21 equi-join on c1_id. A regression that reintroduces
+    // the flat `embeddings/qv CROSS JOIN c` O(N·sqrt N) assignment —
+    // ~3e13 distance evals per build pass at 1e9 vectors — fails here.
+    val builders = Seq(
+      "ivf_hier" -> AnnSql.ivfHierTopKSpark(3),
+      "kmeans" -> AnnSql.kmeansStepSpark,
+      "ivfpq" -> AnnSql.ivfPqSearchSpark(5),
+      "ivfpq_residual" -> AnnSql.ivfPqResidualSpark(5),
+      "semdedup" -> AnnSql.semDedupSpark,
+      "coreset" -> AnnSql.coresetSpark(4),
+      "ivf_hier_duck" -> AnnSql.ivfHierTopKDuck(3),
+      "kmeans_duck" -> AnnSql.kmeansStepDuck,
+      "ivfpq_duck" -> AnnSql.ivfPqSearchDuck(5),
+      "ivfpq_residual_duck" -> AnnSql.ivfPqResidualDuck(5),
+      "semdedup_duck" -> AnnSql.semDedupDuck,
+      "coreset_duck" -> AnnSql.coresetDuck(4))
+    for ((tag, sql) <- builders) {
+      val crosses = "CROSS JOIN \\w+".r.findAllIn(sql).toSeq
+      assert(crosses.nonEmpty && crosses.forall(_ == "CROSS JOIN c1"),
+        s"$tag: every nested loop must be against the cell table c1, got $crosses")
+      assert(sql.contains("JOIN a21 a ON v.c1_id = a.c1_id") ||
+             sql.contains("JOIN a21 a ON q.c1_id = a.c1_id"),
+        s"$tag: centroid scoring must be the v1/a21 equi-join on c1_id")
+    }
   }
 
   test("as-of join is one filtered scan + one partitioned window, no join operator (q_join_asof)") {
