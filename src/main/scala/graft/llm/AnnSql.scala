@@ -501,24 +501,29 @@ object AnnSql {
   /** Sampled k-means training step — how a production IVF index actually
     * trains its coarse quantizer: Lloyd iterations run over a bounded
     * deterministic SAMPLE of the corpus (FAISS trains on ~max(10k, 256·k)
-    * vectors regardless of N), so training work is O(|sample|·k) — a fixed
+    * vectors regardless of N), so training work is O(budget·k) — a fixed
     * budget — instead of q_ann_kmeans' O(N·k) per iteration, and only the
     * final one-off assignment (the [[ivfHierSql]] two-level path) touches
-    * every vector. Sample = vec_id % sampleMod = 0; the centroid seed
-    * set is drawn from the FULL table (vec_id % stride = 0,
-    * re-quantized), NOT from the sample — seeding from the sample would
-    * thin nlist to N / lcm(stride, sampleMod), up to sampleMod× fewer
-    * lists than the design's sqrt(N) whenever stride and sampleMod share
-    * no common factor (the list count is a property of N, not of the
-    * training budget). Per-cluster stats estimate full-corpus values
-    * scaled by the sampling rate; same fixed-point integer exactness as
-    * [[kmeansStepSpark]].
+    * every vector. The sample stride is DERIVED from the corpus size and
+    * the fixed target count — smod = GREATEST(1, CEIL(N / budget)), the
+    * same in-query convention as the centroid stride — so |sample| ≈
+    * budget at ANY corpus size (a fixed modulus would select a constant
+    * FRACTION, still linear in N). The centroid seed set is drawn from
+    * the FULL table (vec_id % stride = 0, re-quantized), NOT from the
+    * sample — seeding from the sample would thin nlist to
+    * N / lcm(stride, smod), up to smod× fewer lists than the design's
+    * sqrt(N) whenever the strides share no common factor (the list count
+    * is a property of N, not of the training budget). Per-cluster stats
+    * estimate full-corpus values scaled by the sampling rate; same
+    * fixed-point integer exactness as [[kmeansStepSpark]].
     */
   private def kmeansSampledSql(
-      quant: String, dotFn: (String, String) => String, sampleMod: Int,
+      quant: String, dotFn: (String, String) => String, budget: Int,
       dim0Idx: Int): String =
     s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
-       |s AS (SELECT vec_id, $quant AS v FROM embeddings WHERE vec_id % $sampleMod = 0),
+       |sm AS (SELECT GREATEST(1, CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / $budget.0) AS BIGINT)) AS smod FROM embeddings),
+       |s AS (SELECT vec_id, $quant AS v FROM embeddings
+       |      WHERE vec_id % (SELECT smod FROM sm) = 0),
        |c AS (SELECT vec_id AS cent_id, $quant AS cv FROM embeddings
        |      WHERE vec_id % (SELECT stride FROM st) = 0),
        |d AS (SELECT s.vec_id, c.cent_id,
@@ -531,16 +536,20 @@ object AnnSql {
        |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
        |  FROM d) t WHERE rn = 1)
        |SELECT cent_id, COUNT(*) AS n_sample,
-       |       CAST(COUNT(*) * $sampleMod AS BIGINT) AS n_est,
+       |       CAST(COUNT(*) * (SELECT smod FROM sm) AS BIGINT) AS n_est,
        |       CAST(SUM(d2) AS BIGINT) AS ssd,
        |       CAST(SUM(v0) AS BIGINT) AS sum_dim0
        |FROM asn GROUP BY cent_id ORDER BY cent_id""".stripMargin
 
-  def kmeansSampledSpark(sampleMod: Int = 4): String =
-    kmeansSampledSql(kmQSpark, (a, b) => s"graft_dot_d($a, $b)", sampleMod, dim0Idx = 0)
+  /** Default budget 2048 ≈ the FAISS floor scaled to fixture sizes: below
+    * it the sf0.001 corpus samples whole (smod clamps to 1), above sf0.01
+    * the sample is genuinely bounded.
+    */
+  def kmeansSampledSpark(budget: Int = 2048): String =
+    kmeansSampledSql(kmQSpark, (a, b) => s"graft_dot_d($a, $b)", budget, dim0Idx = 0)
 
-  def kmeansSampledDuck(sampleMod: Int = 4): String =
-    kmeansSampledSql(kmQ, (a, b) => s"list_dot_product($a, $b)", sampleMod, dim0Idx = 1)
+  def kmeansSampledDuck(budget: Int = 2048): String =
+    kmeansSampledSql(kmQ, (a, b) => s"list_dot_product($a, $b)", budget, dim0Idx = 1)
 
   /** Product quantization (PQ) codebook assignment — the memory-bound
     * scale path of ANN (IVF-PQ): split the [[dim]]-dim vector into

@@ -199,13 +199,16 @@ class LlmSpec extends AnyFunSuite {
     assert(jac.isEmpty, "Jaccard at 0.9 must NOT pair the subset docs")
   }
 
-  test("sampled k-means keeps the full-corpus centroid count at hostile N") {
-    // Regression pin: drawing centroid seeds from the SAMPLE thins nlist
-    // to N / lcm(stride, sampleMod). The fixture SFs hide it (their
-    // strides happen to be multiples of sampleMod=4); N=2500 does not:
-    // stride = 50, lcm(50, 4) = 100 — the buggy form yields 25 seeds
-    // instead of the designed 50, and the oracle can never catch it
-    // because both engines compute the same wrong set.
+  test("sampled k-means keeps the centroid count and a bounded sample at hostile N") {
+    // Regression pin 1: drawing centroid seeds from the SAMPLE thins nlist
+    // to N / lcm(stride, smod). N=2500 with budget=1000 is hostile:
+    // stride = 50, smod = ceil(2500/1000) = 3, lcm(50, 3) = 150 — the
+    // buggy form yields ~16 seeds instead of the designed 50, and the
+    // oracle can never catch it because both engines compute the same
+    // wrong set.
+    // Regression pin 2: the sample must be BOUNDED by the budget (a fixed
+    // modulus selects a constant fraction — still linear in N); here
+    // |sample| = ceil(2500/3) = 834 <= 1000.
     val s = TestSpark.spark.newSession()
     graft.functions.GraftFunctions.register(s)
     s.range(2500).selectExpr(
@@ -213,11 +216,15 @@ class LlmSpec extends AnyFunSuite {
       "CAST(transform(sequence(1, 64), j -> CAST(pmod(xxhash64(id, j), 1000) AS DOUBLE) / 1000.0 - 0.5) AS ARRAY<FLOAT>) AS embedding",
       "CAST(id % 10 AS INT) AS label")
       .createOrReplaceTempView("embeddings")
-    val clusters = s.sql(AnnSql.kmeansSampledSpark())
-      .select("cent_id").distinct().count()
+    val rows = s.sql(AnnSql.kmeansSampledSpark(1000))
+      .select("cent_id", "n_sample").collect()
+    val clusters = rows.map(_.getLong(0)).distinct.length
     assert(clusters > 40,
       s"expected ~50 seed clusters (stride 50 over N=2500), got $clusters — " +
         "seed set must come from the full table, not the sample")
+    val sampled = rows.map(_.getLong(1)).sum
+    assert(sampled <= 1000, s"training sample $sampled exceeds the fixed budget 1000")
+    assert(sampled >= 500, s"training sample $sampled collapsed below half the budget")
     graft.queries.Tables.registerAll(s, "/root/testdata/sf0.001")
   }
 
