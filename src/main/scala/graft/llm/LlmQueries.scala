@@ -1217,11 +1217,15 @@ object LlmQueries {
     // oracle's closed-form over the same construction — a parse that
     // mis-reads the header or lands one byte off diverges immediately.
     "q_multimodal_ppm_decode" -> df(
+      // dims vary on doc_id DIV 10: under the doc_id % 10 = 0 fixture
+      // filter, doc_id % 5 is constant-0 (every kept id is a multiple of
+      // 10) and would pin w = 4 forever; the DIV-10 quotient walks every
+      // residue, so all of 4..8 x 3..6 is exercised in-flight
       (s, d) => Multimodal.ppmStats(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
           .selectExpr("doc_id",
-            "CAST(4 + doc_id % 5 AS INT) AS w",
-            "CAST(3 + doc_id % 4 AS INT) AS h")
+            "CAST(4 + (doc_id DIV 10) % 5 AS INT) AS w",
+            "CAST(3 + (doc_id DIV 10) % 4 AS INT) AS h")
           .selectExpr("doc_id",
             """concat(
               |  encode(concat('P6\n',
@@ -1231,7 +1235,7 @@ object LlmQueries {
               |    transform(sequence(0, w * h * 3 - 1),
               |              i -> lpad(hex(pmod(doc_id * 7 + i * 13, 256)), 2, '0')),
               |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin)),
-      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      """WITH p AS (SELECT doc_id, 4 + (doc_id // 10) % 5 AS w, 3 + (doc_id // 10) % 4 AS h
         |           FROM documents WHERE doc_id % 10 = 0),
         |v AS (SELECT doc_id, w, h, i, (doc_id * 7 + i * 13) % 256 AS b
         |      FROM (SELECT doc_id, w, h, unnest(range(0, CAST(w * h * 3 AS INT))) AS i FROM p) z)
@@ -1257,10 +1261,13 @@ object LlmQueries {
         def le32(v: String) =
           s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex(($v) div 256 % 256), 2, '0'), " +
             s"lpad(hex(($v) div 65536 % 256), 2, '0'), lpad(hex(($v) div 16777216 % 256), 2, '0'))"
+        // ch varies on doc_id DIV 10: doc_id % 2 is constant-0 under the
+        // % 10 = 0 fixture filter and would never exercise stereo
+        // interleaving in-flight
         Multimodal.wavStats(
           Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
             .selectExpr("doc_id",
-              "CAST(1 + doc_id % 2 AS INT) AS ch",
+              "CAST(1 + (doc_id DIV 10) % 2 AS INT) AS ch",
               "CAST(16 + doc_id % 17 AS INT) AS n")
             .selectExpr("doc_id",
               s"""concat(
@@ -1277,7 +1284,7 @@ object LlmQueries {
                  |    i -> ${le16("pmod(doc_id * 31 + i * 17, 4096) - 2048")}),
                  |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin))
       },
-      """WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 16 + doc_id % 17 AS n
+      """WITH p AS (SELECT doc_id, 1 + (doc_id // 10) % 2 AS ch, 16 + doc_id % 17 AS n
         |           FROM documents WHERE doc_id % 10 = 0),
         |v AS (SELECT doc_id, ch, n, i, ((doc_id * 31 + i * 17) % 4096) - 2048 AS s
         |      FROM (SELECT doc_id, ch, n, unnest(range(0, CAST(n * ch AS INT))) AS i FROM p) z)
@@ -1294,11 +1301,14 @@ object LlmQueries {
     // sy = y·h div th over the construction formula — so a one-pixel
     // indexing error in the real byte-level resample diverges.
     "q_multimodal_ppm_resize" -> df(
+      // same DIV-10 parameter walk as q_multimodal_ppm_decode: with
+      // doc_id % 5 the sources were pinned at w = 4 and the resampler
+      // never downscaled despite the 4..8 claim above
       (s, d) => Multimodal.ppmResizeStats(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
           .selectExpr("doc_id",
-            "CAST(4 + doc_id % 5 AS INT) AS w",
-            "CAST(3 + doc_id % 4 AS INT) AS h")
+            "CAST(4 + (doc_id DIV 10) % 5 AS INT) AS w",
+            "CAST(3 + (doc_id DIV 10) % 4 AS INT) AS h")
           .selectExpr("doc_id",
             """concat(
               |  encode(concat('P6\n', CAST(w AS STRING), ' ', CAST(h AS STRING), '\n255\n'), 'UTF-8'),
@@ -1307,7 +1317,7 @@ object LlmQueries {
               |              i -> lpad(hex(pmod(doc_id * 7 + i * 13, 256)), 2, '0')),
               |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin),
         tw = 6, th = 5),
-      """WITH p AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      """WITH p AS (SELECT doc_id, 4 + (doc_id // 10) % 5 AS w, 3 + (doc_id // 10) % 4 AS h
         |           FROM documents WHERE doc_id % 10 = 0),
         |g AS (SELECT doc_id, w, h, x, y, c,
         |             (((y * h // 5) * w + (x * w // 6)) * 3 + c) AS i
@@ -1324,20 +1334,150 @@ object LlmQueries {
         |       CAST(MIN(CASE WHEN x = 5 AND y = 4 AND c = 2 THEN b END) AS INT) AS pxn
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
 
-    "q_multimodal_resize" -> df(
-      (s, d) => Multimodal.resize(
-        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), 224, 224),
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS src_bytes,
-        |224 AS target_w, 224 AS target_h,
-        |LEAST(CAST(octet_length(encode(text)) AS BIGINT), (224 * 224) // 64) AS resized_bytes
-        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
-
+    // GENERIC multimodal decode: a mixed-format corpus (every media doc's
+    // format chosen by (doc_id DIV 10) % 4 — P6 PPM / PCM WAV / 24-bit BMP
+    // / raw bytes) is sniffed by magic and routed to the REAL parsers;
+    // only the raw branch (standing in for codec-bound formats like JPEG)
+    // runs the declared byte-stats stub. The oracle recomputes every
+    // format's decoded stats from the construction's closed form — a
+    // dispatch that sends a BMP to the wrong parser fails the job, a
+    // parser that mis-reads bytes diverges on checksum.
     "q_multimodal_decode" -> df(
-      (s, d) => Multimodal.extractFeatures(
-        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)),
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_space,
-        |ascii(substr(text, 1, 1)) AS first_byte
-        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)
+      (s, d) => Multimodal.decodeAny(mixedMediaFixture(s, d)),
+      s"""$mixedMediaOracleCtes,
+        |img AS (SELECT doc_id, SUM((doc_id * 7 + i * 13) % 256) AS csum
+        |        FROM (SELECT doc_id, unnest(range(0, CAST(w * h * 3 AS INT))) AS i
+        |              FROM mm_par WHERE fmt IN (0, 2)) z
+        |        GROUP BY doc_id),
+        |aud AS (SELECT doc_id, SUM(ABS(((doc_id * 31 + i * 17) % 4096) - 2048)) AS csum
+        |        FROM (SELECT doc_id, unnest(range(0, CAST(n * ch AS INT))) AS i
+        |              FROM mm_par WHERE fmt = 1) z
+        |        GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' ELSE 'raw' END AS format,
+        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN p.w ELSE -1 END AS INT) AS width,
+        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN p.h ELSE -1 END AS INT) AS height,
+        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN 3 WHEN p.fmt = 1 THEN p.ch ELSE -1 END AS INT) AS channels,
+        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN p.w * p.h
+        |                 WHEN p.fmt = 1 THEN p.n * p.ch
+        |                 ELSE $mmRawLenDuck END AS BIGINT) AS n_units,
+        |       CAST(CASE WHEN p.fmt = 0 THEN $mmPpmLenDuck
+        |                 WHEN p.fmt = 1 THEN 44 + p.n * p.ch * 2
+        |                 WHEN p.fmt = 2 THEN $mmBmpLenDuck
+        |                 ELSE $mmRawLenDuck END AS INT) AS payload_bytes,
+        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN i.csum
+        |                 WHEN p.fmt = 1 THEN a.csum
+        |                 ELSE length(p.text) - length(replace(p.text, ' ', '')) END AS BIGINT) AS checksum
+        |FROM mm_par p LEFT JOIN img i ON p.doc_id = i.doc_id
+        |              LEFT JOIN aud a ON p.doc_id = a.doc_id
+        |ORDER BY p.doc_id""".stripMargin),
+
+    // GENERIC multimodal resize, same dispatch: PPM and BMP payloads run
+    // the REAL decode → nearest-neighbor resample to 16x12 → re-encode
+    // accounting (checksum = resized raster's byte sum, reproduced by the
+    // oracle's closed-form resample); WAV/raw keep the declared-stub area
+    // cost model with checksum -1.
+    "q_multimodal_resize" -> df(
+      (s, d) => Multimodal.resizeAny(mixedMediaFixture(s, d), tw = 16, th = 12),
+      s"""$mixedMediaOracleCtes,
+        |g AS (SELECT doc_id, ((((y * h) // 12) * w + ((x * w) // 16)) * 3 + c) AS i
+        |      FROM (SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c
+        |            FROM (SELECT doc_id, w, h, x, unnest(range(0, 12)) AS y
+        |                  FROM (SELECT doc_id, w, h, unnest(range(0, 16)) AS x
+        |                        FROM mm_par WHERE fmt IN (0, 2)) z1) z2) z3),
+        |r AS (SELECT doc_id, SUM((doc_id * 7 + i * 13) % 256) AS csum
+        |      FROM g GROUP BY doc_id)
+        |SELECT p.doc_id,
+        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' ELSE 'raw' END AS format,
+        |       CAST(CASE WHEN p.fmt = 0 THEN $mmPpmLenDuck
+        |                 WHEN p.fmt = 1 THEN 44 + p.n * p.ch * 2
+        |                 WHEN p.fmt = 2 THEN $mmBmpLenDuck
+        |                 ELSE $mmRawLenDuck END AS INT) AS src_bytes,
+        |       16 AS target_w, 12 AS target_h,
+        |       CAST(CASE WHEN p.fmt = 0 THEN 13 + 16 * 12 * 3
+        |                 WHEN p.fmt = 2 THEN 54 + 48 * 12
+        |                 WHEN p.fmt = 1 THEN LEAST(44 + p.n * p.ch * 2, 3)
+        |                 ELSE LEAST($mmRawLenDuck, 3) END AS BIGINT) AS resized_bytes,
+        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN r.csum ELSE -1 END AS BIGINT) AS checksum
+        |FROM mm_par p LEFT JOIN r ON p.doc_id = r.doc_id
+        |ORDER BY p.doc_id""".stripMargin)
   )
+
+  /** Shared mixed-format media fixture for the GENERIC multimodal queries:
+    * deterministic payloads constructed in-engine as a binary column, the
+    * format cycling PPM / WAV / BMP / raw on (doc_id DIV 10) % 4 so one
+    * corpus exercises the dispatch, all three real parsers, and the
+    * declared-stub branch. Dimensions/channels vary on (doc_id DIV 10)
+    * DIV 4 — the quotient AFTER the format selector — so every format
+    * class still walks its full parameter range (the DIV-10 lesson from
+    * the single-format fixtures applies one level up here). Pixel bytes
+    * follow v(i) = (doc_id*7 + i*13) % 256 over the TOP-DOWN RGB raster
+    * index — the BMP branch stores them bottom-up, BGR, row-padded, so a
+    * correct decode recovers the identical raster as the PPM branch and
+    * the oracle's closed form never needs to parse anything.
+    */
+  private def mixedMediaFixture(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    def le16(v: String) =
+      s"concat(lpad(hex(pmod($v, 65536) % 256), 2, '0'), lpad(hex(pmod($v, 65536) div 256), 2, '0'))"
+    def le32(v: String) =
+      s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex(($v) div 256 % 256), 2, '0'), " +
+        s"lpad(hex(($v) div 65536 % 256), 2, '0'), lpad(hex(($v) div 16777216 % 256), 2, '0'))"
+    // BMP row stride: rows pad to 4-byte multiples
+    val rb = "(((w * 3 + 3) DIV 4) * 4)"
+    Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .selectExpr("doc_id", "text", "doc_id DIV 10 AS q")
+      .selectExpr("doc_id", "text",
+        "CAST(q % 4 AS INT) AS fmt",
+        "CAST(4 + (q DIV 4) % 5 AS INT) AS w",
+        "CAST(3 + (q DIV 4) % 4 AS INT) AS h",
+        "CAST(1 + (q DIV 4) % 2 AS INT) AS ch",
+        "CAST(16 + doc_id % 17 AS INT) AS n")
+      .selectExpr("doc_id",
+        s"""CASE fmt
+           |WHEN 0 THEN concat(
+           |  encode(concat('P6\\n', CAST(w AS STRING), ' ', CAST(h AS STRING), '\\n255\\n'), 'UTF-8'),
+           |  unhex(aggregate(transform(sequence(0, w * h * 3 - 1),
+           |    i -> lpad(hex(pmod(doc_id * 7 + i * 13, 256)), 2, '0')), '', (a, x) -> concat(a, x))))
+           |WHEN 1 THEN concat(
+           |  encode('RIFF', 'UTF-8'), unhex(${le32("36 + n * ch * 2")}),
+           |  encode('WAVEfmt ', 'UTF-8'), unhex(${le32("16")}),
+           |  unhex(${le16("1")}), unhex(${le16("ch")}),
+           |  unhex(${le32("8000")}), unhex(${le32("8000 * ch * 2")}),
+           |  unhex(${le16("ch * 2")}), unhex(${le16("16")}),
+           |  encode('data', 'UTF-8'), unhex(${le32("n * ch * 2")}),
+           |  unhex(aggregate(transform(sequence(0, n * ch - 1),
+           |    i -> ${le16("pmod(doc_id * 31 + i * 17, 4096) - 2048")}), '', (a, x) -> concat(a, x))))
+           |WHEN 2 THEN concat(
+           |  encode('BM', 'UTF-8'), unhex(${le32(s"54 + $rb * h")}),
+           |  unhex(${le32("0")}), unhex(${le32("54")}),
+           |  unhex(${le32("40")}), unhex(${le32("w")}), unhex(${le32("h")}),
+           |  unhex(${le16("1")}), unhex(${le16("24")}),
+           |  unhex(${le32("0")}), unhex(${le32(s"$rb * h")}),
+           |  unhex(${le32("2835")}), unhex(${le32("2835")}),
+           |  unhex(${le32("0")}), unhex(${le32("0")}),
+           |  unhex(aggregate(transform(sequence(0, $rb * h - 1),
+           |    j -> CASE WHEN j % $rb >= w * 3 THEN '00'
+           |              ELSE lpad(hex(pmod(doc_id * 7 +
+           |                (((h - 1 - (j DIV $rb)) * w + (j % $rb) DIV 3) * 3
+           |                  + (2 - (j % $rb) % 3)) * 13, 256)), 2, '0') END),
+           |    '', (a, x) -> concat(a, x))))
+           |ELSE encode(concat('RAW:', text), 'UTF-8')
+           |END AS payload""".stripMargin)
+  }
+
+  /** The oracle-side mirror of [[mixedMediaFixture]]'s parameter table. */
+  private def mixedMediaOracleCtes: String =
+    """WITH mm_base AS (SELECT doc_id, text, doc_id // 10 AS q
+      |                 FROM documents WHERE doc_id % 10 = 0),
+      |mm_par AS (SELECT doc_id, text, CAST(q % 4 AS INT) AS fmt,
+      |                  4 + (q // 4) % 5 AS w, 3 + (q // 4) % 4 AS h,
+      |                  1 + (q // 4) % 2 AS ch, 16 + doc_id % 17 AS n
+      |           FROM mm_base)""".stripMargin
+
+  // closed-form payload byte lengths per format (DuckDB dialect)
+  private def mmPpmLenDuck: String =
+    "3 + length(CAST(p.w AS VARCHAR)) + 1 + length(CAST(p.h AS VARCHAR)) + 5 + p.w * p.h * 3"
+  private def mmBmpLenDuck: String = "54 + (((p.w * 3 + 3) // 4) * 4) * p.h"
+  private def mmRawLenDuck: String = "octet_length(encode(p.text)) + 4"
 }

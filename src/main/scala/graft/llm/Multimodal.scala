@@ -7,57 +7,31 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata; decode / feature-extraction
   * runs per-partition over the raw bytes.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * container) producing deterministic byte statistics — but the Spark-side
-  * plumbing is real: binary column in the schema, partition-wise iteration
-  * (executor-side, no driver collect), typed case-class output schema.
+  * Three formats decode for REAL in pure JVM — P6 PPM, 24-bit BMP, 16-bit
+  * PCM WAV — and [[decodeAny]]/[[resizeAny]] route payloads to them by
+  * magic-byte sniffing. Only genuinely codec-bound formats (JPEG/MP3/MP4,
+  * no codec libraries in this container) fall through to a clearly-marked
+  * byte-stats STUB branch. The Spark-side plumbing is real throughout:
+  * binary column in the schema, partition-wise iteration (executor-side,
+  * no driver collect), typed case-class output schemas.
   */
 object Multimodal {
 
-  /** Decoded-feature row (stand-in for e.g. image width/height/channels). */
-  final case class MediaFeatures(doc_id: Long, n_bytes: Int, n_space: Int, first_byte: Int)
-
-  /** STUB: a real pipeline would decode the payload (JPEG/WAV/MP4) here and
-    * emit features. Deterministic byte stats stand in so the distributed
-    * plumbing and the oracle contract stay testable.
+  /** Deterministic byte stats — the DECLARED STUB branch for payloads whose
+    * format needs a codec library this container doesn't have (JPEG, MP3,
+    * MP4, ...): byte count and 0x20 count stand in for real features so the
+    * distributed plumbing and the oracle contract stay testable. PPM, BMP
+    * and PCM WAV never reach this — [[decodeAny]] routes them to the real
+    * parsers below.
     */
-  private def stubDecode(id: Long, payload: Array[Byte]): MediaFeatures = {
-    var spaces = 0
+  private def rawByteStats(payload: Array[Byte]): (Int, Long) = {
+    var spaces = 0L
     var i = 0
     while (i < payload.length) {
       if (payload(i) == 0x20) spaces += 1
       i += 1
     }
-    MediaFeatures(id, payload.length, spaces, if (payload.nonEmpty) payload(0) & 0xff else -1)
-  }
-
-  /** Resized media row: STUB resize (no codecs offline) — a real pipeline
-    * would decode, scale to (target_w, target_h) and re-encode; the stand-in
-    * derives deterministic "resized" dimensions and byte length from the
-    * payload so the distributed shape (binary in, binary-metadata out,
-    * executor-side batch iteration) is real and oracle-checkable.
-    */
-  final case class ResizedMedia(
-      doc_id: Long, src_bytes: Int, target_w: Int, target_h: Int, resized_bytes: Long)
-
-  private def stubResize(id: Long, payload: Array[Byte], w: Int, h: Int): ResizedMedia =
-    // stand-in cost model: output bytes scale with target area, bounded by
-    // the source size (a real resize re-encodes; this keeps determinism)
-    ResizedMedia(id, payload.length, w, h,
-      math.min(payload.length.toLong, (w.toLong * h) / 64))
-
-  /** Per-partition stub resize to a fixed target — the image-preprocessing
-    * stage shape (decode → scale → re-encode) with the codec stubbed.
-    */
-  def resize(docs: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => stubResize(id, bytes, targetW, targetH) })
-      .toDF()
-      .orderBy("doc_id")
+    (payload.length, spaces)
   }
 
   /** A decoded P6 (binary RGB) PPM image. */
@@ -310,16 +284,175 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Binary payload column (text bytes standing in for media bytes) →
-    * per-partition decode → typed feature frame.
+  /** REAL 24-bit BMP decoder (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * uncompressed BI_RGB) — the third pure-JVM format next to PPM and WAV:
+    * rows are padded to 4-byte multiples, stored bottom-up (top-down when
+    * the height field is negative) in BGR order. Returns the top-down RGB
+    * raster in the same shape as [[decodePpm]] so the resize path is
+    * shared. Palette/compressed/other-depth BMPs stay declared stubs.
     */
-  def extractFeatures(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def decodeBmp(bytes: Array[Byte]): Either[String, PpmImage] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    if (bytes.length < 54) return Left("too short for BMP headers")
+    if (bytes(0) != 'B' || bytes(1) != 'M') return Left("bad magic (not BM)")
+    val pixelOff = le32(10)
+    val dibSize = le32(14)
+    if (dibSize < 40) return Left(s"unsupported DIB header size $dibSize")
+    val w = le32(18)
+    val hSigned = le32(22)
+    val planes = le16(26)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (planes != 1) return Left(s"bad plane count $planes")
+    if (bpp != 24) return Left(s"unsupported bit depth $bpp (24-bit only)")
+    if (compression != 0) return Left(s"unsupported compression $compression (BI_RGB only)")
+    val topDown = hSigned < 0
+    val h = math.abs(hSigned)
+    if (w <= 0 || h <= 0) return Left(s"non-positive dimensions ${w}x$hSigned")
+    if (w > (Int.MaxValue - 3) / 3 || h > Int.MaxValue / (((w * 3 + 3) / 4) * 4).max(1))
+      return Left("dimensions overflow")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (pixelOff < 54 || pixelOff.toLong + rowBytes.toLong * h > bytes.length)
+      return Left(s"truncated pixel data: need ${rowBytes.toLong * h}, " +
+        s"have ${bytes.length - pixelOff}")
+    val out = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val y = if (topDown) r else h - 1 - r // storage row r → image row y
+      var x = 0
+      while (x < w) {
+        val src = pixelOff + r * rowBytes + x * 3 // B, G, R
+        val dst = (y * w + x) * 3 // R, G, B
+        out(dst) = bytes(src + 2)
+        out(dst + 1) = bytes(src + 1)
+        out(dst + 2) = bytes(src)
+        x += 1
+      }
+      r += 1
+    }
+    Right(PpmImage(w, h, 255, out))
+  }
+
+  private def isPpm(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'P' && b(1) == '6'
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def sumBytes(a: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i) & 0xff; i += 1 }
+    s
+  }
+
+  /** Unified decoded-media row: images report (width, height, 3 channels,
+    * pixel count, pixel-byte sum); audio reports (channels, sample count,
+    * absolute-amplitude sum); unrecognized formats report the declared-stub
+    * byte stats with -1 dimensions.
+    */
+  final case class DecodedMedia(
+      doc_id: Long, format: String, width: Int, height: Int, channels: Int,
+      n_units: Long, payload_bytes: Int, checksum: Long)
+
+  /** Generic decode over a (doc_id, payload) binary column: sniff the magic
+    * bytes and route to the REAL parser ([[decodePpm]] / [[decodeBmp]] /
+    * [[decodeWav]]); only genuinely codec-bound formats fall through to the
+    * declared byte-stats stub. A payload that CLAIMS a decodable magic but
+    * fails to parse fails the job loudly — corrupt media must never pass
+    * silently as "raw".
+    */
+  def decodeAny(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    withPayload
+      .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) =>
+        def orThrow[A](e: Either[String, A]): A = e match {
+          case Left(err) => throw new IllegalArgumentException(s"doc $id: $err")
+          case Right(a) => a
+        }
+        if (isPpm(bytes)) {
+          val img = orThrow(decodePpm(bytes))
+          DecodedMedia(id, "ppm", img.width, img.height, 3,
+            img.width.toLong * img.height, bytes.length, sumBytes(img.pixels))
+        } else if (isBmp(bytes)) {
+          val img = orThrow(decodeBmp(bytes))
+          DecodedMedia(id, "bmp", img.width, img.height, 3,
+            img.width.toLong * img.height, bytes.length, sumBytes(img.pixels))
+        } else if (isWav(bytes)) {
+          val wav = orThrow(decodeWav(bytes))
+          var sumAbs = 0L
+          var s = 0
+          while (s < wav.samples.length) { sumAbs += math.abs(wav.samples(s).toLong); s += 1 }
+          DecodedMedia(id, "wav", -1, -1, wav.channels, wav.samples.length.toLong,
+            bytes.length, sumAbs)
+        } else {
+          val (n, spaces) = rawByteStats(bytes)
+          DecodedMedia(id, "raw", -1, -1, -1, n.toLong, n, spaces)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Unified resized-media row: for really-decodable images the byte length
+    * of the re-encoded output and the resized raster's pixel-byte sum; for
+    * everything else the declared-stub cost model with checksum -1.
+    */
+  final case class ResizedAny(
+      doc_id: Long, format: String, src_bytes: Int, target_w: Int, target_h: Int,
+      resized_bytes: Long, checksum: Long)
+
+  /** Byte length of a P6 re-encode of a (tw × th, maxval 255) raster:
+    * "P6\n{tw} {th}\n255\n" + 3 bytes/pixel.
+    */
+  def ppmEncodedLength(tw: Int, th: Int): Long =
+    3L + tw.toString.length + 1 + th.toString.length + 5 + tw.toLong * th * 3
+
+  /** Byte length of a 24-bit BI_RGB BMP re-encode: 54-byte headers + 4-byte
+    * padded rows.
+    */
+  def bmpEncodedLength(tw: Int, th: Int): Long =
+    54L + (((tw * 3 + 3) / 4) * 4).toLong * th
+
+  /** Generic resize over a (doc_id, payload) binary column: PPM and BMP
+    * payloads run the REAL decode → nearest-neighbor resample
+    * ([[resizePpmNearest]]) → re-encode-length accounting; audio and
+    * unrecognized formats keep the declared-stub cost model (output bytes
+    * scale with target area, bounded by the source size).
+    */
+  def resizeAny(withPayload: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        def orThrow[A](e: Either[String, A]): A = e match {
+          case Left(err) => throw new IllegalArgumentException(s"doc $id: $err")
+          case Right(a) => a
+        }
+        def resized(img: PpmImage): PpmImage = resizePpmNearest(img, tw, th)
+        if (isPpm(bytes)) {
+          val out = resized(orThrow(decodePpm(bytes)))
+          ResizedAny(id, "ppm", bytes.length, tw, th,
+            ppmEncodedLength(tw, th), sumBytes(out.pixels))
+        } else if (isBmp(bytes)) {
+          val out = resized(orThrow(decodeBmp(bytes)))
+          ResizedAny(id, "bmp", bytes.length, tw, th,
+            bmpEncodedLength(tw, th), sumBytes(out.pixels))
+        } else {
+          val fmt = if (isWav(bytes)) "wav" else "raw"
+          ResizedAny(id, fmt, bytes.length, tw, th,
+            math.min(bytes.length.toLong, (tw.toLong * th) / 64), -1L)
+        }
+      })
       .toDF()
       .orderBy("doc_id")
   }

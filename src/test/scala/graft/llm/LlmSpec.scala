@@ -273,14 +273,17 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal stub decode is deterministic byte statistics") {
+  test("multimodal generic decode routes by magic; only unrecognized bytes hit the stub") {
+    import org.apache.spark.sql.functions.{col, encode}
     val d = docs(1L -> "ab cd", 2L -> "")
-    val result = Multimodal.extractFeatures(d).collect()
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val result = Multimodal.decodeAny(d).collect()
     val r1 = result.find(_.getLong(0) == 1L).get
-    assert(r1.getInt(1) == 5)  // bytes
-    assert(r1.getInt(2) == 1)  // one space
-    assert(r1.getInt(3) == 'a'.toInt)
+    assert(r1.getString(1) == "raw", "text bytes carry no media magic")
+    assert(r1.getInt(2) == -1 && r1.getInt(3) == -1 && r1.getInt(4) == -1)
+    assert(r1.getLong(5) == 5 && r1.getInt(6) == 5) // n_units = payload_bytes
+    assert(r1.getLong(7) == 1)                      // checksum = stub space count
     val r2 = result.find(_.getLong(0) == 2L).get
-    assert(r2.getInt(1) == 0 && r2.getInt(3) == -1)
+    assert(r2.getString(1) == "raw" && r2.getInt(6) == 0 && r2.getLong(7) == 0)
   }
 }
