@@ -144,8 +144,9 @@ object LlmQueries {
     // Blocking here is the length bucket — a deliberate approximation
     // (a near-boundary pair can straddle buckets; lev >= |len_a − len_b|
     // bounds what blocking can lose) applied identically on both sides;
-    // production feeds MinHash band candidates into this verifier
-    // instead, the same compose-the-cuts pattern as q_ann_ivfpq. The 68%
+    // q_dedup_edit_verified below IS the production composition — MinHash
+    // band candidates feeding this verifier, the same compose-the-cuts
+    // pattern as q_ann_ivfpq. The 68%
     // threshold fits this corpus: word-shuffles of one vocabulary sit at
     // ~0.61-0.80 character-level distance, so the verifier selects the
     // genuinely closest pairs rather than passing everything.
@@ -184,6 +185,35 @@ object LlmQueries {
         |      FROM c)
         |SELECT id1, id2, CAST(lev AS INT) AS lev
         |FROM p WHERE lev * 100 <= mx * 68
+        |ORDER BY id1, id2""".stripMargin),
+
+    // The COMPOSED edit-distance verifier q_dedup_edit_distance's doc
+    // promises: MinHash band candidates (reusing the cached J>=0.95
+    // verified pair set shared with q_dedup_minhash/q_dedup_cluster) ->
+    // levenshtein <= 68% of the longer text. On this corpus it splits the
+    // set-identical pairs into true character-level dups (~2% distance)
+    // and word-shuffles (~63-74%); J>=0.95's ~1.4e-6 band-miss rate keeps
+    // the banded answer equal to the oracle's brute-force form, and the
+    // candidate join is pure equi (PlanAuditSpec: no length-block
+    // cartesian, no nested loop).
+    "q_dedup_edit_verified" -> df(
+      (s, d) => MinHashDedup.editVerifiedFromPairs(
+        MinHashDedup.nearDuplicatesCached(s, d, 0.95),
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0), pct = 68),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id),
+        |p AS (SELECT id1, id2, ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+        |      FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |      WHERE c >= 0.95 * (s1.n + s2.n - c)),
+        |v AS (SELECT p.id1, p.id2, p.jaccard, levenshtein(a.text, b.text) AS lev,
+        |             GREATEST(length(a.text), length(b.text)) AS mx
+        |      FROM p JOIN d a ON p.id1 = a.doc_id JOIN d b ON p.id2 = b.doc_id)
+        |SELECT id1, id2, jaccard, CAST(lev AS INT) AS lev
+        |FROM v WHERE lev * 100 <= mx * 68
         |ORDER BY id1, id2""".stripMargin),
 
     // SimHash with banded candidates; pigeonhole (4 bands, hamming ≤ 3)

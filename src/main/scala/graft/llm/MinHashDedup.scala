@@ -183,6 +183,36 @@ object MinHashDedup {
       .orderBy("new_id")
   }
 
+  /** Character-level verification over an already-verified MinHash pair set
+    * (columns id1, id2, jaccard): join each pair to its two texts and keep
+    * pairs whose levenshtein distance is ≤ pct% of the longer text — the
+    * composed production verifier q_dedup_edit_distance's doc promises
+    * (band candidates bound the pair count; the expensive O(len²) distance
+    * runs only on them; the same compose-the-cuts pattern as IVF-PQ).
+    * Unlike length-block candidates, banding cannot lose a pair whose
+    * lengths straddle a block boundary (LlmSpec pins that recall win).
+    * The repartition on the text side is the AQE compute-skew lever from
+    * q_dedup_edit_distance: an explicit numPartitions repartition is
+    * exempt from bytes-blind coalescing, so the per-pair distances run
+    * wide instead of serializing on one task.
+    */
+  def editVerifiedFromPairs(pairs: DataFrame, docs: DataFrame, pct: Int): DataFrame = {
+    val texts = docs.select(col("doc_id"), col("text")).repartition(64)
+    pairs
+      .join(texts.as("ta"), col("id1") === col("ta.doc_id"))
+      .join(texts.as("tb"), col("id2") === col("tb.doc_id"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        levenshtein(col("ta.text"), col("tb.text")).as("lev"),
+        greatest(length(col("ta.text")), length(col("tb.text"))).as("mx"))
+      .filter(col("lev") * 100 <= col("mx") * pct)
+      .select(col("id1"), col("id2"), col("jaccard"), col("lev").cast("int").as("lev"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Banded candidates → Jaccard ≥ threshold → levenshtein ≤ pct%. */
+  def editVerified(docs: DataFrame, threshold: Double, pct: Int): DataFrame =
+    editVerifiedFromPairs(nearDuplicates(docs, threshold), docs, pct)
+
   /** LSH candidates verified by exact word-set Jaccard ≥ threshold; output
     * matches the brute-force answer (modulo the ~1e-6 band-miss rate).
     *

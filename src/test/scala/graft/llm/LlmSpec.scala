@@ -273,6 +273,35 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("banded edit verification catches block-straddling pairs length blocking loses") {
+    import org.apache.spark.sql.functions._
+    // t2 = t1 + one REPEATED word: identical word SET (J = 1.0, so the
+    // banded candidates pair them) and 6 edit operations over 28 chars
+    // (21% <= 68%, so the verifier keeps them) — but lengths 22 vs 28
+    // straddle the DIV-25 length blocks (blk 0 vs 1), so the length-
+    // blocked candidate generation of q_dedup_edit_distance can never
+    // compare them. doc 3 shares no words and must pair with nothing.
+    val t1 = "alpha beta gamma delta" // 22 chars, blk 0
+    val d = docs(
+      1L -> t1,
+      2L -> (t1 + " delta"), // 28 chars, blk 1
+      3L -> "zz yy xx ww vv uu tt ss")
+    val banded = MinHashDedup.editVerified(d, 0.95, 68)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.toSeq == Seq((1L, 2L)),
+      s"banded verifier must keep exactly the straddling pair: ${banded.toSeq}")
+    // the length-blocked candidate join over the same fixture can never
+    // generate (1, 2) — the gap this operator closes
+    def blk(side: String) = expr(s"CAST(length($side.text) DIV 25 AS BIGINT)")
+    val blocked = d.as("a")
+      .join(d.as("b"),
+        blk("a") === blk("b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!blocked.contains((1L, 2L)),
+      s"length blocks must miss the straddling pair: ${blocked.toSeq}")
+  }
+
   test("multimodal generic decode routes by magic; only unrecognized bytes hit the stub") {
     import org.apache.spark.sql.functions.{col, encode}
     val d = docs(1L -> "ab cd", 2L -> "")

@@ -48,6 +48,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("banded edit verification is equi-join only, no length-block cartesian (q_dedup_edit_verified)") {
+    val p = plan("q_dedup_edit_verified")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("SimHash dedup never plans a cartesian or nested-loop join") {
     val p = plan("q_dedup_simhash")
     assert(!p.contains("CartesianProduct"))
