@@ -175,6 +175,25 @@ object EventStream {
     */
   private val streamShufflePartitions = "8"
 
+  /** JVM-global streaming-activity sweep: StateStore.stop() is JVM-global,
+    * but StreamingQueryManager (spark.streams) is per-SESSION — an active
+    * stream on a sibling session (newSession() multi-tenancy, exactly the
+    * scenario the release guard exists for) is invisible to the caller's
+    * manager. Every active StreamExecution runs its batch loop on a
+    * dedicated QueryExecutionThread for precisely the query's active
+    * lifetime, so sweeping live threads for that (public) type is the
+    * whole-JVM activity signal no per-session registry can give. A
+    * replay's own call never sees itself: query.stop() joins the
+    * execution thread before returning.
+    */
+  private def anyStreamActiveInJvm: Boolean = {
+    import scala.jdk.CollectionConverters._
+    Thread.getAllStackTraces.keySet.asScala.exists { t =>
+      t.isAlive &&
+        t.isInstanceOf[org.apache.spark.sql.execution.streaming.runtime.QueryExecutionThread]
+    }
+  }
+
   /** Unload state-store providers (and their maintenance task) once a
     * replay-to-completion query drains. Loaded providers otherwise outlive
     * the query for the JVM's lifetime — snapshot/cleanup maintenance keeps
@@ -185,10 +204,13 @@ object EventStream {
     * StateStore.stop() is JVM-GLOBAL — it would evict a concurrently
     * running stream's providers mid-batch (forcing checkpoint reload and
     * silently stopping its maintenance) — so release only when no other
-    * streaming query is active on the session.
+    * streaming query is active anywhere in the JVM: the calling session's
+    * manager (covers queries still starting, whose execution thread may
+    * not have spawned yet) AND the thread sweep (covers sibling sessions,
+    * which the per-session manager cannot see).
     */
   private[streaming] def releaseStateStores(spark: SparkSession): Unit =
-    if (spark.streams.active.isEmpty)
+    if (spark.streams.active.isEmpty && !anyStreamActiveInJvm)
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
   private def runToTable(stream: DataFrame, mode: String): DataFrame = {

@@ -178,4 +178,43 @@ class StreamRecoverySpec extends AnyFunSuite {
       finally walk.close()
     }
   }
+
+  test("state-store release defers to an active stream on a SIBLING session") {
+    import org.apache.spark.sql.execution.streaming.state.StateStore
+    // StateStore.stop() is JVM-global but spark.streams is per-session: a
+    // release decided only from the CALLING session's manager would evict
+    // a sibling session's loaded providers mid-run and silently kill its
+    // maintenance task (the multi-tenant newSession() scenario). Pin the
+    // guard end-to-end: a long-lived stateful stream on a sibling session
+    // must survive another session's release; once it stops, the release
+    // proceeds.
+    val sibling = spark.newSession()
+    val staged = freshDir("guard_src")
+    spark.range(100).selectExpr("id % 10 AS k", "id AS v")
+      .write.mode("overwrite").parquet(staged.toString)
+    val schema = spark.read.parquet(staged.toString).schema
+    val name = s"guard_sink_${System.nanoTime()}"
+    val q = sibling.readStream.schema(schema).parquet(staged.toString)
+      .groupBy("k").count()
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start() // default trigger: stays ACTIVE after draining
+    try {
+      q.processAllAvailable() // stateful batch ran -> providers + maintenance live
+      assert(StateStore.isMaintenanceRunning,
+        "sibling's stateful stream must have loaded providers")
+      EventStream.releaseStateStores(spark) // the MAIN session sees no active streams
+      assert(StateStore.isMaintenanceRunning,
+        "release must not stop the JVM-global state store under a sibling-session stream")
+    } finally {
+      q.stop()
+      sibling.catalog.dropTempView(name)
+    }
+    EventStream.releaseStateStores(spark) // all quiet now -> really releases
+    assert(!StateStore.isMaintenanceRunning,
+      "with no active stream anywhere, the release must unload providers")
+    val walk = Files.walk(staged)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally walk.close()
+  }
 }
