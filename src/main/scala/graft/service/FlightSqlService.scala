@@ -155,6 +155,17 @@ class FlightSqlService(
   private[service] def paramTemplateEntries: Int =
     paramTemplateCache.countValues(_.isDefined)
 
+  /** Count of silent NonFatal→fallback drops on the template path (build
+    * OR bind). The canonical Params.bind path makes the fallback
+    * correctness-safe, but a regression that made every template throw
+    * would otherwise degrade all prepared statements to triple planning
+    * with no signal — the same observability rule as
+    * Params.templateBuilds, and FlightSqlServiceSpec pins it at ZERO on
+    * the happy path.
+    */
+  private[service] val templateFallbacks =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Template for (session, sql), building + caching on miss; None when
     * caching is off, the SQL is parameter-free, or the template cannot be
     * built (uninferable types) — the None is cached too.
@@ -165,7 +176,10 @@ class FlightSqlService(
     if (config.planCacheSize <= 0) None
     else paramTemplateCache.getOrElseUpdate((System.identityHashCode(spark), sql)) {
       try Params.prepareTemplate(spark, sql, sqlOptions)
-      catch { case scala.util.control.NonFatal(_) => None }
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          templateFallbacks.incrementAndGet(); None
+      }
     }
 
   /** Prepared-statement execution: bind into the cached analyzed template
@@ -178,7 +192,10 @@ class FlightSqlService(
     val viaTemplate =
       try cachedTemplate(spark, sql)
         .flatMap(t => Params.bindIntoTemplate(spark, t, parameters))
-      catch { case scala.util.control.NonFatal(_) => None }
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          templateFallbacks.incrementAndGet(); None
+      }
     viaTemplate.getOrElse(Params.bind(spark, sql, parameters, sqlOptions))
   }
 

@@ -160,6 +160,8 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(graft.engine.Params.templateBuilds.get() - before == 1,
       "two executions with different $1 values must share ONE parse+gate+analysis")
     assert(cached.paramTemplateEntries == 1)
+    assert(cached.templateFallbacks.get() == 0,
+      "the happy path must never take the silent NonFatal->canonical fallback")
     // default config never builds templates (reference-faithful re-plan)
     service.createPreparedStatement("SELECT name FROM users WHERE id = $1")
     assert(service.paramTemplateEntries == 0)
