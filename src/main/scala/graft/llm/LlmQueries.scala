@@ -31,9 +31,9 @@ object LlmQueries {
       |b AS (SELECT doc_id, i AS blk, array_join(slice(w, i * 16 + 1, 16), ' ') AS btext
       |      FROM t LATERAL VIEW explode(sequence(0,
       |        GREATEST(CAST(ceil(size(w) / 16.0) AS INT) - 1, 0))) x AS i),
-      |f AS (SELECT btext, MIN(doc_id * 1000000 + blk) AS fkey FROM b GROUP BY btext),
+      |f AS (SELECT btext, MIN(struct(doc_id, blk)) AS fkey FROM b GROUP BY btext),
       |k AS (SELECT b.doc_id, b.blk, b.btext FROM b JOIN f
-      |        ON b.btext = f.btext AND b.doc_id * 1000000 + b.blk = f.fkey),
+      |        ON b.btext = f.btext AND b.doc_id = f.fkey.doc_id AND b.blk = f.fkey.blk),
       |nb AS (SELECT doc_id, CAST(GREATEST(CAST(ceil(size(w) / 16.0) AS INT), 1) AS BIGINT) AS n_blocks FROM t),
       |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
       |              md5(concat_ws(' ',
@@ -932,9 +932,10 @@ object LlmQueries {
 
     // Paragraph-level corpus dedup (the CCNet/C4 line-dedup pass): hash
     // every 16-word block, keep only each block's FIRST occurrence
-    // corpus-wide (min (doc_id, block) — encoded as one BIGINT key so the
-    // first-occurrence pick is a single map-side-combined MIN, no window;
-    // valid while blocks/doc < 1e6 and doc_id < 9e12), and reassemble each
+    // corpus-wide (MIN over the (doc_id, blk) struct — structs order
+    // lexicographically in both engines, so the first-occurrence pick
+    // stays a single map-side-combined MIN with no window and no encoded
+    // BIGINT key to overflow at any doc count), and reassemble each
     // document from its surviving blocks in order. Two block-stream
     // consumers (the first-occurrence aggregate and the join probe side) —
     // the per-doc total block count is a pure projection off the word
@@ -948,9 +949,9 @@ object LlmQueries {
         |b AS (SELECT doc_id, i AS blk, array_to_string(list_slice(w, i * 16 + 1, i * 16 + 16), ' ') AS btext
         |      FROM (SELECT doc_id, w, unnest(range(0,
         |              GREATEST(CAST(ceil(len(w) / 16.0) AS INT), 1))) AS i FROM t) z),
-        |f AS (SELECT btext, MIN(doc_id * 1000000 + blk) AS fkey FROM b GROUP BY btext),
+        |f AS (SELECT btext, MIN({'doc_id': doc_id, 'blk': blk}) AS fkey FROM b GROUP BY btext),
         |k AS (SELECT b.doc_id, b.blk, b.btext FROM b JOIN f
-        |        ON b.btext = f.btext AND b.doc_id * 1000000 + b.blk = f.fkey),
+        |        ON b.btext = f.btext AND b.doc_id = f.fkey.doc_id AND b.blk = f.fkey.blk),
         |nb AS (SELECT doc_id, CAST(GREATEST(CAST(ceil(len(w) / 16.0) AS INT), 1) AS BIGINT) AS n_blocks FROM t),
         |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
         |              md5(string_agg(btext, ' ' ORDER BY blk)) AS clean_hash
