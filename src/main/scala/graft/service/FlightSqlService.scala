@@ -183,20 +183,38 @@ class FlightSqlService(
     }
 
   /** Prepared-statement execution: bind into the cached analyzed template
-    * when possible, else the canonical uncached path.
+    * when possible, else the canonical uncached path. A fallback re-plan
+    * names unaliased parameter projections from the BOUND literal
+    * (`(id + 2)`) while the prepare-time schema named them from the
+    * template's `$n` marker — so when a template exists, the fallback's
+    * output is renamed positionally to the template's field names and a
+    * client never sees a DoGet schema that disagrees with what prepare
+    * promised. (No template at all — caching off or build failed — means
+    * prepare-time schema came from the same planForSchema/bind pipeline,
+    * so there is nothing to reconcile.)
     */
   private def boundPrepared(
       spark: SparkSession,
       sql: String,
       parameters: Option[Array[Byte]]): DataFrame = {
-    val viaTemplate =
+    val template =
       try cachedTemplate(spark, sql)
-        .flatMap(t => Params.bindIntoTemplate(spark, t, parameters))
       catch {
         case scala.util.control.NonFatal(_) =>
           templateFallbacks.incrementAndGet(); None
       }
-    viaTemplate.getOrElse(Params.bind(spark, sql, parameters, sqlOptions))
+    val viaTemplate =
+      try template.flatMap(t => Params.bindIntoTemplate(spark, t, parameters))
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          templateFallbacks.incrementAndGet(); None
+      }
+    viaTemplate.getOrElse {
+      val df = Params.bind(spark, sql, parameters, sqlOptions)
+      template
+        .map(t => df.toDF(t.output.map(_.name): _*))
+        .getOrElse(df)
+    }
   }
 
   private def plannedStatement(spark: SparkSession, sql: String)(

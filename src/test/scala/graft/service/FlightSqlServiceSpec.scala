@@ -167,6 +167,40 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(service.paramTemplateEntries == 0)
   }
 
+  test("unaliased parameter projections keep one stable field name on every path") {
+    val cached = new FlightSqlService(
+      new StaticSessionProvider(spark), FlightSqlServiceConfig(planCacheSize = 2))
+    def paramBytes(v: Any, t: org.apache.spark.sql.types.DataType): Array[Byte] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      ArrowCodec.encodeStream(spark.createDataFrame(
+        java.util.Arrays.asList(Row(v)),
+        StructType(Seq(StructField("$1", t, nullable = false))))).toBytes
+    }
+    // prepare-time dataset schema: named from the template's $1 marker,
+    // not the internal ParamHole token and not a bound value
+    val created = cached.createPreparedStatement("SELECT id + $1 FROM users")
+    val prepName = ArrowCodec.decodeSchema(created.datasetSchema).getFields.get(0).getName
+    assert(prepName == "(id + $1)", s"prepare-time field name was $prepName")
+    // template execution: same name
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val viaTemplate = cached.doGet(CommandTicket(CommandPreparedStatementQuery(
+      cached.doPutPreparedStatementQuery(created.handle, paramBytes(1, IntegerType))))
+      .encode)
+    assert(ArrowCodec.decode(viaTemplate.toBytes).schema.getFields.get(0).getName == prepName,
+      "template execution must serve the prepare-time field name")
+    // type-mismatch fallback: a string value cannot enter the INT hole, so
+    // execution re-plans through Params.bind (which would name the column
+    // from the coerced literal) — the service must rename it back
+    val before = cached.templateFallbacks.get()
+    val viaFallback = cached.doGet(CommandTicket(CommandPreparedStatementQuery(
+      cached.doPutPreparedStatementQuery(created.handle, paramBytes("1", StringType))))
+      .encode)
+    assert(cached.templateFallbacks.get() > before, "the string value must take the fallback")
+    assert(ArrowCodec.decode(viaFallback.toBytes).schema.getFields.get(0).getName == prepName,
+      "the fallback re-plan must not leak a bound-value-derived field name")
+  }
+
   test("parameterized plan cache: named params bind; uninferable types fall back") {
     val cached = new FlightSqlService(
       new StaticSessionProvider(spark), FlightSqlServiceConfig(planCacheSize = 2))
