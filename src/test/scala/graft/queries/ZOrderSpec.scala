@@ -60,4 +60,96 @@ class ZOrderSpec extends AnyFunSuite {
       assert(z == zkey(x.toInt, y.toInt), s"SQL zkey mismatch at x=$x y=$y")
     }
   }
+
+  test("z-layout parquet skips row groups on BOTH dimensions; x-sort cannot prune y") {
+    // The payoff the locality property above only implies: write the SAME
+    // scatter z-sorted and x-sorted, then count which row groups a
+    // min/max-stats reader must scan for a range predicate — the exact
+    // mechanism (parquet footer statistics) a 100 TB scan prunes with.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+
+    def interleave(v: Int): Long = {
+      var s = v.toLong
+      s = (s | (s << 8)) & 0x00FF00FFL
+      s = (s | (s << 4)) & 0x0F0F0F0FL
+      s = (s | (s << 2)) & 0x33333333L
+      s = (s | (s << 1)) & 0x55555555L
+      s
+    }
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(32768)((rnd.nextInt(256), rnd.nextInt(256)))
+    import spark.implicits._
+    val df = pts.map { case (x, y) =>
+      (x.toLong, y.toLong, interleave(x) | (interleave(y) << 1))
+    }.toDF("x", "y", "z")
+
+    val base = java.nio.file.Paths.get(s"target/fixtures/zorder_prune_${System.nanoTime()}")
+    val zDir = base.resolve("zsorted")
+    val xDir = base.resolve("xsorted")
+    df.repartitionByRange(64, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(zDir.toString)
+    df.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir.toString)
+
+    /** Per-row-group (min, max) footer statistics of one INT64 column. */
+    def rowGroupStats(dir: java.nio.file.Path, column: String): Seq[(Long, Long)] = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val listing = java.nio.file.Files.list(dir)
+      val files =
+        try listing.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+        finally listing.close()
+      files.flatMap { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString), conf))
+        try reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val c = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(fail(s"column $column missing from ${f.getFileName}"))
+          val st = c.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }
+        finally reader.close()
+      }
+    }
+
+    // a reader must scan a row group iff its [min, max] intersects the range
+    def mustScan(stats: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+      stats.count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    val (lo, hi) = (96L, 127L) // an eighth of the 256-wide domain, per dim
+    val zX = rowGroupStats(zDir, "x"); val zY = rowGroupStats(zDir, "y")
+    val xX = rowGroupStats(xDir, "x"); val xY = rowGroupStats(xDir, "y")
+    val total = zX.size
+    assert(total >= 32, s"need many row groups for skip evidence, got $total")
+    assert(xX.size == total, "both layouts must produce the same group count")
+
+    // single-dim predicates: the z-layout prunes on EITHER column...
+    assert(mustScan(zX, lo, hi) < total / 2,
+      s"z-layout must skip most groups on x, scans ${mustScan(zX, lo, hi)}/$total")
+    assert(mustScan(zY, lo, hi) < total / 2,
+      s"z-layout must skip most groups on y, scans ${mustScan(zY, lo, hi)}/$total")
+    // ...which no single-column sort can: x-sort leaves y unprunable
+    assert(mustScan(xY, lo, hi) == total,
+      s"x-sorted groups all span y, expected zero y-pruning")
+
+    // the two-sided predicate (x AND y in range): z prunes with both
+    // columns' stats, the single-column layout only with its own
+    def twoSided(xs: Seq[(Long, Long)], ys: Seq[(Long, Long)]): Int =
+      xs.zip(ys).count { case ((xmn, xmx), (ymn, ymx)) =>
+        xmx >= lo && xmn <= hi && ymx >= lo && ymn <= hi
+      }
+    val zScan = twoSided(zX, zY)
+    val xScan = twoSided(xX, xY)
+    assert(zScan < xScan,
+      s"z-layout must scan strictly fewer groups on the two-sided predicate: z=$zScan x=$xScan")
+
+    val walk = java.nio.file.Files.walk(base)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+  }
 }
