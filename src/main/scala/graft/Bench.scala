@@ -13,6 +13,13 @@ import org.apache.spark.sql.SparkSession
   * Output: ONE JSON line on stdout AND in ./bench_out.json. Failures are
   * recorded per-query (`null` timing + name in `errors`) and exit nonzero —
   * a broken query can never read as a fast query.
+  *
+  * Noise self-diagnosis: any query regressing >1.5x vs the previous-round
+  * record is re-timed ALONE in a fresh JVM; entries whose isolated time is
+  * within 1.3x of prev move to `noise_suppressed` (with both numbers),
+  * the rest stay in `regressions_vs_prev` with their `isolated` datum —
+  * after two rounds of cluster-shaped measurement noise, the report
+  * carries its own matrix-order-vs-real verdict.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -55,6 +62,7 @@ object Bench {
     // times everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // an empty/blank env var means "time everything"
     only.foreach { names =>
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty, s"unknown bench query name(s): ${unknown.mkString(", ")}")
@@ -92,8 +100,8 @@ object Bench {
     // round's JSON carries its own regression report (a total-only gate
     // let a 10-query 2-6x cluster hide inside an improved total in r4).
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_PREV.json")
-    val regressions =
-      if (!Files.exists(Paths.get(prevPath))) "{}"
+    val prev: Map[String, Double] =
+      if (!Files.exists(Paths.get(prevPath))) Map.empty
       else try {
         val txt = Files.readString(Paths.get(prevPath))
         // parse ONLY the "queries" object — the record also carries
@@ -104,14 +112,78 @@ object Bench {
           case i => txt.substring(i + 11, txt.indexOf('}', i))
         }
         val entry = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
-        val prev = entry.findAllMatchIn(qObj).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        // 0.3 s absolute floor: sub-second blips on a shared box are
-        // measurement noise, not regressions (see the r4 cluster diagnosis)
-        results.collect {
-          case (n, v, true, _) if prev.get(n).exists(p => p > 0 && v / p > 1.5 && v - p > 0.3) =>
-            f""""$n":{"prev":${prev(n)}%.3f,"now":$v%.3f,"ratio":${v / prev(n)}%.2f}"""
-        }.mkString("{", ",", "}")
-      } catch { case _: Throwable => "{}" }
+        entry.findAllMatchIn(qObj).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    // 0.3 s absolute floor: sub-second blips on a shared box are
+    // measurement noise, not regressions (see the r4 cluster diagnosis)
+    val candidates = results.collect {
+      case (n, v, true, _) if prev.get(n).exists(p => p > 0 && v / p > 1.5 && v - p > 0.3) =>
+        (n, v)
+    }
+
+    /** Isolation protocol (the r4/r5 noise lesson made executable): every
+      * in-matrix "regression" is re-timed ALONE in a FRESH JVM — same
+      * classpath, module flags and heap as this (forked) process — so the
+      * report itself distinguishes a real slowdown from matrix-order
+      * context (GC pressure, state-store maintenance, catalog growth) and
+      * shared-box scheduling noise. Child output goes to a temp file, so
+      * the parent's stdout stays the driver's single JSON line.
+      */
+    def isolatedTime(name: String): Option[Double] =
+      try {
+        val tmp = Files.createTempFile("bench_iso_", ".json")
+        val log = Files.createTempFile("bench_iso_", ".log")
+        val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+        val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin)
+        rt.getInputArguments.forEach(a => cmd.add(a))
+        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+        cmd.add("graft.Bench")
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_BENCH_PREV", "/nonexistent")
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmp.toString)
+        pb.redirectOutput(log.toFile)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val done = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); None }
+        else if (p.exitValue() != 0) None
+        else {
+          val childJson = Files.readString(tmp)
+          val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
+          val qObj = childJson.indexOf("\"queries\":{") match {
+            case -1 => ""
+            case i => childJson.substring(i + 11, childJson.indexOf('}', i))
+          }
+          re.findFirstMatchIn(qObj).map(_.group(1).toDouble)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    // Cap the fresh-JVM re-runs: each costs ~30 s of setup; past the cap
+    // the entries stay in the report marked unisolated rather than
+    // silently dropped. A restricted (BENCH_ONLY) run never isolates —
+    // it IS the isolation child.
+    val isolated: Map[String, Option[Double]] =
+      if (only.nonEmpty) Map.empty
+      else candidates.take(8).map { case (n, _) => n -> isolatedTime(n) }.toMap
+
+    def entryJson(n: String, v: Double): String = {
+      val iso = isolated.get(n).flatten
+      val isoTxt = iso.map(d => f"$d%.3f").getOrElse("null")
+      f""""$n":{"prev":${prev(n)}%.3f,"now":$v%.3f,"ratio":${v / prev(n)}%.2f,"isolated":$isoTxt}"""
+    }
+    // confirmed = still >1.3x prev when timed alone in a fresh JVM (or no
+    // isolation datum); within 1.3x isolated = matrix/noise, suppressed
+    // into its own object so the evidence stays in the record
+    val (noise, confirmed) = candidates.partition { case (n, _) =>
+      isolated.get(n).flatten.exists(iso => prev.get(n).exists(p => iso / p <= 1.3))
+    }
+    val regressions = confirmed.map { case (n, v) => entryJson(n, v) }.mkString("{", ",", "}")
+    val suppressed = noise.map { case (n, v) => entryJson(n, v) }.mkString("{", ",", "}")
     // The 33-query round-1 matrix (all names unchanged) — reported separately
     // so matrix growth isn't mistaken for a slowdown.
     val r1Names = Set(
@@ -128,9 +200,10 @@ object Bench {
       "(r1 used count(), which let Catalyst drop sorts/projections); " +
       "r1_queries_total covers the original 33-query matrix under the new harness"
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"regressions_vs_prev":$regressions,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"regressions_vs_prev":$regressions,"noise_suppressed":$suppressed,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
     println(json)
-    Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
     failures.foreach(f => System.err.println(s"[bench] FAIL $f"))
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
