@@ -70,43 +70,56 @@ object ExactQuantile {
   def winsorizedSums(raw: DataFrame): DataFrame = {
     val rb = raw.select(col("g"), col("x")).withColumn("b", bucketId(col("x")))
 
-    // Materialize the bucket histogram ONCE (fact scan #1): the group
-    // totals, the cumulative bucket walk, and the final correction all
-    // read it, and an unmaterialized plan would re-execute the whole
-    // scan+aggregate subtree per consumer. It is <= ~34k rows per group
-    // at ANY scale. (On a cluster: persist or checkpoint against durable
-    // storage.)
+    // Bucket histogram (fact scan #1): <= ~34k rows/group at ANY scale.
+    // Group totals do NOT get their own aggregate: ntot/tsum ride the
+    // same per-g exchange as the cumulative walk as unbounded-frame
+    // windows, so the histogram has ONE consumer chain and needs no
+    // materialization barrier (the previous shape paid a separate stats
+    // aggregate, two broadcast joins of it, and an eager localCheckpoint
+    // to stop re-execution — measured ~0.5 s of extra machinery at sf0.1
+    // cold).
+    //
+    // Measured floor at sf0.1/local[32] (r6): ~2.6 s warm in-process.
+    // The two fact scans are SEQUENTIAL by data dependency — the
+    // refinement scan's broadcast side (bounds) must materialize before
+    // scan #2 starts — and each scan+aggregate job costs ~0.9 s at this
+    // fixture (vs 0.26 s for the bare scan: partial-agg + per-stage
+    // planning dominate at this tiny size); the remaining ~0.8 s is the
+    // window/rollup stages. The shape, not the constants, is what scales:
+    // at 100 TB both scans are column-pruned full passes and everything
+    // after them is group-cardinality-bounded. Caching the projected
+    // fact rows would merge the two scans here but is exactly what a
+    // 100 TB run cannot do, so the 2-scan form stays.
     val bh = rb.groupBy(col("g"), col("b"))
       .agg(count(lit(1)).as("bc"), sum("x").as("bs"))
-      .localCheckpoint(true)
-
-    // Group stats roll up from the bucket table — no second scan.
-    val stats = bh.groupBy("g").agg(
-      sum("bc").as("ntot"), sum("bs").as("tsum"))
 
     val overBuckets = Window.partitionBy("g").orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overGroup = Window.partitionBy("g")
     val cum = bh
       .withColumn("cum", sum("bc").over(overBuckets))
       .withColumn("off", col("cum") - col("bc"))
       .withColumn("soff", sum("bs").over(overBuckets) - col("bs"))
-      .join(broadcast(stats.select(col("g"), col("ntot"))), "g")
+      .withColumn("ntot", sum("bc").over(overGroup))
+      .withColumn("tsum", sum("bs").over(overGroup))
       .withColumn("k_lo", expr("(ntot + 99) div 100"))
       .withColumn("k_hi", expr("(99 * ntot + 99) div 100"))
 
     // Each threshold's boundary bucket: the first whose cumulative reaches
     // k. One pass — a UNION of two filters would duplicate the whole
     // histogram subtree. `off`/`soff` carry the count and sum of every
-    // row in the buckets strictly before it.
+    // row in the buckets strictly before it; ntot/tsum hitch along so the
+    // final correction needs no stats join.
     val bounds = cum
-      .select(col("g"), col("b"), col("off"), col("soff"), explode(array(
-        when(col("off") < col("k_lo") && col("k_lo") <= col("cum"),
-          struct(lit("lo").as("which"), col("k_lo").as("k"))),
-        when(col("off") < col("k_hi") && col("k_hi") <= col("cum"),
-          struct(lit("hi").as("which"), col("k_hi").as("k"))))).as("wk"))
+      .select(col("g"), col("b"), col("off"), col("soff"),
+        col("ntot"), col("tsum"), explode(array(
+          when(col("off") < col("k_lo") && col("k_lo") <= col("cum"),
+            struct(lit("lo").as("which"), col("k_lo").as("k"))),
+          when(col("off") < col("k_hi") && col("k_hi") <= col("cum"),
+            struct(lit("hi").as("which"), col("k_hi").as("k"))))).as("wk"))
       .filter(col("wk").isNotNull)
       .select(col("g"), col("b"), col("wk.which").as("which"),
-        col("wk.k").as("k"), col("off"), col("soff"))
+        col("wk.k").as("k"), col("off"), col("soff"), col("ntot"), col("tsum"))
 
     // Refine within boundary buckets only (fact scan #2): compress the
     // surviving rows to per-value counts + sums, then the threshold is the
@@ -118,18 +131,22 @@ object ExactQuantile {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = rb
       .join(broadcast(bounds), Seq("g", "b"))
-      .groupBy("g", "which", "k", "off", "soff", "x").agg(
+      .groupBy("g", "which", "k", "off", "soff", "ntot", "tsum", "x").agg(
         count(lit(1)).as("c"), sum("x").as("s"))
       .withColumn("cumIn", sum("c").over(inBucket))
       .withColumn("sumIn", sum("s").over(inBucket))
       .filter(col("off") + col("cumIn") >= col("k"))
       .groupBy("g", "which").agg(
+        min("ntot").as("ntot"),
+        min("tsum").as("tsum"),
         min_by(struct(
           col("x").as("v"),
           (col("off") + col("cumIn")).as("nThru"),
           (col("soff") + col("sumIn")).as("sThru"),
           col("c"), col("s")), col("x")).as("t"))
       .groupBy("g").agg(
+        min("ntot").as("ntot"),
+        min("tsum").as("tsum"),
         min(when(col("which") === "lo", col("t.v"))).as("lo"),
         // rows strictly below lo and their sum (prefix through v minus
         // v's own frequency row)
@@ -142,7 +159,7 @@ object ExactQuantile {
         min(when(col("which") === "hi", col("t.nThru"))).as("nThruHi"),
         min(when(col("which") === "hi", col("t.sThru"))).as("sThruHi"))
 
-    thr.join(broadcast(stats), "g")
+    thr
       .select(
         col("g"),
         col("ntot").as("n_rows"),

@@ -240,23 +240,31 @@ class PlanAuditSpec extends AnyFunSuite {
   test("winsorize quantiles avoid the per-group global sort (q_agg_winsorize)") {
     val p = plan("q_agg_winsorize")
     assert(!p.contains("SortMergeJoin"),
-      "stat/threshold joins must broadcast (they are group-cardinality tables)")
-    // Two Window OPERATORS (bucket cumulative + boundary refinement), each
-    // carrying a count and a sum expression over the same bounded frame.
+      "threshold join must broadcast (bounds is a group-cardinality table)")
+    // Three Window OPERATORS, two of them riding ONE per-g exchange: the
+    // bucket cumulative (rows frame) and the group totals (unbounded
+    // frame — the fold that replaced the separate stats aggregate + its
+    // broadcast joins), plus the boundary refinement window.
     val windows = "(?m)^[^\\n]*\\bWindow \\[".r.findAllIn(p).length
-    assert(windows == 2,
-      s"expected exactly the two bounded window operators (bucket cumulative + boundary refinement), got $windows:\n$p")
-    // Exactly TWO fact-table scans total: the histogram build runs eagerly
-    // at checkpoint time (scan #1, outside this plan), so the final plan
-    // must show exactly ONE parquet scan (boundary refinement) plus the
-    // checkpointed bucket table. Group totals roll up from the bucket
-    // table — a min/max pre-pass or a stats re-scan would surface here as
-    // a second in-plan parquet scan.
+    assert(windows == 3,
+      s"expected bucket-cumulative + group-total + refinement windows, got $windows:\n$p")
+    // Exactly TWO fact-table scans in ONE plan (histogram build +
+    // boundary refinement; no materialization barrier). A min/max
+    // pre-pass, a stats re-scan, or a re-executed histogram subtree would
+    // surface here as a third scan.
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 1,
-      s"expected exactly 1 in-plan lineitem scan (refinement; histogram is checkpointed), got $scans:\n$p")
-    assert(p.contains("ExistingRDD"),
-      s"histogram consumers must read the checkpointed bucket table:\n$p")
+    assert(scans == 2,
+      s"expected exactly 2 in-plan lineitem scans (histogram + refinement), got $scans:\n$p")
+    // and the group-total fold must not have introduced an extra per-g
+    // exchange: histogram agg (g, b), ONE shared per-g window exchange
+    // (cumulative + totals), refinement partial agg, refinement window
+    // (g, which), final per-g rollup — five, all over group-cardinality
+    // rows except the first
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 5,
+      s"group-total windows must share the cumulative walk's exchange:\n$p")
+    assert("hashpartitioning\\(g#\\d+, 4\\)".r.findAllIn(p).length <= 2,
+      s"cumulative walk and group totals must ride ONE per-g exchange:\n$p")
   }
 
   test("per-group top-k pushes the rank limit below the sort (q_ann_topk WindowGroupLimit)") {
