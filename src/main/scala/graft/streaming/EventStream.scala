@@ -90,6 +90,22 @@ object EventStream {
         |              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin),
 
+    // Stream-stream LEFT OUTER interval join: click→purchase attribution
+    // where clicks with NO purchase inside the hour ALSO emit (null-padded)
+    // — but only once the watermark proves no matching purchase can still
+    // arrive (leftOuterJoinCounts doc). Oracle = the batch left join's
+    // per-user row/match/unmatched counts.
+    "q_stream_left_outer" -> QuerySpec.df(
+      (s, d) => leftOuterJoinCounts(s, d),
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.ts, p.pts
+        |      FROM c LEFT JOIN p ON c.user_id = p.p_user
+        |                        AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 1 HOUR)
+        |SELECT user_id, COUNT(*) AS n_rows, COUNT(pts) AS n_matched,
+        |       COUNT(*) - COUNT(pts) AS n_unmatched
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // Ingest-time corpus dedup: incoming docs stream STATELESSLY against
     // the persistent corpus band index (row-wise band keys + broadcast
     // stream-static equi-join + graft_overlap verify) — see CorpusIngest.
@@ -160,6 +176,7 @@ object EventStream {
   def stageAll(spark: SparkSession, dir: String): Unit = {
     stage(spark, dir)
     stageSession(spark, dir)
+    stageOuter(spark, dir)
     CorpusIngest.stageAll(spark, dir)
     ()
   }
@@ -346,6 +363,72 @@ object EventStream {
         col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("n"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Events + far-future sentinel files for the OUTER stream-stream join:
+    * each sentinel file carries one 'click' AND one 'purchase' row (user
+    * -1) so it survives BOTH sides' event-type filters and advances BOTH
+    * watermarks — an outer join's null-padded rows only emit once the
+    * GLOBAL watermark (min across inputs) proves no match can still
+    * arrive, and a sentinel filtered out of either side would stall that
+    * side's watermark at its last real row. Two sentinel files, one file
+    * per micro-batch: the first advances the watermark past every real
+    * row, the second runs the batch in which eviction emits the unmatched
+    * clicks (same stream-closing technique as [[stageSession]]).
+    */
+  private def stageOuter(spark: SparkSession, dir: String): String = {
+    val src = stage(spark, dir)
+    stagedCache.computeIfAbsent(s"$dir#outer", { _ =>
+      val base = spark.read.parquet(src)
+      val dedicated = s"/root/repo/target/fixtures/events_outer_${dirKey(dir)}"
+      base.coalesce(2).write.mode("overwrite").parquet(dedicated)
+      Seq("2099-01-01 00:00:00", "2099-06-01 00:00:00").foreach { far =>
+        base.limit(1)
+          .withColumn("event_type", explode(array(lit("click"), lit("purchase"))))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", expr(s"timestamp_ntz '$far'"))
+          .select(base.columns.map(col).toIndexedSeq: _*)
+          .coalesce(1)
+          .write.mode("append").parquet(dedicated)
+      }
+      dedicated
+    })
+  }
+
+  /** Stream-stream LEFT OUTER interval join: every click emits — matched
+    * clicks as soon as both rows arrive (inner behavior), unmatched
+    * clicks null-padded only when the watermark passes click_ts + 1h and
+    * the engine can PROVE no qualifying purchase is still in flight (the
+    * correctness contract that distinguishes streaming outer joins from
+    * batch: early emission would double-emit on a late match). State
+    * stays bounded exactly as in the inner form — the range condition
+    * derives both sides' retention. The sentinel rows close the stream so
+    * the replay flushes its unmatched state; the rollup drops them.
+    */
+  def leftOuterJoinCounts(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageOuter(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    def side(eventType: String, userName: String, tsName: String) = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .filter(col("event_type") === eventType)
+      .select(col("user_id").as(userName), col("ts").cast("timestamp").as(tsName))
+      .withWatermark(tsName, "1 hour")
+    val clicks = side("click", "user_id", "click_ts")
+    val purchases = side("purchase", "p_user", "p_ts")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    runToTable(joined, "append")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("p_ts")).as("n_matched"),
+        (count(lit(1)) - count(col("p_ts"))).as("n_unmatched"))
+      .orderBy("user_id")
   }
 
   /** Stream-stream interval join (see the spec comment): two independent

@@ -179,6 +179,36 @@ class StreamRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("left-outer stream join emits unmatched clicks only at watermark close") {
+    // The oracle gate proves value equality with the batch left join; this
+    // pin proves the OUTER semantics are actually exercised — the fixture
+    // must contain clicks with no purchase inside the hour, and those must
+    // surface as null-padded rows (n_unmatched > 0) rather than the join
+    // silently degenerating to its inner form.
+    val got = EventStream.leftOuterJoinCounts(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.values.map(_._3).sum > 0, "fixture must produce unmatched clicks")
+    assert(got.values.map(_._2).sum > 0, "fixture must produce matched pairs")
+    // batch closed form over the same events
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+    val c = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("pts")).as("n_matched"),
+        (count(lit(1)) - count(col("pts"))).as("n_unmatched"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == batch, "streamed left-outer rollup must equal the batch left join")
+  }
+
   test("state-store release defers to an active stream on a SIBLING session") {
     import org.apache.spark.sql.execution.streaming.state.StateStore
     // StateStore.stop() is JVM-global but spark.streams is per-session: a
