@@ -191,14 +191,18 @@ object MinHashDedup {
     * runs only on them; the same compose-the-cuts pattern as IVF-PQ).
     * Unlike length-block candidates, banding cannot lose a pair whose
     * lengths straddle a block boundary (LlmSpec pins that recall win).
-    * The repartition on the text side is the AQE compute-skew lever from
-    * q_dedup_edit_distance: an explicit numPartitions repartition is
-    * exempt from bytes-blind coalescing, so the per-pair distances run
-    * wide instead of serializing on one task.
+    * The repartition on the PAIR side is the AQE compute-skew lever from
+    * q_dedup_edit_distance, applied where it actually lands here: the
+    * texts are the broadcast build side of both joins, so the pushed-in
+    * lev predicate executes while STREAMING THE PAIRS — and the
+    * checkpointed pair set arrives in ~2 byte-tiny partitions (AQE sized
+    * it by bytes, blind to the O(len²) per-row verify). An explicit
+    * numPartitions repartition is exempt from coalescing and spreads the
+    * distance work wide: measured 31 s → 3 s at sf0.1/local[32].
     */
   def editVerifiedFromPairs(pairs: DataFrame, docs: DataFrame, pct: Int): DataFrame = {
-    val texts = docs.select(col("doc_id"), col("text")).repartition(64)
-    pairs
+    val texts = docs.select(col("doc_id"), col("text"))
+    pairs.repartition(64)
       .join(texts.as("ta"), col("id1") === col("ta.doc_id"))
       .join(texts.as("tb"), col("id2") === col("tb.doc_id"))
       .select(col("id1"), col("id2"), col("jaccard"),
