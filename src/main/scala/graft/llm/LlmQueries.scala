@@ -1287,11 +1287,8 @@ object LlmQueries {
     // the oracle's closed form.
     "q_multimodal_wav_decode" -> df(
       (s, d) => {
-        def le16(v: String) =
-          s"concat(lpad(hex(pmod($v, 65536) % 256), 2, '0'), lpad(hex(pmod($v, 65536) div 256), 2, '0'))"
-        def le32(v: String) =
-          s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex(($v) div 256 % 256), 2, '0'), " +
-            s"lpad(hex(($v) div 65536 % 256), 2, '0'), lpad(hex(($v) div 16777216 % 256), 2, '0'))"
+        def le16(v: String) = hexLe16(v)
+        def le32(v: String) = hexLe32(v)
         // ch varies on doc_id DIV 10: doc_id % 2 is constant-0 under the
         // % 10 = 0 fixture filter and would never exercise stereo
         // interleaving in-flight
@@ -1449,11 +1446,8 @@ object LlmQueries {
     */
   private def mixedMediaFixture(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    def le16(v: String) =
-      s"concat(lpad(hex(pmod($v, 65536) % 256), 2, '0'), lpad(hex(pmod($v, 65536) div 256), 2, '0'))"
-    def le32(v: String) =
-      s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex(($v) div 256 % 256), 2, '0'), " +
-        s"lpad(hex(($v) div 65536 % 256), 2, '0'), lpad(hex(($v) div 16777216 % 256), 2, '0'))"
+    def le16(v: String) = hexLe16(v)
+    def le32(v: String) = hexLe32(v)
     // BMP row stride: rows pad to 4-byte multiples
     val rb = "(((w * 3 + 3) DIV 4) * 4)"
     Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
@@ -1496,6 +1490,17 @@ object LlmQueries {
            |ELSE encode(concat('RAW:', text), 'UTF-8')
            |END AS payload""".stripMargin)
   }
+
+  /** Little-endian hex emitters (Spark SQL dialect) shared by every
+    * in-engine binary fixture (WAV single-format + the mixed-media corpus)
+    * — ONE definition so the encodings can never diverge.
+    */
+  private def hexLe16(v: String): String =
+    s"concat(lpad(hex(pmod($v, 65536) % 256), 2, '0'), lpad(hex(pmod($v, 65536) div 256), 2, '0'))"
+
+  private def hexLe32(v: String): String =
+    s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex(($v) div 256 % 256), 2, '0'), " +
+      s"lpad(hex(($v) div 65536 % 256), 2, '0'), lpad(hex(($v) div 16777216 % 256), 2, '0'))"
 
   /** The oracle-side mirror of [[mixedMediaFixture]]'s parameter table. */
   private def mixedMediaOracleCtes: String =

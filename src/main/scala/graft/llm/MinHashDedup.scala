@@ -198,11 +198,14 @@ object MinHashDedup {
     * checkpointed pair set arrives in ~2 byte-tiny partitions (AQE sized
     * it by bytes, blind to the O(len²) per-row verify). An explicit
     * numPartitions repartition is exempt from coalescing and spreads the
-    * distance work wide: measured 31 s → 3 s at sf0.1/local[32].
+    * distance work wide: measured 31 s → 3 s at sf0.1/local[32]. The width
+    * derives from the session's parallelism (2x cores — the measured 64 on
+    * local[32]) so a larger cluster is not capped at a tuned constant.
     */
   def editVerifiedFromPairs(pairs: DataFrame, docs: DataFrame, pct: Int): DataFrame = {
     val texts = docs.select(col("doc_id"), col("text"))
-    pairs.repartition(64)
+    val width = math.max(2, docs.sparkSession.sparkContext.defaultParallelism * 2)
+    pairs.repartition(width)
       .join(texts.as("ta"), col("id1") === col("ta.doc_id"))
       .join(texts.as("tb"), col("id2") === col("tb.doc_id"))
       .select(col("id1"), col("id2"), col("jaccard"),

@@ -211,7 +211,12 @@ class FlightSqlService(
       }
     viaTemplate.getOrElse {
       val df = Params.bind(spark, sql, parameters, sqlOptions)
+      // Rename only when the fallback's shape still matches the template:
+      // if the catalog changed under the cached template (view re-registered
+      // with different columns), the fresh re-plan is the truth and forcing
+      // the stale names would mislabel or break it.
       template
+        .filter(_.output.length == df.columns.length)
         .map(t => df.toDF(t.output.map(_.name): _*))
         .getOrElse(df)
     }

@@ -204,9 +204,16 @@ object EventStream {
     * execution thread before returning.
     */
   private def anyStreamActiveInJvm: Boolean = {
-    import scala.jdk.CollectionConverters._
-    Thread.getAllStackTraces.keySet.asScala.exists { t =>
-      t.isAlive &&
+    // root-ThreadGroup enumeration, NOT Thread.getAllStackTraces: the
+    // latter snapshots every thread's full stack at a safepoint when all
+    // this check needs is the thread objects themselves
+    var g = Thread.currentThread().getThreadGroup
+    while (g.getParent != null) g = g.getParent
+    val threads = new Array[Thread](g.activeCount() + 16)
+    val n = g.enumerate(threads, true)
+    (0 until n).exists { i =>
+      val t = threads(i)
+      t != null && t.isAlive &&
         t.isInstanceOf[org.apache.spark.sql.execution.streaming.runtime.QueryExecutionThread]
     }
   }
