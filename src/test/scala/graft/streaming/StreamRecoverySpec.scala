@@ -179,6 +179,114 @@ class StreamRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("left-outer join's unmatched state survives a checkpoint restart") {
+    // The outer join's null-padded rows emit from STATE, possibly many
+    // batches (and one process lifetime) after the click arrived. Pin: a
+    // run killed BEFORE the watermark closes any click, then resumed over
+    // the remaining files + the far-future sentinels, must emit exactly
+    // the matched+unmatched multiset of an uninterrupted run of the same
+    // file sequence — a restart that drops outer state loses unmatched
+    // rows; one that replays it duplicates them. (Unlike the inner-join
+    // pin above, the watermark here is the production 1 h: eviction and
+    // emission are the subject, and the checkpoint persists the watermark
+    // so both runs walk the same trajectory per data batch.)
+    import org.apache.spark.sql.streaming.Trigger
+    val events = graft.queries.Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts")
+    val staged = freshDir("lo_staged")
+    events.repartition(2).write.mode("overwrite").parquet(staged.toString)
+    // two sentinel files, each carrying BOTH event types (user -1) so both
+    // sides' watermarks pass every real row — same technique as
+    // EventStream.stageOuter
+    for (far <- Seq("2099-01-01 00:00:00", "2099-06-01 00:00:00")) {
+      spark.read.parquet(staged.toString).limit(1)
+        .withColumn("event_type",
+          org.apache.spark.sql.functions.explode(org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.lit("click"),
+            org.apache.spark.sql.functions.lit("purchase"))))
+        .withColumn("user_id", org.apache.spark.sql.functions.lit(-1L))
+        .withColumn("ts", org.apache.spark.sql.functions.expr(s"timestamp_ntz '$far'"))
+        .select("user_id", "event_type", "ts")
+        .coalesce(1).write.mode("append").parquet(staged.toString)
+    }
+    val listing = Files.list(staged)
+    val parts =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(p => Files.getLastModifiedTime(p).toMillis -> p.toString)
+      finally listing.close()
+    assert(parts.length == 4, s"2 data + 2 sentinel files, got ${parts.length}")
+    val schema = spark.read.parquet(staged.toString).schema
+
+    def runOuter(source: Path, sink: Path, ckpt: Path): Unit = {
+      import org.apache.spark.sql.functions._
+      def side(eventType: String, userName: String, tsName: String) = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source.toString)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(userName), col("ts").cast("timestamp").as(tsName))
+        .withWatermark(tsName, "1 hour")
+      val joined = side("click", "user_id", "click_ts")
+        .join(side("purchase", "p_user", "p_ts"),
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        .select(col("user_id"), col("click_ts"), col("p_ts"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally { if (q.isActive) q.stop() }
+    }
+    def copyIn(dest: Path, ps: Seq[Path]): Unit =
+      ps.foreach { p =>
+        val dst = Files.copy(p, dest.resolve(p.getFileName),
+          StandardCopyOption.REPLACE_EXISTING)
+        // FileStreamSource orders by mtime and sub-ms copies tie — stamp
+        // each file with its global sequence so the sentinels are
+        // guaranteed to process AFTER every real-data file, identically
+        // in the control and restart runs
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1_000_000_000_000L + parts.indexOf(p).toLong * 60_000L))
+        ()
+      }
+    def rows(sink: Path): Seq[(Long, String, String)] =
+      spark.read.parquet(sink.toString).filter("user_id >= 0")
+        .collect().map(r => (r.getLong(0), String.valueOf(r.get(1)), String.valueOf(r.get(2))))
+        .toSeq.sorted
+
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val (srcA, sinkA, ckptA) = (freshDir("lo_srcA"), freshDir("lo_sinkA"), freshDir("lo_ckptA"))
+    val (srcB, sinkB, ckptB) = (freshDir("lo_srcB"), freshDir("lo_sinkB"), freshDir("lo_ckptB"))
+    try {
+      copyIn(srcA, parts)
+      runOuter(srcA, sinkA, ckptA) // control: uninterrupted
+      copyIn(srcB, parts.take(2)) // all real data, NO sentinels: nothing evicts yet
+      runOuter(srcB, sinkB, ckptB)
+      copyIn(srcB, parts.drop(2)) // sentinels arrive in the SECOND incarnation
+      runOuter(srcB, sinkB, ckptB)
+      val control = rows(sinkA)
+      val restarted = rows(sinkB)
+      assert(control.exists(_._3 == "null"), "control must contain unmatched (null-padded) clicks")
+      assert(restarted == control,
+        "restart must neither lose nor duplicate matched or unmatched rows")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
+
+    for (dir <- Seq(staged, srcA, sinkA, ckptA, srcB, sinkB, ckptB)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
+
   test("left-outer stream join emits unmatched clicks only at watermark close") {
     // The oracle gate proves value equality with the batch left join; this
     // pin proves the OUTER semantics are actually exercised — the fixture
