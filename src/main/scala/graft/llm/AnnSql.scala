@@ -460,8 +460,11 @@ object AnnSql {
     * computes dots with the codegen'd graft_dot_d, DuckDB with
     * list_dot_product.
     */
-  private val kmQ = "list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5))"
-  private val kmQSpark =
+  // private[graft]: the streaming vector-ingest path (streaming/VectorIngest)
+  // quantizes with the SAME fixed-point convention so its assignments stay
+  // integer-exact against the batch-built index
+  private[graft] val kmQ = "list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5))"
+  private[graft] val kmQSpark =
     "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE))"
 
   /** Assignment rides the shared two-level quantizer ([[hierAsnCtes]]) —

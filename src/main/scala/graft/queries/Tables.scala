@@ -72,4 +72,15 @@ object Tables {
       names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
       lastDir.put(spark, dir) // only after every view registered successfully
     }
+
+  /** Force every fixture view back to `dir`, bypassing the (session, dir)
+    * guard. For callers that deliberately SHADOWED a fixture name with
+    * their own temp view (hand-built test fixtures): a plain registerAll
+    * afterwards is a silent no-op — the guard still remembers `dir` — and
+    * the shadow would leak into every later consumer of the session.
+    */
+  def reregisterAll(spark: SparkSession, dir: String): Unit = {
+    lastDir.remove(spark)
+    registerAll(spark, dir)
+  }
 }

@@ -225,7 +225,7 @@ class LlmSpec extends AnyFunSuite {
     val sampled = rows.map(_.getLong(1)).sum
     assert(sampled <= 1000, s"training sample $sampled exceeds the fixed budget 1000")
     assert(sampled >= 500, s"training sample $sampled collapsed below half the budget")
-    graft.queries.Tables.registerAll(s, "/root/testdata/sf0.001")
+    graft.queries.Tables.reregisterAll(s, "/root/testdata/sf0.001")
   }
 
   test("residual PQ beats raw-vector PQ where coarse structure exists") {
@@ -268,8 +268,10 @@ class LlmSpec extends AnyFunSuite {
       assert(res >= 0.29, s"residual recall@5 $res below the measured 0.30 floor")
     } finally {
       // the shared session's `embeddings` view must go back to the parquet
-      // fixture for every later suite
-      graft.queries.Tables.registerAll(spark, "/root/testdata/sf0.001")
+      // fixture for every later suite — FORCED: the plain registerAll's
+      // (session, dir) guard would no-op and leak this 256-row fixture
+      // into every suite that runs after (caught by VectorIngestSpec)
+      graft.queries.Tables.reregisterAll(spark, "/root/testdata/sf0.001")
     }
   }
 

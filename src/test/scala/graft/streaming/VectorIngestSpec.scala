@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for the streaming ANN ingest path: the index artifacts have the
+  * designed two-tier shape (the cheap-to-ship cell metadata really is
+  * ~N^¼, the centroid partition really is disjoint), and the STREAMED
+  * assignment equals the batch closed form computed independently in
+  * Spark — batch-boundary invariance on top of the cross-engine oracle.
+  */
+class VectorIngestSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("index artifacts: N^(1/4) cells partitioning the centroid set disjointly") {
+    val idx = VectorIngest.buildIndex(spark, sf)
+    val corpusN = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter("vec_id % 10 = 0").count()
+    val nlist = math.ceil(corpusN / math.ceil(math.sqrt(corpusN.toDouble))).toLong
+    assert(idx.cells.nonEmpty && idx.cells.size <= math.ceil(math.sqrt(nlist.toDouble)) + 1,
+      s"${idx.cells.size} cells must stay ~sqrt(nlist=$nlist)")
+    val members = idx.members.collect().map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+    }
+    assert(members.map(_._1).toSet == idx.cells.map(_._1).toSet,
+      "every cell must own a member list")
+    val all = members.flatMap(_._2)
+    assert(all.length == all.distinct.length, "cells must partition the centroids disjointly")
+    assert(members.forall(_._2.nonEmpty), "a cell always holds at least its own seed centroid")
+  }
+
+  test("streamed assignment equals the batch closed form (Spark-side)") {
+    graft.functions.GraftFunctions.register(spark)
+    // FORCED re-register: an earlier suite may have shadowed `embeddings`
+    // on the shared session (the leak this spec originally caught)
+    graft.queries.Tables.reregisterAll(spark, sf)
+    def d2(a: String, b: String) =
+      s"graft_dot_d($a, $a) + graft_dot_d($b, $b) - 2 * graft_dot_d($a, $b)"
+    val quant = graft.llm.AnnSql.kmQSpark
+    val batch = spark.sql(
+      s"""WITH corpus AS (SELECT vec_id, $quant AS v,
+         |                       row_number() OVER (ORDER BY vec_id) - 1 AS rid
+         |                FROM embeddings WHERE vec_id % 10 = 0),
+         |st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM corpus),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM corpus
+         |      WHERE rid % (SELECT stride FROM st) = 0),
+         |n2 AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS s1 FROM c),
+         |c1 AS (SELECT cent_id AS c1_id, cv AS c1e FROM (
+         |  SELECT cent_id, cv, row_number() OVER (ORDER BY cent_id) AS rn FROM c) t
+         |  WHERE (rn - 1) % (SELECT s1 FROM n2) = 0),
+         |a21 AS (SELECT cent_id, cv, c1_id FROM (
+         |  SELECT c.cent_id, c.cv, c1.c1_id,
+         |         row_number() OVER (PARTITION BY c.cent_id
+         |           ORDER BY ${d2("c.cv", "c1.c1e")}, c1.c1_id) AS rn
+         |  FROM c CROSS JOIN c1) t WHERE rn = 1),
+         |nv AS (SELECT vec_id, $quant AS v FROM embeddings WHERE vec_id % 10 = 9),
+         |p AS (SELECT vec_id, v, c1_id FROM (
+         |  SELECT nv.vec_id, nv.v, c1.c1_id,
+         |         row_number() OVER (PARTITION BY nv.vec_id
+         |           ORDER BY ${d2("nv.v", "c1.c1e")}, c1.c1_id) AS rn
+         |  FROM nv CROSS JOIN c1) t WHERE rn <= ${VectorIngest.p1})
+         |SELECT vec_id, cent_id, CAST(d2 AS BIGINT) AS d2 FROM (
+         |  SELECT p.vec_id, a.cent_id, ${d2("p.v", "a.cv")} AS d2,
+         |         row_number() OVER (PARTITION BY p.vec_id
+         |           ORDER BY ${d2("p.v", "a.cv")}, a.cent_id) AS rn
+         |  FROM p JOIN a21 a ON p.c1_id = a.c1_id) t WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = VectorIngest
+      .assignIngest(spark, sf, VectorIngest.buildIndex(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "ingest fixture must carry vectors")
+    assert(streamed == batch,
+      "micro-batched assignment must equal the batch closed form exactly")
+  }
+}
