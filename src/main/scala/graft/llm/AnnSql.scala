@@ -838,6 +838,35 @@ object AnnSql {
     (a, b) => s"list_dot_product($a, $b)",
     s"unnest(range(0, $pqSubspaces)) AS s", k)
 
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
+    * project every embedding onto [[projDims]] fixed Gaussian directions —
+    * the cheap embedding-compression pass a pipeline runs before storing
+    * or coarse-searching vectors (JL: pairwise distances survive within
+    * (1±ε) at k = O(log N / ε²) dims). The directions ARE the first
+    * [[projDims]] LSH hyperplanes of table 0, embedded as literals in both
+    * dialects (same decimal text → same doubles), and the dot folds
+    * left-to-right via the codegen'd graft_dot / DuckDB's
+    * list_dot_product — bit-identical, so ROUNDed outputs hash-match. One
+    * scan, pure projection, no shuffle except the presentation sort.
+    */
+  val projDims = 8
+
+  def projectSpark: String = {
+    val cols = tables(0).take(projDims).zipWithIndex.map { case (p, j) =>
+      s"ROUND(graft_dot(embedding, ${sparkPlaneLit(p)}), 6) AS p$j"
+    }
+    s"""SELECT vec_id, ${cols.mkString(", ")}
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  def projectDuck: String = {
+    val cols = tables(0).take(projDims).zipWithIndex.map { case (p, j) =>
+      s"ROUND(list_dot_product(${duckD("embedding")}, ${duckPlaneLit(p)}), 6) AS p$j"
+    }
+    s"""SELECT vec_id, ${cols.mkString(", ")}
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   /** Linear-probe classifier inference + eval rollup: score every
     * embedding against a broadcast weight vector (the cheapest "model
     * judges every document" curation pass — a logistic/linear probe

@@ -505,6 +505,18 @@ object LlmQueries {
       },
       Some(AnnSql.ivfPqResidualDuck(5))),
 
+    // Random-projection (JL) dimensionality reduction: every embedding
+    // onto 8 fixed Gaussian directions — the embedding-compression pass
+    // before storage/coarse search; one scan, pure projection
+    // (AnnSql.projectSpark doc).
+    "q_embed_project" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.projectSpark)
+      },
+      Some(AnnSql.projectDuck)),
+
     // Linear-probe classifier inference over embeddings: broadcast weight
     // vector, codegen'd dot, sign prediction + per-label agreement rollup
     // (AnnSql.linearProbeSql doc).
