@@ -44,6 +44,7 @@ object SparkEntry {
       graft.queries.ExtraQueries.specs ++
       graft.queries.DepthQueries.specs ++
       graft.llm.LlmQueries.specs ++
+      graft.llm.GraphRank.specs ++
       graft.streaming.EventStream.specs
 
   /** One entry per implemented operator from SURVEY.md §2. */

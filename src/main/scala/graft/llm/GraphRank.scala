@@ -1,0 +1,136 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{QuerySpec, Tables}
+
+/** Link-graph centrality for crawl prioritization: iterative PageRank over
+  * an arbitrary (src, dst) edge table — the primitive a web-scale corpus
+  * pipeline runs to decide which domains/pages to crawl, keep, or up-weight
+  * (the reference's delegated-SQL surface has no graph operator; this is
+  * part of the LLM-pipeline extension set, like the dedup/ANN family).
+  *
+  * Arithmetic is EXACT scaled-integer (rank mass carried as BIGINT
+  * trillionths): every per-iteration step is integer division + an
+  * order-independent BIGINT sum, so the result is bit-identical across
+  * engines and across partitionings — no float accumulation anywhere.
+  * r0 = SCALE div n;  r' = (15·(SCALE div n) + 85·Σ contrib) div 100,
+  * contrib = r div outdeg (the 0.85-damped standard form). Truncation lost
+  * to integer division only ever REMOVES rank mass (bounded by
+  * (outdeg+1)/SCALE per node per iteration), never reorders the ranking
+  * nondeterministically.
+  *
+  * Shuffle shape per iteration (the canonical distributed PageRank):
+  *   1. contribs: ranks equi-join edges on src — edges are repartitioned
+  *      by src ONCE and materialized (localCheckpoint), so every iteration
+  *      reuses that layout and only the n-row rank table moves;
+  *   2. inflow: map-side-combined SUM groupBy dst.
+  * Nothing is collected to the driver; the iteration count is fixed (an
+  * at-scale run uses 10-30 iterations or a convergence probe on the
+  * aggregate delta — itself one more map-side-combined SUM).
+  */
+object GraphRank {
+
+  /** Rank unit: 1.0 of rank mass = 1e12. 85·SCALE fits int64 with 5 digits
+    * of headroom, so inflow sums are overflow-safe to ~100k average
+    * in-degree × SCALE-concentrated mass — far past any real link graph.
+    */
+  val Scale: Long = 1000000000000L
+
+  /** Iterative damped PageRank. `nodes`: one `id` column (BIGINT); `edges`:
+    * `src`/`dst` BIGINT columns (parallel edges are collapsed; self-loops
+    * are legal and simply feed a node's own rank back). Returns (id, rank)
+    * with rank in SCALE-trillionths.
+    */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    // One row: the teleport quantum SCALE div n. Broadcast-joined below so
+    // the corpus count never lands on the driver.
+    val teleDf = broadcast(
+      nodes.agg(expr(s"CAST(${Scale}L DIV COUNT(*) AS BIGINT)").as("tele")))
+
+    // Distinct edges with out-degree attached, laid out by src once and
+    // materialized — the loop's 5 joins all reuse this partitioning, so
+    // only the (n-row) rank table shuffles per iteration.
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
+    val eo = e0
+      .join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
+
+    var ranks = nodes.crossJoin(teleDf).select(col("id"), col("tele").as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = eo
+        .join(ranks, eo("src") === ranks("id"))
+        .select(col("dst"), expr("rank DIV outdeg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("inflow"))
+      ranks = nodes
+        .join(inflow, nodes("id") === inflow("dst"), "left")
+        .crossJoin(teleDf)
+        .select(
+          nodes("id"),
+          expr("(15 * tele + 85 * COALESCE(inflow, 0L)) DIV 100").as("rank"))
+    }
+    ranks
+  }
+
+  /** q_graph_pagerank: rank the documents corpus over a deterministic
+    * synthetic citation graph (3 outlinks per doc via a quadratic hash —
+    * the fixture stands in for a real link table; the operator itself takes
+    * ANY edge set) and emit the top-20 crawl-priority nodes. Exact BIGINT
+    * ranks make the top-k stable with doc_id tie-break.
+    */
+  private def pagerankSpark(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
+    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
+    // doc_ids are dense 0..n-1 in the fixture, so the quadratic map lands
+    // on valid node ids; real pipelines pass a real (src, dst) table here.
+    val edges = docs
+      .crossJoin(nDf)
+      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
+      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+    val ranks = pagerank(docs, edges, iters = 5)
+    val top = ranks.orderBy(col("rank").desc, col("id")).limit(20)
+    top
+      .select(
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("id"))).as("rk"),
+        col("id").as("doc_id"),
+        col("rank").as("rank_scaled"))
+      .orderBy("rk")
+  }
+
+  /** Unrolled 5-iteration DuckDB oracle: identical scaled-integer
+    * arithmetic, so the hash comparison is exact — no rounding anywhere.
+    */
+  val specs: Map[String, QuerySpec] = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""r$i AS (SELECT nodes.id,
+         |  CAST((15 * (SELECT tele FROM t) + 85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst, SUM(r.rank // e.outdeg) AS inflow
+         |    FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst) f
+         |  ON nodes.id = f.dst)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "q_graph_pagerank" -> QuerySpec.df(
+        pagerankSpark,
+        s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+           |n AS (SELECT COUNT(*) AS n FROM nodes),
+           |t AS (SELECT ${Scale} // n AS tele FROM n),
+           |e0 AS (SELECT id AS src,
+           |              (id * id * 31 + (2 * j + 1) * 97) % (SELECT n FROM n) AS dst
+           |       FROM (SELECT id, unnest(range(0, 3)) AS j FROM nodes) z),
+           |ed AS (SELECT DISTINCT src, dst FROM e0),
+           |e AS (SELECT ed.src, ed.dst, od.outdeg
+           |      FROM ed JOIN (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src) od
+           |      ON ed.src = od.src),
+           |r0 AS (SELECT id, (SELECT tele FROM t) AS rank FROM nodes),
+           |$iterCtes
+           |SELECT CAST(rk AS INT) AS rk, id AS doc_id, rank AS rank_scaled FROM (
+           |  SELECT id, rank, row_number() OVER (ORDER BY rank DESC, id) AS rk FROM r5) z
+           |WHERE rk <= 20 ORDER BY rk""".stripMargin))
+  }
+}

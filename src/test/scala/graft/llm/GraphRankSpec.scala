@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins GraphRank.pagerank on a hand-computed graph (exact scaled-integer
+  * ranks, so expectations are literal BIGINTs, not tolerances) plus the
+  * invariants the integer formulation guarantees: rank mass never exceeds
+  * SCALE and only shrinks by bounded truncation, and a sink-free cycle
+  * preserves the uniform fixed point exactly.
+  */
+class GraphRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def nodesDf(ids: Long*) = ids.toDF("id")
+  private def edgesDf(e: (Long, Long)*) = e.toDF("src", "dst")
+
+  test("3-node cycle holds the uniform fixed point exactly") {
+    // 0→1→2→0: outdeg 1 everywhere, inflow(v) = rank(u) exactly, so
+    // r' = (15·t + 85·t) div 100 with t = SCALE div 3 stays t forever —
+    // any drift is an arithmetic bug, not rounding.
+    val t = GraphRank.Scale / 3
+    val r = GraphRank
+      .pagerank(nodesDf(0L, 1L, 2L), edgesDf(0L -> 1L, 1L -> 2L, 2L -> 0L), iters = 4)
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((0L, t), (1L, t), (2L, t)))
+  }
+
+  test("star graph: hub collects, leaves hold teleport floor; mass conserved within truncation bound") {
+    // 1,2,3 → 0; 0 → 1. Hand-iterate the integer recurrence once:
+    //   t = SCALE div 4; r1(0) = (15t + 85·3t) div 100; r1(1) = t;
+    //   r1(2) = r1(3) = (15t) div 100.
+    val t = GraphRank.Scale / 4
+    val exp0 = (15 * t + 85 * 3 * t) / 100
+    val expLeaf = (15 * t) / 100
+    val out = GraphRank
+      .pagerank(nodesDf(0L, 1L, 2L, 3L), edgesDf(1L -> 0L, 2L -> 0L, 3L -> 0L, 0L -> 1L), iters = 1)
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(out.toSeq == Seq((0L, exp0), (1L, t), (2L, expLeaf), (3L, expLeaf)))
+
+    // Mass: total never exceeds SCALE, and per-iteration truncation loses
+    // < (outdeg + 2) units per node — over i iterations and n nodes the
+    // floor is SCALE - i * n * (maxOutdeg + 2).
+    val r5 = GraphRank
+      .pagerank(nodesDf(0L, 1L, 2L, 3L), edgesDf(1L -> 0L, 2L -> 0L, 3L -> 0L, 0L -> 1L), iters = 5)
+      .agg(sum("rank")).head.getLong(0)
+    assert(r5 <= GraphRank.Scale)
+    assert(r5 >= GraphRank.Scale - 5L * 4L * 5L)
+  }
+
+  test("parallel edges collapse and self-loops are legal") {
+    // Duplicate 0→1 must count once (outdeg(0) = 1, full mass forwarded);
+    // the 1→1 self-loop feeds rank back without error.
+    val t = GraphRank.Scale / 2
+    val out = GraphRank
+      .pagerank(nodesDf(0L, 1L), edgesDf(0L -> 1L, 0L -> 1L, 1L -> 1L), iters = 1)
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(out.toSeq == Seq(
+      (0L, (15 * t) / 100),              // no inflow: teleport only
+      (1L, (15 * t + 85 * (t + t)) / 100))) // from 0 plus its own loop
+  }
+
+  test("iteration joins are equi-joins; only the one-row teleport broadcasts") {
+    val plan = GraphRank
+      .pagerank(nodesDf(0L, 1L, 2L), edgesDf(0L -> 1L, 1L -> 2L, 2L -> 0L), iters = 3)
+      .queryExecution.executedPlan.toString
+    // The only nested-loop allowed is the broadcast of the single-row
+    // teleport aggregate; rank × edges must stay a hash/sort-merge join.
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    val crossish = "CartesianProduct".r.findAllIn(plan).size
+    assert(crossish == 0, s"cartesian in pagerank plan:\n$plan")
+    // 3 iterations + init each cross-join the broadcast teleport row.
+    assert(nested <= 4, s"unexpected nested loops:\n$plan")
+  }
+}

@@ -36,6 +36,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_dedup_semantic",      // broadcast CELL table only (two-level quantizer assignment)
     "q_sample_coreset",      // broadcast CELL table only (two-level quantizer assignment)
     "q_agg_hll_merge",       // single-row sketch-union join
+    "q_graph_pagerank",      // single-row teleport-quantum join; rank x edges is equi (GraphRankSpec pins)
     "q_text_unigram_logprob" // broadcast unigram LM (vocabulary-bounded)
   )
 
