@@ -45,6 +45,7 @@ object SparkEntry {
       graft.queries.DepthQueries.specs ++
       graft.llm.LlmQueries.specs ++
       graft.llm.GraphRank.specs ++
+      graft.llm.SearchRank.specs ++
       graft.streaming.EventStream.specs
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -63,7 +63,7 @@ object AnnSql {
   private def sparkNorm(a: String): String =
     s"SQRT(aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
-  private def sparkCos(a: String, b: String): String =
+  private[llm] def sparkCos(a: String, b: String): String =
     s"${sparkDot(a, b)} / (${sparkNorm(a)} * ${sparkNorm(b)})"
 
   private def sparkPlaneLit(p: Seq[String]): String =
@@ -102,7 +102,7 @@ object AnnSql {
   private def duckDot(a: String, b: String): String =
     s"list_dot_product(${duckD(a)}, ${duckD(b)})"
 
-  private def duckCos(a: String, b: String): String =
+  private[llm] def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (SQRT(${duckDot(a, a)}) * SQRT(${duckDot(b, b)}))"
 
   private def duckPlaneLit(p: Seq[String]): String =

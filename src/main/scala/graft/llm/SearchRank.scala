@@ -1,0 +1,277 @@
+package graft.llm
+
+import graft.queries.QuerySpec
+import graft.queries.QuerySpec.sql2
+
+/** Retrieval-ranking and sketch-based corpus-analysis operators over the
+  * `documents` / `embeddings` fixtures — the search side of a training-data
+  * pipeline (what powers dedup triage, retrieval-augmented filtering, and
+  * corpus QA dashboards):
+  *
+  *  - exact repeated-substring dedup (the span-level formulation of
+  *    "Deduplicating Training Data Makes Language Models Better",
+  *    arXiv:2107.06499 — here as shingle-hash grouping + island merge,
+  *    not a suffix array: same answer for fixed minimum span length, and
+  *    every step is a linear shuffle);
+  *  - Okapi BM25 ranking (Robertson/Spärck Jones probabilistic relevance,
+  *    k1=1.2 b=0.75 — the standard defaults);
+  *  - hybrid lexical+vector retrieval fused with Reciprocal Rank Fusion
+  *    (Cormack, Clarke & Büttcher, SIGIR 2009; k=60);
+  *  - count-min-sketch-pruned EXACT heavy hitters (Cormode & Muthukrishnan,
+  *    J. Algorithms 2005): a constant-size (4x512) sketch built map-side in
+  *    pass 1 prunes pass 2's exact count to candidate grams only, and the
+  *    CMS overestimate guarantee makes the pruned result identical to the
+  *    unpruned exact answer.
+  *
+  * All four are deterministic (exact counts, fixed-order two-term folds,
+  * ROUND + total ORDER BY on unique keys) and oracle-checked against
+  * DuckDB running the direct/unpruned formulation.
+  */
+object SearchRank {
+
+  /** Exact repeated-span dedup, Spark dialect, parameterized on the table
+    * name so SearchRankSpec can replay it over hand-built corpora with
+    * known shared-span structure.
+    *
+    * Shape: every 8-token shingle is hashed (md5 — 128-bit, collision-free
+    * at any realistic corpus size) and grouped; shingles seen in more than
+    * one document mark their positions as duplicated; consecutive
+    * duplicated positions merge into maximal spans with the classic
+    * gaps-and-islands `pos - row_number()` trick (a per-doc window, so the
+    * merge shuffles by doc_id only). A duplicated run of L >= 8 tokens
+    * yields L-7 consecutive shingle positions and merges back to exactly
+    * one span of L tokens. At scale: one explode (linear), one
+    * aggregation keyed by 128-bit hash (the shuffle is the corpus's
+    * shingle stream — the same cost profile as MinHash signature
+    * generation), one equi-join, one per-doc window. No pairwise work at
+    * all — this catches verbatim template/quote reuse that set-similarity
+    * dedup underweights.
+    */
+  private[llm] def substringSparkSql(table: String = "documents"): String =
+    s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM $table),
+       |g AS (SELECT doc_id, i, md5(array_join(slice(w, i, 8), ' ')) AS gh
+       |      FROM (SELECT * FROM t WHERE size(w) >= 8) t8
+       |      LATERAL VIEW explode(sequence(1, size(w) - 7)) x AS i),
+       |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
+       |d AS (SELECT g.doc_id, g.i FROM g JOIN dup ON g.gh = dup.gh),
+       |isl AS (SELECT doc_id, i,
+       |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |        FROM d),
+       |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e FROM isl GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+       |               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       |               CAST(MAX(e - s + 1) AS BIGINT) AS max_span
+       |        FROM sp GROUP BY doc_id)
+       |SELECT t.doc_id, COALESCE(n_spans, 0) AS n_spans,
+       |       COALESCE(dup_tokens, 0) AS dup_tokens,
+       |       COALESCE(max_span, 0) AS max_span
+       |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+       |WHERE t.doc_id % 20 = 0 ORDER BY t.doc_id""".stripMargin
+
+  private def substringDuckSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS gh
+      |      FROM (SELECT * FROM t WHERE len(w) >= 8) t8,
+      |           unnest(range(1, len(w) - 7 + 1)) AS u(i)),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
+      |d AS (SELECT g.doc_id, g.i FROM g JOIN dup ON g.gh = dup.gh),
+      |isl AS (SELECT doc_id, i,
+      |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |        FROM d),
+      |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e FROM isl GROUP BY doc_id, grp),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+      |               CAST(MAX(e - s + 1) AS BIGINT) AS max_span
+      |        FROM sp GROUP BY doc_id)
+      |SELECT t.doc_id, COALESCE(n_spans, 0) AS n_spans,
+      |       COALESCE(dup_tokens, 0) AS dup_tokens,
+      |       COALESCE(max_span, 0) AS max_span
+      |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+      |WHERE t.doc_id % 20 = 0 ORDER BY t.doc_id""".stripMargin
+
+  /** The fixed lexical query both BM25 and the hybrid fusion rank for. */
+  private val terms = "('vector', 'join', 'stream')"
+
+  /** BM25 scoring body shared by both dialects from the per-dialect word
+    * stream down: every downstream expression is dialect-neutral SQL, so
+    * the IEEE arithmetic is textually identical on both engines. Corpus
+    * stats (N, avgdl) enter as scalar subqueries — no 1-row join in the
+    * plan, Spark evaluates them as subquery stages. The per-doc score sum
+    * folds at most |terms| = 3 doubles; ranking orders by the ROUNDed
+    * score (ties broken by doc_id), so a last-ulp fold difference cannot
+    * flip ranks.
+    */
+  private def bm25Body: String =
+    s"""dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf FROM w
+       |       WHERE word IN $terms GROUP BY doc_id, word),
+       |dfq AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM w
+       |        WHERE word IN $terms GROUP BY word),
+       |sc AS (SELECT tf.doc_id,
+       |              SUM(ln(CAST(1 AS DOUBLE) + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+       |                  * tf * (1.2 + 1.0)
+       |                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+       |                                 / (SELECT avgdl FROM st)))) AS score
+       |       FROM tf JOIN dfq ON tf.word = dfq.word
+       |            JOIN dl ON tf.doc_id = dl.doc_id
+       |       GROUP BY tf.doc_id)""".stripMargin
+
+  private def bm25Rank: String =
+    """SELECT rk, doc_id, score FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS INT) AS rk,
+      |         doc_id, ROUND(score, 4) AS score FROM sc) r
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  /** Okapi BM25, Spark dialect (parameterized for SearchRankSpec). */
+  private[llm] def bm25SparkSql(table: String = "documents"): String =
+    s"""WITH w AS (SELECT doc_id, word FROM $table
+       |           LATERAL VIEW explode(split(text, ' ')) t AS word),
+       |$bm25Body
+       |$bm25Rank""".stripMargin
+
+  private def bm25DuckSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |$bm25Body
+       |$bm25Rank""".stripMargin
+
+  /** RRF fusion body: identical in both dialects once `br` (BM25 ranks)
+    * and `vr` (vector ranks) exist. -1 marks "absent from that branch's
+    * top-50" in the output; CAST(1 AS DOUBLE) keeps the reciprocal in
+    * double on both engines (a bare 1.0 is DECIMAL in DuckDB, and
+    * DECIMAL/INT division would diverge from Spark's double division).
+    */
+  private def rrfFuse: String =
+    """f AS (SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+      |             ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + b.r), 0)
+      |                   + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0), 6) AS rrf,
+      |             COALESCE(b.r, -1) AS bm25_rank, COALESCE(v.r, -1) AS vec_rank
+      |      FROM (SELECT * FROM br WHERE r <= 50) b
+      |      FULL JOIN (SELECT * FROM vr WHERE r <= 50) v ON b.doc_id = v.doc_id)
+      |SELECT rk, doc_id, rrf, bm25_rank, vec_rank FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk,
+      |         doc_id, rrf, bm25_rank, vec_rank FROM f) t
+      |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  private def rankCte: String =
+    """br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS INT) AS r FROM sc),
+      |vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY csim DESC, doc_id) AS INT) AS r FROM vs)""".stripMargin
+
+  /** Hybrid retrieval: BM25 top-50 + single-query-vector cosine top-50
+    * (query = vec_id 0's embedding; vec_id aligns with doc_id in the
+    * fixtures), fused by RRF with the standard k=60. The vector branch is
+    * a 1-row broadcast against the corpus — O(N) scoring work, the
+    * correct brute shape for ONE query (the multi-query scale path is the
+    * IVF/LSH index family in [[AnnSql]]; RRF itself only consumes rank
+    * lists, so swapping the branch for an index probe changes nothing
+    * downstream). Both branch ranks order by ROUNDed scores with doc_id
+    * tie-breaks, making the fused ranks integer-deterministic and the
+    * reciprocal-sum fold a fixed-order two-term add.
+    */
+  private def hybridSparkSql: String =
+    s"""WITH w AS (SELECT doc_id, word FROM documents
+       |           LATERAL VIEW explode(split(text, ' ')) t AS word),
+       |$bm25Body,
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |vs AS (SELECT c.vec_id AS doc_id,
+       |              ROUND(${AnnSql.sparkCos("qv.qe", "c.embedding")}, 6) AS csim
+       |       FROM qv JOIN embeddings c ON c.vec_id != 0),
+       |$rankCte,
+       |$rrfFuse""".stripMargin
+
+  private def hybridDuckSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |$bm25Body,
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |vs AS (SELECT c.vec_id AS doc_id,
+       |              ROUND(${AnnSql.duckCos("qv.qe", "c.embedding")}, 6) AS csim
+       |       FROM qv JOIN embeddings c ON c.vec_id != 0),
+       |$rankCte,
+       |$rrfFuse""".stripMargin
+
+  /** Relative heavy-hitter threshold (fraction of the corpus bigram
+    * stream). Exact-count comparisons on both sides, so any value is
+    * cross-engine safe; 0.0015 yields a stable 30-60 row answer on the
+    * fixtures.
+    */
+  private val hhT = "0.0015"
+
+  /** Corpus bigram-stream length, computed as a pruned scan of the
+    * documents table (no explode — SUM of per-doc counts).
+    */
+  private def hhTotSpark: String =
+    """tot AS (SELECT CAST(SUM(size(split(text, ' ')) - 1) AS DOUBLE) AS n
+      |        FROM documents WHERE size(split(text, ' ')) >= 2)""".stripMargin
+
+  /** CMS-pruned exact heavy hitters, Spark dialect (parameterized for
+    * SearchRankSpec). Pass 1 aggregates the bigram stream into a 4x512
+    * count-min sketch — GROUP BY (row, bucket) map-side-combines to at
+    * most 2048 rows regardless of N, the whole point at 100 TB: the full
+    * shuffle of the distinct-gram table is replaced by a constant-size
+    * exchange. Pass 2 re-scans the stream, probes the broadcast sketch
+    * with four equi-joins on (row, bucket), keeps only grams whose FOUR
+    * estimates all clear the threshold, and exact-counts the survivors.
+    * CMS never underestimates, so every true heavy hitter survives
+    * pruning, and the final exact-count filter makes the output identical
+    * to the unpruned computation DuckDB runs as the oracle (the sketch
+    * hashes never need to agree across engines — they only prune).
+    * SearchRankSpec pins the superset guarantee end-to-end on a skewed
+    * hostile corpus.
+    */
+  private[llm] def heavyHittersSparkSql(table: String = "documents"): String = {
+    def bkt(expr: String) = s"pmod(xxhash64($expr), 512)"
+    val probe = (1 to 4).map { r =>
+      s"JOIN sk s$r ON s$r.r = $r AND s$r.bkt = ${bkt(s"concat('$r:', g.gram)")}"
+    }.mkString("\n         ")
+    val est = (1 to 4).map(r => s"s$r.c >= $hhT * (SELECT n FROM tot)").mkString("\n           AND ")
+    s"""WITH t AS (SELECT split(text, ' ') AS w FROM $table),
+       |g AS (SELECT array_join(slice(w, i, 2), ' ') AS gram
+       |      FROM (SELECT * FROM t WHERE size(w) >= 2) t2
+       |      LATERAL VIEW explode(sequence(1, size(w) - 1)) x AS i),
+       |${hhTotSpark.replace("documents", table)},
+       |sk AS (SELECT r, ${bkt("concat(CAST(r AS STRING), ':', gram)")} AS bkt, COUNT(*) AS c
+       |       FROM g LATERAL VIEW explode(sequence(1, 4)) h AS r
+       |       GROUP BY r, ${bkt("concat(CAST(r AS STRING), ':', gram)")}),
+       |cand AS (SELECT g.gram, COUNT(*) AS n
+       |         FROM g
+       |         $probe
+       |         WHERE $est
+       |         GROUP BY g.gram)
+       |SELECT gram, n FROM cand WHERE n >= $hhT * (SELECT n FROM tot)
+       |ORDER BY n DESC, gram""".stripMargin
+  }
+
+  /** The unpruned exact formulation — what the sketch path must equal. */
+  private def heavyHittersDuckSql: String =
+    s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT array_to_string(w[i:i+1], ' ') AS gram
+       |      FROM (SELECT * FROM t WHERE len(w) >= 2) t2,
+       |           unnest(range(1, len(w) - 1 + 1)) AS u(i)),
+       |tot AS (SELECT CAST(SUM(len(string_split(text, ' ')) - 1) AS DOUBLE) AS n
+       |        FROM documents WHERE len(string_split(text, ' ')) >= 2)
+       |SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+       |HAVING COUNT(*) >= $hhT * (SELECT n FROM tot)
+       |ORDER BY n DESC, gram""".stripMargin
+
+  /** Spark-dialect unpruned exact heavy hitters — the in-Spark ground
+    * truth SearchRankSpec compares the sketch path against on hostile
+    * fixtures (the driver's DuckDB oracle plays this role at the SFs).
+    */
+  private[llm] def heavyHittersExactSparkSql(table: String): String =
+    s"""WITH t AS (SELECT split(text, ' ') AS w FROM $table),
+       |g AS (SELECT array_join(slice(w, i, 2), ' ') AS gram
+       |      FROM (SELECT * FROM t WHERE size(w) >= 2) t2
+       |      LATERAL VIEW explode(sequence(1, size(w) - 1)) x AS i),
+       |${hhTotSpark.replace("documents", table)}
+       |SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+       |HAVING COUNT(*) >= $hhT * (SELECT n FROM tot)
+       |ORDER BY n DESC, gram""".stripMargin
+
+  val specs: Map[String, QuerySpec] = Map(
+    "q_dedup_substring" -> sql2(substringSparkSql(), substringDuckSql),
+    "q_text_bm25" -> sql2(bm25SparkSql(), bm25DuckSql),
+    "q_search_hybrid_rrf" -> sql2(hybridSparkSql, hybridDuckSql),
+    "q_text_heavy_hitters" -> sql2(heavyHittersSparkSql(), heavyHittersDuckSql)
+  )
+}

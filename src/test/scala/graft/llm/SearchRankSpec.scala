@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.TestSpark
+
+/** Behavior pins for the retrieval-ranking operators on hand-built
+  * corpora with KNOWN span/frequency structure (the parquet fixtures are
+  * oracle-checked by graft.Verify; these tests pin the algorithmic
+  * guarantees controlled input makes visible).
+  */
+class SearchRankSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docsView(name: String, rows: (Long, String)*): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t) }: _*), schema)
+      .createOrReplaceTempView(name)
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("substring dedup merges consecutive duplicated shingles into maximal spans") {
+    // Docs 0 and 20 share two disjoint 12-token runs separated by
+    // differing middles; doc 40 is fully unique. A shared run of L=12
+    // tokens produces L-7=5 consecutive duplicated 8-gram positions that
+    // must merge back to ONE span of exactly 12 tokens.
+    val s = words("s", 12)
+    val t = words("t", 12)
+    docsView("sr_sub",
+      0L -> s"$s ${words("a", 4)} $t",
+      20L -> s"$s ${words("b", 4)} $t",
+      40L -> words("u", 28))
+    val got = spark.sql(SearchRank.substringSparkSql("sr_sub"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 2L, 24L, 12L), (20L, 2L, 24L, 12L), (40L, 0L, 0L, 0L)))
+  }
+
+  test("substring dedup: a run shared only WITHIN one doc is not cross-doc duplicated") {
+    // The dup filter is COUNT(DISTINCT doc_id) > 1 — an 8-gram repeated
+    // twice inside a single doc must not mark spans.
+    val s = words("s", 8)
+    docsView("sr_sub1", 0L -> s"$s ${words("a", 4)} $s", 20L -> words("u", 20))
+    val got = spark.sql(SearchRank.substringSparkSql("sr_sub1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 0L), (20L, 0L)))
+  }
+
+  test("BM25 ranks the term-dense short doc first and scores match the closed form") {
+    // Fixture: 'vector' appears twice in doc 0 (length 4), once in doc 1
+    // (length 8); doc 2 has no query term. N=3, df(vector)=2.
+    docsView("sr_bm25",
+      0L -> "vector vector filler filler",
+      1L -> "vector filler filler filler filler filler filler filler",
+      2L -> "noise noise noise noise")
+    val got = spark.sql(SearchRank.bm25SparkSql("sr_bm25"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    def bm25(tf: Double, dl: Double): Double = {
+      val n = 3.0; val df = 2.0; val avgdl = 16.0 / 3.0
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.toSeq === Seq(
+      (1, 0L, bm25(2.0, 4.0)),
+      (2, 1L, bm25(1.0, 8.0))))
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("CMS-pruned heavy hitters equal the exact unpruned answer on a skewed corpus") {
+    // Hostile fixture: one dominant bigram ("hot pair") plus a long tail
+    // of distinct bigrams engineered to collide arbitrarily in the 512
+    // buckets. The CMS overestimate can only ADD candidates; the exact
+    // final count must prune them back to precisely the unpruned answer.
+    val hot = Array.fill(60)("hot pair").mkString(" ")
+    val tail = (1 to 400).map(i => s"x$i y$i").zipWithIndex
+      .map { case (t, i) => (100L + i, t) }
+    docsView("sr_hh", ((0L, hot) +: tail): _*)
+    val pruned = spark.sql(SearchRank.heavyHittersSparkSql("sr_hh"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = spark.sql(SearchRank.heavyHittersExactSparkSql("sr_hh"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pruned === exact)
+    assert(pruned.exists(_._1 == "hot pair"), s"dominant bigram missing from $pruned")
+  }
+
+  test("hybrid RRF output is self-consistent with its branch ranks") {
+    val sf = "/root/testdata/sf0.001"
+    val s = spark.newSession()
+    val rows = graft.SparkEntry.queries("q_search_hybrid_rrf")(s, sf).collect()
+    assert(rows.length == 20)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i + 1) // dense sequential ranks
+      val (rrf, bm, vec) = (r.getDouble(2), r.getInt(3), r.getInt(4))
+      assert(bm != -1 || vec != -1)
+      val expect = (if (bm == -1) 0.0 else 1.0 / (60 + bm)) +
+        (if (vec == -1) 0.0 else 1.0 / (60 + vec))
+      assert(math.abs(rrf - expect) < 5e-7, s"row $i: $rrf vs $expect")
+      assert(bm == -1 || bm <= 50)
+      assert(vec == -1 || vec <= 50)
+    }
+    // fused order is non-increasing in rrf
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}
