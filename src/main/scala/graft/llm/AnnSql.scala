@@ -984,6 +984,61 @@ object AnnSql {
   private def blockBitsSql: String =
     s"SELECT GREATEST(0, LEAST($maxBits, CAST(CEIL(log2(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT label) / $targetBucket.0)) AS INT))) AS nbits FROM embeddings"
 
+  /** Mutual k-NN graph over the same (label, sign sub-bucket) blocking as
+    * the embedding near-dup: every vector generates DIRECTED candidates
+    * from its hamming<=1 probed buckets, keeps its top-k by exact cosine,
+    * and an edge survives only if BOTH endpoints keep each other — the
+    * mutual-kNN construction graph-based curation (e.g. SemDeDup-style
+    * cluster pruning, arXiv:2303.09540) consumes. Each (a,b) candidate
+    * matches exactly one probe (probed buckets of `a` are pairwise
+    * distinct), so no DISTINCT is needed; per-node candidates stay
+    * bucket-bounded (the [[candidateBoundSpark]] invariant), the top-k is
+    * a per-node window, and the mutual filter is a self equi-join on the
+    * reversed pair — every step linear-shuffle at any N.
+    */
+  def knnGraphFromSigSpark(k: Int): String =
+    s"""WITH n AS ($blockBitsSql),
+       |e AS (SELECT vec_id, embedding, label,
+       |             s1 & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
+       |      FROM ann_sig),
+       |probes AS (SELECT vec_id, embedding, label,
+       |                  CASE WHEN i = 0 THEN bucket
+       |                       ELSE CAST(bucket ^ shiftleft(1, i - 1) AS INT) END AS pbucket
+       |           FROM (SELECT vec_id, embedding, label, bucket, i
+       |                 FROM e LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
+       |           WHERE i <= (SELECT nbits FROM n)),
+       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, graft_cosine(a.embedding, b.embedding) AS cos
+       |      FROM probes a JOIN e b
+       |        ON a.label = b.label AND a.pbucket = b.bucket AND a.vec_id != b.vec_id),
+       |tk AS (SELECT src, dst, cos FROM (
+       |         SELECT src, dst, cos,
+       |                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |         FROM p) t WHERE rn <= $k)
+       |SELECT a.src AS id1, a.dst AS id2, ROUND(a.cos, 6) AS cos
+       |FROM tk a JOIN tk b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+       |ORDER BY id1, id2""".stripMargin
+
+  def knnGraphDuck(k: Int): String =
+    s"""WITH n AS ($blockBitsSql),
+       |e AS (SELECT vec_id, embedding, label,
+       |             ${duckSig("embedding", tables(0))} & ((1 << (SELECT nbits FROM n)) - 1) AS bucket
+       |      FROM embeddings),
+       |probes AS (SELECT vec_id, embedding, label,
+       |                  CASE WHEN i = 0 THEN bucket
+       |                       ELSE xor(bucket, 1 << (i - 1)) END AS pbucket
+       |           FROM (SELECT vec_id, embedding, label, bucket, unnest(range(0, ${maxBits + 1})) AS i FROM e) t
+       |           WHERE i <= (SELECT nbits FROM n)),
+       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckCos("a.embedding", "b.embedding")} AS cos
+       |      FROM probes a JOIN e b
+       |        ON a.label = b.label AND a.pbucket = b.bucket AND a.vec_id != b.vec_id),
+       |tk AS (SELECT src, dst, cos FROM (
+       |         SELECT src, dst, cos,
+       |                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |         FROM p) t WHERE rn <= $k)
+       |SELECT a.src AS id1, a.dst AS id2, ROUND(a.cos, 6) AS cos
+       |FROM tk a JOIN tk b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+       |ORDER BY id1, id2""".stripMargin
+
   def nearDupDuck(threshold: String): String =
     s"""WITH n AS ($blockBitsSql),
        |e AS (SELECT vec_id, embedding, label,

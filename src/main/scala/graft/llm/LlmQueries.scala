@@ -244,6 +244,16 @@ object LlmQueries {
       },
       Some(AnnSql.nearDupDuck("0.3"))),
 
+    // Mutual k-NN graph over the same staged signatures — the structure
+    // graph-based curation passes consume (AnnSql.knnGraphFromSigSpark
+    // scale notes).
+    "q_ann_knn_graph" -> QuerySpec(
+      (s, d) => {
+        registerSig(s, d)
+        s.sql(AnnSql.knnGraphFromSigSpark(3))
+      },
+      Some(AnnSql.knnGraphDuck(3))),
+
     // Near-dup clustering: connected components over the verified MinHash
     // pair graph; keep the min doc_id per component. Oracle: recursive-CTE
     // reachability over the exact pair graph.

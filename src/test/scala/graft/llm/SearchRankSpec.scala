@@ -92,6 +92,32 @@ class SearchRankSpec extends AnyFunSuite {
     assert(pruned.exists(_._1 == "hot pair"), s"dominant bigram missing from $pruned")
   }
 
+  test("mutual k-NN graph: edges are mutual, ordered, and recall the within-label exact graph") {
+    val sf = "/root/testdata/sf0.001"
+    val s = spark.newSession()
+    val got = graft.SparkEntry.queries("q_ann_knn_graph")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b) => a < b })
+    assert(got.distinct.size == got.size)
+    // Ground truth the blocking targets: exact mutual 3-NN WITHIN each
+    // label partition (the SemDeDup-style within-cluster neighborhood).
+    val exact = s.sql(
+      """WITH p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |                  graft_cosine(a.embedding, b.embedding) AS cos
+        |           FROM embeddings a JOIN embeddings b
+        |             ON a.label = b.label AND a.vec_id != b.vec_id),
+        |tk AS (SELECT src, dst FROM (
+        |         SELECT src, dst, cos,
+        |                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        |         FROM p) t WHERE rn <= 3)
+        |SELECT a.src AS id1, a.dst AS id2 FROM tk a
+        |JOIN tk b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall vs within-label exact mutual 3-NN (|exact|=${exact.size})")
+  }
+
   test("hybrid RRF output is self-consistent with its branch ranks") {
     val sf = "/root/testdata/sf0.001"
     val s = spark.newSession()
