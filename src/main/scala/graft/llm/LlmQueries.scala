@@ -1068,6 +1068,40 @@ object LlmQueries {
         |     ['the', 'and', 'of', 'to', 'in', 'a', 'is'])) >= 2 THEN 'en' ELSE 'unk' END AS pred_lang
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
 
+    // Per-source quality calibration: raw quality scores are not
+    // comparable across sources (a classifier's score distribution drifts
+    // per domain), so production curation selects by WITHIN-SOURCE
+    // percentile, not by one absolute cut. percent_rank over (score,
+    // doc_id) is tie-free and exact-rational — cross-engine identical —
+    // and the window shuffles by source only (for a pathologically
+    // dominant source the two-pass histogram percentile of
+    // ExactQuantile/q_agg_winsorize is the drop-in skew fix). below_abs
+    // counts kept docs an absolute 0.55 gate would have wrongly dropped —
+    // the measurable payoff of calibrating.
+    "q_text_quality_calibrate" -> sql2(
+      """WITH s AS (SELECT doc_id, source, size(split(text, ' ')) AS n_words,
+        |           size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE) AS score
+        |           FROM documents),
+        |r AS (SELECT doc_id, source, n_words, score,
+        |             percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pr
+        |      FROM s)
+        |SELECT source, COUNT(*) AS n_kept,
+        |       CAST(SUM(CASE WHEN score < 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS below_abs,
+        |       ROUND(MIN(score), 4) AS cutoff,
+        |       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        |FROM r WHERE pr >= 0.8 GROUP BY source ORDER BY source""".stripMargin,
+      """WITH s AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_words,
+        |           len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+        |           FROM documents),
+        |r AS (SELECT doc_id, source, n_words, score,
+        |             percent_rank() OVER (PARTITION BY source ORDER BY score, doc_id) AS pr
+        |      FROM s)
+        |SELECT source, COUNT(*) AS n_kept,
+        |       CAST(SUM(CASE WHEN score < 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS below_abs,
+        |       ROUND(MIN(score), 4) AS cutoff,
+        |       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        |FROM r WHERE pr >= 0.8 GROUP BY source ORDER BY source""".stripMargin),
+
     "q_text_quality" -> sql2(
       """SELECT doc_id, n_chars, n_words, ROUND(cpw, 4) AS cpw, ROUND(ttr, 4) AS ttr,
         |CASE WHEN n_chars BETWEEN 50 AND 500 AND ttr >= 0.2 THEN 1 ELSE 0 END AS quality_ok

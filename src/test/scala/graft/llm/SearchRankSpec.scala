@@ -118,6 +118,24 @@ class SearchRankSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall vs within-label exact mutual 3-NN (|exact|=${exact.size})")
   }
 
+  test("per-source quality calibration keeps ~top-20% of EVERY source") {
+    val sf = "/root/testdata/sf0.001"
+    val s = spark.newSession()
+    val got = graft.SparkEntry.queries("q_text_quality_calibrate")(s, sf).collect()
+    assert(got.nonEmpty)
+    val totals = s.sql("SELECT source, COUNT(*) AS n FROM documents GROUP BY source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.length == totals.size, "every source must survive calibration")
+    got.foreach { r =>
+      val (src, kept, belowAbs) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val n = totals(src)
+      // pr >= 0.8 keeps n - ceil(0.8 * (n - 1)) rows — exactly the top fifth
+      val expect = n - math.ceil(0.8 * (n - 1)).toLong
+      assert(kept == expect, s"$src: kept $kept of $n, expected $expect")
+      assert(belowAbs <= kept)
+    }
+  }
+
   test("hybrid RRF output is self-consistent with its branch ranks") {
     val sf = "/root/testdata/sf0.001"
     val s = spark.newSession()
