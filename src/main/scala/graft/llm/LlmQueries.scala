@@ -330,6 +330,63 @@ object LlmQueries {
         |  FROM documents) t
         |GROUP BY split ORDER BY split""".stripMargin),
 
+    // Leakage-safe train/eval split: assign the SPLIT by near-dup CLUSTER
+    // representative, not per-doc — a per-doc hash split leaks eval
+    // content into train whenever a near-duplicate pair straddles the
+    // cut (the contamination mode decontamination audits then catch too
+    // late). Composes the clustering operator with the md5-bucket split
+    // primitive; by construction no cluster straddles splits. n_moved
+    // counts docs whose naive per-doc split differs — the leakage the
+    // calibrated split prevented. Cost: the cached MinHash pair graph +
+    // CC labels (both shared with q_dedup_cluster), one broadcast-size
+    // join, one aggregate — nothing new shuffles the corpus.
+    "q_split_leakage_safe" -> df(
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        val cl = DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, d, 0.95))
+        val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+        val bucket = (c: Column) =>
+          conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 100
+        docs.join(cl, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+          .withColumn("split", when(bucket(col("rep")) < 90, "train").otherwise("eval"))
+          .withColumn("moved", (bucket(col("doc_id")) < 90) =!= (bucket(col("rep")) < 90))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("rep")).as("n_clusters"),
+            sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"),
+            sum(col("n_words")).cast("long").as("n_tokens"))
+          .orderBy(col("split"))
+      },
+      s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+         |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+         |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id),
+         |pairs AS (SELECT id1, id2
+         |          FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+         |          WHERE c >= 0.95 * (s1.n + s2.n - c)),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+         |cl AS (SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY node),
+         |docs AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM d),
+         |b AS (SELECT j.doc_id, n_words, rep,
+         |        ('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 100 AS rb,
+         |        ('0x' || substr(md5(CAST(j.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS db
+         |      FROM (SELECT docs.doc_id, n_words,
+         |              COALESCE(cluster_rep, docs.doc_id) AS rep
+         |            FROM docs LEFT JOIN cl ON docs.doc_id = cl.doc_id) j)
+         |SELECT CASE WHEN rb < 90 THEN 'train' ELSE 'eval' END AS split,
+         |       COUNT(*) AS n_docs, COUNT(DISTINCT rep) AS n_clusters,
+         |       CAST(SUM(CASE WHEN (db < 90) != (rb < 90) THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         |       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Corpus snapshot diff — the incremental-refresh primitive: compare two
     // corpus versions by content hash and emit the delta (added / removed /
     // changed rows), so downstream stages (dedup, embedding, indexing)

@@ -136,6 +136,30 @@ class SearchRankSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split co-locates every near-dup pair; the naive split would not") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val s = spark.newSession()
+    val pairs = MinHashDedup.nearDuplicatesCached(s, sf, 0.95)
+      .select(col("id1"), col("id2"))
+    val cl = DedupCluster.clusters(pairs)
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), 16) % 100
+    val rep = cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def split(id: Long): Boolean = bucket(rep.getOrElse(id, id)) < 90
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.nonEmpty)
+    assert(p.forall { case (a, b) => split(a) == split(b) }, "a near-dup pair straddles the split")
+    val naiveStraddles = p.count { case (a, b) => (bucket(a) < 90) != (bucket(b) < 90) }
+    assert(naiveStraddles > 0, "fixture has no straddling pair — the pin is vacuous")
+    // and the aggregate the driver checks agrees on totals
+    val agg = graft.SparkEntry.queries("q_split_leakage_safe")(s, sf).collect()
+    val nDocs = agg.map(_.getLong(1)).sum
+    val subset = graft.queries.Tables.documents(s, sf).filter(col("doc_id") % 5 === 0).count()
+    assert(nDocs == subset)
+  }
+
   test("hybrid RRF output is self-consistent with its branch ranks") {
     val sf = "/root/testdata/sf0.001"
     val s = spark.newSession()
