@@ -67,6 +67,34 @@ object Bench {
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty, s"unknown bench query name(s): ${unknown.mkString(", ")}")
     }
+    // In a restricted (isolation-child) run, ALSO warm the target queries
+    // themselves once untimed: the generic warm-up covers shared codegen
+    // paths, but a fresh JVM still pays the target's own JIT/codegen on
+    // first execution — which made isolated times read WORSE than
+    // in-matrix ones (the matrix amortizes that across 190 predecessors)
+    // and poisoned the isolated-vs-prev verdict. Steady-state is what the
+    // prev record captures, so steady-state is what isolation must time.
+    only.foreach(_.toSeq.sorted.foreach(n =>
+      try materialize(n) catch { case _: Throwable => () }))
+
+    // Machine-speed calibration: a fixed data-independent multicore
+    // workload (hash + aggregate over an in-memory range), timed after
+    // warm-up and emitted as calib_sec. Two benches on different VM boots
+    // of "the same" box have differed by 1.5x uniformly across all ~190
+    // queries; a per-record denominator lets any reader (and the
+    // regression gate's consumers) separate machine drift from real
+    // slowdowns before burning a round chasing phantoms.
+    val calibSec: Double = {
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64, col}
+      def run(): Unit = spark.range(0, 1000000000L, 1, cpus.toInt)
+        .select(fsum(xxhash64(col("id")).cast("double"))) // double: a long SUM of hashes overflows under ANSI
+        .write.format("noop").mode("overwrite").save()
+      try {
+        run() // untimed JIT pass
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMillis(): Long = {
       var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
@@ -200,7 +228,7 @@ object Bench {
       "(r1 used count(), which let Catalyst drop sorts/projections); " +
       "r1_queries_total covers the original 33-query matrix under the new harness"
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"regressions_vs_prev":$regressions,"noise_suppressed":$suppressed,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"regressions_vs_prev":$regressions,"noise_suppressed":$suppressed,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"calib_sec":${f"$calibSec%.3f"},"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
     println(json)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")

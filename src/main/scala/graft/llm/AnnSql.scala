@@ -443,6 +443,40 @@ object AnnSql {
        |       (SELECT MAX(cell) FROM sizes) AS max_cell,
        |       (SELECT MAX(n_evals) FROM evals) AS max_evals""".stripMargin
 
+  /** Single-query IVF probe chain for retrieval composition (the hybrid
+    * RRF query's indexed vector branch): the full two-level-quantizer
+    * assignment (`asn` — in production this IS the persisted index; here
+    * re-derived in-statement per the documented CTE-re-inline cost), the
+    * one query vector's nprobe probed lists, and `vs` — the scored
+    * candidates restricted to those lists. Emitted for composition: the
+    * consumer fuses/ranks `vs` however it likes. Per-query work is
+    * nprobe × (N/nlist) score evals via equi-joins on cent_id; only the
+    * N^¼-row cell table is nested-looped (the hierAsnCtes invariant).
+    */
+  private def hierSingleQueryCtes(
+      cosFn: (String, String) => String, qid: Long, nprobe: Int, p1: Int): String =
+    s"""${hierAsnCtes("embeddings", "embedding", cosFn, desc = true, p1)},
+       |asn AS (SELECT vec_id, v, cent_id FROM (
+       |  SELECT v.vec_id, v.v, a.cent_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${cosFn("v.v", "a.cv")} DESC, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1),
+       |qp AS (SELECT qid, qe, cent_id FROM (
+       |  SELECT q.vec_id AS qid, q.v AS qe, a.cent_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${cosFn("q.v", "a.cv")} DESC, a.cent_id) AS rn
+       |  FROM v1 q JOIN a21 a ON q.c1_id = a.c1_id
+       |  WHERE q.vec_id = $qid) t WHERE rn <= $nprobe),
+       |vs AS (SELECT a.vec_id AS doc_id, ROUND(${cosFn("qp.qe", "a.v")}, 6) AS csim
+       |       FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != $qid)""".stripMargin
+
+  /** Spark dialect (codegen'd graft_cosine) and DuckDB mirror. */
+  private[llm] def hierSingleQuerySpark(qid: Long, nprobe: Int = 3, p1: Int = 2): String =
+    hierSingleQueryCtes((a, b) => s"graft_cosine($a, $b)", qid, nprobe, p1)
+
+  private[llm] def hierSingleQueryDuck(qid: Long, nprobe: Int = 3, p1: Int = 2): String =
+    hierSingleQueryCtes(duckCos, qid, nprobe, p1)
+
   /** One k-means (Lloyd) refinement step over the IVF centroid seed set —
     * the index-build iteration [[ivfTopKSpark]]'s doc promises: assign
     * every vector to its nearest centroid, then report per-cluster size,

@@ -103,17 +103,17 @@ object SearchRank {
     */
   private def bm25Body: String =
     s"""dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
-       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |bst AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
        |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf FROM w
        |       WHERE word IN $terms GROUP BY doc_id, word),
        |dfq AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM w
        |        WHERE word IN $terms GROUP BY word),
        |sc AS (SELECT tf.doc_id,
-       |              SUM(ln(CAST(1 AS DOUBLE) + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+       |              SUM(ln(CAST(1 AS DOUBLE) + ((SELECT n FROM bst) - df + 0.5) / (df + 0.5))
        |                  * tf * (1.2 + 1.0)
        |                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
-       |                                 / (SELECT avgdl FROM st)))) AS score
+       |                                 / (SELECT avgdl FROM bst)))) AS score
        |       FROM tf JOIN dfq ON tf.word = dfq.word
        |            JOIN dl ON tf.doc_id = dl.doc_id
        |       GROUP BY tf.doc_id)""".stripMargin
@@ -268,10 +268,40 @@ object SearchRank {
        |HAVING COUNT(*) >= $hhT * (SELECT n FROM tot)
        |ORDER BY n DESC, gram""".stripMargin
 
+  /** Hybrid retrieval with the INDEXED vector branch: same BM25 + RRF
+    * composition as [[hybridSparkSql]], but the vector ranks come from the
+    * two-level-quantizer IVF probe ([[AnnSql.hierSingleQuerySpark]]) instead
+    * of the 1-row brute broadcast — the 100 TB serving shape (per-query
+    * work nprobe x N/nlist score evals through equi-joins; candidates
+    * outside the probed lists simply miss the rank list, which RRF
+    * absorbs). The brute variant stays as the recall ground truth.
+    */
+  private def hybridIvfSparkSql: String =
+    s"""WITH w AS (SELECT doc_id, word FROM documents
+       |           LATERAL VIEW explode(split(text, ' ')) t AS word),
+       |$bm25Body,
+       |${AnnSql.hierSingleQuerySpark(0)},
+       |$rankCte,
+       |$rrfFuse""".stripMargin
+
+  private def hybridIvfDuckSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |$bm25Body,
+       |${AnnSql.hierSingleQueryDuck(0)},
+       |$rankCte,
+       |$rrfFuse""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_dedup_substring" -> sql2(substringSparkSql(), substringDuckSql),
     "q_text_bm25" -> sql2(bm25SparkSql(), bm25DuckSql),
     "q_search_hybrid_rrf" -> sql2(hybridSparkSql, hybridDuckSql),
+    "q_search_hybrid_ivf" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(hybridIvfSparkSql)
+      },
+      Some(hybridIvfDuckSql)),
     "q_text_heavy_hitters" -> sql2(heavyHittersSparkSql(), heavyHittersDuckSql)
   )
 }

@@ -160,6 +160,22 @@ class SearchRankSpec extends AnyFunSuite {
     assert(nDocs == subset)
   }
 
+  test("indexed hybrid (IVF branch) recalls the brute hybrid's fused list") {
+    val sf = "/root/testdata/sf0.001"
+    val brute = graft.SparkEntry.queries("q_search_hybrid_rrf")(spark.newSession(), sf)
+      .collect().map(_.getLong(1))
+    val ivf = graft.SparkEntry.queries("q_search_hybrid_ivf")(spark.newSession(), sf)
+      .collect().map(_.getLong(1))
+    assert(ivf.length == 20)
+    // swapping the vector branch from brute scoring to the IVF probe may
+    // drop candidates outside the probed lists, but the fused list must
+    // stay substantially the same (measured 17/20 on the fixture) and
+    // agree on the top hit
+    assert(brute.toSet.intersect(ivf.toSet).size >= 13,
+      s"fused-list overlap collapsed: brute=${brute.mkString(",")} ivf=${ivf.mkString(",")}")
+    assert(brute.head == ivf.head)
+  }
+
   test("hybrid RRF output is self-consistent with its branch ranks") {
     val sf = "/root/testdata/sf0.001"
     val s = spark.newSession()

@@ -38,6 +38,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_agg_hll_merge",       // single-row sketch-union join
     "q_graph_pagerank",      // single-row teleport-quantum join; rank x edges is equi (GraphRankSpec pins)
     "q_search_hybrid_rrf",   // single-row query-vector broadcast (1 x N scoring branch)
+    "q_search_hybrid_ivf",   // broadcast CELL table only (two-level quantizer vector branch)
     "q_text_unigram_logprob" // broadcast unigram LM (vocabulary-bounded)
   )
 
