@@ -89,6 +89,78 @@ object SearchRank {
       |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
       |WHERE t.doc_id % 20 = 0 ORDER BY t.doc_id""".stripMargin
 
+  /** The REMOVE step of substring dedup (arXiv:2107.06499 §4: drop every
+    * duplicated span except its corpus-first occurrence, keep the rest of
+    * the document): positions whose 8-gram is cross-doc duplicated AND not
+    * the corpus-first occurrence of that gram (MIN over a (doc_id, i)
+    * struct — lexicographic in both engines, the paragraph-dedup idiom)
+    * merge into removal spans; each output doc is reassembled from its
+    * surviving tokens in order. The token explode + span-cover join run
+    * only on the reported doc slice (pushed-down %20 filter); the span
+    * side of the cover join is per-doc and tiny, the BETWEEN is a residual
+    * predicate on a doc_id equi-join — never pairwise, never a global
+    * sort.
+    */
+  private[llm] def substringCleanSparkSql(table: String = "documents"): String =
+    s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM $table),
+       |g AS (SELECT doc_id, i, md5(array_join(slice(w, i, 8), ' ')) AS gh
+       |      FROM (SELECT * FROM t WHERE size(w) >= 8) t8
+       |      LATERAL VIEW explode(sequence(1, size(w) - 7)) x AS i),
+       |f AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd, MIN(struct(doc_id, i)) AS fst
+       |      FROM g GROUP BY gh),
+       |r AS (SELECT g.doc_id, g.i FROM g JOIN f ON g.gh = f.gh
+       |      WHERE f.nd > 1 AND NOT (g.doc_id = f.fst.doc_id AND g.i = f.fst.i)),
+       |isl AS (SELECT doc_id, i,
+       |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |        FROM r),
+       |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e FROM isl GROUP BY doc_id, grp),
+       |tok AS (SELECT doc_id, j, element_at(w, j) AS tokw
+       |        FROM (SELECT * FROM t WHERE doc_id % 20 = 0) td
+       |        LATERAL VIEW explode(sequence(1, size(w))) x AS j),
+       |cov AS (SELECT DISTINCT tok.doc_id, tok.j FROM tok
+       |        JOIN sp ON tok.doc_id = sp.doc_id AND tok.j BETWEEN sp.s AND sp.e),
+       |kept AS (SELECT tok.doc_id, tok.j, tok.tokw
+       |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+       |         WHERE cov.j IS NULL),
+       |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |              md5(concat_ws(' ',
+       |                transform(sort_array(collect_list(struct(j, tokw))),
+       |                          s -> s.tokw))) AS clean_hash
+       |       FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(size(w) AS BIGINT) AS n_tokens,
+       |       COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_hash, '') AS clean_hash
+       |FROM t LEFT JOIN nk ON t.doc_id = nk.doc_id
+       |WHERE t.doc_id % 20 = 0 ORDER BY t.doc_id""".stripMargin
+
+  private def substringCleanDuckSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS gh
+      |      FROM (SELECT * FROM t WHERE len(w) >= 8) t8,
+      |           unnest(range(1, len(w) - 7 + 1)) AS u(i)),
+      |f AS (SELECT gh, COUNT(DISTINCT doc_id) AS nd, MIN({'doc_id': doc_id, 'i': i}) AS fst
+      |      FROM g GROUP BY gh),
+      |r AS (SELECT g.doc_id, g.i FROM g JOIN f ON g.gh = f.gh
+      |      WHERE f.nd > 1 AND NOT (g.doc_id = f.fst.doc_id AND g.i = f.fst.i)),
+      |isl AS (SELECT doc_id, i,
+      |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |        FROM r),
+      |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e FROM isl GROUP BY doc_id, grp),
+      |tok AS (SELECT doc_id, j, w[CAST(j AS INT)] AS tokw
+      |        FROM (SELECT * FROM t WHERE doc_id % 20 = 0) td,
+      |             unnest(range(1, len(w) + 1)) AS x(j)),
+      |cov AS (SELECT DISTINCT tok.doc_id, tok.j FROM tok
+      |        JOIN sp ON tok.doc_id = sp.doc_id AND tok.j BETWEEN sp.s AND sp.e),
+      |kept AS (SELECT tok.doc_id, tok.j, tok.tokw
+      |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+      |         WHERE cov.j IS NULL),
+      |nk AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |              md5(string_agg(tokw, ' ' ORDER BY j)) AS clean_hash
+      |       FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |       COALESCE(n_kept, 0) AS n_kept, COALESCE(clean_hash, '') AS clean_hash
+      |FROM t LEFT JOIN nk ON t.doc_id = nk.doc_id
+      |WHERE t.doc_id % 20 = 0 ORDER BY t.doc_id""".stripMargin
+
   /** The fixed lexical query both BM25 and the hybrid fusion rank for. */
   private val terms = "('vector', 'join', 'stream')"
 
@@ -293,6 +365,7 @@ object SearchRank {
 
   val specs: Map[String, QuerySpec] = Map(
     "q_dedup_substring" -> sql2(substringSparkSql(), substringDuckSql),
+    "q_dedup_substring_clean" -> sql2(substringCleanSparkSql(), substringCleanDuckSql),
     "q_text_bm25" -> sql2(bm25SparkSql(), bm25DuckSql),
     "q_search_hybrid_rrf" -> sql2(hybridSparkSql, hybridDuckSql),
     "q_search_hybrid_ivf" -> QuerySpec(

@@ -44,6 +44,23 @@ class SearchRankSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((0L, 2L, 24L, 12L), (20L, 2L, 24L, 12L), (40L, 0L, 0L, 0L)))
   }
 
+  test("substring clean keeps the corpus-first occurrence and excises later copies") {
+    val s = words("s", 12)
+    val t = words("t", 12)
+    val doc0 = s"$s ${words("a", 4)} $t"
+    docsView("sr_clean",
+      0L -> doc0,                              // first occurrence of both runs
+      20L -> s"$s ${words("b", 4)} $t",        // later copy: both runs removed
+      40L -> words("u", 28))                   // unique: untouched
+    def md5(x: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(x)
+    val got = spark.sql(SearchRank.substringCleanSparkSql("sr_clean"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (0L, 28L, 28L, md5(doc0)),
+      (20L, 28L, 4L, md5(words("b", 4))),
+      (40L, 28L, 28L, md5(words("u", 28)))))
+  }
+
   test("substring dedup: a run shared only WITHIN one doc is not cross-doc duplicated") {
     // The dup filter is COUNT(DISTINCT doc_id) > 1 — an 8-gram repeated
     // twice inside a single doc must not mark spans.
