@@ -293,10 +293,13 @@ object SearchRank {
     */
   private[llm] def heavyHittersSparkSql(table: String = "documents"): String = {
     def bkt(expr: String) = s"pmod(xxhash64($expr), 512)"
-    val probe = (1 to 4).map { r =>
-      s"JOIN sk s$r ON s$r.r = $r AND s$r.bkt = ${bkt(s"concat('$r:', g.gram)")}"
-    }.mkString("\n         ")
-    val est = (1 to 4).map(r => s"s$r.c >= $hhT * (SELECT n FROM tot)").mkString("\n           AND ")
+    // A single `sk` reference: SQL-text CTEs re-inline per consumer, so a
+    // 4-alias probe (one join per sketch row) would compute the sketch
+    // pass FOUR times. Instead each gram occurrence explodes into its 4
+    // (row, bucket) probes and joins the sketch ONCE; pass/fail depends
+    // only on (gram, row), so a gram survives iff all 4 of its probe rows
+    // clear the threshold — COUNT(*) of survivors is then exactly
+    // 4 x occurrences, and the exact count is COUNT(*) DIV 4.
     s"""WITH t AS (SELECT split(text, ' ') AS w FROM $table),
        |g AS (SELECT array_join(slice(w, i, 2), ' ') AS gram
        |      FROM (SELECT * FROM t WHERE size(w) >= 2) t2
@@ -305,11 +308,12 @@ object SearchRank {
        |sk AS (SELECT r, ${bkt("concat(CAST(r AS STRING), ':', gram)")} AS bkt, COUNT(*) AS c
        |       FROM g LATERAL VIEW explode(sequence(1, 4)) h AS r
        |       GROUP BY r, ${bkt("concat(CAST(r AS STRING), ':', gram)")}),
-       |cand AS (SELECT g.gram, COUNT(*) AS n
-       |         FROM g
-       |         $probe
-       |         WHERE $est
-       |         GROUP BY g.gram)
+       |gp AS (SELECT gram, r, ${bkt("concat(CAST(r AS STRING), ':', gram)")} AS bkt
+       |       FROM g LATERAL VIEW explode(sequence(1, 4)) h AS r),
+       |cand AS (SELECT gp.gram, CAST(COUNT(*) DIV 4 AS BIGINT) AS n
+       |         FROM gp JOIN sk ON sk.r = gp.r AND sk.bkt = gp.bkt
+       |         WHERE sk.c >= $hhT * (SELECT n FROM tot)
+       |         GROUP BY gp.gram HAVING COUNT(DISTINCT gp.r) = 4)
        |SELECT gram, n FROM cand WHERE n >= $hhT * (SELECT n FROM tot)
        |ORDER BY n DESC, gram""".stripMargin
   }

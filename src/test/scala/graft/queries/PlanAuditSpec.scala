@@ -237,6 +237,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("CMS heavy hitters build the sketch ONCE and probe it broadcast (q_text_heavy_hitters)") {
+    val p = plan("q_text_heavy_hitters")
+    // 4 Generates = exactly two passes over the bigram stream (sketch
+    // build + probe), each a shingle explode + the 4-row probe explode.
+    // A CTE-alias-per-sketch-row probe re-inlined the sketch pass FOUR
+    // times (9 Generates) before this pin.
+    assert("Generate".r.findAllIn(p).length == 4, p.take(2000))
+    // the constant-size (<=2048-row) sketch must broadcast onto the
+    // probe stream — never a shuffle join keyed by gram
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("substring dedup is two shingle passes, equi-joins only (q_dedup_substring)") {
+    val p = plan("q_dedup_substring")
+    assert("Generate".r.findAllIn(p).length == 2, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("substring clean explodes tokens only for the reported slice (q_dedup_substring_clean)") {
+    val p = plan("q_dedup_substring_clean")
+    // 4 Generates: the corpus-wide shingle stream twice (first-occurrence
+    // agg + probe) and the token stream twice (cover probe + kept);
+    // the %20 output filter must sit BELOW the token explodes so only
+    // the reported slice pays token-level work.
+    assert("Generate".r.findAllIn(p).length == 4, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("winsorize quantiles avoid the per-group global sort (q_agg_winsorize)") {
     val p = plan("q_agg_winsorize")
     assert(!p.contains("SortMergeJoin"),
