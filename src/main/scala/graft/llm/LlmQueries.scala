@@ -1392,6 +1392,36 @@ object LlmQueries {
         |       CAST(MIN(CASE WHEN i = w * h * 3 - 1 THEN b END) AS INT) AS pxn
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
 
+    // REAL grayscale decode: P5 PGM payloads (identical header grammar to
+    // P6, ONE byte per pixel) constructed in-engine with their own pixel
+    // formula, decoded executor-side by the shared binary-PNM parser
+    // (Multimodal.decodePgm), stats checked against the closed form.
+    "q_multimodal_pgm_decode" -> df(
+      (s, d) => Multimodal.pgmStats(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .selectExpr("doc_id",
+            "CAST(4 + (doc_id DIV 10) % 5 AS INT) AS w",
+            "CAST(3 + (doc_id DIV 10) % 4 AS INT) AS h")
+          .selectExpr("doc_id",
+            """concat(
+              |  encode(concat('P5\n',
+              |    CASE WHEN doc_id % 20 = 0 THEN '# gray fixture\n' ELSE '' END,
+              |    CAST(w AS STRING), ' ', CAST(h AS STRING), '\n255\n'), 'UTF-8'),
+              |  unhex(aggregate(
+              |    transform(sequence(0, w * h - 1),
+              |              i -> lpad(hex(pmod(doc_id * 11 + i * 19, 256)), 2, '0')),
+              |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin)),
+      """WITH p AS (SELECT doc_id, 4 + (doc_id // 10) % 5 AS w, 3 + (doc_id // 10) % 4 AS h
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |v AS (SELECT doc_id, w, h, i, (doc_id * 11 + i * 19) % 256 AS b
+        |      FROM (SELECT doc_id, w, h, unnest(range(0, CAST(w * h AS INT))) AS i FROM p) z)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(255 AS INT) AS maxval,
+        |       CAST(SUM(b) AS BIGINT) AS sum_v,
+        |       CAST(MIN(CASE WHEN i = 0 THEN b END) AS INT) AS px0,
+        |       CAST(MIN(CASE WHEN i = w * h - 1 THEN b END) AS INT) AS pxn
+        |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
+
     // REAL audio decode, same contract as q_multimodal_ppm_decode: RIFF/
     // WAVE PCM payloads constructed in-engine (16-bit little-endian
     // samples from a closed formula; every 20th doc carries an extra LIST
@@ -1493,24 +1523,31 @@ object LlmQueries {
         |aud AS (SELECT doc_id, SUM(ABS(((doc_id * 31 + i * 17) % 4096) - 2048)) AS csum
         |        FROM (SELECT doc_id, unnest(range(0, CAST(n * ch AS INT))) AS i
         |              FROM mm_par WHERE fmt = 1) z
+        |        GROUP BY doc_id),
+        |gim AS (SELECT doc_id, SUM((doc_id * 7 + i * 13) % 256) AS csum
+        |        FROM (SELECT doc_id, unnest(range(0, CAST(w * h AS INT))) AS i
+        |              FROM mm_par WHERE fmt = 4) z
         |        GROUP BY doc_id)
         |SELECT p.doc_id,
-        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' ELSE 'raw' END AS format,
-        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN p.w ELSE -1 END AS INT) AS width,
-        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN p.h ELSE -1 END AS INT) AS height,
-        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN 3 WHEN p.fmt = 1 THEN p.ch ELSE -1 END AS INT) AS channels,
-        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN p.w * p.h
+        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' WHEN 4 THEN 'pgm' ELSE 'raw' END AS format,
+        |       CAST(CASE WHEN p.fmt IN (0, 2, 4) THEN p.w ELSE -1 END AS INT) AS width,
+        |       CAST(CASE WHEN p.fmt IN (0, 2, 4) THEN p.h ELSE -1 END AS INT) AS height,
+        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN 3 WHEN p.fmt = 1 THEN p.ch WHEN p.fmt = 4 THEN 1 ELSE -1 END AS INT) AS channels,
+        |       CAST(CASE WHEN p.fmt IN (0, 2, 4) THEN p.w * p.h
         |                 WHEN p.fmt = 1 THEN p.n * p.ch
         |                 ELSE $mmRawLenDuck END AS BIGINT) AS n_units,
         |       CAST(CASE WHEN p.fmt = 0 THEN $mmPpmLenDuck
         |                 WHEN p.fmt = 1 THEN 44 + p.n * p.ch * 2
         |                 WHEN p.fmt = 2 THEN $mmBmpLenDuck
+        |                 WHEN p.fmt = 4 THEN $mmPgmLenDuck
         |                 ELSE $mmRawLenDuck END AS INT) AS payload_bytes,
         |       CAST(CASE WHEN p.fmt IN (0, 2) THEN i.csum
         |                 WHEN p.fmt = 1 THEN a.csum
+        |                 WHEN p.fmt = 4 THEN g.csum
         |                 ELSE length(p.text) - length(replace(p.text, ' ', '')) END AS BIGINT) AS checksum
         |FROM mm_par p LEFT JOIN img i ON p.doc_id = i.doc_id
         |              LEFT JOIN aud a ON p.doc_id = a.doc_id
+        |              LEFT JOIN gim g ON p.doc_id = g.doc_id
         |ORDER BY p.doc_id""".stripMargin),
 
     // GENERIC multimodal resize, same dispatch: PPM and BMP payloads run
@@ -1527,29 +1564,40 @@ object LlmQueries {
         |                  FROM (SELECT doc_id, w, h, unnest(range(0, 16)) AS x
         |                        FROM mm_par WHERE fmt IN (0, 2)) z1) z2) z3),
         |r AS (SELECT doc_id, SUM((doc_id * 7 + i * 13) % 256) AS csum
-        |      FROM g GROUP BY doc_id)
+        |      FROM g GROUP BY doc_id),
+        |g2 AS (SELECT doc_id, (((y * h) // 12) * w + ((x * w) // 16)) AS i
+        |       FROM (SELECT doc_id, w, h, x, unnest(range(0, 12)) AS y
+        |             FROM (SELECT doc_id, w, h, unnest(range(0, 16)) AS x
+        |                   FROM mm_par WHERE fmt = 4) z1) z2),
+        |r2 AS (SELECT doc_id, SUM((doc_id * 7 + i * 13) % 256) AS csum
+        |       FROM g2 GROUP BY doc_id)
         |SELECT p.doc_id,
-        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' ELSE 'raw' END AS format,
+        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' WHEN 4 THEN 'pgm' ELSE 'raw' END AS format,
         |       CAST(CASE WHEN p.fmt = 0 THEN $mmPpmLenDuck
         |                 WHEN p.fmt = 1 THEN 44 + p.n * p.ch * 2
         |                 WHEN p.fmt = 2 THEN $mmBmpLenDuck
+        |                 WHEN p.fmt = 4 THEN $mmPgmLenDuck
         |                 ELSE $mmRawLenDuck END AS INT) AS src_bytes,
         |       16 AS target_w, 12 AS target_h,
         |       CAST(CASE WHEN p.fmt = 0 THEN 13 + 16 * 12 * 3
         |                 WHEN p.fmt = 2 THEN 54 + 48 * 12
+        |                 WHEN p.fmt = 4 THEN 13 + 16 * 12
         |                 WHEN p.fmt = 1 THEN LEAST(44 + p.n * p.ch * 2, 3)
         |                 ELSE LEAST($mmRawLenDuck, 3) END AS BIGINT) AS resized_bytes,
-        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN r.csum ELSE -1 END AS BIGINT) AS checksum
+        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN r.csum
+        |                 WHEN p.fmt = 4 THEN r2.csum
+        |                 ELSE -1 END AS BIGINT) AS checksum
         |FROM mm_par p LEFT JOIN r ON p.doc_id = r.doc_id
+        |              LEFT JOIN r2 ON p.doc_id = r2.doc_id
         |ORDER BY p.doc_id""".stripMargin)
   )
 
   /** Shared mixed-format media fixture for the GENERIC multimodal queries:
     * deterministic payloads constructed in-engine as a binary column, the
-    * format cycling PPM / WAV / BMP / raw on (doc_id DIV 10) % 4 so one
-    * corpus exercises the dispatch, all three real parsers, and the
+    * format cycling PPM / WAV / BMP / raw / PGM on (doc_id DIV 10) % 5 so
+    * one corpus exercises the dispatch, all FOUR real parsers, and the
     * declared-stub branch. Dimensions/channels vary on (doc_id DIV 10)
-    * DIV 4 — the quotient AFTER the format selector — so every format
+    * DIV 4 — a quotient independent of the format selector — so every format
     * class still walks its full parameter range (the DIV-10 lesson from
     * the single-format fixtures applies one level up here). Pixel bytes
     * follow v(i) = (doc_id*7 + i*13) % 256 over the TOP-DOWN RGB raster
@@ -1566,7 +1614,7 @@ object LlmQueries {
     Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
       .selectExpr("doc_id", "text", "doc_id DIV 10 AS q")
       .selectExpr("doc_id", "text",
-        "CAST(q % 4 AS INT) AS fmt",
+        "CAST(q % 5 AS INT) AS fmt",
         "CAST(4 + (q DIV 4) % 5 AS INT) AS w",
         "CAST(3 + (q DIV 4) % 4 AS INT) AS h",
         "CAST(1 + (q DIV 4) % 2 AS INT) AS ch",
@@ -1600,6 +1648,10 @@ object LlmQueries {
            |                (((h - 1 - (j DIV $rb)) * w + (j % $rb) DIV 3) * 3
            |                  + (2 - (j % $rb) % 3)) * 13, 256)), 2, '0') END),
            |    '', (a, x) -> concat(a, x))))
+           |WHEN 4 THEN concat(
+           |  encode(concat('P5\\n', CAST(w AS STRING), ' ', CAST(h AS STRING), '\\n255\\n'), 'UTF-8'),
+           |  unhex(aggregate(transform(sequence(0, w * h - 1),
+           |    i -> lpad(hex(pmod(doc_id * 7 + i * 13, 256)), 2, '0')), '', (a, x) -> concat(a, x))))
            |ELSE encode(concat('RAW:', text), 'UTF-8')
            |END AS payload""".stripMargin)
   }
@@ -1619,7 +1671,7 @@ object LlmQueries {
   private def mixedMediaOracleCtes: String =
     """WITH mm_base AS (SELECT doc_id, text, doc_id // 10 AS q
       |                 FROM documents WHERE doc_id % 10 = 0),
-      |mm_par AS (SELECT doc_id, text, CAST(q % 4 AS INT) AS fmt,
+      |mm_par AS (SELECT doc_id, text, CAST(q % 5 AS INT) AS fmt,
       |                  4 + (q // 4) % 5 AS w, 3 + (q // 4) % 4 AS h,
       |                  1 + (q // 4) % 2 AS ch, 16 + doc_id % 17 AS n
       |           FROM mm_base)""".stripMargin
@@ -1628,5 +1680,7 @@ object LlmQueries {
   private def mmPpmLenDuck: String =
     "3 + length(CAST(p.w AS VARCHAR)) + 1 + length(CAST(p.h AS VARCHAR)) + 5 + p.w * p.h * 3"
   private def mmBmpLenDuck: String = "54 + (((p.w * 3 + 3) // 4) * 4) * p.h"
+  private def mmPgmLenDuck: String =
+    "3 + length(CAST(p.w AS VARCHAR)) + 1 + length(CAST(p.h AS VARCHAR)) + 5 + p.w * p.h"
   private def mmRawLenDuck: String = "octet_length(encode(p.text)) + 4"
 }

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata; decode / feature-extraction
   * runs per-partition over the raw bytes.
   *
-  * Three formats decode for REAL in pure JVM — P6 PPM, 24-bit BMP, 16-bit
-  * PCM WAV — and [[decodeAny]]/[[resizeAny]] route payloads to them by
+  * Four formats decode for REAL in pure JVM — P6 PPM, P5 PGM, 24-bit BMP,
+  * 16-bit PCM WAV — and [[decodeAny]]/[[resizeAny]] route payloads to them by
   * magic-byte sniffing. Only genuinely codec-bound formats (JPEG/MP3/MP4,
   * no codec libraries in this container) fall through to a clearly-marked
   * byte-stats STUB branch. The Spark-side plumbing is real throughout:
@@ -20,9 +20,9 @@ object Multimodal {
   /** Deterministic byte stats — the DECLARED STUB branch for payloads whose
     * format needs a codec library this container doesn't have (JPEG, MP3,
     * MP4, ...): byte count and 0x20 count stand in for real features so the
-    * distributed plumbing and the oracle contract stay testable. PPM, BMP
-    * and PCM WAV never reach this — [[decodeAny]] routes them to the real
-    * parsers below.
+    * distributed plumbing and the oracle contract stay testable. PPM, PGM,
+    * BMP and PCM WAV never reach this — [[decodeAny]] routes them to the
+    * real parsers below.
     */
   private def rawByteStats(payload: Array[Byte]): (Int, Long) = {
     var spaces = 0L
@@ -45,7 +45,27 @@ object Multimodal {
     * pure JVM can decode byte-exactly offline; JPEG/WAV/MP4 remain
     * declared stubs.
     */
-  def decodePpm(bytes: Array[Byte]): Either[String, PpmImage] = {
+  def decodePpm(bytes: Array[Byte]): Either[String, PpmImage] =
+    decodePnm(bytes, '6', 3, "P6 PPM").map {
+      case (w, h, mv, pix) => PpmImage(w, h, mv, pix)
+    }
+
+  /** A decoded P5 (binary grayscale) PGM image — same header grammar as
+    * P6 with magic `P5` and ONE byte per pixel.
+    */
+  final case class PgmImage(width: Int, height: Int, maxVal: Int, pixels: Array[Byte])
+
+  def decodePgm(bytes: Array[Byte]): Either[String, PgmImage] =
+    decodePnm(bytes, '5', 1, "P5 PGM").map {
+      case (w, h, mv, pix) => PgmImage(w, h, mv, pix)
+    }
+
+  /** Shared binary-PNM parser (P5 grayscale / P6 RGB differ only in magic
+    * digit and bytes-per-pixel; the header grammar is identical).
+    */
+  private def decodePnm(
+      bytes: Array[Byte], digit: Char, channels: Int,
+      what: String): Either[String, (Int, Int, Int, Array[Byte])] = {
     var i = 0
     def skipWsAndComments(): Unit = {
       var go = true
@@ -66,8 +86,8 @@ object Multimodal {
       }
       if (i == start) Left(s"expected decimal at offset $start") else Right(v.toInt)
     }
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
-      return Left("not a P6 PPM (bad magic)")
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != digit)
+      return Left(s"not a $what (bad magic)")
     i = 2
     for {
       w <- token()
@@ -84,10 +104,10 @@ object Multimodal {
           Left(s"expected whitespace after maxval, got byte ${bytes(i) & 0xff}")
         else {
           i += 1 // the single whitespace byte terminating maxval
-          val need = w.toLong * h * 3
+          val need = w.toLong * h * channels
           if (bytes.length - i < need)
             Left(s"truncated pixel data: need $need, have ${bytes.length - i}")
-          else Right(PpmImage(w, h, mv, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
+          else Right((w, h, mv, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
         }
       }
     } yield img
@@ -131,6 +151,52 @@ object Multimodal {
       })
       .toDF()
       .orderBy("doc_id")
+  }
+
+  /** Per-image PGM decode rollup: dimensions, maxval, pixel-byte sum,
+    * first/last pixels — everything the oracle reproduces closed-form.
+    */
+  final case class PgmStats(
+      doc_id: Long, width: Int, height: Int, maxval: Int,
+      sum_v: Long, px0: Int, pxn: Int)
+
+  /** Decode a (doc_id, payload) binary column with the REAL P5 parser,
+    * executor-side; corrupt payloads fail loudly (same contract as
+    * [[ppmStats]]).
+    */
+  def pgmStats(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodePgm(bytes) match {
+          case Left(err) => throw new IllegalArgumentException(s"doc $id: $err")
+          case Right(img) =>
+            PgmStats(id, img.width, img.height, img.maxVal, sumBytes(img.pixels),
+              img.pixels.head & 0xff, img.pixels.last & 0xff)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** 1-channel nearest-neighbor resample — [[resizePpmNearest]] for P5. */
+  def resizePgmNearest(img: PgmImage, tw: Int, th: Int): PgmImage = {
+    require(tw > 0 && th > 0, s"bad target ${tw}x$th")
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = y * img.height / th
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = img.pixels(sy * img.width + x * img.width / tw)
+        x += 1
+      }
+      y += 1
+    }
+    PgmImage(tw, th, img.maxVal, out)
   }
 
   /** REAL nearest-neighbor resize over a decoded [[PpmImage]]: output
@@ -337,6 +403,8 @@ object Multimodal {
 
   private def isPpm(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'P' && b(1) == '6'
+  private def isPgm(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'P' && b(1) == '5'
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'B' && b(1) == 'M'
   private def isWav(b: Array[Byte]): Boolean =
@@ -381,6 +449,10 @@ object Multimodal {
           val img = orThrow(decodePpm(bytes))
           DecodedMedia(id, "ppm", img.width, img.height, 3,
             img.width.toLong * img.height, bytes.length, sumBytes(img.pixels))
+        } else if (isPgm(bytes)) {
+          val img = orThrow(decodePgm(bytes))
+          DecodedMedia(id, "pgm", img.width, img.height, 1,
+            img.width.toLong * img.height, bytes.length, sumBytes(img.pixels))
         } else if (isBmp(bytes)) {
           val img = orThrow(decodeBmp(bytes))
           DecodedMedia(id, "bmp", img.width, img.height, 3,
@@ -415,6 +487,10 @@ object Multimodal {
   def ppmEncodedLength(tw: Int, th: Int): Long =
     3L + tw.toString.length + 1 + th.toString.length + 5 + tw.toLong * th * 3
 
+  /** Byte length of a P5 re-encode: same header shape, 1 byte/pixel. */
+  def pgmEncodedLength(tw: Int, th: Int): Long =
+    3L + tw.toString.length + 1 + th.toString.length + 5 + tw.toLong * th
+
   /** Byte length of a 24-bit BI_RGB BMP re-encode: 54-byte headers + 4-byte
     * padded rows.
     */
@@ -443,6 +519,10 @@ object Multimodal {
           val out = resized(orThrow(decodePpm(bytes)))
           ResizedAny(id, "ppm", bytes.length, tw, th,
             ppmEncodedLength(tw, th), sumBytes(out.pixels))
+        } else if (isPgm(bytes)) {
+          val out = resizePgmNearest(orThrow(decodePgm(bytes)), tw, th)
+          ResizedAny(id, "pgm", bytes.length, tw, th,
+            pgmEncodedLength(tw, th), sumBytes(out.pixels))
         } else if (isBmp(bytes)) {
           val out = resized(orThrow(decodeBmp(bytes)))
           ResizedAny(id, "bmp", bytes.length, tw, th,

@@ -75,8 +75,10 @@ class BmpDecodeSpec extends AnyFunSuite {
     val wav = "RIFF".getBytes ++ le32(36 + 4) ++ "WAVEfmt ".getBytes ++ le32(16) ++
       le16(1) ++ le16(2) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16) ++
       "data".getBytes ++ le32(4) ++ le16(100) ++ le16(65536 - 50) // +100, -50
+    val pgm = "P5\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](7, 9)
     val rows = Multimodal.decodeAny(Seq(
-      (1L, bmp(3, 2, rgb3x2)), (2L, ppm), (3L, wav), (4L, "just text".getBytes))
+      (1L, bmp(3, 2, rgb3x2)), (2L, ppm), (3L, wav), (4L, "just text".getBytes),
+      (5L, pgm))
       .toDF("doc_id", "payload")).collect()
     def row(id: Long) = rows.find(_.getLong(0) == id).get
     assert(row(1L).getString(1) == "bmp" && row(1L).getInt(2) == 3 && row(1L).getInt(3) == 2)
@@ -85,6 +87,8 @@ class BmpDecodeSpec extends AnyFunSuite {
     assert(row(3L).getString(1) == "wav" && row(3L).getInt(4) == 2
       && row(3L).getLong(5) == 2L && row(3L).getLong(7) == 150L)
     assert(row(4L).getString(1) == "raw" && row(4L).getLong(7) == 1L)
+    assert(row(5L).getString(1) == "pgm" && row(5L).getInt(2) == 2
+      && row(5L).getInt(4) == 1 && row(5L).getLong(7) == 16L)
   }
 
   test("resizeAny really resamples images and cost-models the rest") {
@@ -97,7 +101,8 @@ class BmpDecodeSpec extends AnyFunSuite {
     val rows = Multimodal.resizeAny(Seq(
       (1L, bmp(2, 1, rgb)),
       (2L, "P6\n2 1\n255\n".getBytes("US-ASCII") ++ rgb),
-      (3L, "just text".getBytes))
+      (3L, "just text".getBytes),
+      (4L, "P5\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 40)))
       .toDF("doc_id", "payload"), tw = 4, th = 2).collect()
     def row(id: Long) = rows.find(_.getLong(0) == id).get
     assert(row(1L).getString(1) == "bmp" && row(1L).getLong(6) == expected)
@@ -106,5 +111,8 @@ class BmpDecodeSpec extends AnyFunSuite {
     assert(row(2L).getLong(5) == Multimodal.ppmEncodedLength(4, 2))
     assert(row(3L).getString(1) == "raw" && row(3L).getLong(6) == -1L)
     assert(row(3L).getLong(5) == math.min(9L, 4L * 2 / 64))
+    // 2x1 gray upscaled to 4x2: each source pixel tiles 2x2
+    assert(row(4L).getString(1) == "pgm" && row(4L).getLong(6) == 4L * 10 + 4L * 40)
+    assert(row(4L).getLong(5) == Multimodal.pgmEncodedLength(4, 2))
   }
 }

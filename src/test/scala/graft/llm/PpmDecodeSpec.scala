@@ -57,6 +57,24 @@ class PpmDecodeSpec extends AnyFunSuite {
     assert(down.pixels.toSeq == src.pixels.take(3).toSeq)
   }
 
+  test("P5 grayscale shares the grammar: comments parse, one byte per pixel, errors reject") {
+    val px = Array[Byte](1, 2, 3, 4, 5, 6)
+    val got = Multimodal.decodePgm(ppm("P5\n# gray\n3 2\n255\n", px))
+    assert(got.isRight)
+    val img = got.toOption.get
+    assert(img.width == 3 && img.height == 2 && img.maxVal == 255)
+    assert(img.pixels.toSeq == px.toSeq)
+    // a P6 fed to the P5 decoder is a magic error, not a mis-decode
+    assert(Multimodal.decodePgm(ppm("P6\n1 1\n255\n", Array[Byte](1, 2, 3)))
+      .left.exists(_.contains("magic")))
+    // pixel budget is w*h, not w*h*3 — one byte short must reject
+    assert(Multimodal.decodePgm(ppm("P5\n3 2\n255\n", px.take(5)))
+      .left.exists(_.contains("truncated")))
+    // 1-channel nearest resize: 2x1 -> 4x2 tiles each pixel 2x2
+    val r = Multimodal.resizePgmNearest(Multimodal.PgmImage(2, 1, 255, Array[Byte](10, 40)), 4, 2)
+    assert(r.pixels.toSeq == Seq[Byte](10, 10, 40, 40, 10, 10, 40, 40))
+  }
+
   test("rejects malformed inputs with reasons") {
     val ok = ppm("P6\n1 1\n255\n", Array.fill(3)(1.toByte))
     assert(Multimodal.decodePpm(ok).isRight)
