@@ -1596,10 +1596,12 @@ object LlmQueries {
     * deterministic payloads constructed in-engine as a binary column, the
     * format cycling PPM / WAV / BMP / raw / PGM on (doc_id DIV 10) % 5 so
     * one corpus exercises the dispatch, all FOUR real parsers, and the
-    * declared-stub branch. Dimensions/channels vary on (doc_id DIV 10)
-    * DIV 4 — a quotient independent of the format selector — so every format
-    * class still walks its full parameter range (the DIV-10 lesson from
-    * the single-format fixtures applies one level up here). Pixel bytes
+    * declared-stub branch. Dimensions/channels vary on q DIV 5 where
+    * q = doc_id DIV 10 — dividing by the SAME modulus the format selector
+    * uses makes the quotient genuinely independent of q % 5 (a DIV-4
+    * quotient was not: both resolved on q mod 20, silently denying each
+    * format one of the five widths), so every format walks its full
+    * parameter range within 25 q-values. Pixel bytes
     * follow v(i) = (doc_id*7 + i*13) % 256 over the TOP-DOWN RGB raster
     * index — the BMP branch stores them bottom-up, BGR, row-padded, so a
     * correct decode recovers the identical raster as the PPM branch and
@@ -1615,9 +1617,9 @@ object LlmQueries {
       .selectExpr("doc_id", "text", "doc_id DIV 10 AS q")
       .selectExpr("doc_id", "text",
         "CAST(q % 5 AS INT) AS fmt",
-        "CAST(4 + (q DIV 4) % 5 AS INT) AS w",
-        "CAST(3 + (q DIV 4) % 4 AS INT) AS h",
-        "CAST(1 + (q DIV 4) % 2 AS INT) AS ch",
+        "CAST(4 + (q DIV 5) % 5 AS INT) AS w",
+        "CAST(3 + (q DIV 5) % 4 AS INT) AS h",
+        "CAST(1 + (q DIV 5) % 2 AS INT) AS ch",
         "CAST(16 + doc_id % 17 AS INT) AS n")
       .selectExpr("doc_id",
         s"""CASE fmt
@@ -1672,8 +1674,8 @@ object LlmQueries {
     """WITH mm_base AS (SELECT doc_id, text, doc_id // 10 AS q
       |                 FROM documents WHERE doc_id % 10 = 0),
       |mm_par AS (SELECT doc_id, text, CAST(q % 5 AS INT) AS fmt,
-      |                  4 + (q // 4) % 5 AS w, 3 + (q // 4) % 4 AS h,
-      |                  1 + (q // 4) % 2 AS ch, 16 + doc_id % 17 AS n
+      |                  4 + (q // 5) % 5 AS w, 3 + (q // 5) % 4 AS h,
+      |                  1 + (q // 5) % 2 AS ch, 16 + doc_id % 17 AS n
       |           FROM mm_base)""".stripMargin
 
   // closed-form payload byte lengths per format (DuckDB dialect)

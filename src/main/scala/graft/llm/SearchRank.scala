@@ -29,6 +29,24 @@ import graft.queries.QuerySpec.sql2
   */
 object SearchRank {
 
+  /** Island merge over duplicated shingle START positions. Two 8-wide
+    * intervals [i, i+7] and [i', i'+7] overlap or touch iff i' - i <= 8,
+    * so a new span begins only when the gap from the previous duplicated
+    * start exceeds 8 — SUM(e - s + 1) over the merged spans is then the
+    * exact size of the UNION of the duplicated intervals. (The classic
+    * `i - row_number()` trick merges only gap-1 runs: staggered matches
+    * with start gaps 2..7 produced OVERLAPPING spans whose lengths
+    * double-counted the shared tokens, letting dup_tokens exceed the doc
+    * length.) Dialect-neutral SQL, shared verbatim by Spark and DuckDB.
+    */
+  private def spanIslands(src: String): String =
+    s"""lg AS (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM $src),
+       |isl AS (SELECT doc_id, i,
+       |               SUM(CASE WHEN prev IS NOT NULL AND i - prev <= 8 THEN 0 ELSE 1 END)
+       |                 OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |        FROM lg),
+       |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e FROM isl GROUP BY doc_id, grp)""".stripMargin
+
   /** Exact repeated-span dedup, Spark dialect, parameterized on the table
     * name so SearchRankSpec can replay it over hand-built corpora with
     * known shared-span structure.
@@ -54,10 +72,7 @@ object SearchRank {
        |      LATERAL VIEW explode(sequence(1, size(w) - 7)) x AS i),
        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
        |d AS (SELECT g.doc_id, g.i FROM g JOIN dup ON g.gh = dup.gh),
-       |isl AS (SELECT doc_id, i,
-       |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-       |        FROM d),
-       |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e FROM isl GROUP BY doc_id, grp),
+       |${spanIslands("d")},
        |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
        |               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
        |               CAST(MAX(e - s + 1) AS BIGINT) AS max_span
@@ -69,16 +84,13 @@ object SearchRank {
        |WHERE t.doc_id % 20 = 0 ORDER BY t.doc_id""".stripMargin
 
   private def substringDuckSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS gh
       |      FROM (SELECT * FROM t WHERE len(w) >= 8) t8,
       |           unnest(range(1, len(w) - 7 + 1)) AS u(i)),
       |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
       |d AS (SELECT g.doc_id, g.i FROM g JOIN dup ON g.gh = dup.gh),
-      |isl AS (SELECT doc_id, i,
-      |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-      |        FROM d),
-      |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e FROM isl GROUP BY doc_id, grp),
+      |${spanIslands("d")},
       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
       |               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
       |               CAST(MAX(e - s + 1) AS BIGINT) AS max_span
@@ -110,10 +122,7 @@ object SearchRank {
        |      FROM g GROUP BY gh),
        |r AS (SELECT g.doc_id, g.i FROM g JOIN f ON g.gh = f.gh
        |      WHERE f.nd > 1 AND NOT (g.doc_id = f.fst.doc_id AND g.i = f.fst.i)),
-       |isl AS (SELECT doc_id, i,
-       |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-       |        FROM r),
-       |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e FROM isl GROUP BY doc_id, grp),
+       |${spanIslands("r")},
        |tok AS (SELECT doc_id, j, element_at(w, j) AS tokw
        |        FROM (SELECT * FROM t WHERE doc_id % 20 = 0) td
        |        LATERAL VIEW explode(sequence(1, size(w))) x AS j),
@@ -133,7 +142,7 @@ object SearchRank {
        |WHERE t.doc_id % 20 = 0 ORDER BY t.doc_id""".stripMargin
 
   private def substringCleanDuckSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS gh
       |      FROM (SELECT * FROM t WHERE len(w) >= 8) t8,
       |           unnest(range(1, len(w) - 7 + 1)) AS u(i)),
@@ -141,10 +150,7 @@ object SearchRank {
       |      FROM g GROUP BY gh),
       |r AS (SELECT g.doc_id, g.i FROM g JOIN f ON g.gh = f.gh
       |      WHERE f.nd > 1 AND NOT (g.doc_id = f.fst.doc_id AND g.i = f.fst.i)),
-      |isl AS (SELECT doc_id, i,
-      |               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-      |        FROM r),
-      |sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e FROM isl GROUP BY doc_id, grp),
+      |${spanIslands("r")},
       |tok AS (SELECT doc_id, j, w[CAST(j AS INT)] AS tokw
       |        FROM (SELECT * FROM t WHERE doc_id % 20 = 0) td,
       |             unnest(range(1, len(w) + 1)) AS x(j)),

@@ -135,39 +135,7 @@ object EventStream {
     // stride/cell/probe conventions, integer-exact on both sides.
     "q_stream_ann_ingest" -> QuerySpec.df(
       (s, d) => VectorIngest.assignIngest(s, d, VectorIngest.buildIndex(s, d)),
-      {
-        def d2(a: String, b: String) =
-          s"list_dot_product($a, $a) + list_dot_product($b, $b) - 2 * list_dot_product($a, $b)"
-        val quant = graft.llm.AnnSql.kmQ
-        s"""WITH corpus AS (SELECT vec_id, $quant AS v,
-           |                       row_number() OVER (ORDER BY vec_id) - 1 AS rid
-           |                FROM embeddings WHERE vec_id % 10 = 0),
-           |st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM corpus),
-           |c AS (SELECT vec_id AS cent_id, v AS cv FROM corpus
-           |      WHERE rid % (SELECT stride FROM st) = 0),
-           |n2 AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS s1 FROM c),
-           |c1 AS (SELECT cent_id AS c1_id, cv AS c1e FROM (
-           |  SELECT cent_id, cv, row_number() OVER (ORDER BY cent_id) AS rn FROM c) t
-           |  WHERE (rn - 1) % (SELECT s1 FROM n2) = 0),
-           |a21 AS (SELECT cent_id, cv, c1_id FROM (
-           |  SELECT c.cent_id, c.cv, c1.c1_id,
-           |         row_number() OVER (PARTITION BY c.cent_id
-           |           ORDER BY ${d2("c.cv", "c1.c1e")}, c1.c1_id) AS rn
-           |  FROM c CROSS JOIN c1) t WHERE rn = 1),
-           |nv AS (SELECT vec_id, $quant AS v FROM embeddings WHERE vec_id % 10 = 9),
-           |p AS (SELECT vec_id, v, c1_id FROM (
-           |  SELECT nv.vec_id, nv.v, c1.c1_id,
-           |         row_number() OVER (PARTITION BY nv.vec_id
-           |           ORDER BY ${d2("nv.v", "c1.c1e")}, c1.c1_id) AS rn
-           |  FROM nv CROSS JOIN c1) t WHERE rn <= ${VectorIngest.p1}),
-           |asn AS (SELECT vec_id, cent_id, d2 FROM (
-           |  SELECT p.vec_id, a.cent_id, ${d2("p.v", "a.cv")} AS d2,
-           |         row_number() OVER (PARTITION BY p.vec_id
-           |           ORDER BY ${d2("p.v", "a.cv")}, a.cent_id) AS rn
-           |  FROM p JOIN a21 a ON p.c1_id = a.c1_id) t WHERE rn = 1)
-           |SELECT vec_id, cent_id, CAST(d2 AS BIGINT) AS d2
-           |FROM asn ORDER BY vec_id""".stripMargin
-      }),
+      VectorIngest.oracleSql),
 
     // Session windows (12h gap); oracle = gaps-and-islands over the batch
     // table. Spark's session_window is half-open [start, last_ts + gap), so

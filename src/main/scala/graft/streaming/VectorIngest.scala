@@ -44,7 +44,10 @@ object VectorIngest {
     */
   private def stage(spark: SparkSession, dir: String): String =
     stagedCache.computeIfAbsent(dir, { _ =>
-      val staged = s"/root/repo/target/fixtures/vecs_new_${dirKey(dir)}"
+      // checkout-relative (resolves against the process working dir, like
+      // the sibling spec fixtures) — an absolute repo path would write
+      // into an unrelated checkout when run from a clone elsewhere
+      val staged = s"target/fixtures/vecs_new_${dirKey(dir)}"
       spark.read.parquet(s"$dir/embeddings.parquet")
         .filter(col("vec_id") % 10 === 9)
         .select("vec_id", "embedding")
@@ -55,20 +58,30 @@ object VectorIngest {
   /** Pre-stage hook for the bench's untimed setup phase. */
   def stageAll(spark: SparkSession, dir: String): Unit = { stage(spark, dir); () }
 
-  private def d2Spark(a: String, b: String): String =
+  /** Spark-dialect squared distance over the quantized vectors. */
+  private[streaming] def d2Spark(a: String, b: String): String =
     s"graft_dot_d($a, $a) + graft_dot_d($b, $b) - 2 * graft_dot_d($a, $b)"
 
-  /** Batch-built index over the corpus subset (vec_id % 10 = 0): the
-    * centroid seeds stride over the subset's DENSE row number (the
-    * subset's vec_ids are multiples of 10, so `vec_id % stride` would
-    * hit the lcm-thinning trap the sampled-kmeans pin documents), cells
-    * stride over the centroid rank — the exact conventions the DuckDB
-    * oracle mirrors.
+  /** The two-level-quantizer index chain (corpus → seed stride → centroid
+    * tier → cell tier → centroid→cell assignment), parameterized on
+    * dialect: `d2` emits the squared-distance expression, `quant` the
+    * fixed-point quantizer, `table` the embeddings source. Everything
+    * downstream of those three is dialect-neutral SQL, so the THREE
+    * consumers — this file's streaming index build, the DuckDB oracle's
+    * batch closed form, and VectorIngestSpec's in-Spark batch replay —
+    * share this single body: the stream == batch == oracle equality can
+    * no longer be broken by editing one hand-kept copy.
+    *
+    * Conventions: centroid seeds stride over the corpus subset's DENSE
+    * row number (the subset's vec_ids are multiples of 10, so `vec_id %
+    * stride` would hit the lcm-thinning trap the sampled-kmeans pin
+    * documents); cells stride over the centroid rank.
     */
-  private def indexSql: String =
-    s"""WITH corpus AS (SELECT vec_id, ${graft.llm.AnnSql.kmQSpark} AS v,
+  private[streaming] def indexCtes(
+      d2: (String, String) => String, quant: String, table: String): String =
+    s"""WITH corpus AS (SELECT vec_id, $quant AS v,
        |                       row_number() OVER (ORDER BY vec_id) - 1 AS rid
-       |                FROM vecingest_embeddings WHERE vec_id % 10 = 0),
+       |                FROM $table WHERE vec_id % 10 = 0),
        |st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM corpus),
        |c AS (SELECT vec_id AS cent_id, v AS cv FROM corpus
        |      WHERE rid % (SELECT stride FROM st) = 0),
@@ -79,9 +92,44 @@ object VectorIngest {
        |a21 AS (SELECT cent_id, cv, c1_id FROM (
        |  SELECT c.cent_id, c.cv, c1.c1_id,
        |         row_number() OVER (PARTITION BY c.cent_id
-       |           ORDER BY ${d2Spark("c.cv", "c1.c1e")}, c1.c1_id) AS rn
-       |  FROM c CROSS JOIN c1) t WHERE rn = 1)
-       |""".stripMargin
+       |           ORDER BY ${d2("c.cv", "c1.c1e")}, c1.c1_id) AS rn
+       |  FROM c CROSS JOIN c1) t WHERE rn = 1)""".stripMargin
+
+  /** The full batch closed form of the streamed assignment: index chain +
+    * incoming-vector probe (top-p1 cells) + in-cell argmin. Runs verbatim
+    * on BOTH engines given their d2/quant dialects — the DuckDB oracle and
+    * the Spark-side spec replay are textually this one query.
+    */
+  private[streaming] def closedFormSql(
+      d2: (String, String) => String, quant: String, table: String): String =
+    s"""${indexCtes(d2, quant, table)},
+       |nv AS (SELECT vec_id, $quant AS v FROM $table WHERE vec_id % 10 = 9),
+       |p AS (SELECT vec_id, v, c1_id FROM (
+       |  SELECT nv.vec_id, nv.v, c1.c1_id,
+       |         row_number() OVER (PARTITION BY nv.vec_id
+       |           ORDER BY ${d2("nv.v", "c1.c1e")}, c1.c1_id) AS rn
+       |  FROM nv CROSS JOIN c1) t WHERE rn <= $p1),
+       |asn AS (SELECT vec_id, cent_id, d2 FROM (
+       |  SELECT p.vec_id, a.cent_id, ${d2("p.v", "a.cv")} AS d2,
+       |         row_number() OVER (PARTITION BY p.vec_id
+       |           ORDER BY ${d2("p.v", "a.cv")}, a.cent_id) AS rn
+       |  FROM p JOIN a21 a ON p.c1_id = a.c1_id) t WHERE rn = 1)
+       |SELECT vec_id, cent_id, CAST(d2 AS BIGINT) AS d2
+       |FROM asn ORDER BY vec_id""".stripMargin
+
+  /** DuckDB dialect of the closed form (the driver oracle). */
+  def oracleSql: String = {
+    def d2Duck(a: String, b: String) =
+      s"list_dot_product($a, $a) + list_dot_product($b, $b) - 2 * list_dot_product($a, $b)"
+    closedFormSql(d2Duck, graft.llm.AnnSql.kmQ, "embeddings")
+  }
+
+  /** Spark dialect of the closed form (the spec's batch replay). */
+  def sparkClosedFormSql: String =
+    closedFormSql(d2Spark, graft.llm.AnnSql.kmQSpark, "embeddings")
+
+  private def indexSql: String =
+    indexCtes(d2Spark, graft.llm.AnnSql.kmQSpark, "vecingest_embeddings") + "\n"
 
   /** (cells as in-memory metadata, per-cell centroid arrays as a table). */
   final case class CellIndex(cells: Seq[(Long, Seq[Double])], members: DataFrame)

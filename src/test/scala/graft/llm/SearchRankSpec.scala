@@ -44,6 +44,27 @@ class SearchRankSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((0L, 2L, 24L, 12L), (20L, 2L, 24L, 12L), (40L, 0L, 0L, 0L)))
   }
 
+  test("substring dedup counts staggered overlapping matches as their exact union") {
+    // Doc 0 = w1..w20; doc 20 carries doc 0's 8-grams starting at 1 and 4
+    // in separate contexts (an X breaks every other gram), so doc 0's
+    // duplicated starts are {1, 4}: intervals [1,8] and [4,11] overlap and
+    // must merge to ONE 11-token span — summing per-island lengths would
+    // report 16. Docs 40/60 pin the touching case: duplicated starts
+    // {1, 9} (gap exactly 8) form one contiguous 16-token run.
+    docsView("sr_stag",
+      0L -> words("w", 20),
+      20L -> s"${(1 to 8).map(i => s"w$i").mkString(" ")} X ${(4 to 11).map(i => s"w$i").mkString(" ")}",
+      40L -> words("v", 16),
+      60L -> s"${(1 to 8).map(i => s"v$i").mkString(" ")} Y ${(9 to 16).map(i => s"v$i").mkString(" ")}")
+    val got = spark.sql(SearchRank.substringSparkSql("sr_stag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 11L, 11L),   // union of [1,8] and [4,11], not 8 + 8
+      (20L, 2L, 16L, 8L),   // its own matches sit 9 apart: two spans
+      (40L, 1L, 16L, 16L),  // [1,8] touches [9,16]: one contiguous run
+      (60L, 2L, 16L, 8L)))
+  }
+
   test("substring clean keeps the corpus-first occurrence and excises later copies") {
     val s = words("s", 12)
     val t = words("t", 12)
