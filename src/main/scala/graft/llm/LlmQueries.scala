@@ -1175,6 +1175,43 @@ object LlmQueries {
         |      FROM documents WHERE doc_id % 10 = 0) t
         |ORDER BY doc_id""".stripMargin),
 
+    // Per-source quota cap (the "no domain may dominate the mix" pipeline
+    // stage): keep at most 40 docs per source, best-quality first (TTR
+    // metric from q_text_quality, ROUNDed before ranking so ties break on
+    // doc_id identically in both engines). TWO-stage top-K: a local rank
+    // within (source, doc_id % 16) shards trims each source to 16×40 rows
+    // BEFORE the global per-source rank — per-shard top-40 provably
+    // contains the global top-40, so the result is exact, and at 100 TB a
+    // hot source (half the corpus from one crawl domain) hits the global
+    // window as ≤640 rows instead of concentrating the whole source on
+    // one task. The same two-window shape is what AQE cannot do for you:
+    // skew-join splitting doesn't apply to window partitions.
+    "q_text_source_cap" -> sql2(
+      """WITH q AS (SELECT doc_id, source,
+        |           ROUND(size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE), 4) AS ttr
+        |           FROM documents),
+        |l AS (SELECT doc_id, source, ttr FROM (
+        |  SELECT doc_id, source, ttr,
+        |         row_number() OVER (PARTITION BY source, pmod(doc_id, 16)
+        |                            ORDER BY ttr DESC, doc_id) AS lrk FROM q) t
+        |  WHERE lrk <= 40),
+        |r AS (SELECT doc_id, source, ttr,
+        |      row_number() OVER (PARTITION BY source ORDER BY ttr DESC, doc_id) AS rk FROM l)
+        |SELECT source, CAST(rk AS INT) AS rk, doc_id, ttr
+        |FROM r WHERE rk <= 40 ORDER BY source, rk""".stripMargin,
+      """WITH q AS (SELECT doc_id, source,
+        |           ROUND(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr
+        |           FROM documents),
+        |l AS (SELECT doc_id, source, ttr FROM (
+        |  SELECT doc_id, source, ttr,
+        |         row_number() OVER (PARTITION BY source, doc_id % 16
+        |                            ORDER BY ttr DESC, doc_id) AS lrk FROM q) t
+        |  WHERE lrk <= 40),
+        |r AS (SELECT doc_id, source, ttr,
+        |      row_number() OVER (PARTITION BY source ORDER BY ttr DESC, doc_id) AS rk FROM l)
+        |SELECT source, CAST(rk AS INT) AS rk, doc_id, ttr
+        |FROM r WHERE rk <= 40 ORDER BY source, rk""".stripMargin),
+
     "q_text_tokens" -> sql2(
       """SELECT doc_id, size(split(text, ' ')) AS ws_tokens,
         |size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS re_tokens,
@@ -1429,32 +1466,7 @@ object LlmQueries {
     // decoded executor-side by Multimodal.decodeWav, stats checked against
     // the oracle's closed form.
     "q_multimodal_wav_decode" -> df(
-      (s, d) => {
-        def le16(v: String) = hexLe16(v)
-        def le32(v: String) = hexLe32(v)
-        // ch varies on doc_id DIV 10: doc_id % 2 is constant-0 under the
-        // % 10 = 0 fixture filter and would never exercise stereo
-        // interleaving in-flight
-        Multimodal.wavStats(
-          Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
-            .selectExpr("doc_id",
-              "CAST(1 + (doc_id DIV 10) % 2 AS INT) AS ch",
-              "CAST(16 + doc_id % 17 AS INT) AS n")
-            .selectExpr("doc_id",
-              s"""concat(
-                 |  encode('RIFF', 'UTF-8'), unhex(${le32("36 + CASE WHEN doc_id % 20 = 0 THEN 12 ELSE 0 END + n * ch * 2")}),
-                 |  encode('WAVEfmt ', 'UTF-8'), unhex(${le32("16")}),
-                 |  unhex(${le16("1")}), unhex(${le16("ch")}),
-                 |  unhex(${le32("8000")}), unhex(${le32("8000 * ch * 2")}),
-                 |  unhex(${le16("ch * 2")}), unhex(${le16("16")}),
-                 |  CASE WHEN doc_id % 20 = 0
-                 |       THEN concat(encode('LIST', 'UTF-8'), unhex(${le32("4")}), encode('INFO', 'UTF-8'))
-                 |       ELSE unhex('') END,
-                 |  encode('data', 'UTF-8'), unhex(${le32("n * ch * 2")}),
-                 |  unhex(aggregate(transform(sequence(0, n * ch - 1),
-                 |    i -> ${le16("pmod(doc_id * 31 + i * 17, 4096) - 2048")}),
-                 |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin))
-      },
+      (s, d) => Multimodal.wavStats(wavSingleFixture(s, d)),
       """WITH p AS (SELECT doc_id, 1 + (doc_id // 10) % 2 AS ch, 16 + doc_id % 17 AS n
         |           FROM documents WHERE doc_id % 10 = 0),
         |v AS (SELECT doc_id, ch, n, i, ((doc_id * 31 + i * 17) % 4096) - 2048 AS s
@@ -1464,6 +1476,29 @@ object LlmQueries {
         |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
         |       CAST(MIN(CASE WHEN i = 0 THEN s END) AS INT) AS s0,
         |       CAST(MIN(CASE WHEN i = n * ch - 1 THEN s END) AS INT) AS sn
+        |FROM v GROUP BY doc_id, ch, n ORDER BY doc_id""".stripMargin),
+
+    // REAL audio resample: decode the same WAV fixture, decimate by 2
+    // (8 kHz → 4 kHz) keeping every other FRAME — all channels of a kept
+    // frame stay together, so stereo stays interleaved — and report stats
+    // of the decimated stream. The oracle replays the construction formula
+    // filtered to even frame indices ((i // ch) % 2 = 0), so an off-by-one
+    // in the frame/sample arithmetic (e.g. decimating raw samples, which
+    // would de-interleave stereo) diverges on every stereo clip.
+    "q_multimodal_wav_resample" -> df(
+      (s, d) => Multimodal.wavDecimateStats(wavSingleFixture(s, d), factor = 2),
+      """WITH p AS (SELECT doc_id, 1 + (doc_id // 10) % 2 AS ch, 16 + doc_id % 17 AS n
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |v AS (SELECT doc_id, ch, n, i, ((doc_id * 31 + i * 17) % 4096) - 2048 AS s
+        |      FROM (SELECT doc_id, ch, n, unnest(range(0, CAST(n * ch AS INT))) AS i FROM p) z
+        |      WHERE (i // ch) % 2 = 0)
+        |SELECT doc_id, CAST(ch AS INT) AS channels, CAST(8000 AS INT) AS rate_in,
+        |       CAST(4000 AS INT) AS rate_out,
+        |       CAST(n AS INT) AS n_frames_in,
+        |       CAST((n + 1) // 2 AS INT) AS n_frames_out,
+        |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs_out,
+        |       CAST(MIN(CASE WHEN i = 0 THEN s END) AS INT) AS f0,
+        |       CAST(MIN(CASE WHEN i = ((n - 1) // 2) * 2 * ch + ch - 1 THEN s END) AS INT) AS fn
         |FROM v GROUP BY doc_id, ch, n ORDER BY doc_id""".stripMargin),
 
     // REAL decode → nearest-neighbor resize → stats over PPM payloads
@@ -1591,6 +1626,37 @@ object LlmQueries {
         |              LEFT JOIN r2 ON p.doc_id = r2.doc_id
         |ORDER BY p.doc_id""".stripMargin)
   )
+
+  /** Single-format RIFF/WAVE PCM fixture shared by the decode and
+    * resample queries: 16-bit little-endian samples from a closed formula;
+    * ch varies on doc_id DIV 10 (doc_id % 2 is constant-0 under the % 10
+    * filter and would never exercise stereo interleaving in-flight);
+    * every 20th doc carries an extra LIST chunk so the parser's
+    * unknown-chunk skip runs in-flight.
+    */
+  private def wavSingleFixture(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    def le16(v: String) = hexLe16(v)
+    def le32(v: String) = hexLe32(v)
+    Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .selectExpr("doc_id",
+        "CAST(1 + (doc_id DIV 10) % 2 AS INT) AS ch",
+        "CAST(16 + doc_id % 17 AS INT) AS n")
+      .selectExpr("doc_id",
+        s"""concat(
+           |  encode('RIFF', 'UTF-8'), unhex(${le32("36 + CASE WHEN doc_id % 20 = 0 THEN 12 ELSE 0 END + n * ch * 2")}),
+           |  encode('WAVEfmt ', 'UTF-8'), unhex(${le32("16")}),
+           |  unhex(${le16("1")}), unhex(${le16("ch")}),
+           |  unhex(${le32("8000")}), unhex(${le32("8000 * ch * 2")}),
+           |  unhex(${le16("ch * 2")}), unhex(${le16("16")}),
+           |  CASE WHEN doc_id % 20 = 0
+           |       THEN concat(encode('LIST', 'UTF-8'), unhex(${le32("4")}), encode('INFO', 'UTF-8'))
+           |       ELSE unhex('') END,
+           |  encode('data', 'UTF-8'), unhex(${le32("n * ch * 2")}),
+           |  unhex(aggregate(transform(sequence(0, n * ch - 1),
+           |    i -> ${le16("pmod(doc_id * 31 + i * 17, 4096) - 2048")}),
+           |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin)
+  }
 
   /** Shared mixed-format media fixture for the GENERIC multimodal queries:
     * deterministic payloads constructed in-engine as a binary column, the

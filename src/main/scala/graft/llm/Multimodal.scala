@@ -350,6 +350,58 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Per-clip decimation rollup: in/out frame counts, the output rate,
+    * integer amplitude sum and boundary samples of the KEPT stream.
+    */
+  final case class WavResampleStats(
+      doc_id: Long, channels: Int, rate_in: Int, rate_out: Int,
+      n_frames_in: Int, n_frames_out: Int, sum_abs_out: Long, f0: Int, fn: Int)
+
+  /** REAL audio resample (integer decimation): decode 16-bit PCM with
+    * [[decodeWav]], keep every `factor`-th FRAME (all channels of a kept
+    * frame stay together — decimating raw samples would de-interleave
+    * stereo), report stats of the decimated stream. Executor-side
+    * mapPartitions like the other codecs; proper band-limited resampling
+    * needs a filter kernel, so non-integer ratios stay out of scope — this
+    * is the exact integer-arithmetic subset both engines can agree on.
+    */
+  def wavDecimateStats(withPayload: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Left(err) => throw new IllegalArgumentException(s"doc $id: $err")
+          case Right(wav) if wav.samples.isEmpty ||
+              wav.samples.length % wav.channels != 0 =>
+            throw new IllegalArgumentException(
+              s"doc $id: data chunk is empty or not frame-aligned " +
+                s"(${wav.samples.length} samples, ${wav.channels} channels)")
+          case Right(wav) =>
+            val ch = wav.channels
+            val framesIn = wav.samples.length / ch
+            var sumAbs = 0L
+            var outFrames = 0
+            var f = 0
+            while (f < framesIn) {
+              var c = 0
+              while (c < ch) { sumAbs += math.abs(wav.samples(f * ch + c).toLong); c += 1 }
+              outFrames += 1
+              f += factor
+            }
+            val lastKept = ((framesIn - 1) / factor) * factor
+            WavResampleStats(id, ch, wav.sampleRate, wav.sampleRate / factor,
+              framesIn, outFrames, sumAbs,
+              wav.samples(0).toInt, wav.samples(lastKept * ch + ch - 1).toInt)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** REAL 24-bit BMP decoder (BITMAPFILEHEADER + BITMAPINFOHEADER,
     * uncompressed BI_RGB) — the third pure-JVM format next to PPM and WAV:
     * rows are padded to 4-byte multiples, stored bottom-up (top-down when

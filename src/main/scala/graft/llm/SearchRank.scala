@@ -167,6 +167,76 @@ object SearchRank {
       |FROM t LEFT JOIN nk ON t.doc_id = nk.doc_id
       |WHERE t.doc_id % 20 = 0 ORDER BY t.doc_id""".stripMargin
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every 8-token shingle, then
+    * in every window of 4 consecutive shingle hashes select the minimum
+    * (ties by leftmost position — encoded as hash·2^20 + pos so one
+    * BIGINT window-MIN does both); the DISTINCT selected set is the
+    * document's fingerprint. Guarantees: any shared run of >= 11 tokens
+    * (w + k − 1) yields at least one shared selected hash in both docs,
+    * and expected density is 2/(w+1) — the fraction of the corpus a
+    * fingerprint index stores is constant, unlike all-shingles indexing.
+    * At scale this is one explode + two per-doc windows (shuffle by
+    * doc_id only) — no pairwise work; matching is a downstream equi-join
+    * on the selected hash. Position encoding caps docs at 2^20 shingles
+    * (1M tokens) — far above any training-doc length; the guard keeps a
+    * longer doc loud instead of silently mis-ranked.
+    */
+  private def winnowCtesSpark(table: String): String =
+    s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM $table),
+       |g AS (SELECT doc_id, i,
+       |             CAST(conv(substr(md5(array_join(slice(w, i, 8), ' ')), 1, 8), 16, 10) AS BIGINT) * 1048576 + i AS key
+       |      FROM (SELECT * FROM t WHERE size(w) >= 11 AND doc_id % 10 = 0
+       |            AND assert_true(size(w) - 7 < 1048576, 'doc exceeds the 2^20-shingle winnow cap') IS NULL) tw
+       |      LATERAL VIEW explode(sequence(1, size(w) - 7)) x AS i),
+       |m AS (SELECT doc_id, i,
+       |             COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+       |             MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+       |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+       |      FROM g),
+       |f AS (SELECT DISTINCT doc_id, sel FROM m WHERE i <= ng - 3)""".stripMargin
+
+  private[llm] def winnowSparkSql(table: String = "documents"): String =
+    s"""${winnowCtesSpark(table)},
+       |a AS (SELECT doc_id, COUNT(*) AS n_fps,
+       |             md5(concat_ws(',', transform(sort_array(collect_list(sel)), x -> CAST(x AS STRING)))) AS fp_digest
+       |      FROM f GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(GREATEST(size(w) - 7, 0) AS BIGINT) AS n_grams,
+       |       COALESCE(n_fps, 0) AS n_fps,
+       |       ROUND(COALESCE(n_fps, 0) / CAST(GREATEST(size(w) - 7, 1) AS DOUBLE), 4) AS density,
+       |       COALESCE(fp_digest, '') AS fp_digest
+       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+       |WHERE t.doc_id % 10 = 0 ORDER BY t.doc_id""".stripMargin
+
+  /** The selected (doc, hash) pairs — the index rows a fingerprint match
+    * equi-joins on; SearchRankSpec drives the winnowing guarantee on it.
+    */
+  private[llm] def winnowSelectedSparkSql(table: String): String =
+    s"""${winnowCtesSpark(table)}
+       |SELECT doc_id, sel DIV 1048576 AS h FROM f ORDER BY doc_id, h""".stripMargin
+
+  private def winnowDuckSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, i,
+      |             ('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 8))::BIGINT * 1048576 + i AS key
+      |      FROM (SELECT * FROM t WHERE len(w) >= 11 AND doc_id % 10 = 0) tw,
+      |           unnest(range(1, len(w) - 7 + 1)) AS u(i)),
+      |m AS (SELECT doc_id, i,
+      |             COUNT(*) OVER (PARTITION BY doc_id) AS ng,
+      |             MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+      |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |      FROM g),
+      |f AS (SELECT DISTINCT doc_id, sel FROM m WHERE i <= ng - 3),
+      |a AS (SELECT doc_id, COUNT(*) AS n_fps,
+      |             md5(string_agg(CAST(sel AS VARCHAR), ',' ORDER BY sel)) AS fp_digest
+      |      FROM f GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_grams,
+      |       COALESCE(n_fps, 0) AS n_fps,
+      |       ROUND(COALESCE(n_fps, 0) / CAST(GREATEST(len(w) - 7, 1) AS DOUBLE), 4) AS density,
+      |       COALESCE(fp_digest, '') AS fp_digest
+      |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+      |WHERE t.doc_id % 10 = 0 ORDER BY t.doc_id""".stripMargin
+
   /** The fixed lexical query both BM25 and the hybrid fusion rank for. */
   private val terms = "('vector', 'join', 'stream')"
 
@@ -377,6 +447,7 @@ object SearchRank {
     "q_dedup_substring" -> sql2(substringSparkSql(), substringDuckSql),
     "q_dedup_substring_clean" -> sql2(substringCleanSparkSql(), substringCleanDuckSql),
     "q_text_bm25" -> sql2(bm25SparkSql(), bm25DuckSql),
+    "q_text_winnow" -> sql2(winnowSparkSql(), winnowDuckSql),
     "q_search_hybrid_rrf" -> sql2(hybridSparkSql, hybridDuckSql),
     "q_search_hybrid_ivf" -> QuerySpec(
       (s, d) => {

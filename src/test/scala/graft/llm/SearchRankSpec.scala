@@ -92,6 +92,45 @@ class SearchRankSpec extends AnyFunSuite {
     assert(got === Seq((0L, 0L), (20L, 0L)))
   }
 
+  test("winnow selection equals a direct reference implementation") {
+    // Independent Scala replay of SIGMOD'03 winnowing (k=8, w=4,
+    // min-by-(hash, leftmost-pos)) over a fixed doc — pins the SQL's
+    // window/frame arithmetic (full windows only, position tie-break,
+    // DISTINCT selection) against a loop-written ground truth.
+    val text = (1 to 30).map(i => s"tok${i % 13}").mkString(" ")
+    docsView("sr_win_ref", 0L -> text)
+    val words = text.split(' ')
+    val hashes = (0 to words.length - 8).map { i =>
+      val gram = words.slice(i, i + 8).mkString(" ")
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(gram).substring(0, 8), 16)
+      h * 1048576L + (i + 1) // the SQL's 1-based key encoding
+    }
+    val expected = (0 to hashes.length - 4).map(s => hashes.slice(s, s + 4).min).distinct.sorted
+    val got = spark.sql(SearchRank.winnowSelectedSparkSql("sr_win_ref"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(got === expected.map(_ / 1048576L), "selected hash set must match the reference loop")
+    val agg = spark.sql(SearchRank.winnowSparkSql("sr_win_ref")).collect().head
+    assert(agg.getLong(1) == hashes.length && agg.getLong(2) == expected.length)
+  }
+
+  test("winnow guarantee: docs sharing an 11+-token run share a selected hash") {
+    // w + k - 1 = 11: any shared run of >= 11 tokens contains at least one
+    // FULL shared window in both docs, whose min is selected by both —
+    // regardless of surrounding context. Doc 40 is unrelated noise.
+    val shared = (1 to 14).map(i => s"s$i").mkString(" ")
+    docsView("sr_win_g",
+      0L -> s"${(1 to 9).map(i => s"a$i").mkString(" ")} $shared",
+      20L -> s"$shared ${(1 to 9).map(i => s"b$i").mkString(" ")}",
+      40L -> (1 to 25).map(i => s"z$i").mkString(" "))
+    val sel = spark.sql(SearchRank.winnowSelectedSparkSql("sr_win_g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val by = sel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((by(0L) & by(20L)).nonEmpty, "shared 14-token run must share a fingerprint")
+    assert((by(0L) & by(40L)).isEmpty && (by(20L) & by(40L)).isEmpty,
+      "unrelated docs share nothing")
+  }
+
   test("BM25 ranks the term-dense short doc first and scores match the closed form") {
     // Fixture: 'vector' appears twice in doc 0 (length 4), once in doc 1
     // (length 8); doc 2 has no query term. N=3, df(vector)=2.

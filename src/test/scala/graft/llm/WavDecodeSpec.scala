@@ -47,6 +47,27 @@ class WavDecodeSpec extends AnyFunSuite {
     assert(got.toOption.get.samples.toSeq == Seq(7.toShort))
   }
 
+  test("decimation keeps whole frames: stereo stays interleaved") {
+    // Stereo, 5 frames: (L0,R0) (L1,R1) (L2,R2) (L3,R3) (L4,R4).
+    // Factor 2 keeps frames 0, 2, 4 — BOTH channels of each kept frame.
+    // A sample-wise decimator would instead keep L0,L1,L2,... (all left),
+    // which this fixture distinguishes: rights are negative.
+    val frames = Seq((10, -10), (20, -20), (30, -30), (40, -40), (50, -50))
+    val data = ascii("data") ++ le32(frames.length * 4) ++
+      frames.flatMap { case (l, r) => le16(l & 0xffff) ++ le16(r & 0xffff) }
+    val payload = wav(fmtChunk(2, 8000, 16), data)
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq((7L, payload)).toDF("doc_id", "payload")
+    val row = Multimodal.wavDecimateStats(df, factor = 2).collect().head
+    assert(row.getInt(1) == 2, "channels")
+    assert(row.getInt(2) == 8000 && row.getInt(3) == 4000, "rates")
+    assert(row.getInt(4) == 5 && row.getInt(5) == 3, "5 frames in, 3 kept")
+    // kept: (10,-10) (30,-30) (50,-50) → sum_abs 180
+    assert(row.getLong(6) == 180L, "sum_abs over kept frames only")
+    assert(row.getInt(7) == 10 && row.getInt(8) == -50, "boundary samples")
+  }
+
   test("rejects malformed and unsupported payloads with reasons") {
     val ok = wav(fmtChunk(1, 8000, 16), ascii("data") ++ le32(2) ++ le16(1))
     assert(Multimodal.decodeWav(ok).isRight)
