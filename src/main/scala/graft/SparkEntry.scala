@@ -46,6 +46,7 @@ object SparkEntry {
       graft.llm.LlmQueries.specs ++
       graft.llm.GraphRank.specs ++
       graft.llm.SearchRank.specs ++
+      graft.llm.DataSelect.specs ++
       graft.streaming.EventStream.specs
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,246 @@
+package graft.llm
+
+import graft.queries.QuerySpec
+import graft.queries.QuerySpec.sql2
+
+/** Data-selection operators — the "which documents do we actually train
+  * on" stage that runs after dedup/cleaning in an LLM corpus pipeline:
+  *
+  *  - DSIR importance resampling ("Data Selection for Language Models via
+  *    Importance Resampling", Xie et al., arXiv:2302.03169): hashed-bigram
+  *    bag-of-features importance weights log(p_target/p_raw) per document,
+  *    selected by the paper's Gumbel-top-k trick so the draw is a true
+  *    sample from the importance distribution yet fully deterministic
+  *    (the Gumbel noise derives from an md5 hash of the doc id);
+  *  - PCA dominant-component projection: the power iteration a feature
+  *    analysis runs on q_embed_covariance's raw moments before choosing
+  *    projection dimensions — here unrolled in pure integer arithmetic so
+  *    both engines agree bit-for-bit;
+  *  - CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
+  *    every document under an add-1-smoothed bigram LM trained on the
+  *    corpus itself and split each source into head/middle/tail terciles —
+  *    the classic LM-quality partition that decides what gets kept,
+  *    down-sampled, or dropped.
+  *
+  * All three follow the repo's determinism contract: log values are
+  * rounded to integer micro-nats BEFORE any aggregation (integer sums are
+  * exact in every fold order), rankings always tie-break on doc_id, and
+  * displayed doubles are ROUNDed identically in both dialects.
+  */
+object DataSelect {
+
+  /** Feature-hash bucket count for DSIR. The paper uses 10k buckets at
+    * web scale; 128 keeps every bucket populated at the test SFs while the
+    * shape (constant-size broadcast score table) is what matters.
+    */
+  private val B = 128
+
+  /** Target-domain predicate: the 4 sources whose distribution we want
+    * the selected raw subset to match (20% of the synthetic corpus).
+    */
+  private val targetSrc = "('src0', 'src1', 'src2', 'src3')"
+
+  /** DSIR (arXiv:2302.03169) at 100 TB: the per-bucket score table is a
+    * CONSTANT <= B rows — built by one map-side-combined aggregate over the
+    * token stream and broadcast onto the scoring pass, so the corpus is
+    * read exactly twice (once to count features, once to score) with no
+    * shuffle wider than B rows plus one per-doc aggregate. Selection is
+    * ORDER BY key LIMIT k — Spark's TakeOrdered, a per-partition top-k +
+    * k-row driver merge, NOT a global sort or single-partition window.
+    * Docs with fewer than 2 tokens carry no bigram features and drop out
+    * of the pool (a 1-token doc has no usable LM signal to select on).
+    *
+    * Determinism: bucket log-ratios are FLOORed to integer micro-nats
+    * before the per-doc SUM (exact in any fold order); the Gumbel noise
+    * g = -ln(-ln(u)) draws u from a 24-bit md5 slice of doc_id — the
+    * paper's Gumbel-top-k resampling, reproducible across engines.
+    */
+  private def dsirSpark: String =
+    s"""WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, source,
+       |             CAST(conv(substr(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 8), 16, 10) AS BIGINT) % $B AS b
+       |      FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+       |      WHERE size(w) >= 2),
+       |tc AS (SELECT b, COUNT(*) AS c FROM g WHERE source IN $targetSrc GROUP BY b),
+       |rc AS (SELECT b, COUNT(*) AS c FROM g WHERE source NOT IN $targetSrc GROUP BY b),
+       |nt AS (SELECT COUNT(*) AS n FROM g WHERE source IN $targetSrc),
+       |nr AS (SELECT COUNT(*) AS n FROM g WHERE source NOT IN $targetSrc),
+       |bs AS (SELECT explode(sequence(0, ${B - 1})) AS b),
+       |s AS (SELECT bs.b,
+       |             CAST(FLOOR(LN(CAST((COALESCE(tc.c, 0) + 1) * (nr.n + $B) AS DOUBLE)
+       |                           / CAST((COALESCE(rc.c, 0) + 1) * (nt.n + $B) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
+       |      FROM bs LEFT JOIN tc ON bs.b = tc.b LEFT JOIN rc ON bs.b = rc.b
+       |      CROSS JOIN nt CROSS JOIN nr),
+       |wdoc AS (SELECT g.doc_id, COUNT(*) AS n_feats, SUM(s.s) AS w_int
+       |         FROM g JOIN s ON g.b = s.b
+       |         WHERE g.source NOT IN $targetSrc
+       |         GROUP BY g.doc_id),
+       |key AS (SELECT doc_id, n_feats, w_int,
+       |               w_int + CAST(FLOOR(-LN(-LN((CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) + 0.5) / 16777216.0)) * 1000000 + 0.5) AS BIGINT) AS k
+       |        FROM wdoc),
+       |sel AS (SELECT doc_id, n_feats, w_int, k FROM key ORDER BY k DESC, doc_id LIMIT 25)
+       |SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk,
+       |       doc_id, n_feats, ROUND(w_int / 1000000.0, 4) AS logw,
+       |       ROUND(k / 1000000.0, 4) AS gumbel_key
+       |FROM sel ORDER BY rk""".stripMargin
+
+  private def dsirDuck: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, source,
+       |             ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT % $B AS b
+       |      FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
+       |tc AS (SELECT b, COUNT(*) AS c FROM g WHERE source IN $targetSrc GROUP BY b),
+       |rc AS (SELECT b, COUNT(*) AS c FROM g WHERE source NOT IN $targetSrc GROUP BY b),
+       |nt AS (SELECT COUNT(*) AS n FROM g WHERE source IN $targetSrc),
+       |nr AS (SELECT COUNT(*) AS n FROM g WHERE source NOT IN $targetSrc),
+       |bs AS (SELECT unnest(range(0, $B)) AS b),
+       |s AS (SELECT bs.b,
+       |             CAST(FLOOR(LN(CAST((COALESCE(tc.c, 0) + 1) * (nr.n + $B) AS DOUBLE)
+       |                           / CAST((COALESCE(rc.c, 0) + 1) * (nt.n + $B) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
+       |      FROM bs LEFT JOIN tc ON bs.b = tc.b LEFT JOIN rc ON bs.b = rc.b
+       |      CROSS JOIN nt CROSS JOIN nr),
+       |wdoc AS (SELECT g.doc_id, COUNT(*) AS n_feats, CAST(SUM(s.s) AS BIGINT) AS w_int
+       |         FROM g JOIN s ON g.b = s.b
+       |         WHERE g.source NOT IN $targetSrc
+       |         GROUP BY g.doc_id),
+       |key AS (SELECT doc_id, n_feats, w_int,
+       |               w_int + CAST(FLOOR(-LN(-LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 0.5) / 16777216.0)) * 1000000 + 0.5) AS BIGINT) AS k
+       |        FROM wdoc),
+       |sel AS (SELECT doc_id, n_feats, w_int, k FROM key ORDER BY k DESC, doc_id LIMIT 25)
+       |SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk,
+       |       doc_id, n_feats, ROUND(w_int / 1000000.0, 4) AS logw,
+       |       ROUND(k / 1000000.0, 4) AS gumbel_key
+       |FROM sel ORDER BY rk""".stripMargin
+
+  /** Power-iteration CTE chain shared verbatim by both dialects: the
+    * covariance triangle is mirrored to the full d x d matrix scaled by n²
+    * (c = n·Σxy − Σx·Σy — integer, same eigenvectors as the covariance),
+    * then `iters` rounds of v ← round(C·v / max|C·v| · 10000). Infinity-norm
+    * normalization instead of the textbook L2: max and integer division
+    * need no sqrt, so every iterate is integer-exact and engine-identical.
+    * The int→double casts before the division are IEEE-exact (all
+    * magnitudes < 2^53) and the expression text is shared, so both engines
+    * perform the identical float ops in the identical order.
+    */
+  private def pcaIterCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val (prev, cur) = (s"v${r - 1}", s"v$r")
+      s"""u$r AS (SELECT c.i AS i, SUM(c.c * $prev.x) AS u FROM c JOIN $prev ON c.j = $prev.i GROUP BY c.i),
+         |$cur AS (SELECT i, CAST(FLOOR(CAST(u AS DOUBLE) / CAST(m AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+         |       FROM u$r CROSS JOIN (SELECT MAX(ABS(u)) AS m FROM u$r) n$r)""".stripMargin
+    }
+    s"""m0 AS (SELECT i, j, COUNT(*) AS n, SUM(vi * vj) AS sxy, SUM(vi) AS sx, SUM(vj) AS sy
+       |       FROM p GROUP BY i, j),
+       |c AS (SELECT i, j, n * sxy - sx * sy AS c FROM m0
+       |      UNION ALL
+       |      SELECT j AS i, i AS j, n * sxy - sx * sy AS c FROM m0 WHERE j > i),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** Iteration count: the sample covariance spectra here converge to 4
+    * stable digits well inside 8 rounds; a production pass checks the
+    * iterate delta instead of fixing the count.
+    */
+  private val pcaIters = 8
+
+  /** PCA at 100 TB: the corpus appears in exactly two sample-bounded
+    * passes — the moment accumulation (|sample| × d(d+1)/2 rows, map-side
+    * combined to 36 groups, the q_embed_covariance contract) and the final
+    * projection (one scan with the 8-row eigenvector broadcast). The
+    * iteration itself touches only 64-row matrices — d², not N — so the
+    * whole eigensolve is constant work regardless of corpus size.
+    */
+  private def pcaSpark: String =
+    s"""WITH s AS (SELECT vec_id,
+       |           transform(slice(embedding, 1, 8),
+       |                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+       |           FROM embeddings WHERE vec_id % 25 = 0),
+       |p AS (SELECT i, j, element_at(v, i) AS vi, element_at(v, j) AS vj
+       |      FROM s LATERAL VIEW explode(sequence(1, 8)) a AS i
+       |             LATERAL VIEW explode(sequence(1, 8)) b AS j
+       |      WHERE j >= i),
+       |v0 AS (SELECT explode(sequence(1, 8)) AS i, CAST(10000 AS BIGINT) AS x),
+       |${pcaIterCtes(pcaIters)},
+       |proj AS (SELECT vec_id, i, element_at(v, i) AS vi
+       |         FROM s LATERAL VIEW explode(sequence(1, 8)) t AS i)
+       |SELECT proj.vec_id, CAST(SUM(proj.vi * w.x) AS BIGINT) AS pc1
+       |FROM proj JOIN v$pcaIters w ON proj.i = w.i
+       |GROUP BY proj.vec_id ORDER BY proj.vec_id""".stripMargin
+
+  private def pcaDuck: String =
+    s"""WITH s AS (SELECT vec_id,
+       |           list_transform(list_slice(embedding, 1, 8),
+       |                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+       |           FROM embeddings WHERE vec_id % 25 = 0),
+       |p AS (SELECT i, j, v[i] AS vi, v[j] AS vj
+       |      FROM (SELECT vec_id, v, i, unnest(range(1, 9)) AS j
+       |            FROM (SELECT vec_id, v, unnest(range(1, 9)) AS i FROM s) z1) z2
+       |      WHERE j >= i),
+       |v0 AS (SELECT unnest(range(1, 9)) AS i, CAST(10000 AS BIGINT) AS x),
+       |${pcaIterCtes(pcaIters)},
+       |proj AS (SELECT vec_id, i, v[i] AS vi
+       |         FROM (SELECT vec_id, v, unnest(range(1, 9)) AS i FROM s) z)
+       |SELECT proj.vec_id, CAST(SUM(proj.vi * w.x) AS BIGINT) AS pc1
+       |FROM proj JOIN v$pcaIters w ON proj.i = w.i
+       |GROUP BY proj.vec_id ORDER BY proj.vec_id""".stripMargin
+
+  /** CCNet bucketing at 100 TB: two map-side-combined aggregates over the
+    * token stream build the LM (bigram and unigram-context counts), the
+    * per-bigram negative-log-likelihood table equi-joins back onto the
+    * stream on (w1, w2) — a standard shuffle join sized by bigram TYPE
+    * count, not token count — and the tercile split is a per-source window
+    * (shuffles by source only; a dominant source falls back to the
+    * q_agg_winsorize two-pass histogram percentile, same note as
+    * q_text_quality_calibrate). CCNet proper scores against a Wikipedia
+    * LM; self-scoring keeps the fixture closed while exercising the
+    * identical plan shape.
+    */
+  private def pplSpark: String =
+    """WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, source, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+      |       FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+      |       WHERE size(w) >= 2),
+      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+      |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+      |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+      |lp AS (SELECT cb.w1, cb.w2,
+      |              CAST(FLOOR(-LN(CAST(cb.c + 1 AS DOUBLE) / CAST(cu.c + vsz.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll
+      |       FROM cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz),
+      |doc AS (SELECT bg.doc_id, bg.source, COUNT(*) AS n_bg, SUM(lp.nll) AS nll_sum
+      |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+      |        GROUP BY bg.doc_id, bg.source),
+      |r AS (SELECT doc_id, source, n_bg,
+      |             ROUND(nll_sum / 1000000.0 / n_bg, 4) AS ce,
+      |             ntile(3) OVER (PARTITION BY source
+      |                            ORDER BY CAST(nll_sum AS DOUBLE) / n_bg, doc_id) AS bucket
+      |      FROM doc)
+      |SELECT doc_id, source, n_bg, ce, CAST(bucket AS INT) AS bucket
+      |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
+  private def pplDuck: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+      |       FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
+      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+      |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+      |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+      |lp AS (SELECT cb.w1, cb.w2,
+      |              CAST(FLOOR(-LN(CAST(cb.c + 1 AS DOUBLE) / CAST(cu.c + vsz.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll
+      |       FROM cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz),
+      |doc AS (SELECT bg.doc_id, bg.source, COUNT(*) AS n_bg, CAST(SUM(lp.nll) AS BIGINT) AS nll_sum
+      |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+      |        GROUP BY bg.doc_id, bg.source),
+      |r AS (SELECT doc_id, source, n_bg,
+      |             ROUND(nll_sum / 1000000.0 / n_bg, 4) AS ce,
+      |             ntile(3) OVER (PARTITION BY source
+      |                            ORDER BY CAST(nll_sum AS DOUBLE) / n_bg, doc_id) AS bucket
+      |      FROM doc)
+      |SELECT doc_id, source, n_bg, ce, CAST(bucket AS INT) AS bucket
+      |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
+  val specs: Map[String, QuerySpec] = Map(
+    "q_select_dsir" -> sql2(dsirSpark, dsirDuck),
+    "q_embed_pca_project" -> sql2(pcaSpark, pcaDuck),
+    "q_text_ppl_bucket" -> sql2(pplSpark, pplDuck)
+  )
+}
