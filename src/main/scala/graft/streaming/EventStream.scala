@@ -73,6 +73,13 @@ object EventStream {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Watermark-bounded dedup: state expires with the watermark (see
+    // dedupWithinWatermarkCounts) — the unbounded-ingest dedup shape.
+    "q_stream_dedup_within_wm" -> QuerySpec.df(
+      (s, d) => dedupWithinWatermarkCounts(s, d),
+      """SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // Stream-stream interval join: click→purchase attribution within 1h,
     // per user — both sides are live streams (not stream-static), joined
     // on user_id with a time-range predicate. Watermarks on BOTH sides let
@@ -514,6 +521,35 @@ object EventStream {
     runToTable(firsts, "append")
       .groupBy("event_type").agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
+  }
+
+  /** Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark):
+    * unlike dropDuplicates — whose state for a non-event-time key set
+    * lives forever — each key's state carries an expiry of
+    * first-seen event time + the watermark delay, and is EVICTED the
+    * moment the watermark passes it. That is the 100 TB contract for
+    * deduplicating an unbounded ingest stream on a content key (state is
+    * sized by the delay window, not by the key universe), at the cost of
+    * re-admitting a key whose duplicate arrives after eviction —
+    * StreamRecoverySpec pins that re-emission boundary with controlled
+    * micro-batches. Here the delay (60 days) exceeds the fixture's event
+    * span, so no eviction fires mid-replay and the sink's first
+    * occurrences roll up to the batch distinct counts — the closed form
+    * the oracle checks.
+    */
+  def dedupWithinWatermarkCounts(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stage(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val firsts = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("user_id", "event_type", "ts")
+      .withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToTable(firsts, "append")
+      .groupBy("user_id").agg(count(lit(1)).as("n_types"))
+      .orderBy("user_id")
   }
 
   /** Custom per-key state (mapGroupsWithState): running per-user event

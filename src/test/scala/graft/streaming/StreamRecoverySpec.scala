@@ -355,4 +355,40 @@ class StreamRecoverySpec extends AnyFunSuite {
       .forEach(p => { Files.deleteIfExists(p); () })
     finally walk.close()
   }
+
+  test("dropDuplicatesWithinWatermark evicts key state at the watermark and re-admits the key") {
+    // The semantics that distinguish it from dropDuplicates: a key's
+    // state expires at first-seen event time + delay, so a duplicate
+    // arriving AFTER the watermark passes that expiry is re-emitted —
+    // bounded state on an unbounded stream, bought with exactly this
+    // re-admission. Controlled micro-batches make the boundary
+    // deterministic: watermark updates between batches from the previous
+    // batch's max event time.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val name = s"ddww_sink_${System.nanoTime()}"
+    val q = in.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      in.addData((1L, ts(600))); q.processAllAvailable()  // first seen: emitted; expiry 610
+      in.addData((1L, ts(605))); q.processAllAvailable()  // dup inside the window: suppressed
+      in.addData((2L, ts(700))); q.processAllAvailable()  // watermark -> 690 > 610: key 1 evicted
+      in.addData((1L, ts(701))); q.processAllAvailable()  // re-admitted: emitted AGAIN
+      val perKey = spark.table(name).groupBy("k").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perKey(1L) == 2,
+        "key 1 must emit twice: once per watermark-separated epoch (dropDuplicates would emit once)")
+      assert(perKey(2L) == 1)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      EventStream.releaseStateStores(spark)
+    }
+  }
 }
