@@ -39,7 +39,10 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_graph_pagerank",      // single-row teleport-quantum join; rank x edges is equi (GraphRankSpec pins)
     "q_search_hybrid_rrf",   // single-row query-vector broadcast (1 x N scoring branch)
     "q_search_hybrid_ivf",   // broadcast CELL table only (two-level quantizer vector branch)
-    "q_text_unigram_logprob" // broadcast unigram LM (vocabulary-bounded)
+    "q_text_unigram_logprob", // broadcast unigram LM (vocabulary-bounded)
+    "q_select_dsir",         // single-row corpus-total joins + <=128-row score table
+    "q_text_ppl_bucket",     // single-row vocabulary-size join onto the bigram TYPE table
+    "q_embed_pca_project"    // single-row infinity-norm joins onto 8-row iterates (d^2, not N)
   )
 
   test("no cartesian anywhere; nested-loop joins only with constant-bounded broadcast sides") {

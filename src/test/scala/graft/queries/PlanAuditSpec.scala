@@ -475,4 +475,20 @@ class PlanAuditSpec extends AnyFunSuite {
       conf.set(bcast, prevBcast)
     }
   }
+
+  test("DSIR selects via TakeOrdered, never a corpus-wide single-partition window (q_select_dsir)") {
+    val p = plan("q_select_dsir")
+    // top-k = per-partition heap + k-row driver merge; the only
+    // unpartitioned Window is the rank over the 25 already-selected rows
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("perplexity bucketing joins the LM on the bigram key and windows per source (q_text_ppl_bucket)") {
+    val p = plan("q_text_ppl_bucket")
+    // the tercile window must shuffle by source only — an unpartitioned
+    // ntile would serialize the corpus through one task
+    assert(p.contains("windowspecdefinition(source"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
