@@ -238,8 +238,80 @@ object DataSelect {
       |SELECT doc_id, source, n_bg, ce, CAST(bucket AS INT) AS bucket
       |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  /** DoReMi domain-reweighting step ("DoReMi: Optimizing Data Mixtures
+    * Speeds Up Language Model Pretraining", Xie et al., arXiv:2305.10429):
+    * one multiplicative-weights update over the per-domain EXCESS loss —
+    * how much worse the proxy model does than the reference on each
+    * domain — followed by the paper's uniform smoothing
+    * w' = (1-c)·softmax + c/K with c = 0.2. Domains where the proxy lags
+    * the reference most get up-weighted; domains already learned get
+    * pushed toward the smoothing floor.
+    *
+    * Closed-fixture stand-ins for the two models: the proxy is the add-1
+    * bigram LM (the harder, context-conditional model — same LM as
+    * [[pplSpark]]) and the reference is the add-1 UNIGRAM LM; excess =
+    * max(0, bigram NLL − unigram NLL) per domain, in nats per token.
+    *
+    * 100 TB shape: both LM tables are vocabulary-bounded (bigram/unigram
+    * TYPE counts, map-side combined), the NLL join back onto the token
+    * stream is on gram keys, the per-domain rollup is ≤K rows, and the
+    * multiplicative-weights arithmetic runs on that K-row table — so the
+    * corpus is scanned once, shuffled only by gram key, and the update
+    * itself is constant work regardless of N.
+    *
+    * Determinism: per-token NLLs are FLOORed to integer micro-nats before
+    * the domain SUM (fold-order exact); the per-domain mean-excess is
+    * FLOORed back to integer micro-nats; exp() runs on that integer/1e6
+    * (identical double op in both engines) and is immediately FLOORed to
+    * integer micro-units, so the normalization runs on integers.
+    */
+  private val doremiTail =
+    """cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+      |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+      |uni AS (SELECT w2, COUNT(*) AS c FROM bg GROUP BY w2),
+      |tot AS (SELECT COUNT(*) AS t FROM bg),
+      |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+      |lp AS (SELECT cb.w1, cb.w2,
+      |              CAST(FLOOR(-LN(CAST(cb.c + 1 AS DOUBLE) / CAST(cu.c + vsz.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll_p
+      |       FROM cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz),
+      |lr AS (SELECT uni.w2,
+      |              CAST(FLOOR(-LN(CAST(uni.c + 1 AS DOUBLE) / CAST(tot.t + vsz.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll_r
+      |       FROM uni CROSS JOIN tot CROSS JOIN vsz),
+      |src AS (SELECT bg.source, COUNT(*) AS n,
+      |               CAST(SUM(lp.nll_p) AS BIGINT) AS psum,
+      |               CAST(SUM(lr.nll_r) AS BIGINT) AS rsum
+      |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+      |                JOIN lr ON bg.w2 = lr.w2
+      |        GROUP BY bg.source),
+      |mw AS (SELECT source, n,
+      |              GREATEST(CAST(0 AS BIGINT),
+      |                       CAST(FLOOR(CAST(psum - rsum AS DOUBLE) / n + 0.5) AS BIGINT)) AS ex
+      |       FROM src),
+      |a AS (SELECT source, n, ex,
+      |             CAST(FLOOR(EXP(CAST(ex AS DOUBLE) / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS a_int
+      |      FROM mw),
+      |t2 AS (SELECT CAST(SUM(a_int) AS BIGINT) AS tot_a, COUNT(*) AS k FROM a)
+      |SELECT a.source, CAST(a.n AS BIGINT) AS n_tokens,
+      |       ROUND(a.ex / 1000000.0, 4) AS excess_nats,
+      |       CAST(FLOOR((8000.0 * a.a_int) / t2.tot_a + 2000.0 / t2.k + 0.5) AS INT) AS weight_bp
+      |FROM a CROSS JOIN t2 ORDER BY source""".stripMargin
+
+  private def doremiSpark: String =
+    s"""WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT source, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+       |       FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+       |       WHERE size(w) >= 2),
+       |$doremiTail""".stripMargin
+
+  private def doremiDuck: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT source, w[i] AS w1, w[i + 1] AS w2
+       |       FROM (SELECT source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
+       |$doremiTail""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_select_dsir" -> sql2(dsirSpark, dsirDuck),
+    "q_select_doremi" -> sql2(doremiSpark, doremiDuck),
     "q_embed_pca_project" -> sql2(pcaSpark, pcaDuck),
     "q_text_ppl_bucket" -> sql2(pplSpark, pplDuck)
   )

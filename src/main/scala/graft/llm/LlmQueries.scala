@@ -1175,6 +1175,88 @@ object LlmQueries {
         |      FROM documents WHERE doc_id % 10 = 0) t
         |ORDER BY doc_id""".stripMargin),
 
+    // Gopher quality-rule battery (Rae et al., arXiv:2112.11446 §A1.1 —
+    // the rule set MassiveWeb filtering popularized, reused by RefinedWeb
+    // and Dolma): per-doc word count bounds, mean-word-length band,
+    // alphabetic-word fraction, symbol-to-word ratio, stopword presence,
+    // and a top-unigram repetition gate, each emitted as its own flag plus
+    // an overall pass and the FIRST failing rule as a reject reason (what
+    // a curation pipeline logs). Word-count and repetition thresholds are
+    // scaled to the synthetic corpus (20..80 words, top-unigram <= 0.12;
+    // production uses Gopher's 50..100k / duplicate-line gates) so each
+    // rule actually discriminates on the fixture; the mean-word-length
+    // [3, 10], alpha >= 0.8, symbol <= 0.1, stopwords >= 2 gates are the
+    // paper's own constants. EVERY gate compares integers (10*sumlen vs
+    // 30*n etc.) — no float threshold can straddle an engine boundary.
+    // One scan + one per-doc unigram rollup; all shuffles key on doc_id.
+    "q_text_gopher_rules" -> sql2(
+      """WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+        |base AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS n,
+        |         aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS sumlen,
+        |         CAST(size(filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'
+        |                              OR x = 'in' OR x = 'to' OR x = 'be' OR x = 'that')) AS BIGINT) AS sw,
+        |         CAST(size(filter(w, x -> x RLIKE '^[a-z]')) AS BIGINT) AS alphaw,
+        |         CAST(size(filter(w, x -> x = '#' OR x LIKE '%...%')) AS BIGINT) AS symw
+        |         FROM d),
+        |top AS (SELECT doc_id, MAX(c) AS topc FROM (
+        |        SELECT doc_id, word, COUNT(*) AS c
+        |        FROM d LATERAL VIEW explode(w) t AS word GROUP BY doc_id, word) z
+        |        GROUP BY doc_id),
+        |r AS (SELECT base.doc_id, n, sumlen, sw, alphaw, symw, topc,
+        |      CASE WHEN n BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS r_wc,
+        |      CASE WHEN 10 * sumlen BETWEEN 30 * n AND 100 * n THEN 1 ELSE 0 END AS r_mwl,
+        |      CASE WHEN 10 * alphaw >= 8 * n THEN 1 ELSE 0 END AS r_alpha,
+        |      CASE WHEN 10 * symw <= n THEN 1 ELSE 0 END AS r_sym,
+        |      CASE WHEN sw >= 2 THEN 1 ELSE 0 END AS r_stop,
+        |      CASE WHEN topc * 100 <= 12 * n THEN 1 ELSE 0 END AS r_rep
+        |      FROM base JOIN top ON base.doc_id = top.doc_id)
+        |SELECT doc_id, CAST(n AS INT) AS n_words,
+        |       ROUND(sumlen / CAST(n AS DOUBLE), 4) AS mwl,
+        |       CAST(sw AS INT) AS stop_hits,
+        |       ROUND(topc / CAST(n AS DOUBLE), 4) AS top_frac,
+        |       CAST(r_wc AS INT) AS r_wc, CAST(r_mwl AS INT) AS r_mwl,
+        |       CAST(r_alpha AS INT) AS r_alpha, CAST(r_sym AS INT) AS r_sym,
+        |       CAST(r_stop AS INT) AS r_stop, CAST(r_rep AS INT) AS r_rep,
+        |       CAST(r_wc * r_mwl * r_alpha * r_sym * r_stop * r_rep AS INT) AS pass,
+        |       CASE WHEN r_wc = 0 THEN 'word_count' WHEN r_mwl = 0 THEN 'mean_word_len'
+        |            WHEN r_alpha = 0 THEN 'alpha_fraction' WHEN r_sym = 0 THEN 'symbol_ratio'
+        |            WHEN r_stop = 0 THEN 'stopwords' WHEN r_rep = 0 THEN 'repetition'
+        |            ELSE 'ok' END AS reason
+        |FROM r ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |         CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sumlen,
+        |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'
+        |                                  OR x = 'in' OR x = 'to' OR x = 'be' OR x = 'that')) AS BIGINT) AS sw,
+        |         CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]'))) AS BIGINT) AS alphaw,
+        |         CAST(len(list_filter(w, x -> x = '#' OR x LIKE '%...%')) AS BIGINT) AS symw
+        |         FROM d),
+        |top AS (SELECT doc_id, MAX(c) AS topc FROM (
+        |        SELECT doc_id, word, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(w) AS word FROM d) u GROUP BY doc_id, word) z
+        |        GROUP BY doc_id),
+        |r AS (SELECT base.doc_id, n, sumlen, sw, alphaw, symw, topc,
+        |      CASE WHEN n BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS r_wc,
+        |      CASE WHEN 10 * sumlen BETWEEN 30 * n AND 100 * n THEN 1 ELSE 0 END AS r_mwl,
+        |      CASE WHEN 10 * alphaw >= 8 * n THEN 1 ELSE 0 END AS r_alpha,
+        |      CASE WHEN 10 * symw <= n THEN 1 ELSE 0 END AS r_sym,
+        |      CASE WHEN sw >= 2 THEN 1 ELSE 0 END AS r_stop,
+        |      CASE WHEN topc * 100 <= 12 * n THEN 1 ELSE 0 END AS r_rep
+        |      FROM base JOIN top ON base.doc_id = top.doc_id)
+        |SELECT doc_id, CAST(n AS INT) AS n_words,
+        |       ROUND(sumlen / CAST(n AS DOUBLE), 4) AS mwl,
+        |       CAST(sw AS INT) AS stop_hits,
+        |       ROUND(topc / CAST(n AS DOUBLE), 4) AS top_frac,
+        |       CAST(r_wc AS INT) AS r_wc, CAST(r_mwl AS INT) AS r_mwl,
+        |       CAST(r_alpha AS INT) AS r_alpha, CAST(r_sym AS INT) AS r_sym,
+        |       CAST(r_stop AS INT) AS r_stop, CAST(r_rep AS INT) AS r_rep,
+        |       CAST(r_wc * r_mwl * r_alpha * r_sym * r_stop * r_rep AS INT) AS pass,
+        |       CASE WHEN r_wc = 0 THEN 'word_count' WHEN r_mwl = 0 THEN 'mean_word_len'
+        |            WHEN r_alpha = 0 THEN 'alpha_fraction' WHEN r_sym = 0 THEN 'symbol_ratio'
+        |            WHEN r_stop = 0 THEN 'stopwords' WHEN r_rep = 0 THEN 'repetition'
+        |            ELSE 'ok' END AS reason
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // Per-source quota cap (the "no domain may dominate the mix" pipeline
     // stage): keep at most 40 docs per source, best-quality first (TTR
     // metric from q_text_quality, ROUNDed before ranking so ties break on
