@@ -24,6 +24,7 @@ object Verify {
         s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
     }
+    var errs = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -31,6 +32,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errs ::= name -> s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -48,6 +50,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query error record (round-6 lesson: dropped entries hide the root
+    // cause — a failed dump must leave machine-readable evidence behind).
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errs.reverse.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

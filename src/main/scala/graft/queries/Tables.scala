@@ -22,17 +22,30 @@ object Tables {
       else spark.read.parquet(s"$dir/$name.parquet")
     })
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as
-    * a timestamp (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-    * (nanosAsLong) and convert to a µs TIMESTAMP_NTZ — the same truncation
-    * DuckDB's epoch_us applies, so oracles agree (SURVEY §7.6.3).
+  /** events.ts has shipped in two encodings across fixture generations:
+    * TIMESTAMP(NANOS) — which Spark 4 only reads as raw nanos via
+    * nanosAsLong — and plain TIMESTAMP_MICROS (isAdjustedToUTC=0, i.e.
+    * TIMESTAMP_NTZ). Branch on the dtype Spark actually read so either
+    * fixture works; both paths land on µs-precision TIMESTAMP_NTZ, the same
+    * value DuckDB's epoch_us sees, so oracles agree (SURVEY §7.6.3).
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsConv = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // legacy TIMESTAMP(NANOS) read as raw nanos: truncate to µs
+        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"
+      case _: org.apache.spark.sql.types.TimestampNTZType |
+           _: org.apache.spark.sql.types.TimestampType =>
+        "CAST(ts AS TIMESTAMP_NTZ)"
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet-read dtype $other in $dir — " +
+            "expected LongType (nanosAsLong) or TIMESTAMP[_NTZ]; " +
+            "fixture schema drifted again, update Tables.eventsRaw")
+    }
+    raw.withColumn("ts", org.apache.spark.sql.functions.expr(tsConv))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
@@ -69,8 +82,28 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
     if (lastDir.get(spark) != dir) {
-      names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
-      lastDir.put(spark, dir) // only after every view registered successfully
+      // Fault-isolated per table: one broken fixture (round 6: a regenerated
+      // events.parquet) must not take down queries over the other nine
+      // tables. A table that fails to load stays unregistered — queries
+      // touching it fail individually at analysis with TABLE_OR_VIEW_NOT_
+      // FOUND — and the root cause is printed ONCE here, not 185 times.
+      val failed = names.flatMap { n =>
+        try { table(spark, dir, n).createOrReplaceTempView(n); None }
+        catch { case e: Throwable =>
+          frames.remove((spark, dir, n)) // don't cache a broken loader
+          Some(n -> e)
+        }
+      }
+      lastDir.put(spark, dir)
+      if (failed.nonEmpty) {
+        System.err.println(
+          s"[graft.Tables] ${failed.size}/${names.size} fixture table(s) failed to load " +
+            s"from $dir (the rest are registered; queries touching these fail " +
+            "individually): " +
+            failed.map { case (n, e) =>
+              s"$n -> ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+            }.mkString(" | "))
+      }
     }
 
   /** Force every fixture view back to `dir`, bypassing the (session, dir)
