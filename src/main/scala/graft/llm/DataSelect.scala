@@ -55,8 +55,14 @@ object DataSelect {
     * g = -ln(-ln(u)) draws u from a 24-bit md5 slice of doc_id — the
     * paper's Gumbel-top-k resampling, reproducible across engines.
     */
-  private def dsirSpark: String =
-    s"""WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+  /** DSIR Spark text over an arbitrary document pool (a table or temp-view
+    * name exposing doc_id/source/text). The pool parameter is what lets the
+    * cluster-aware variant run the IDENTICAL scoring/selection plan over
+    * the deduplicated pool — the operator composition happens in the pool
+    * definition, not in a forked copy of the scoring SQL.
+    */
+  private def dsirSpark(pool: String = "documents"): String =
+    s"""WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM $pool),
        |g AS (SELECT doc_id, source,
        |             CAST(conv(substr(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 8), 16, 10) AS BIGINT) % $B AS b
        |      FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
@@ -84,8 +90,12 @@ object DataSelect {
        |       ROUND(k / 1000000.0, 4) AS gumbel_key
        |FROM sel ORDER BY rk""".stripMargin
 
-  private def dsirDuck: String =
-    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+  /** DuckDB twin, with an optional CTE prefix (e.g. the recursive-CTE
+    * cluster labels the cluster-aware pool needs) spliced under the same
+    * WITH.
+    */
+  private def dsirDuck(prefix: String = "", pool: String = "documents"): String =
+    s"""WITH ${prefix}d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM $pool),
        |g AS (SELECT doc_id, source,
        |             ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT % $B AS b
        |      FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
@@ -309,8 +319,64 @@ object DataSelect {
        |       FROM (SELECT source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
        |$doremiTail""".stripMargin
 
+  /** Cluster-aware DSIR: importance-resample over near-dup cluster
+    * REPRESENTATIVES instead of raw documents. Plain DSIR lets a heavily
+    * duplicated document both (a) skew the raw-feature distribution its
+    * importance weights are computed against and (b) be selected many
+    * times — the classic duplication bias the FineWeb/RefinedWeb pipelines
+    * dedup away BEFORE selection. Composes the cached MinHash pair graph +
+    * pointer-jumping CC labels (shared with q_dedup_cluster — nothing new
+    * shuffles the corpus) with the unchanged DSIR scoring/Gumbel-top-k
+    * plan over the representative pool.
+    *
+    * 100 TB shape: the pool projection adds one broadcast-size left join
+    * (cluster labels are |pair-graph nodes| rows, tiny vs the corpus) to
+    * DSIR's two corpus passes; everything else is the same constant-B
+    * score broadcast + TakeOrdered selection as q_select_dsir.
+    */
+  private val clusterPoolSpark =
+    """(SELECT p.doc_id, p.source, p.text
+      | FROM documents p LEFT JOIN dsir_cl cl ON p.doc_id = cl.doc_id
+      | WHERE p.doc_id % 5 = 0
+      |   AND COALESCE(cl.cluster_rep, p.doc_id) = p.doc_id) pool""".stripMargin
+
+  /** DuckDB: the recursive-CTE cluster labels (same text as the
+    * q_dedup_cluster oracle) spliced ahead of the DSIR body.
+    */
+  private val clusterPrefixDuck =
+    """RECURSIVE dd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |wrd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM dd),
+      |szd AS (SELECT doc_id, COUNT(*) AS n FROM wrd GROUP BY doc_id),
+      |cp AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      |       FROM wrd a JOIN wrd b ON a.word = b.word AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id),
+      |prs AS (SELECT id1, id2
+      |        FROM cp JOIN szd s1 ON id1 = s1.doc_id JOIN szd s2 ON id2 = s2.doc_id
+      |        WHERE c >= 0.95 * (s1.n + s2.n - c)),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM prs UNION ALL SELECT id2, id1 FROM prs),
+      |reach(node, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b),
+      |cl AS (SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY node),
+      |""".stripMargin
+
+  private val clusterPoolDuck =
+    """(SELECT p.doc_id, p.source, p.text
+      | FROM documents p LEFT JOIN cl ON p.doc_id = cl.doc_id
+      | WHERE p.doc_id % 5 = 0
+      |   AND COALESCE(cl.cluster_rep, p.doc_id) = p.doc_id) pool""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
-    "q_select_dsir" -> sql2(dsirSpark, dsirDuck),
+    "q_select_dsir" -> sql2(dsirSpark(), dsirDuck()),
+    "q_select_dsir_cluster" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, d, 0.95))
+          .createOrReplaceTempView("dsir_cl")
+        s.sql(dsirSpark(clusterPoolSpark))
+      },
+      Some(dsirDuck(clusterPrefixDuck, clusterPoolDuck))),
     "q_select_doremi" -> sql2(doremiSpark, doremiDuck),
     "q_embed_pca_project" -> sql2(pcaSpark, pcaDuck),
     "q_text_ppl_bucket" -> sql2(pplSpark, pplDuck)

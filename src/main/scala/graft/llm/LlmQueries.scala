@@ -735,6 +735,66 @@ object LlmQueries {
         |FROM c WHERE cum - n < budget
         |GROUP BY source, budget ORDER BY source""".stripMargin),
 
+    // FineWeb-style snapshot refresh: when a new corpus snapshot (v2)
+    // lands, exact-dedup WITHIN the snapshot (per-snapshot dedup — the
+    // FineWeb finding that each snapshot deduped independently beats one
+    // global pass), tag each kept doc against the previous snapshot (v1)
+    // as carried/changed/new via content hash, then admit docs per source
+    // under the token-budget mix (same integer running-sum admission rule
+    // as q_mix_budget). The per-(source, status) rollup is the refresh
+    // report a pipeline operator actually reads: how much of the admitted
+    // budget is new work vs carried-forward content.
+    //
+    // 100 TB shape: two column-pruned scans of documents (v1 is a pure
+    // hash projection; v2 adds the snapshot-local dedup aggregate), one
+    // equi LEFT join on doc_id for the status tag, one per-source window
+    // for admission — shuffles on content-hash, doc_id, and source only;
+    // every aggregate is map-side combined and nothing is
+    // corpus-cardinality-wide after the admission filter.
+    "q_mix_snapshot_refresh" -> sql2(
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 3),
+        |v2 AS (SELECT doc_id, source, text,
+        |              md5(CASE WHEN doc_id % 17 = 0 THEN upper(text) ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 13 <> 4),
+        |kept AS (SELECT MIN(doc_id) AS doc_id FROM v2 GROUP BY h),
+        |d2 AS (SELECT v2.doc_id, v2.source, v2.h,
+        |              size(split(v2.text, ' ')) AS n
+        |       FROM v2 JOIN kept ON v2.doc_id = kept.doc_id),
+        |st AS (SELECT d2.doc_id, d2.source, d2.n,
+        |              CASE WHEN v1.doc_id IS NULL THEN 'new'
+        |                   WHEN v1.h <> d2.h THEN 'changed'
+        |                   ELSE 'carried' END AS status,
+        |              CASE WHEN d2.source IN ('src0', 'src1', 'src2')
+        |                   THEN 2000 ELSE 800 END AS budget
+        |       FROM d2 LEFT JOIN v1 ON d2.doc_id = v1.doc_id),
+        |c AS (SELECT source, status, budget, doc_id, n,
+        |             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum FROM st)
+        |SELECT source, status, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM c WHERE cum - n < budget
+        |GROUP BY source, status ORDER BY source, status""".stripMargin,
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 3),
+        |v2 AS (SELECT doc_id, source, text,
+        |              md5(CASE WHEN doc_id % 17 = 0 THEN upper(text) ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 13 <> 4),
+        |kept AS (SELECT MIN(doc_id) AS doc_id FROM v2 GROUP BY h),
+        |d2 AS (SELECT v2.doc_id, v2.source, v2.h,
+        |              len(string_split(v2.text, ' ')) AS n
+        |       FROM v2 JOIN kept ON v2.doc_id = kept.doc_id),
+        |st AS (SELECT d2.doc_id, d2.source, d2.n,
+        |              CASE WHEN v1.doc_id IS NULL THEN 'new'
+        |                   WHEN v1.h <> d2.h THEN 'changed'
+        |                   ELSE 'carried' END AS status,
+        |              CASE WHEN d2.source IN ('src0', 'src1', 'src2')
+        |                   THEN 2000 ELSE 800 END AS budget
+        |       FROM d2 LEFT JOIN v1 ON d2.doc_id = v1.doc_id),
+        |c AS (SELECT source, status, budget, doc_id, n,
+        |             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum FROM st)
+        |SELECT source, status, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |FROM c WHERE cum - n < budget
+        |GROUP BY source, status ORDER BY source, status""".stripMargin),
+
     // Fixed-size deterministic per-stratum sample: the k smallest md5
     // hashes per source — a reproducible "random" eval subset of exactly k
     // docs per stratum on any engine, any run. One ranked window per

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavior pins for the data-selection compositions added in round 7:
+  * cluster-aware DSIR (dedup-then-select) and the FineWeb-style
+  * snapshot-refresh-then-mix report.
+  */
+class DataSelectSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  test("cluster-aware DSIR selects only cluster representatives; the raw pool is larger") {
+    val s = spark.newSession()
+    val sel = graft.SparkEntry.queries("q_select_dsir_cluster")(s, sf).collect()
+    assert(sel.nonEmpty && sel.length <= 25)
+    val selected = sel.map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+
+    val cl = DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, sf, 0.95))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every selected doc must be its own cluster representative (docs
+    // outside the pair graph represent themselves)
+    for (id <- selected)
+      assert(cl.getOrElse(id, id) == id,
+        s"selected doc $id is a non-representative member of cluster ${cl.getOrElse(id, id)}")
+
+    // non-vacuity: the %5 pool really contains non-representative members
+    // that plain DSIR would have scored (and could have selected)
+    val nonReps = cl.collect { case (id, rep) if id != rep && id % 5 == 0 => id }
+    assert(nonReps.nonEmpty, "fixture has no non-representative docs — pin is vacuous")
+  }
+
+  test("cluster-aware DSIR runs the same scoring: equal gumbel keys for docs in both pools") {
+    // A doc that is its own representative gets the IDENTICAL per-bucket
+    // feature hashing and Gumbel noise in both variants; only the pool
+    // (and with it the raw-distribution denominator) changes. Sanity: both
+    // variants emit the documented schema and deterministic ranks 1..k.
+    val s = spark.newSession()
+    val base = graft.SparkEntry.queries("q_select_dsir")(s, sf).collect()
+    val clus = graft.SparkEntry.queries("q_select_dsir_cluster")(s, sf).collect()
+    for (rows <- Seq(base, clus)) {
+      val rks = rows.map(_.getInt(0)).toSeq
+      assert(rks == (1 to rows.length), s"ranks not dense: $rks")
+    }
+    // and the two runs are reproducible (determinism contract)
+    val clus2 = graft.SparkEntry.queries("q_select_dsir_cluster")(spark.newSession(), sf).collect()
+    assert(clus.map(_.toString).toSeq == clus2.map(_.toString).toSeq)
+  }
+
+  test("snapshot refresh: statuses partition the deduped snapshot and budgets bound admission") {
+    val s = spark.newSession()
+    val rows = graft.SparkEntry.queries("q_mix_snapshot_refresh")(s, sf).collect()
+    assert(rows.nonEmpty)
+    val statuses = rows.map(_.getString(1)).toSet
+    assert(statuses.subsetOf(Set("new", "changed", "carried")))
+    // non-vacuity: the carved fixture versions must exercise all 3 states
+    assert(statuses == Set("new", "changed", "carried"),
+      s"fixture carving no longer produces all refresh states: $statuses")
+
+    // budget bound: per source, admitted tokens stay under budget plus one
+    // document (the admission rule admits a doc iff its FIRST token fits)
+    graft.queries.Tables.registerAll(s, sf)
+    val maxDoc = s.sql(
+      "SELECT MAX(size(split(text, ' '))) FROM documents").head().getInt(0)
+    val perSource = rows.groupBy(_.getString(0)).map { case (src, rs) =>
+      src -> rs.map(_.getLong(3)).sum
+    }
+    for ((src, toks) <- perSource) {
+      val budget = if (Set("src0", "src1", "src2")(src)) 2000 else 800
+      assert(toks < budget + maxDoc,
+        s"$src admitted $toks tokens against budget $budget (max doc $maxDoc)")
+      assert(toks > 0)
+    }
+  }
+
+  test("snapshot refresh: carried/changed/new tags agree with an independent diff") {
+    val s = spark.newSession()
+    graft.queries.Tables.registerAll(s, sf)
+    // independent recomputation of the status universe (pre-admission):
+    // v2-kept docs tagged against v1 by content hash
+    val audit = s.sql(
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 3),
+        |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 17 = 0 THEN upper(text) ELSE text END) AS h
+        |       FROM documents WHERE doc_id % 13 <> 4),
+        |kept AS (SELECT MIN(doc_id) AS doc_id FROM v2 GROUP BY h)
+        |SELECT CASE WHEN v1.doc_id IS NULL THEN 'new'
+        |            WHEN v1.h <> v2.h THEN 'changed' ELSE 'carried' END AS status,
+        |       COUNT(*) AS n
+        |FROM v2 JOIN kept ON v2.doc_id = kept.doc_id
+        |LEFT JOIN v1 ON v2.doc_id = v1.doc_id
+        |GROUP BY 1""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val admitted = graft.SparkEntry.queries("q_mix_snapshot_refresh")(s, sf).collect()
+      .groupBy(_.getString(1)).map { case (st, rs) => st -> rs.map(_.getLong(2)).sum }
+    // admission can only shrink each status bucket, never invent members
+    for ((st, n) <- admitted)
+      assert(n <= audit.getOrElse(st, 0L),
+        s"admitted $n docs with status $st but the snapshot only contains ${audit.getOrElse(st, 0L)}")
+  }
+}

@@ -484,6 +484,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("cluster-aware DSIR keeps the TakeOrdered selection and equi pool join (q_select_dsir_cluster)") {
+    val p = plan("q_select_dsir_cluster")
+    // same selection shape as q_select_dsir; the dedup-pool composition may
+    // only add equi joins (cluster labels on doc_id), never a cartesian
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("snapshot refresh joins equi on doc_id and windows per source (q_mix_snapshot_refresh)") {
+    val p = plan("q_mix_snapshot_refresh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // admission must shuffle by source only — an unpartitioned running sum
+    // would serialize the corpus through one task
+    assert(p.contains("windowspecdefinition(source"), p.take(2000))
+  }
+
   test("perplexity bucketing joins the LM on the bigram key and windows per source (q_text_ppl_bucket)") {
     val p = plan("q_text_ppl_bucket")
     // the tercile window must shuffle by source only — an unpartitioned
