@@ -735,6 +735,68 @@ object LlmQueries {
         |FROM c WHERE cum - n < budget
         |GROUP BY source, budget ORDER BY source""".stripMargin),
 
+    // Temperature-based domain rebalancing (alpha-sampling, the
+    // multilingual/multi-domain mix rule of mBERT/mT5, arXiv:2010.11934
+    // §3.1, and the GPT-3 data mix): sample source l at probability
+    // q_l ∝ n_l^alpha with alpha = 0.3, flattening the corpus distribution
+    // so rare domains are up-weighted without letting any one dominate.
+    // The per-source admission rate is materialized in basis points and
+    // admission is the md5-bucket rule, so the draw is deterministic.
+    //
+    // Determinism: the only cross-engine float is EXP(0.3*LN(n)) —
+    // composed identically in both dialects and FLOOR+0.5'd to integer
+    // micro-units before any further arithmetic (same contract as the
+    // DSIR/ppl LN usage); everything after is integer.
+    //
+    // 100 TB shape: per-source stats are a K-row map-side-combined
+    // aggregate; the rate table joins back broadcast (K rows); admission
+    // is a pure projection filter; the rollup is K rows again. Two
+    // column-pruned corpus scans total (stats + admission — the CTE
+    // re-inline documented in SCALE.md), no shuffle wider than K.
+    "q_mix_temperature" -> sql2(
+      """WITH src AS (SELECT source, COUNT(*) AS n_docs,
+        |                    CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n_toks
+        |             FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_toks,
+        |             CAST(FLOOR(EXP(0.3 * LN(CAST(n_docs AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w_int
+        |      FROM src),
+        |tot AS (SELECT CAST(SUM(w_int) AS BIGINT) AS tw FROM w),
+        |rate AS (SELECT source, n_docs, n_toks, w_int,
+        |                LEAST(CAST(10000 AS BIGINT),
+        |                      (200 * w_int DIV tw) * 10000 DIV n_docs) AS rate_bp
+        |         FROM w CROSS JOIN tot),
+        |adm AS (SELECT d.source, size(split(d.text, ' ')) AS n
+        |        FROM documents d JOIN rate r ON d.source = r.source
+        |        WHERE CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000 < r.rate_bp)
+        |SELECT r.source, r.n_docs, ROUND(r.w_int / 1000000.0, 4) AS weight,
+        |       CAST(r.rate_bp AS BIGINT) AS rate_bp,
+        |       COUNT(adm.n) AS n_sampled,
+        |       CAST(COALESCE(SUM(adm.n), 0) AS BIGINT) AS toks_sampled
+        |FROM rate r LEFT JOIN adm ON r.source = adm.source
+        |GROUP BY r.source, r.n_docs, r.w_int, r.rate_bp
+        |ORDER BY r.source""".stripMargin,
+      """WITH src AS (SELECT source, COUNT(*) AS n_docs,
+        |                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+        |             FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, n_toks,
+        |             CAST(FLOOR(EXP(0.3 * LN(CAST(n_docs AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w_int
+        |      FROM src),
+        |tot AS (SELECT CAST(SUM(w_int) AS BIGINT) AS tw FROM w),
+        |rate AS (SELECT source, n_docs, n_toks, w_int,
+        |                LEAST(CAST(10000 AS BIGINT),
+        |                      (200 * w_int // tw) * 10000 // n_docs) AS rate_bp
+        |         FROM w CROSS JOIN tot),
+        |adm AS (SELECT d.source, len(string_split(d.text, ' ')) AS n
+        |        FROM documents d JOIN rate r ON d.source = r.source
+        |        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.rate_bp)
+        |SELECT r.source, r.n_docs, ROUND(r.w_int / 1000000.0, 4) AS weight,
+        |       CAST(r.rate_bp AS BIGINT) AS rate_bp,
+        |       COUNT(adm.n) AS n_sampled,
+        |       CAST(COALESCE(SUM(adm.n), 0) AS BIGINT) AS toks_sampled
+        |FROM rate r LEFT JOIN adm ON r.source = adm.source
+        |GROUP BY r.source, r.n_docs, r.w_int, r.rate_bp
+        |ORDER BY r.source""".stripMargin),
+
     // FineWeb-style snapshot refresh: when a new corpus snapshot (v2)
     // lands, exact-dedup WITHIN the snapshot (per-snapshot dedup — the
     // FineWeb finding that each snapshot deduped independently beats one

@@ -76,6 +76,22 @@ class DataSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix flattens the source distribution: rarer sources get higher rates") {
+    val s = spark.newSession()
+    val rows = graft.SparkEntry.queries("q_mix_temperature")(s, sf).collect()
+    assert(rows.nonEmpty)
+    // alpha < 1 monotonicity: if source a is smaller than b, a's admission
+    // rate is >= b's (the whole point of temperature flattening)
+    val bySize = rows.map(r => (r.getLong(1), r.getLong(3))).sortBy(_._1)
+    for (Seq((nA, rateA), (nB, rateB)) <- bySize.toSeq.sliding(2))
+      assert(nA == nB || rateA >= rateB,
+        s"temperature inversion: n=$nA rate=$rateA vs n=$nB rate=$rateB")
+    for (r <- rows) {
+      assert(r.getLong(3) <= 10000, "rate exceeds 100%")
+      assert(r.getLong(4) <= r.getLong(1), "sampled more docs than the source has")
+    }
+  }
+
   test("snapshot refresh: carried/changed/new tags agree with an independent diff") {
     val s = spark.newSession()
     graft.queries.Tables.registerAll(s, sf)

@@ -42,6 +42,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_text_unigram_logprob", // broadcast unigram LM (vocabulary-bounded)
     "q_select_dsir",         // single-row corpus-total joins + <=128-row score table
     "q_select_dsir_cluster", // same DSIR body over the dedup pool; pool join itself is equi
+    "q_mix_temperature",     // single-row weight-total join; rate table joins equi on source
     "q_select_doremi",       // single-row vocab/total joins + K-domain-row weight table
     "q_text_ppl_bucket",     // single-row vocabulary-size join onto the bigram TYPE table
     "q_embed_pca_project"    // single-row infinity-norm joins onto 8-row iterates (d^2, not N)

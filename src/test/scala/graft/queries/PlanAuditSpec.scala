@@ -492,6 +492,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("temperature mix joins the K-row rate table equi on source, no corpus-wide window (q_mix_temperature)") {
+    val p = plan("q_mix_temperature")
+    assert(!p.contains("CartesianProduct"))
+    // admission is a projection filter against the broadcast/equi rate
+    // table — no Window at all (rate is closed-form, not ranked)
+    assert(!p.contains("Window"), "temperature admission must not rank or window the corpus")
+  }
+
   test("snapshot refresh joins equi on doc_id and windows per source (q_mix_snapshot_refresh)") {
     val p = plan("q_mix_snapshot_refresh")
     assert(!p.contains("CartesianProduct"))
