@@ -135,9 +135,18 @@ object DataSelect {
   private def pcaIterCtes(iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       val (prev, cur) = (s"v${r - 1}", s"v$r")
+      // The norm is a MAX window over the WHOLE (unpartitioned) u_r frame
+      // — legal here precisely because u_r is d rows (8), never N. The
+      // windowed form references u_r ONCE; the earlier cross-joined
+      // (SELECT MAX(ABS(u)) FROM u_r) form referenced it twice, and since
+      // Catalyst re-inlines every CTE reference, the whole moment subtree
+      // doubled per iteration — 2^8 copies of the corpus-sample aggregate,
+      // measured 45 s at sf0.1 vs ~2 s for this single-reference chain
+      // (the c subtree still re-inlines once per round, which is the
+      // documented CTE-re-inline cost, linear not exponential).
       s"""u$r AS (SELECT c.i AS i, SUM(c.c * $prev.x) AS u FROM c JOIN $prev ON c.j = $prev.i GROUP BY c.i),
-         |$cur AS (SELECT i, CAST(FLOOR(CAST(u AS DOUBLE) / CAST(m AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
-         |       FROM u$r CROSS JOIN (SELECT MAX(ABS(u)) AS m FROM u$r) n$r)""".stripMargin
+         |$cur AS (SELECT i, CAST(FLOOR(CAST(u AS DOUBLE) / CAST(MAX(ABS(u)) OVER () AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+         |       FROM u$r)""".stripMargin
     }
     s"""m0 AS (SELECT i, j, COUNT(*) AS n, SUM(vi * vj) AS sxy, SUM(vi) AS sx, SUM(vj) AS sy
        |       FROM p GROUP BY i, j),

@@ -45,7 +45,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_mix_temperature",     // single-row weight-total join; rate table joins equi on source
     "q_select_doremi",       // single-row vocab/total joins + K-domain-row weight table
     "q_text_ppl_bucket",     // single-row vocabulary-size join onto the bigram TYPE table
-    "q_embed_pca_project"    // single-row infinity-norm joins onto 8-row iterates (d^2, not N)
+    "q_embed_pca_project"    // iterate-chain joins are d^2-sized, never N (norms are now 8-row windows)
   )
 
   test("no cartesian anywhere; nested-loop joins only with constant-bounded broadcast sides") {
