@@ -60,6 +60,34 @@ object LlmQueries {
        |WHERE c >= $threshold * (s1.n + s2.n - c)
        |ORDER BY id1, id2""".stripMargin
 
+  /** Temperature-mix Spark text parameterized by source table so the
+    * scale-behavior suite can drive it over synthetic skewed corpora
+    * (same pattern as [[paragraphDedupSparkSql]]). The sample target (200
+    * docs) and alpha (0.3) are the query's fixed mix parameters.
+    */
+  private[llm] def temperatureMixSparkSql(table: String = "documents"): String =
+    s"""WITH src AS (SELECT source, COUNT(*) AS n_docs,
+       |                    CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n_toks
+       |             FROM $table GROUP BY source),
+       |w AS (SELECT source, n_docs, n_toks,
+       |             CAST(FLOOR(EXP(0.3 * LN(CAST(n_docs AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w_int
+       |      FROM src),
+       |tot AS (SELECT CAST(SUM(w_int) AS BIGINT) AS tw FROM w),
+       |rate AS (SELECT source, n_docs, n_toks, w_int,
+       |                LEAST(CAST(10000 AS BIGINT),
+       |                      (200 * w_int DIV tw) * 10000 DIV n_docs) AS rate_bp
+       |         FROM w CROSS JOIN tot),
+       |adm AS (SELECT d.source, size(split(d.text, ' ')) AS n
+       |        FROM $table d JOIN rate r ON d.source = r.source
+       |        WHERE CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000 < r.rate_bp)
+       |SELECT r.source, r.n_docs, ROUND(r.w_int / 1000000.0, 4) AS weight,
+       |       CAST(r.rate_bp AS BIGINT) AS rate_bp,
+       |       COUNT(adm.n) AS n_sampled,
+       |       CAST(COALESCE(SUM(adm.n), 0) AS BIGINT) AS toks_sampled
+       |FROM rate r LEFT JOIN adm ON r.source = adm.source
+       |GROUP BY r.source, r.n_docs, r.w_int, r.rate_bp
+       |ORDER BY r.source""".stripMargin
+
   /** Hyperplane sign signatures, computed ONCE per (session, dir) with the
     * codegen'd graft_dot and checkpointed — shared by q_ann_lsh and
     * q_dedup_embedding via the `ann_sig` temp view (the same staged shared
@@ -754,27 +782,7 @@ object LlmQueries {
     // column-pruned corpus scans total (stats + admission — the CTE
     // re-inline documented in SCALE.md), no shuffle wider than K.
     "q_mix_temperature" -> sql2(
-      """WITH src AS (SELECT source, COUNT(*) AS n_docs,
-        |                    CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n_toks
-        |             FROM documents GROUP BY source),
-        |w AS (SELECT source, n_docs, n_toks,
-        |             CAST(FLOOR(EXP(0.3 * LN(CAST(n_docs AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w_int
-        |      FROM src),
-        |tot AS (SELECT CAST(SUM(w_int) AS BIGINT) AS tw FROM w),
-        |rate AS (SELECT source, n_docs, n_toks, w_int,
-        |                LEAST(CAST(10000 AS BIGINT),
-        |                      (200 * w_int DIV tw) * 10000 DIV n_docs) AS rate_bp
-        |         FROM w CROSS JOIN tot),
-        |adm AS (SELECT d.source, size(split(d.text, ' ')) AS n
-        |        FROM documents d JOIN rate r ON d.source = r.source
-        |        WHERE CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000 < r.rate_bp)
-        |SELECT r.source, r.n_docs, ROUND(r.w_int / 1000000.0, 4) AS weight,
-        |       CAST(r.rate_bp AS BIGINT) AS rate_bp,
-        |       COUNT(adm.n) AS n_sampled,
-        |       CAST(COALESCE(SUM(adm.n), 0) AS BIGINT) AS toks_sampled
-        |FROM rate r LEFT JOIN adm ON r.source = adm.source
-        |GROUP BY r.source, r.n_docs, r.w_int, r.rate_bp
-        |ORDER BY r.source""".stripMargin,
+      temperatureMixSparkSql(),
       """WITH src AS (SELECT source, COUNT(*) AS n_docs,
         |                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
         |             FROM documents GROUP BY source),

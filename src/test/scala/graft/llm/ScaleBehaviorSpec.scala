@@ -71,6 +71,37 @@ class ScaleBehaviorSpec extends AnyFunSuite {
       s"two-level budget ${nlist1 + maxEvals} must undercut half of flat nlist=$nlist")
   }
 
+  test("temperature mix survives a hostile source skew: giant source capped, tiny sources upweighted") {
+    // One source with 50k docs and five with 50 each — the skew shape a
+    // web-dominated 100 TB corpus actually has. Temperature flattening
+    // must (a) give every tiny source a strictly higher admission rate
+    // than the giant one, (b) keep the giant source's rate proportional to
+    // its ~200-doc share (never a full pass), and (c) keep the whole plan
+    // K-row-bounded (asserted by the sweep; here we assert the outputs).
+    val s = TestSpark.spark.newSession()
+    s.range(50000L + 5 * 50).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id < 50000 THEN 'giant' ELSE concat('tiny', CAST(id % 5 AS STRING)) END AS source",
+      // ~20 deterministic words per doc
+      "concat_ws(' ', transform(sequence(0, 19), j -> concat('w', CAST(pmod(xxhash64(id, j), 997) AS STRING)))) AS text")
+      .createOrReplaceTempView("docs_tmix_scale")
+    val rows = s.sql(LlmQueries.temperatureMixSparkSql("docs_tmix_scale")).collect()
+    assert(rows.length == 6)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    val giant = byName("giant")
+    val tinies = rows.filter(_.getString(0).startsWith("tiny"))
+    assert(tinies.forall(_.getLong(3) > giant.getLong(3)),
+      s"tiny sources must admit at a higher rate than the giant one " +
+        s"(giant=${giant.getLong(3)}bp, tiny=${tinies.map(_.getLong(3)).mkString(",")}bp)")
+    // the giant source admits ~its temperature share of the 200-doc
+    // target, NOT a corpus-scale pass: with five 50-doc competitors its
+    // share is well under the whole target
+    assert(giant.getLong(4) < 400,
+      s"giant source admitted ${giant.getLong(4)} docs — flattening failed")
+    assert(giant.getLong(4) > 0, "giant source must still be represented")
+    s.catalog.dropTempView("docs_tmix_scale")
+  }
+
   test("paragraph dedup keeps a constant block set as duplicate copies multiply") {
     // The scale property of first-occurrence dedup: replicating the corpus
     // k-fold must not grow the KEPT set — every extra copy dedups away.
