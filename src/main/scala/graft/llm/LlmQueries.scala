@@ -282,6 +282,43 @@ object LlmQueries {
       },
       Some(AnnSql.knnGraphDuck(3))),
 
+    // Cross-source duplication matrix: roll the verified near-dup pairs up
+    // by unordered (source, source) — the provenance diagnostic that tells
+    // a curation pass WHERE its duplication comes from (mirror sites,
+    // cross-source scrapes, a snapshot duplicated into two collections)
+    // and which source pairs deserve a targeted dedup run. Composes the
+    // cached verified pair set (shared with q_dedup_minhash/_cluster) with
+    // two equi joins onto the doc->source map and a K²-bounded rollup —
+    // nothing new shuffles the corpus; the pair side is the small one at
+    // any scale (verified duplicates, not candidates).
+    "q_dedup_source_matrix" -> df(
+      (s, d) => {
+        val pairs = MinHashDedup.nearDuplicatesCached(s, d, 0.95)
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        pairs
+          .join(src.as("sa"), pairs("id1") === col("sa.doc_id"))
+          .join(src.as("sb"), pairs("id2") === col("sb.doc_id"))
+          .select(least(col("sa.source"), col("sb.source")).as("src1"),
+            greatest(col("sa.source"), col("sb.source")).as("src2"))
+          .groupBy("src1", "src2").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src1", "src2")
+      },
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+        |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id),
+        |p AS (SELECT id1, id2
+        |      FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |      WHERE c >= 0.95 * (s1.n + s2.n - c)),
+        |m AS (SELECT LEAST(da.source, db.source) AS src1,
+        |             GREATEST(da.source, db.source) AS src2
+        |      FROM p JOIN documents da ON p.id1 = da.doc_id
+        |             JOIN documents db ON p.id2 = db.doc_id)
+        |SELECT src1, src2, COUNT(*) AS n_pairs
+        |FROM m GROUP BY src1, src2 ORDER BY src1, src2""".stripMargin),
+
     // Near-dup clustering: connected components over the verified MinHash
     // pair graph; keep the min doc_id per component. Oracle: recursive-CTE
     // reachability over the exact pair graph.

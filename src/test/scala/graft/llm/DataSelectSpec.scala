@@ -92,6 +92,18 @@ class DataSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("source matrix conserves the pair count and normalizes source order") {
+    val s = spark.newSession()
+    val rows = graft.SparkEntry.queries("q_dedup_source_matrix")(s, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getString(0) <= r.getString(1), s"unordered cell not normalized: $r")
+    val total = rows.map(_.getLong(2)).sum
+    val pairCount = MinHashDedup.nearDuplicatesCached(s, sf, 0.95).count()
+    assert(total == pairCount,
+      s"matrix total $total must conserve the verified pair count $pairCount")
+  }
+
   test("snapshot refresh: carried/changed/new tags agree with an independent diff") {
     val s = spark.newSession()
     graft.queries.Tables.registerAll(s, sf)
