@@ -193,11 +193,15 @@ object Bench {
 
     // Cap the fresh-JVM re-runs: each costs ~30 s of setup; past the cap
     // the entries stay in the report marked unisolated rather than
-    // silently dropped. A restricted (BENCH_ONLY) run never isolates —
-    // it IS the isolation child.
+    // silently dropped. Spend the budget on the LARGEST absolute deltas
+    // first — on a noisy boot the candidate list can be 20+ entries, and
+    // isolating alphabetical sub-second blips while multi-second suspects
+    // go unisolated (observed r7) answers the wrong question. A restricted
+    // (BENCH_ONLY) run never isolates — it IS the isolation child.
     val isolated: Map[String, Option[Double]] =
       if (only.nonEmpty) Map.empty
-      else candidates.take(8).map { case (n, _) => n -> isolatedTime(n) }.toMap
+      else candidates.sortBy { case (n, v) => -(v - prev(n)) }
+        .take(8).map { case (n, _) => n -> isolatedTime(n) }.toMap
 
     def entryJson(n: String, v: Double): String = {
       val iso = isolated.get(n).flatten

@@ -30,6 +30,11 @@ private[graft] final class LruMemo[K, V](capacity: Int) {
     cell.value // first caller computes outside the map lock
   }
 
+  /** Drop a key (e.g. a memoized computation that turned out broken, so
+    * the next caller retries instead of sharing the cached failure).
+    */
+  def remove(key: K): Unit = map.synchronized { map.remove(key); () }
+
   /** Test probes. */
   private[graft] def contains(key: K): Boolean = map.synchronized(map.containsKey(key))
   private[graft] def size: Int = map.synchronized(map.size())

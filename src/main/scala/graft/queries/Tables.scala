@@ -12,15 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   // DataFrames are immutable plans; caching them avoids re-listing the
-  // parquet footer on every one of the ~100 inventory queries.
+  // parquet footer on every one of the ~100 inventory queries. BOUNDED
+  // (LruMemo, not a bare ConcurrentHashMap): entries are keyed by session,
+  // and a long-lived per-request-session service would otherwise pin every
+  // dead session's plans (and the sessions themselves) forever. Evicted
+  // entries just re-read a parquet footer.
   private val frames =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new graft.LruMemo[(SparkSession, String, String), DataFrame](256)
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    frames.computeIfAbsent((spark, dir, name), { _ =>
+    frames.getOrElseUpdate((spark, dir, name)) {
       if (name == "events") eventsRaw(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
-    })
+    }
 
   /** events.ts has shipped in two encodings across fixture generations:
     * TIMESTAMP(NANOS) — which Spark 4 only reads as raw nanos via
@@ -65,9 +69,10 @@ object Tables {
 
   // Last directory registered per session: re-registering the same dir on
   // every query would re-read parquet footers for nothing; switching dirs
-  // must re-point the views.
-  private val lastDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // must re-point the views. WEAK keys: the guard must not be the thing
+  // that keeps a finished request's session alive in a long-lived service.
+  private val lastDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register all fixture tables as temp views so `spark.sql` queries can
     * reference them by name (mirrors the reference's `register_table` /
