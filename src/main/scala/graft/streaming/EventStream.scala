@@ -113,6 +113,23 @@ object EventStream {
         |       COUNT(*) - COUNT(pts) AS n_unmatched
         |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // Stream-stream FULL OUTER interval join: both sides' unmatched rows
+    // emit null-padded at watermark eviction (fullOuterJoinCounts doc).
+    // Oracle = the batch full join's per-user matched/click-only/
+    // purchase-only partition.
+    "q_stream_full_outer" -> QuerySpec.df(
+      (s, d) => fullOuterJoinCounts(s, d),
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, p.p_user, p.pts
+        |      FROM c FULL OUTER JOIN p ON c.user_id = p.p_user
+        |                              AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 1 HOUR)
+        |SELECT COALESCE(user_id, p_user) AS uid, COUNT(*) AS n_rows,
+        |       COUNT(CASE WHEN user_id IS NOT NULL AND pts IS NOT NULL THEN 1 END) AS n_matched,
+        |       COUNT(CASE WHEN pts IS NULL THEN 1 END) AS n_click_only,
+        |       COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS n_purchase_only
+        |FROM j GROUP BY uid ORDER BY uid""".stripMargin),
+
     // Ingest-time corpus dedup: incoming docs stream STATELESSLY against
     // the persistent corpus band index (row-wise band keys + broadcast
     // stream-static equi-join + graft_overlap verify) — see CorpusIngest.
@@ -434,7 +451,11 @@ object EventStream {
     * derives both sides' retention. The sentinel rows close the stream so
     * the replay flushes its unmatched state; the rollup drops them.
     */
-  def leftOuterJoinCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** The click/purchase interval join over the sentinel-closed staging,
+    * parameterized by join type — the left- and full-outer operators share
+    * everything except the null-padding sides and their rollups.
+    */
+  private def outerJoined(spark: SparkSession, dir: String, joinType: String): DataFrame = {
     val staged = stageOuter(spark, dir)
     val schema = spark.read.parquet(staged).schema
     def side(eventType: String, userName: String, tsName: String) = spark.readStream
@@ -446,19 +467,41 @@ object EventStream {
       .withWatermark(tsName, "1 hour")
     val clicks = side("click", "user_id", "click_ts")
     val purchases = side("purchase", "p_user", "p_ts")
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("click_ts") &&
         col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-      "leftOuter")
-    runToTable(joined, "append")
+      joinType)
+  }
+
+  def leftOuterJoinCounts(spark: SparkSession, dir: String): DataFrame =
+    runToTable(outerJoined(spark, dir, "leftOuter"), "append")
       .filter(col("user_id") >= 0)
       .groupBy("user_id").agg(
         count(lit(1)).as("n_rows"),
         count(col("p_ts")).as("n_matched"),
         (count(lit(1)) - count(col("p_ts"))).as("n_unmatched"))
       .orderBy("user_id")
-  }
+
+  /** Stream-stream FULL OUTER interval join: the symmetric completion of
+    * [[leftOuterJoinCounts]] — unmatched PURCHASES also emit null-padded
+    * once the global watermark proves no qualifying click can still
+    * arrive, so both sides' state is eviction-bounded and every event is
+    * accounted for exactly once (matched, click-only, or purchase-only).
+    * The same sentinel staging closes both watermarks; rows group by
+    * whichever side's key survived.
+    */
+  def fullOuterJoinCounts(spark: SparkSession, dir: String): DataFrame =
+    runToTable(outerJoined(spark, dir, "fullOuter"), "append")
+      .filter(coalesce(col("user_id"), col("p_user")) >= 0)
+      .select(coalesce(col("user_id"), col("p_user")).as("uid"),
+        col("user_id"), col("p_ts"))
+      .groupBy("uid").agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("user_id").isNotNull && col("p_ts").isNotNull, 1)).as("n_matched"),
+        count(when(col("p_ts").isNull, 1)).as("n_click_only"),
+        count(when(col("user_id").isNull, 1)).as("n_purchase_only"))
+      .orderBy("uid")
 
   /** Stream-stream interval join (see the spec comment): two independent
     * readStream scans of the staged events, filtered to clicks and

