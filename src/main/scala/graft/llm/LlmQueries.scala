@@ -1545,6 +1545,65 @@ object LlmQueries {
         |       CAST(SUM(vj) AS BIGINT) AS sy
         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin),
 
+    // Embedding drift between corpus snapshots — the monitoring operator a
+    // pipeline runs when a new crawl lands: per label, the cosine between
+    // the v1 and v2 centroid directions (versions carved with the same
+    // deterministic predicates as q_corpus_snapshot_diff). A label whose
+    // cos_bp sags signals its content distribution moved and downstream
+    // indexes/classifiers need refreshing. Sums are fixed-point integers
+    // (exact in any fold order); the only float ops are SQRT (IEEE
+    // correctly-rounded, unlike LN/EXP), one multiply, one divide — then
+    // FLOOR to basis points, so both engines agree exactly.
+    //
+    // 100 TB shape: one corpus scan explodes to |N|·d rows map-side
+    // combined into (label, dim) cells — K·d rows — then a K-row rollup;
+    // nothing after the first aggregate depends on N. (Per-cell integer
+    // sums grow with N; past ~1e9 rows/label the DOUBLE cast rounds, but
+    // identically on both engines.)
+    "q_embed_snapshot_drift" -> sql2(
+      """WITH x AS (SELECT vec_id, label, pos + 1 AS i,
+        |                  CAST(FLOOR(CAST(el AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xi
+        |           FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, el),
+        |a AS (SELECT label, i,
+        |             CAST(SUM(CASE WHEN vec_id % 11 <> 3 THEN xi END) AS BIGINT) AS sa,
+        |             CAST(SUM(CASE WHEN vec_id % 13 <> 4 THEN xi END) AS BIGINT) AS sb
+        |      FROM x GROUP BY label, i),
+        |m AS (SELECT label, CAST(SUM(sa * sb) AS BIGINT) AS dot,
+        |             CAST(SUM(sa * sa) AS BIGINT) AS na,
+        |             CAST(SUM(sb * sb) AS BIGINT) AS nb
+        |      FROM a GROUP BY label),
+        |n AS (SELECT label,
+        |             CAST(SUM(CASE WHEN vec_id % 11 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |             CAST(SUM(CASE WHEN vec_id % 13 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
+        |      FROM embeddings GROUP BY label)
+        |SELECT m.label, n.n_v1, n.n_v2,
+        |       CAST(FLOOR(CAST(dot AS DOUBLE)
+        |                  / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+        |                  * 10000 + 0.5) AS BIGINT) AS cos_bp
+        |FROM m JOIN n ON m.label = n.label ORDER BY m.label""".stripMargin,
+      """WITH x AS (SELECT vec_id, label, i,
+        |                  CAST(FLOOR(CAST(v[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xi
+        |           FROM (SELECT vec_id, label, embedding AS v,
+        |                        unnest(range(1, len(embedding) + 1)) AS i
+        |                 FROM embeddings) z),
+        |a AS (SELECT label, i,
+        |             CAST(SUM(CASE WHEN vec_id % 11 <> 3 THEN xi END) AS BIGINT) AS sa,
+        |             CAST(SUM(CASE WHEN vec_id % 13 <> 4 THEN xi END) AS BIGINT) AS sb
+        |      FROM x GROUP BY label, i),
+        |m AS (SELECT label, CAST(SUM(sa * sb) AS BIGINT) AS dot,
+        |             CAST(SUM(sa * sa) AS BIGINT) AS na,
+        |             CAST(SUM(sb * sb) AS BIGINT) AS nb
+        |      FROM a GROUP BY label),
+        |n AS (SELECT label,
+        |             CAST(SUM(CASE WHEN vec_id % 11 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |             CAST(SUM(CASE WHEN vec_id % 13 <> 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
+        |      FROM embeddings GROUP BY label)
+        |SELECT m.label, n.n_v1, n.n_v2,
+        |       CAST(FLOOR(CAST(dot AS DOUBLE)
+        |                  / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+        |                  * 10000 + 0.5) AS BIGINT) AS cos_bp
+        |FROM m JOIN n ON m.label = n.label ORDER BY m.label""".stripMargin),
+
     // int8 embedding quantization (per-vector max-abs scale, explicit
     // FLOOR(x+0.5) so both engines round identically).
     "q_embed_quantize" -> sql2(

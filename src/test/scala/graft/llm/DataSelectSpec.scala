@@ -92,6 +92,24 @@ class DataSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot drift reports every label with a sane cosine and exact version counts") {
+    val s = spark.newSession()
+    val rows = graft.SparkEntry.queries("q_embed_snapshot_drift")(s, sf).collect()
+    val emb = graft.queries.Tables.embeddings(s, sf)
+    assert(rows.length == emb.select("label").distinct().count())
+    for (r <- rows) {
+      // the carved versions share ~77% of each label's rows, so centroid
+      // directions must stay strongly aligned — and cosine is bounded
+      assert(r.getLong(3) > 5000 && r.getLong(3) <= 10000,
+        s"label ${r.getInt(0)}: cos_bp ${r.getLong(3)} outside sane drift range")
+    }
+    // version counts reconcile with the carve predicates
+    val n1 = emb.filter(col("vec_id") % 11 =!= 3).count()
+    val n2 = emb.filter(col("vec_id") % 13 =!= 4).count()
+    assert(rows.map(_.getLong(1)).sum == n1)
+    assert(rows.map(_.getLong(2)).sum == n2)
+  }
+
   test("source matrix conserves the pair count and normalizes source order") {
     val s = spark.newSession()
     val rows = graft.SparkEntry.queries("q_dedup_source_matrix")(s, sf).collect()
