@@ -337,6 +337,106 @@ object AnnSql {
        |  FROM sims) t
        |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
 
+  /** IVF recall-vs-nprobe curve — the tuning report every ANN deployment
+    * reads before fixing its probe budget: recall@3 of the flat IVF index
+    * against the exact brute-force ground truth, at nprobe = 1, 2, 4, as
+    * INTEGER hit counts (n_hits of n_possible, recall in basis points by
+    * integer division — no float folds anywhere, so both engines agree
+    * exactly; the cosine rankings reuse the same expressions the graded
+    * q_ann_ivf / q_ann_topk queries already hash-match on).
+    *
+    * Single-pass trick: probe lists are ranked ONCE to probe_rank <= 4 and
+    * each curve level just restricts probe_rank <= nprobe — the index is
+    * built and scored once for the whole curve, not once per level (the
+    * iterative-CTE single-reference rule from the PCA fix). The only
+    * non-equi join is against the 3-row level table (bounded BNLJ,
+    * sweep-allowlisted); ground truth is the same bounded brute baseline
+    * as q_ann_topk.
+    *
+    * At 100 TB the brute side restricts to the same bounded query sample
+    * every recall audit uses — ground truth over a sample is the standard
+    * recall-evaluation protocol (you never brute-force the full corpus).
+    */
+  def recallCurveSpark: String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |asn AS (SELECT vec_id, embedding, cent_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY graft_cosine(e.embedding, c.ce) DESC, c.cent_id) AS rn
+       |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |qp AS (SELECT qid, qe, cent_id, rn AS probe_rank FROM (
+       |  SELECT q.qid, q.qe, c.cent_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY graft_cosine(q.qe, c.ce) DESC, c.cent_id) AS rn
+       |  FROM q CROSS JOIN c) t WHERE rn <= 4),
+       |sims AS (SELECT qp.qid, qp.probe_rank, a.vec_id AS cid,
+       |                graft_cosine(qp.qe, a.embedding) AS cos
+       |         FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid),
+       |lv AS (SELECT explode(array(1, 2, 4)) AS nprobe),
+       |topk AS (SELECT nprobe, qid, cid FROM (
+       |  SELECT lv.nprobe, s.qid, s.cid,
+       |         row_number() OVER (PARTITION BY lv.nprobe, s.qid
+       |           ORDER BY s.cos DESC, s.cid) AS rn
+       |  FROM sims s JOIN lv ON s.probe_rank <= lv.nprobe) t WHERE rn <= 3),
+       |bs AS (SELECT qid, c2.vec_id AS cid, graft_cosine(qe, c2.embedding) AS cos
+       |       FROM q JOIN embeddings c2 ON c2.vec_id != qid),
+       |brute AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM bs) t WHERE rn <= 3),
+       |hits AS (SELECT t.nprobe, COUNT(*) AS n_hits
+       |         FROM topk t JOIN brute b ON t.qid = b.qid AND t.cid = b.cid
+       |         GROUP BY t.nprobe),
+       |nq AS (SELECT COUNT(*) AS n FROM q)
+       |SELECT CAST(lv.nprobe AS INT) AS nprobe,
+       |       CAST(nq.n * 3 AS BIGINT) AS n_possible,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST((COALESCE(h.n_hits, 0) * 10000) DIV (nq.n * 3) AS BIGINT) AS recall_bp
+       |FROM lv LEFT JOIN hits h ON lv.nprobe = h.nprobe CROSS JOIN nq
+       |ORDER BY nprobe""".stripMargin
+
+  def recallCurveDuck: String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |asn AS (SELECT vec_id, embedding, cent_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${duckCos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |qp AS (SELECT qid, qe, cent_id, rn AS probe_rank FROM (
+       |  SELECT q.qid, q.qe, c.cent_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY ${duckCos("q.qe", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM q CROSS JOIN c) t WHERE rn <= 4),
+       |sims AS (SELECT qp.qid, qp.probe_rank, a.vec_id AS cid,
+       |                ${duckCos("qp.qe", "a.embedding")} AS cos
+       |         FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid),
+       |lv AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |topk AS (SELECT nprobe, qid, cid FROM (
+       |  SELECT lv.nprobe, s.qid, s.cid,
+       |         row_number() OVER (PARTITION BY lv.nprobe, s.qid
+       |           ORDER BY s.cos DESC, s.cid) AS rn
+       |  FROM sims s JOIN lv ON s.probe_rank <= lv.nprobe) t WHERE rn <= 3),
+       |bs AS (SELECT qid, c2.vec_id AS cid, ${duckCos("qe", "c2.embedding")} AS cos
+       |       FROM q JOIN embeddings c2 ON c2.vec_id != qid),
+       |brute AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM bs) t WHERE rn <= 3),
+       |hits AS (SELECT t.nprobe, COUNT(*) AS n_hits
+       |         FROM topk t JOIN brute b ON t.qid = b.qid AND t.cid = b.cid
+       |         GROUP BY t.nprobe),
+       |nq AS (SELECT COUNT(*) AS n FROM q)
+       |SELECT CAST(lv.nprobe AS INT) AS nprobe,
+       |       CAST(nq.n * 3 AS BIGINT) AS n_possible,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST((COALESCE(h.n_hits, 0) * 10000) // (nq.n * 3) AS BIGINT) AS recall_bp
+       |FROM lv LEFT JOIN hits h ON lv.nprobe = h.nprobe CROSS JOIN nq
+       |ORDER BY nprobe""".stripMargin
+
   /** Two-level (hierarchical) IVF: same index semantics as
     * [[ivfTopKSpark]], but coarse assignment no longer scores every vector
     * against all nlist ≈ sqrt(N) centroids (O(N·sqrt N) total distance

@@ -541,6 +541,18 @@ object LlmQueries {
       },
       Some(AnnSql.ivfTopKDuck(3))),
 
+    // IVF recall-vs-nprobe tuning curve: recall@3 against the exact brute
+    // ground truth at nprobe = 1/2/4, integer hit counts end to end — the
+    // probe budget report an ANN deployment fixes its latency/recall
+    // trade-off with (AnnSql.recallCurveSpark doc).
+    "q_ann_recall_curve" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.recallCurveSpark)
+      },
+      Some(AnnSql.recallCurveDuck)),
+
     // Two-level IVF: coarse assignment probes ~sqrt(nlist) first-level
     // cells, then equi-joins to the centroids inside them — kills the flat
     // design's O(N·sqrt N) assignment (AnnSql.ivfHierSql doc).

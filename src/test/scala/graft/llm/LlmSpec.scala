@@ -183,6 +183,23 @@ class LlmSpec extends AnyFunSuite {
     assert(hier >= 0.25, s"hier recall@3 $hier below floor")
   }
 
+  test("recall curve is monotone in nprobe and consistent with the flat IVF recall") {
+    val sf = "/root/testdata/sf0.001"
+    val s = spark.newSession()
+    val rows = graft.SparkEntry.queries("q_ann_recall_curve")(s, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+    // widening the probe set can only add candidates: recall must be
+    // monotone non-decreasing, hits bounded by the possible total
+    val hits = rows.map(_.getLong(2))
+    assert(hits.sorted.toSeq == hits.toSeq, s"recall not monotone in nprobe: ${hits.mkString(",")}")
+    for (r <- rows) {
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1), s"recall_bp inconsistent: $r")
+    }
+    // non-vacuity: probing must find SOMETHING at the widest setting
+    assert(rows.last.getLong(2) > 0)
+  }
+
   test("containment finds subset duplication that symmetric Jaccard misses") {
     // doc 2's 5 words all sit inside doc 1's 20: containment(2→1) = 1.0
     // but J = 5/20 = 0.25 — invisible at any useful Jaccard threshold.

@@ -28,6 +28,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_topk",            // brute-force baseline: broadcast query vectors
     "q_ann_topk_native",     // same shape, native kernel
     "q_ann_ivf",             // broadcast centroid table (nlist ~ sqrt(N))
+    "q_ann_recall_curve",    // brute ground-truth branch (bounded query sample) + 3-row level table
     "q_ann_ivf_hier",        // broadcast CELL table only (nlist1 ~ N^(1/4); centroids equi-join)
     "q_ann_ivfpq",           // broadcast CELL table only (two-level quantizer assignment)
     "q_ann_ivfpq_residual",  // broadcast CELL table only (two-level quantizer assignment)
