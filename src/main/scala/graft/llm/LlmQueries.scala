@@ -45,6 +45,25 @@ object LlmQueries {
       |FROM nb LEFT JOIN nk ON nb.doc_id = nk.doc_id
       |WHERE nb.doc_id % 20 = 0 ORDER BY nb.doc_id""".stripMargin
 
+  /** Spark side of q_text_contamination_score, exposed so LlmSpec can
+    * replay it over a hand-built corpus with a known gram-overlap
+    * fraction (same reason as [[paragraphDedupSparkSql]]).
+    */
+  private[llm] def contaminationSparkSql(table: String = "documents"): String =
+    s"""WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM $table),
+      |sh AS (SELECT doc_id, array_join(slice(w, i, 8), ' ') AS g
+      |       FROM t LATERAL VIEW explode(sequence(1, GREATEST(size(w) - 7, 1))) x AS i
+      |       WHERE i + 7 <= size(w)),
+      |evg AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 97 = 0),
+      |evn AS (SELECT doc_id, COUNT(*) AS n_grams FROM evg GROUP BY doc_id),
+      |hit AS (SELECT DISTINCT e.doc_id, e.g
+      |        FROM evg e JOIN sh s ON e.g = s.g AND s.doc_id % 97 != 0),
+      |hn AS (SELECT doc_id, COUNT(*) AS n_hit FROM hit GROUP BY doc_id)
+      |SELECT evn.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+      |       CAST(FLOOR(COALESCE(n_hit, 0) * 10000.0 / n_grams + 0.5) AS BIGINT) AS overlap_bp
+      |FROM evn LEFT JOIN hn ON evn.doc_id = hn.doc_id
+      |ORDER BY evn.doc_id""".stripMargin
+
   /** Exact brute-force word-set Jaccard (the oracle for both the LSH and
     * the direct formulation), restricted to the doc_id % 5 subset.
     */
@@ -1187,6 +1206,34 @@ object LlmQueries {
         |hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.g = ev.g
         |         WHERE s.doc_id % 97 != 0)
         |SELECT doc_id FROM hits WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin),
+
+    // Contamination SEVERITY (the graded companion to q_text_decontaminate,
+    // the reporting shape of the GPT-3/PaLM n-gram overlap audits): for
+    // every EVAL document, the fraction of its distinct 8-grams that occur
+    // anywhere in the training split — 0 bp = clean, 10000 bp = fully
+    // contained in train. The per-doc fraction is what decides "drop the
+    // eval item vs drop the train doc"; the boolean form can't rank.
+    // Plan: eval-side distinct grams are a constant-size build side (the
+    // eval suite doesn't grow with the corpus) broadcast onto ONE train
+    // shingle pass — no corpus-wide distinct, no pairwise work; the hit
+    // set dedups AFTER the join (DISTINCT on (doc_id, g), shuffle keyed on
+    // the eval grams only). Integer-exact basis points via the engine-
+    // identical FLOOR(x + 0.5).
+    "q_text_contamination_score" -> sql2(
+      contaminationSparkSql(),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 7, 1) + 1)) AS i FROM t) z
+        |       WHERE i + 7 <= len(w)),
+        |evg AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 97 = 0),
+        |evn AS (SELECT doc_id, COUNT(*) AS n_grams FROM evg GROUP BY doc_id),
+        |hit AS (SELECT DISTINCT e.doc_id, e.g
+        |        FROM evg e JOIN sh s ON e.g = s.g AND s.doc_id % 97 != 0),
+        |hn AS (SELECT doc_id, COUNT(*) AS n_hit FROM hit GROUP BY doc_id)
+        |SELECT evn.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+        |       CAST(FLOOR(COALESCE(n_hit, 0) * 10000.0 / n_grams + 0.5) AS BIGINT) AS overlap_bp
+        |FROM evn LEFT JOIN hn ON evn.doc_id = hn.doc_id
+        |ORDER BY evn.doc_id""".stripMargin),
 
     // Paragraph-level corpus dedup (the CCNet/C4 line-dedup pass): hash
     // every 16-word block, keep only each block's FIRST occurrence

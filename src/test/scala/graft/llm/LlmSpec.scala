@@ -133,6 +133,26 @@ class LlmSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("docs_pdedup")
   }
 
+  test("contamination score grades eval docs by exact gram-overlap fraction") {
+    // doc 0 is the eval doc (0 % 97 = 0): 9 words -> 2 distinct 8-grams.
+    // Train doc 1 contains exactly one of them; doc 2 is disjoint; doc 194
+    // (also % 97 = 0) is a second eval doc fully contained in train doc 3.
+    val d = docs(
+      0L -> "a b c d e f g h i",
+      1L -> "x a b c d e f g h y",
+      2L -> "p q r s t u v w z",
+      194L -> "m n o p1 q1 r1 s1 t1",
+      3L -> "k m n o p1 q1 r1 s1 t1 k2")
+    d.createOrReplaceTempView("docs_contam")
+    try {
+      val rows = spark.sql(LlmQueries.contaminationSparkSql("docs_contam"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(rows.keySet === Set(0L, 194L), "only eval docs appear")
+      assert(rows(0L) === ((2L, 1L, 5000L)), "half of doc 0's grams leak from train")
+      assert(rows(194L) === ((1L, 1L, 10000L)), "doc 194 is fully contained in train")
+    } finally spark.catalog.dropTempView("docs_contam")
+  }
+
   test("PQ ADC and IVF-PQ search rank true near neighbors highly (recall vs brute force)") {
     val sf = "/root/testdata/sf0.001"
     graft.queries.Tables.registerAll(spark, sf)
