@@ -64,6 +64,108 @@ object LlmQueries {
       |FROM evn LEFT JOIN hn ON evn.doc_id = hn.doc_id
       |ORDER BY evn.doc_id""".stripMargin
 
+  /** q_dedup_band_tuning: the MinHash-LSH PARAMETER-SELECTION curve — for
+    * band shapes r ∈ {2, 4, 8} rows/band over the same 16 signatures,
+    * candidate-set precision and recall against the exact Jaccard ≥ 0.9
+    * ground truth. This is the calibration run an operator does BEFORE
+    * committing a banding config to a 100 TB dedup pass: the S-curve
+    * P(candidate | J) = 1 − (1 − J^r)^(16/r) trades recall (small r) for
+    * precision (large r), and the curve measures that trade on a bounded
+    * sample of the real corpus (here doc_id % 10; production draws the
+    * same deterministic ~10k-doc sample at any N, so the brute-force
+    * truth join is calibration-bounded, never corpus-bounded — the same
+    * pattern as q_ann_recall_curve's bounded brute pass).
+    *
+    * Everything is md5-derived (no engine-private hash): signatures are
+    * MIN over words of a 48-bit md5 slice keyed by the hash index, band
+    * keys are md5 of the comma-joined signature row, so DuckDB replays
+    * the EXACT candidate sets and the compare is hash-exact, not
+    * statistical. The candidate self-join is salted like the production
+    * pipeline (left side replicated over 8 salts, right side keyed by an
+    * md5 salt of doc_id) so a hot band bucket's pair generation spreads
+    * across join cells. Counts and basis points are integer end to end.
+    */
+  private val tuneHashes = 16
+  private val tuneCfgs = Seq(2, 4, 8)
+
+  private def bandTuningSql(
+      table: String,
+      md5i: String => String, // md5-slice expr -> BIGINT (48-bit)
+      str: String => String, // BIGINT -> decimal-string cast
+      sstruct: Seq[(Int, Int, String)] => String, // (r, band, key) rows
+      wordsCte: String,
+      bandsCte: String => String, // struct source -> bk CTE body
+      saltLeftCte: String): String = {
+    val structs = tuneCfgs.flatMap { r =>
+      (0 until tuneHashes / r).map { b =>
+        val key = "md5(" +
+          (0 until r).map(j => str(s"h${b * r + j}")).mkString(" || ',' || ") + ")"
+        (r, b, key)
+      }
+    }
+    s"""WITH d AS (SELECT doc_id, text FROM $table WHERE doc_id % 10 = 0),
+       |$wordsCte,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+       |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+       |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id),
+       |truth AS (SELECT id1, id2 FROM c JOIN sz s1 ON c.id1 = s1.doc_id
+       |          JOIN sz s2 ON c.id2 = s2.doc_id
+       |          WHERE 10 * c.c >= 9 * (s1.n + s2.n - c.c)),
+       |sig AS (SELECT doc_id,
+       |  ${(0 until tuneHashes)
+            .map(i => s"MIN(${md5i(s"'$i|' || word")}) AS h$i")
+            .mkString(",\n|  ")}
+       |  FROM w GROUP BY doc_id),
+       |${bandsCte(sstruct(structs))},
+       |$saltLeftCte,
+       |br AS (SELECT doc_id, r, band, key, ${md5i(str("doc_id"))} % 8 AS salt FROM bk),
+       |cand AS (SELECT DISTINCT a.r, a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bl a JOIN br b ON a.r = b.r AND a.band = b.band
+       |              AND a.key = b.key AND a.salt = b.salt AND a.doc_id < b.doc_id),
+       |m AS (SELECT c.r AS r, COUNT(*) AS n_cand,
+       |             CAST(SUM(CASE WHEN t.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |      FROM cand c LEFT JOIN truth t ON c.id1 = t.id1 AND c.id2 = t.id2
+       |      GROUP BY c.r),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+       |SELECT m.r AS rows_per_band, m.n_cand, m.tp, nt.n_truth,
+       |       CAST(FLOOR(m.tp * 10000.0 / m.n_cand + 0.5) AS BIGINT) AS precision_bp,
+       |       CAST(FLOOR(m.tp * 10000.0 / nt.n_truth + 0.5) AS BIGINT) AS recall_bp
+       |FROM m CROSS JOIN nt ORDER BY rows_per_band""".stripMargin
+  }
+
+  private[llm] def bandTuningSparkSql(table: String = "documents"): String =
+    bandTuningSql(
+      table,
+      e => s"CAST(conv(substr(md5($e), 1, 12), 16, 10) AS BIGINT)",
+      e => s"CAST($e AS STRING)",
+      rows => rows.map { case (r, b, k) =>
+        s"named_struct('r', $r, 'band', $b, 'key', $k)"
+      }.mkString(",\n|    "),
+      """w AS (SELECT DISTINCT doc_id, word
+        |      FROM d LATERAL VIEW explode(split(text, ' ')) t AS word)""".stripMargin,
+      structs =>
+        s"""bk AS (SELECT doc_id, bs.r AS r, bs.band AS band, bs.key AS key
+           |       FROM sig LATERAL VIEW explode(array(
+           |    $structs)) t AS bs)""".stripMargin,
+      """bl AS (SELECT bk.*, salt
+        |       FROM bk LATERAL VIEW explode(sequence(0, 7)) s AS salt)""".stripMargin)
+
+  private def bandTuningDuckSql(table: String = "documents"): String =
+    bandTuningSql(
+      table,
+      e => s"('0x' || substr(md5($e), 1, 12))::BIGINT",
+      e => s"CAST($e AS VARCHAR)",
+      rows => rows.map { case (r, b, k) =>
+        s"{'r': $r, 'band': $b, 'key': $k}"
+      }.mkString(",\n|    "),
+      """w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d)""",
+      structs =>
+        s"""bk AS (SELECT doc_id, u.r AS r, u.band AS band, u.key AS key
+           |       FROM (SELECT doc_id, unnest([
+           |    $structs]) AS u FROM sig) z)""".stripMargin,
+      """bl AS (SELECT doc_id, r, band, key, unnest(range(0, 8)) AS salt FROM bk)""")
+
   /** Exact brute-force word-set Jaccard (the oracle for both the LSH and
     * the direct formulation), restricted to the doc_id % 5 subset.
     */
@@ -262,6 +364,12 @@ object LlmQueries {
         |SELECT id1, id2, jaccard, CAST(lev AS INT) AS lev
         |FROM v WHERE lev * 100 <= mx * 68
         |ORDER BY id1, id2""".stripMargin),
+
+    // MinHash band-shape tuning curve (see bandTuningSparkSql's doc): the
+    // calibration run before committing a banding config. Everything is
+    // md5-derived so DuckDB replays the exact candidate sets; the 1-row
+    // truth-count join is the only nested loop (sweep allowlist).
+    "q_dedup_band_tuning" -> sql2(bandTuningSparkSql(), bandTuningDuckSql()),
 
     // SimHash with banded candidates; pigeonhole (4 bands, hamming ≤ 3)
     // makes the banded answer provably equal the oracle's all-pairs answer.

@@ -133,6 +133,22 @@ class LlmSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("docs_pdedup")
   }
 
+  test("band tuning curve: precision rises and recall falls with rows/band; r=2 recall ~1") {
+    val s = spark.newSession()
+    val rows = graft.SparkEntry.queries("q_dedup_band_tuning")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8), "one row per band shape, ordered")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2, s"candidates must shrink with rows/band: ${a._2} vs ${b._2}")
+      assert(a._5 <= b._5, s"precision must not fall with rows/band: ${a._5} vs ${b._5}")
+      assert(a._6 >= b._6, s"recall must not rise with rows/band: ${a._6} vs ${b._6}")
+    }
+    rows.foreach { r => assert(r._3 <= r._4, "tp bounded by truth") }
+    // 8 bands of 2 rows miss a J >= 0.9 pair w.p. (1 - 0.81)^8 ~ 1.7e-6
+    assert(rows.head._6 >= 9900, s"r=2 recall must be ~complete, got ${rows.head._6} bp")
+  }
+
   test("contamination score grades eval docs by exact gram-overlap fraction") {
     // doc 0 is the eval doc (0 % 97 = 0): 9 words -> 2 distinct 8-grams.
     // Train doc 1 contains exactly one of them; doc 2 is disjoint; doc 194
