@@ -1036,6 +1036,80 @@ object AnnSql {
     (a, b) => s"list_dot_product($a, $b)",
     probeW.map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]"))
 
+  /** Linear-probe TRAINING (the pass that produces what
+    * [[linearProbeSpark]] consumes): an averaged-update perceptron for
+    * "label = 1 vs rest" over the fixed-point-quantized embeddings,
+    * 3 batch rounds unrolled. Round t scores every vector against w_t,
+    * takes the misclassified set M = {i : y_i · ⟨w_t, x_i⟩ ≤ 0}, and
+    * steps w_{t+1} = w_t + floor(Σ_{i∈M} y_i x_i / |M|) — the classic
+    * perceptron batch update with the gradient AVERAGED so each
+    * component moves by at most the quantization scale per round:
+    * weights stay ~O(scale · rounds) at ANY corpus size, so every dot
+    * product and fold stays inside the 2^53 integer-exact double range
+    * even at 10^12 rows (the raw summed update would overflow there).
+    *
+    * Determinism: quantized inputs are integers, the misclassification
+    * predicate is an exact integer-sign test, the per-dim update SUM is
+    * an integer fold (exact in any order), and the floor-division uses
+    * the pure-integer identity (s − ((s % m) + m) % m) / m — identical
+    * in both engines regardless of their negative-division conventions.
+    * So the ENTIRE training trajectory is bit-identical and the output
+    * weight vector oracle-hashable — the determinism that usually forces
+    * single-threaded training, for free.
+    *
+    * Plan shape per round: one corpus scan (the quantized vectors cross
+    * join the 1-row weight array — bounded broadcast, sweep-allowlisted),
+    * one dim-explode into a 64-group map-side-combined aggregate, one
+    * 64-row repack. Three rounds = three scans, linear at any N; each CTE
+    * is referenced exactly once (the SCALE.md iterative-CTE rule), so
+    * nothing re-inlines exponentially.
+    */
+  private def probeTrainSql(
+      table: String,
+      quant: String,
+      dotFn: (String, String) => String,
+      elem: (String, String) => String,
+      zeros: String,
+      dimFrom: String => String,
+      pack: String): String = {
+    val rounds = (1 to 3).map { t =>
+      s"""m$t AS (SELECT e.y, e.x, a.warr,
+         |              CASE WHEN e.y * ${dotFn("e.x", "a.warr")} <= 0 THEN 1 ELSE 0 END AS mis
+         |       FROM e CROSS JOIN a${t - 1} a),
+         |u$t AS (SELECT j, CAST(MIN(${elem("warr", "j")}) AS BIGINT) AS wj,
+         |              SUM(mis) AS m,
+         |              CAST(SUM(CASE WHEN mis = 1 THEN y * ${elem("x", "j")} ELSE 0 END) AS BIGINT) AS s
+         |       ${dimFrom(s"m$t")}
+         |       GROUP BY j),
+         |w$t AS (SELECT j, CASE WHEN m = 0 THEN wj
+         |                      ELSE wj + CAST((s - ((s % m) + m) % m) / m AS BIGINT) END AS wj
+         |       FROM u$t),
+         |a$t AS (SELECT $pack AS warr FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT CASE WHEN label = 1 THEN 1 ELSE -1 END AS y, $quant AS x FROM $table),
+       |a0 AS (SELECT $zeros AS warr),
+       |$rounds
+       |SELECT j, wj FROM w3 ORDER BY j""".stripMargin
+  }
+
+  def probeTrainSpark(table: String = "embeddings"): String = probeTrainSql(
+    table,
+    kmQSpark,
+    (a, b) => s"graft_dot_d($a, $b)",
+    (arr, j) => s"element_at($arr, $j + 1)",
+    s"array_repeat(CAST(0 AS DOUBLE), $dim)",
+    src => s"FROM $src LATERAL VIEW explode(sequence(0, ${dim - 1})) t AS j",
+    "transform(array_sort(collect_list(struct(j, wj))), s -> CAST(s.wj AS DOUBLE))")
+
+  def probeTrainDuck(table: String = "embeddings"): String = probeTrainSql(
+    table,
+    kmQ,
+    (a, b) => s"list_dot_product($a, $b)",
+    (arr, j) => s"$arr[$j + 1]",
+    s"list_transform(range($dim), x -> CAST(0 AS DOUBLE))",
+    src => s"FROM (SELECT y, x, warr, mis, unnest(range(0, $dim)) AS j FROM $src) z",
+    "list(CAST(wj AS DOUBLE) ORDER BY j)")
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus (nearest of ≈sqrt(N) deterministic seed centroids,
     * routed through the shared two-level quantizer [[hierAsnCtes]] so

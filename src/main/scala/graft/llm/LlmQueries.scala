@@ -799,6 +799,18 @@ object LlmQueries {
       },
       Some(AnnSql.linearProbeDuck)),
 
+    // Linear-probe TRAINING: 3 unrolled averaged-perceptron batch rounds
+    // over the quantized embeddings, bit-identical trajectory in both
+    // engines — the pass that produces the weight vector
+    // q_embed_classify consumes (AnnSql.probeTrainSql doc).
+    "q_embed_probe_train" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.probeTrainSpark())
+      },
+      Some(AnnSql.probeTrainDuck())),
+
     // Document chunking: 128-word sliding windows with 64-word stride (50%
     // overlap) — the splitting step that turns long documents into
     // training-context-sized pieces. Pure per-row explode + slice: no

@@ -133,6 +133,43 @@ class LlmSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("docs_pdedup")
   }
 
+  test("perceptron probe training: update rule exact on a separable pair; fixture signal learned") {
+    import org.apache.spark.sql.functions._
+    // Micro fixture: two origin-separable vectors along dim 0. Round 1
+    // (w = 0) misclassifies both, the averaged update is (+1000·1 +
+    // (−1)·(−1000)) / 2 = 1000 on dim 0; rounds 2-3 classify both
+    // correctly and leave w unchanged -> w = (1000, 0, ..., 0).
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    val vecs = Seq(
+      (1, Array(1.0f) ++ Array.fill(63)(0.0f)),
+      (0, Array(-1.0f) ++ Array.fill(63)(0.0f)))
+    s.createDataFrame(vecs).toDF("label", "embedding")
+      .createOrReplaceTempView("probe_micro")
+    val w = s.sql(AnnSql.probeTrainSpark("probe_micro"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(w(0) == 1000L && (1 until 64).forall(j => w(j) == 0L),
+      s"expected w = (1000, 0...), got dim0=${w(0)}")
+
+    // Fixture: the trained direction must concentrate label-1 vectors on
+    // the positive side relative to the rest (learned signal, not chance).
+    val s2 = spark.newSession()
+    val wf = graft.SparkEntry.queries("q_embed_probe_train")(s2, "/root/testdata/sf0.001")
+    wf.createOrReplaceTempView("probe_w")
+    val Array(r) = s2.sql(
+      s"""WITH wa AS (SELECT transform(array_sort(collect_list(struct(j, wj))),
+         |                             s -> CAST(s.wj AS DOUBLE)) AS v FROM probe_w),
+         |e AS (SELECT label, ${"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS DOUBLE))"} AS x
+         |      FROM embeddings),
+         |sc AS (SELECT label, graft_dot_d(x, wa.v) AS s FROM e CROSS JOIN wa)
+         |SELECT SUM(CASE WHEN label = 1 AND s >= 0 THEN 1 ELSE 0 END) / SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos_rate,
+         |       SUM(CASE WHEN label != 1 AND s >= 0 THEN 1 ELSE 0 END) / SUM(CASE WHEN label != 1 THEN 1 ELSE 0 END) AS neg_rate
+         |FROM sc""".stripMargin).collect()
+    val (posRate, negRate) = (r.getDouble(0), r.getDouble(1))
+    assert(posRate > negRate + 0.1,
+      s"trained probe must separate label 1 from the rest: pos $posRate vs neg $negRate")
+  }
+
   test("band tuning curve: precision rises and recall falls with rows/band; r=2 recall ~1") {
     val s = spark.newSession()
     val rows = graft.SparkEntry.queries("q_dedup_band_tuning")(s, "/root/testdata/sf0.001")

@@ -38,6 +38,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_sample_coreset",      // broadcast CELL table only (two-level quantizer assignment)
     "q_agg_hll_merge",       // single-row sketch-union join
     "q_dedup_band_tuning",   // single-row truth-count join onto the 3-row config rollup
+    "q_embed_probe_train",   // 1-row weight-array broadcast per training round
     "q_graph_pagerank",      // single-row teleport-quantum join; rank x edges is equi (GraphRankSpec pins)
     "q_search_hybrid_rrf",   // single-row query-vector broadcast (1 x N scoring branch)
     "q_search_hybrid_ivf",   // broadcast CELL table only (two-level quantizer vector branch)
