@@ -228,6 +228,57 @@ object AnnSql {
        |SELECT id1, id2, ROUND(cos, 6) AS cos FROM p WHERE cos >= $threshold
        |ORDER BY id1, id2""".stripMargin
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * batch-prep pass, Karpukhin et al. arXiv:2004.04906 §3.2): for each
+    * anchor of the query sample, the k most-SIMILAR vectors with a
+    * DIFFERENT label — the negatives nearest the decision boundary are
+    * the informative ones; random negatives are trivially separable and
+    * teach nothing. Candidates come from the SAME shared LSH chain as
+    * q_ann_lsh ([[lshCandidateCtes]] — bucket population stays ~1024 at
+    * any N by the nbits sizing, so per-anchor work is constant-bounded),
+    * then the cross-label filter and exact cosine re-score run only on
+    * that candidate set. Every join is an equi-join on (table id,
+    * bucket) or vec_id; the per-anchor top-k is one partitioned window.
+    */
+  def hardNegativesFromSigSpark(k: Int): String =
+    s"""$sparkLshCtesFromSig,
+       |sims AS (SELECT c.qid, a.label AS q_label, c.cid, b.label AS n_label,
+       |                graft_cosine(a.embedding, b.embedding) AS cos
+       |         FROM cand c JOIN ann_sig a ON a.vec_id = c.qid
+       |                     JOIN ann_sig b ON b.vec_id = c.cid
+       |         WHERE a.label != b.label)
+       |SELECT qid, q_label, cid, n_label, ROUND(cos, 6) AS cos FROM (
+       |  SELECT qid, q_label, cid, n_label, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
+
+  def hardNegativesDuck(k: Int): String =
+    s"""WITH n AS (${nbitsSql(1)}),
+       |sig AS (SELECT vec_id, ${duckSig("embedding", tables(0))} AS s1,
+       |               ${duckSig("embedding", tables(1))} AS s2 FROM embeddings),
+       |e AS (SELECT vec_id, tid,
+       |             (CASE WHEN tid = 1 THEN s1 ELSE s2 END) & ((1 << (SELECT nbits FROM n)) - 1) AS bucket
+       |      FROM (SELECT vec_id, s1, s2, unnest([1, 2]) AS tid FROM sig) t),
+       |q AS (SELECT vec_id AS qid, tid, bucket FROM e WHERE vec_id % 50 = 0),
+       |probes AS (SELECT qid, tid,
+       |                  CASE WHEN i = 0 THEN bucket
+       |                       ELSE xor(bucket, 1 << (i - 1)) END AS pbucket
+       |           FROM (SELECT qid, tid, bucket, unnest(range(0, ${maxBits + 1})) AS i FROM q) t
+       |           WHERE i <= (SELECT nbits FROM n)),
+       |cand AS (SELECT DISTINCT p.qid, e.vec_id AS cid
+       |         FROM probes p JOIN e ON e.tid = p.tid AND e.bucket = p.pbucket AND e.vec_id != p.qid),
+       |sims AS (SELECT c.qid, a.label AS q_label, c.cid, b.label AS n_label,
+       |                ${duckCos("a.embedding", "b.embedding")} AS cos
+       |         FROM cand c JOIN embeddings a ON a.vec_id = c.qid
+       |                     JOIN embeddings b ON b.vec_id = c.cid
+       |         WHERE a.label != b.label)
+       |SELECT qid, q_label, cid, n_label, ROUND(cos, 6) AS cos FROM (
+       |  SELECT qid, q_label, cid, n_label, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM sims) t
+       |WHERE rn <= $k ORDER BY qid, cid""".stripMargin
+
   /** Structural-invariant audit (PlanAuditSpec): per-query candidate count
     * can never exceed (nbits+1) probes × numTables tables × the largest
     * bucket population — the bound that keeps the candidate join linear in

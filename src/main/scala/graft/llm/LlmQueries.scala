@@ -660,6 +660,16 @@ object LlmQueries {
         s.sql(AnnSql.lshTopKFromSigSpark(3))
       },
       Some(AnnSql.lshTopKDuck(3))),
+    // Hard-negative mining for contrastive training: per anchor, the k
+    // most-similar DIFFERENT-label vectors from the shared LSH candidate
+    // chain (AnnSql.hardNegativesFromSigSpark doc).
+    "q_ann_hard_negatives" -> QuerySpec(
+      (s, d) => {
+        registerSig(s, d)
+        s.sql(AnnSql.hardNegativesFromSigSpark(3))
+      },
+      Some(AnnSql.hardNegativesDuck(3))),
+
     "q_ann_ivf" -> QuerySpec(
       (s, d) => {
         Tables.registerAll(s, d)

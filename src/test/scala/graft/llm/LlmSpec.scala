@@ -133,6 +133,27 @@ class LlmSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("docs_pdedup")
   }
 
+  test("hard negatives recall the brute-force cross-label top-3 and never share the anchor label") {
+    val s = spark.newSession()
+    val got = graft.SparkEntry.queries("q_ann_hard_negatives")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, ql, _, nl) => assert(ql != nl, "a negative must be cross-label") }
+    val mined = got.map(r => (r._1, r._3)).toSet
+    graft.functions.GraftFunctions.register(s)
+    val brute = s.sql(
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT qid, cid FROM (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY q.qid
+        |           ORDER BY graft_cosine(q.qe, c.embedding) DESC, c.vec_id) AS rn
+        |  FROM q JOIN embeddings c ON c.vec_id != q.qid AND c.label != q.ql) t
+        |WHERE rn <= 3""".stripMargin).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val recall = brute.count(mined) / brute.length.toDouble
+    assert(recall >= 0.9, s"hard-negative recall $recall vs brute cross-label top-3")
+  }
+
   test("perceptron probe training: update rule exact on a separable pair; fixture signal learned") {
     import org.apache.spark.sql.functions._
     // Micro fixture: two origin-separable vectors along dim 0. Round 1
