@@ -1226,6 +1226,55 @@ object AnnSql {
   def coresetSpark(m: Int): String = coresetSql((a, b) => s"graft_cosine($a, $b)", m)
   def coresetDuck(m: Int): String = coresetSql(duckCos, m)
 
+  /** IVF index MAINTENANCE — hot-list split proposal: as a corpus grows
+    * or drifts, inverted lists skew, and a list holding ≫ N/nlist vectors
+    * degrades every query that probes it (per-probe work is the list
+    * length). This pass finds lists whose population exceeds 2× the
+    * nominal mean and runs one deterministic 2-means step inside each
+    * (seeds = the list's min- and max-vec_id members, each member joined
+    * to its nearer seed), reporting the split sizes — the cheap local
+    * re-cluster that fixes a hot list WITHOUT rebuilding the index
+    * (FAISS's add-with-split / DiskANN shard-split shape).
+    *
+    * Plan: ONE quantizer-assignment pass; list population and both seed
+    * vectors ride two windows over the same cent_id exchange (no
+    * self-join back onto the assignment — the seed vectors travel by
+    * FIRST_VALUE over (vec_id ASC / DESC)); the split-side test is a pure
+    * projection; corpus totals enter as scalar subqueries over the RAW
+    * table and the centroid CTE, never a second assignment pass. Output
+    * is integer counts ordered by cent_id.
+    */
+  private def listRebalanceSql(cosFn: (String, String) => String): String =
+    s"""WITH ${hierAsnCtes("embeddings", "embedding", cosFn, desc = true, p1 = 2)},
+       |asn AS (SELECT vec_id, v, cent_id FROM (
+       |  SELECT v.vec_id, v.v, a.cent_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${cosFn("v.v", "a.cv")} DESC, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1),
+       |m AS (SELECT vec_id, v, cent_id,
+       |             COUNT(*) OVER (PARTITION BY cent_id) AS pop,
+       |             FIRST_VALUE(vec_id) OVER wa AS seed1,
+       |             FIRST_VALUE(v) OVER wa AS sv1,
+       |             FIRST_VALUE(vec_id) OVER wd AS seed2,
+       |             FIRST_VALUE(v) OVER wd AS sv2
+       |      FROM asn
+       |      WINDOW wa AS (PARTITION BY cent_id ORDER BY vec_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       |             wd AS (PARTITION BY cent_id ORDER BY vec_id DESC
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |hot AS (SELECT * FROM m
+       |        WHERE pop * (SELECT COUNT(*) FROM c) > 2 * (SELECT COUNT(*) FROM embeddings)),
+       |sp AS (SELECT cent_id, pop, seed1, seed2,
+       |              CASE WHEN ${cosFn("v", "sv1")} >= ${cosFn("v", "sv2")}
+       |                   THEN 1 ELSE 0 END AS side
+       |       FROM hot)
+       |SELECT cent_id, MIN(pop) AS pop, MIN(seed1) AS seed1, MIN(seed2) AS seed2,
+       |       CAST(SUM(side) AS BIGINT) AS n1, CAST(SUM(1 - side) AS BIGINT) AS n2
+       |FROM sp GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
+  def listRebalanceSpark: String = listRebalanceSql((a, b) => s"graft_cosine($a, $b)")
+  def listRebalanceDuck: String = listRebalanceSql(duckCos)
+
   /** Near-duplicate pairs by cosine ≥ threshold. Blocking key = (label,
     * sign sub-bucket): the sub-bucket masks the table-1 signature to
     * `blockBits = clamp(ceil(log2(N / |labels| / targetBucket)), 0,

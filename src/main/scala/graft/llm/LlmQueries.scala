@@ -701,6 +701,16 @@ object LlmQueries {
       },
       Some(AnnSql.ivfHierTopKDuck(3))),
 
+    // IVF maintenance: hot-list detection + deterministic 2-means split
+    // proposal, one assignment pass + windows (AnnSql.listRebalanceSql doc).
+    "q_ann_list_rebalance" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.listRebalanceSpark)
+      },
+      Some(AnnSql.listRebalanceDuck)),
+
     // SemDeDup: cluster-then-prune semantic dedup (AnnSql.semDedupSql doc).
     "q_dedup_semantic" -> QuerySpec(
       (s, d) => {

@@ -133,6 +133,24 @@ class LlmSpec extends AnyFunSuite {
     } finally spark.catalog.dropTempView("docs_pdedup")
   }
 
+  test("list rebalance reports only genuinely hot lists and splits partition exactly") {
+    val s = spark.newSession()
+    val rows = graft.SparkEntry.queries("q_ann_list_rebalance")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty, "the fixture must produce at least one hot list")
+    val total = s.sql("SELECT COUNT(*) FROM embeddings").collect()(0).getLong(0)
+    // nominal list count = |centroids| with the same stride rule as the query
+    val nlist = s.sql(
+      """SELECT COUNT(*) FROM embeddings WHERE vec_id %
+        |  (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT)
+        |   FROM embeddings) = 0""".stripMargin).collect()(0).getLong(0)
+    rows.foreach { case (cid, pop, n1, n2) =>
+      assert(n1 + n2 == pop, s"list $cid: split $n1 + $n2 must partition pop $pop")
+      assert(n1 > 0 && n2 > 0, s"list $cid: both split halves must be non-empty")
+      assert(pop * nlist > 2 * total, s"list $cid: pop $pop is not hot (nlist $nlist, N $total)")
+    }
+  }
+
   test("hard negatives recall the brute-force cross-label top-3 and never share the anchor label") {
     val s = spark.newSession()
     val got = graft.SparkEntry.queries("q_ann_hard_negatives")(s, "/root/testdata/sf0.001")

@@ -35,6 +35,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_kmeans",          // broadcast CELL table only (two-level quantizer assignment)
     "q_ann_kmeans_sampled",  // broadcast centroid table; probe side is the bounded training sample
     "q_dedup_semantic",      // broadcast CELL table only (two-level quantizer assignment)
+    "q_ann_list_rebalance",  // broadcast CELL table only (two-level quantizer assignment)
     "q_sample_coreset",      // broadcast CELL table only (two-level quantizer assignment)
     "q_agg_hll_merge",       // single-row sketch-union join
     "q_dedup_band_tuning",   // single-row truth-count join onto the 3-row config rollup
