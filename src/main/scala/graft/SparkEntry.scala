@@ -43,6 +43,7 @@ object SparkEntry {
       graft.queries.SourceQueries.specs ++
       graft.queries.ExtraQueries.specs ++
       graft.queries.DepthQueries.specs ++
+      graft.queries.WarehouseQueries.specs ++
       graft.llm.LlmQueries.specs ++
       graft.llm.GraphRank.specs ++
       graft.llm.SearchRank.specs ++

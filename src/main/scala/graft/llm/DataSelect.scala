@@ -376,7 +376,64 @@ object DataSelect {
       | WHERE p.doc_id % 5 = 0
       |   AND COALESCE(cl.cluster_rep, p.doc_id) = p.doc_id) pool""".stripMargin
 
+  /** UniMax budget allocation ("UniMax: Fairer and More Effective Language
+    * Sampling for Large-Scale Multilingual Pretraining", Chung et al.,
+    * arXiv:2304.09151): distribute a token budget T across sources as
+    * UNIFORMLY as possible subject to a per-source epoch cap — each source
+    * contributes min(E·n_l, u*) tokens where the water level u* is the
+    * unique value making the total hit T. Temperature sampling
+    * (q_mix_temperature) still over-samples rare sources into many epochs;
+    * UniMax caps repetition at E epochs and spreads the surplus uniformly.
+    *
+    * The water-filling closed form: sort sources by cap ascending; the
+    * level candidate at rank i is u_i = (T − prefix_{i−1}) / (K − i + 1)
+    * (distribute what remains uniformly over the sources not yet fully
+    * capped); the first i with u_i < cap_i fixes u* = u_i; if no i
+    * qualifies the budget exceeds the total cap and every source
+    * contributes its cap.
+    *
+    * 100 TB shape: ONE map-side-combined aggregate over the corpus builds
+    * the K-row per-source count table; every subsequent step is a window
+    * over those K rows (no cross join, no second corpus pass). Integer
+    * token counts throughout; the only doubles are the shared-text
+    * FLOOR(x/y) divisions (exact for counts < 2^53 in both engines).
+    */
+  private val unimaxTail =
+    """caps AS (SELECT source, CAST(n AS BIGINT) AS n, CAST(2 * n AS BIGINT) AS cap FROM tok),
+      |w1 AS (SELECT source, n, cap,
+      |              CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+      |              SUM(cap) OVER (ORDER BY cap, source
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+      |              COUNT(*) OVER () AS k,
+      |              CAST(FLOOR(SUM(CAST(n AS DOUBLE)) OVER () * 0.3 + 0.5) AS BIGINT) AS t
+      |       FROM caps),
+      |w2 AS (SELECT source, n, cap, i, t,
+      |              CAST(FLOOR(GREATEST(CAST(0 AS DOUBLE),
+      |                                  CAST(t - (pre - cap) AS DOUBLE)) / (k - i + 1)) AS BIGINT) AS u
+      |       FROM w1),
+      |w3 AS (SELECT source, n, cap, u,
+      |              MIN(CASE WHEN u < cap THEN i END) OVER () AS istar, i
+      |       FROM w2),
+      |w4 AS (SELECT source, n, cap,
+      |              MAX(CASE WHEN i = istar THEN u END) OVER () AS ustar
+      |       FROM w3)
+      |SELECT source, n AS n_tokens, cap,
+      |       LEAST(cap, COALESCE(ustar, cap)) AS alloc,
+      |       CAST(FLOOR(CAST(LEAST(cap, COALESCE(ustar, cap)) AS DOUBLE) * 10000 / n + 0.5) AS BIGINT) AS epochs_bp
+      |FROM w4 ORDER BY source""".stripMargin
+
+  private def unimaxSpark: String =
+    s"""WITH tok AS (SELECT source, SUM(size(split(text, ' '))) AS n
+       |             FROM documents GROUP BY source),
+       |$unimaxTail""".stripMargin
+
+  private def unimaxDuck: String =
+    s"""WITH tok AS (SELECT source, SUM(len(string_split(text, ' '))) AS n
+       |             FROM documents GROUP BY source),
+       |$unimaxTail""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_mix_unimax" -> sql2(unimaxSpark, unimaxDuck),
     "q_select_dsir" -> sql2(dsirSpark(), dsirDuck()),
     "q_select_dsir_cluster" -> QuerySpec(
       (s, d) => {

@@ -222,6 +222,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("In(event_type"), "event-type filter must push into the scan")
   }
 
+  test("SCD2 reconstruction rides ONE key exchange, no history self-join (q_dim_scd2)") {
+    val p = plan("q_dim_scd2")
+    assert(!p.contains("Join"), s"SCD2 must be windows only, found a join:\n$p")
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (key) shared by compaction/collapse/interval windows, got $hashExchanges:\n$p")
+  }
+
+  test("range-partition planning broadcasts one cut array; no row expansion (q_layout_range_partition)") {
+    val p = plan("q_layout_range_partition")
+    // the fact side joins ONLY the single-row collected cut array (BNLJ on
+    // a 1-row side), never the 7-row bounds relation row-by-row
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // partition-id histogram aggregates map-side before the 8-group exchange
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
   test("snapshot diff is one equi full-outer join on doc_id (q_corpus_snapshot_diff)") {
     val p = plan("q_corpus_snapshot_diff")
     assert(!p.contains("CartesianProduct"))

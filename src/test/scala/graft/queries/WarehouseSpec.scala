@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Behavioral pins for the warehouse-maintenance operators — properties
+  * the DuckDB hash-compare can't state (interval algebra, balance bounds,
+  * water-filling feasibility).
+  */
+class WarehouseSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("q_dim_scd2: per key — contiguous intervals, one current row, no no-op versions") {
+    val out = rows("q_dim_scd2").map(r =>
+      (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2),
+        Option(r.getAs[java.time.LocalDateTime](3)), r.getInt(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (key, hist0) =>
+      val hist = hist0.sortBy(_._3.toString)
+      // exactly one open (current) interval, and it is the last one
+      assert(hist.count(_._4.isEmpty) == 1, s"key $key: open intervals != 1")
+      assert(hist.last._4.isEmpty, s"key $key: current row is not last")
+      assert(hist.forall(h => (h._5 == 1) == h._4.isEmpty))
+      // contiguity: valid_to of row i equals valid_from of row i+1
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"key $key: gap between versions")
+          // no-op collapse: consecutive versions must differ in the attribute
+          assert(a._2 != b._2, s"key $key: consecutive versions share attr ${a._2}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_dim_scd2 equals a brute per-key replay on a sliced subset") {
+    // independent oracle-of-the-oracle: replay the change stream per key in
+    // plain Scala and compare the version history
+    val spark2 = spark
+    val orders = Tables.orders(spark2, sf)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2), r.getString(3)))
+      .filter(_._1 % 10 == 0)
+    val expected = orders.groupBy(_._1).flatMap { case (key, evs) =>
+      val compacted = evs.groupBy(_._2).map { case (_, same) =>
+        same.maxBy(_._3) // highest seq wins per (key, ts)
+      }.toSeq.sortBy(_._2.toString)
+      val collapsed = compacted.foldLeft(List.empty[(java.time.LocalDateTime, String)]) {
+        case (acc, (_, ts, _, st)) =>
+          if (acc.headOption.exists(_._2 == st)) acc else (ts, st) :: acc
+      }.reverse
+      collapsed.zipWithIndex.map { case ((ts, st), i) =>
+        val to = collapsed.lift(i + 1).map(_._1)
+        (key, st, ts, to)
+      }
+    }.toSet
+    val got = rows("q_dim_scd2").map(r =>
+      (r.getLong(0), r.getString(1), r.getAs[java.time.LocalDateTime](2),
+        Option(r.getAs[java.time.LocalDateTime](3)))).toSet
+    assert(got == expected)
+  }
+
+  test("q_layout_range_partition: 8 ordered, non-overlapping, balanced partitions") {
+    val out = rows("q_layout_range_partition").map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == (0 until 8), "pids must be exactly 0..7")
+    // value ranges are ordered and non-overlapping
+    out.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"pid ${a._1} overlaps ${b._1}")
+      case _ => ()
+    }
+    // balance: the planned layout's largest partition is within 2x of the
+    // smallest — the property that makes the boundaries worth writing
+    val counts = out.map(_._2)
+    assert(counts.max <= 2 * counts.min,
+      s"unbalanced layout: ${counts.mkString(",")}")
+  }
+
+  test("q_mix_unimax: allocations respect caps and exhaust the budget (water-filling invariant)") {
+    val out = rows("q_mix_unimax").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalTokens = out.map(_._2).sum
+    val budget = math.floor(totalTokens * 0.3 + 0.5).toLong
+    val allocSum = out.map(_._4).sum
+    out.foreach { case (src, n, cap, alloc, epochsBp) =>
+      assert(cap == 2 * n)
+      assert(alloc <= cap, s"$src: alloc over the epoch cap")
+      assert(epochsBp <= 20000, s"$src: over 2 epochs")
+    }
+    if (out.forall(o => o._4 == o._3)) {
+      // budget exceeds total caps: everything capped is the right answer
+      assert(budget >= allocSum)
+    } else {
+      // budget binds: the water level exhausts it up to K integer-floor
+      // remainders, and uncapped sources all sit at the same level
+      assert(allocSum <= budget && budget - allocSum <= out.length,
+        s"alloc $allocSum vs budget $budget")
+      val uncapped = out.filter(o => o._4 < o._3).map(_._4)
+      assert(uncapped.distinct.length == 1,
+        s"uncapped sources must share the water level: ${uncapped.mkString(",")}")
+    }
+  }
+
+  test("q_mix_unimax: rarer sources get MORE epochs (the fairness property vs proportional)") {
+    val out = rows("q_mix_unimax").map(r => (r.getLong(1), r.getLong(4)))
+    out.sortBy(_._1).sliding(2).foreach {
+      case Array((nSmall, epSmall), (nBig, epBig)) if nSmall < nBig =>
+        assert(epSmall >= epBig,
+          s"source with $nSmall tokens got $epSmall bp but larger $nBig got $epBig")
+      case _ => ()
+    }
+  }
+}
