@@ -48,6 +48,7 @@ object SparkEntry {
       graft.llm.GraphRank.specs ++
       graft.llm.SearchRank.specs ++
       graft.llm.DataSelect.specs ++
+      graft.llm.TextIndex.specs ++
       graft.streaming.EventStream.specs
 
   /** One entry per implemented operator from SURVEY.md §2. */

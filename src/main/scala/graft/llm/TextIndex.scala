@@ -1,0 +1,162 @@
+package graft.llm
+
+import graft.queries.QuerySpec
+import graft.queries.QuerySpec.sql2
+
+/** Tokenizer-training and retrieval-index construction — the two
+  * text-side index artifacts an LLM data platform builds over a corpus:
+  *
+  *  - BPE merge training (Sennrich et al., "Neural Machine Translation of
+  *    Rare Words with Subword Units", arXiv:1508.07909 §3.2): learn merge
+  *    rules by repeatedly fusing the most frequent adjacent symbol pair,
+  *    with the reference algorithm's left-to-right non-overlapping
+  *    application — here two unrolled rounds over the word-TYPE table;
+  *  - inverted-index build with delta-encoded postings: per-term sorted
+  *    doc lists stored as gaps, plus the varint byte accounting that
+  *    decides whether the compressed index pays for itself.
+  *
+  * Scale design: BOTH operators run their heavy math on vocabulary-bounded
+  * tables. BPE's pair counting and merge application touch only the word
+  * TYPE table (distinct words x their character positions — constant in
+  * corpus size once the one corpus aggregate builds word counts; that
+  * aggregate is STAGED on the Spark side so Catalyst's CTE re-inlining can
+  * never multiply the corpus scan through the round chain — the
+  * q_embed_pca_project lesson). The inverted index shuffles the posting
+  * stream once by term; the per-term gap window IS the posting sort a
+  * real index write performs.
+  */
+object TextIndex {
+
+  /** Two unrolled BPE rounds over a staged word-type table `bpe_wt`
+    * (word, count). Each round: (1) weight adjacent symbol pairs by word
+    * frequency, (2) pick the max-count pair (count DESC, then pair — the
+    * deterministic tiebreak), (3) apply it left-to-right non-overlapping:
+    * consecutive matches (only possible when s1 = s2) group into runs and
+    * odd run positions merge — exactly reference BPE's scan order.
+    *
+    * Output: the learned merge per round with its count, plus the final
+    * symbol inventory — all vocabulary-bounded rows.
+    */
+  private def bpeRound(r: Int): String = {
+    val (prev, cur) = (s"s${r - 1}", s"s$r")
+    s"""p$r AS (SELECT a.s AS s1, b.s AS s2, SUM(a.c) AS cnt
+       |       FROM $prev a JOIN $prev b ON a.w = b.w AND b.rk = a.rk + 1
+       |       GROUP BY a.s, b.s),
+       |t$r AS (SELECT s1, s2, cnt FROM p$r ORDER BY cnt DESC, s1, s2 LIMIT 1),
+       |m$r AS (SELECT a.w, a.rk FROM $prev a
+       |        JOIN $prev b ON a.w = b.w AND b.rk = a.rk + 1
+       |        JOIN t$r t ON a.s = t.s1 AND b.s = t.s2),
+       |r$r AS (SELECT w, rk,
+       |               row_number() OVER (PARTITION BY w, grp ORDER BY rk) AS j
+       |        FROM (SELECT w, rk,
+       |                     rk - row_number() OVER (PARTITION BY w ORDER BY rk) AS grp
+       |              FROM m$r) z),
+       |a$r AS (SELECT w, rk FROM r$r WHERE j % 2 = 1),
+       |n$r AS (SELECT x.w, x.c, x.p,
+       |               CASE WHEN ap.rk IS NOT NULL THEN concat(x.s, nx.s) ELSE x.s END AS s
+       |        FROM $prev x
+       |        LEFT JOIN a$r ap ON x.w = ap.w AND x.rk = ap.rk
+       |        LEFT JOIN $prev nx ON x.w = nx.w AND nx.rk = x.rk + 1
+       |        LEFT JOIN a$r cons ON x.w = cons.w AND x.rk = cons.rk + 1
+       |        WHERE cons.rk IS NULL),
+       |$cur AS (SELECT w, c, p, s,
+       |               CAST(row_number() OVER (PARTITION BY w ORDER BY p) AS BIGINT) AS rk
+       |        FROM n$r)""".stripMargin
+  }
+
+  /** Shared round chain + output (dialect-free given an s0 symbol table). */
+  private val bpeTail =
+    s"""${bpeRound(1)},
+       |${bpeRound(2)}
+       |SELECT rnd, sym, cnt FROM (
+       |  SELECT 1 AS rnd, concat(s1, '|', s2) AS sym, CAST(cnt AS BIGINT) AS cnt FROM t1
+       |  UNION ALL
+       |  SELECT 2 AS rnd, concat(s1, '|', s2) AS sym, CAST(cnt AS BIGINT) AS cnt FROM t2
+       |  UNION ALL
+       |  SELECT 3 AS rnd, s AS sym, CAST(SUM(c) AS BIGINT) AS cnt FROM s2 GROUP BY s
+       |) u ORDER BY rnd, cnt DESC, sym""".stripMargin
+
+  private val bpeSparkChain =
+    s"""WITH s0 AS (SELECT w, c, i AS p, CAST(i AS BIGINT) AS rk, substr(w, i, 1) AS s
+       |            FROM bpe_wt LATERAL VIEW explode(sequence(1, length(w))) t AS i),
+       |$bpeTail""".stripMargin
+
+  private val bpeDuck =
+    s"""WITH wt AS (SELECT w, COUNT(*) AS c
+       |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |            GROUP BY w),
+       |s0 AS (SELECT w, c, i AS p, CAST(i AS BIGINT) AS rk, substr(w, i, 1) AS s
+       |       FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM wt) z),
+       |$bpeTail""".stripMargin
+
+  /** Inverted index with delta-encoded postings: per term — document
+    * frequency, total varint bytes for the gap-encoded posting list, the
+    * compression ratio vs raw 8-byte ids in basis points, and the first 8
+    * gaps (first posting stores its absolute id). The posting stream
+    * shuffles ONCE by term; the rank/gap windows ride that exchange (the
+    * window sort IS the posting-order sort an index write needs), and the
+    * per-term rollup is map-side combined.
+    */
+  private val invTail =
+    """g AS (SELECT term, doc_id,
+      |             doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS lgap,
+      |             CAST(row_number() OVER (PARTITION BY term ORDER BY doc_id) AS BIGINT) AS rk
+      |      FROM tok),
+      |e AS (SELECT term, rk, COALESCE(lgap, doc_id) AS gap FROM g)""".stripMargin
+
+  private val invOut =
+    """SELECT term, CAST(df AS BIGINT) AS df,
+      |       CAST(varint_bytes AS BIGINT) AS varint_bytes,
+      |       CAST(FLOOR(CAST(varint_bytes AS DOUBLE) * 10000 / (8 * df) + 0.5) AS BIGINT) AS bytes_vs_raw_bp,
+      |       head_gaps
+      |FROM v ORDER BY term""".stripMargin
+
+  private val varintCase =
+    """SUM(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+      |         WHEN gap < 2097152 THEN 3 ELSE 4 END)""".stripMargin
+
+  private val invSpark =
+    s"""WITH tok AS (SELECT DISTINCT t.word AS term, d.doc_id
+       |             FROM documents d LATERAL VIEW explode(split(d.text, ' ')) t AS word),
+       |$invTail,
+       |v AS (SELECT term, COUNT(*) AS df,
+       |             $varintCase AS varint_bytes,
+       |             slice(transform(array_sort(collect_list(struct(rk, gap))), x -> x.gap), 1, 8) AS head_gaps
+       |      FROM e GROUP BY term)
+       |$invOut""".stripMargin
+
+  private val invDuck =
+    s"""WITH tok AS (SELECT DISTINCT w AS term, doc_id
+       |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) z),
+       |$invTail,
+       |v AS (SELECT term, COUNT(*) AS df,
+       |             $varintCase AS varint_bytes,
+       |             list_slice(array_agg(gap ORDER BY rk), 1, 8) AS head_gaps
+       |      FROM e GROUP BY term)
+       |$invOut""".stripMargin
+
+  /** Spark-side BPE entry over any document frame with a `text` column.
+    * Stages the one corpus-sized aggregate (word types + counts) so the
+    * unrolled round chain — which references each symbol table several
+    * times — can never re-inline a corpus scan (the q_embed_pca_project
+    * CTE-re-inlining lesson). Exposed for the hand-computed TextIndexSpec
+    * micro-corpus check.
+    */
+  private[llm] def bpeFromDocs(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+      .createOrReplaceTempView("bpe_wt")
+    s.sql(bpeSparkChain)
+  }
+
+  val specs: Map[String, QuerySpec] = Map(
+    "q_text_bpe_train" -> QuerySpec(
+      (s, d) => bpeFromDocs(s, graft.queries.Tables.documents(s, d)),
+      Some(bpeDuck)),
+    "q_text_inverted_index" -> sql2(invSpark, invDuck)
+  )
+}
