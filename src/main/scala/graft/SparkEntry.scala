@@ -49,6 +49,7 @@ object SparkEntry {
       graft.llm.SearchRank.specs ++
       graft.llm.DataSelect.specs ++
       graft.llm.TextIndex.specs ++
+      graft.llm.GraphSearch.specs ++
       graft.streaming.EventStream.specs
 
   /** One entry per implemented operator from SURVEY.md §2. */

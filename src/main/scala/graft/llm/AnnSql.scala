@@ -1304,8 +1304,8 @@ object AnnSql {
     * a per-node window, and the mutual filter is a self equi-join on the
     * reversed pair — every step linear-shuffle at any N.
     */
-  def knnGraphFromSigSpark(k: Int): String =
-    s"""WITH n AS ($blockBitsSql),
+  private def knnCtesSpark(k: Int): String =
+    s"""n AS ($blockBitsSql),
        |e AS (SELECT vec_id, embedding, label,
        |             s1 & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
        |      FROM ann_sig),
@@ -1321,13 +1321,10 @@ object AnnSql {
        |tk AS (SELECT src, dst, cos FROM (
        |         SELECT src, dst, cos,
        |                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-       |         FROM p) t WHERE rn <= $k)
-       |SELECT a.src AS id1, a.dst AS id2, ROUND(a.cos, 6) AS cos
-       |FROM tk a JOIN tk b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
-       |ORDER BY id1, id2""".stripMargin
+       |         FROM p) t WHERE rn <= $k)""".stripMargin
 
-  def knnGraphDuck(k: Int): String =
-    s"""WITH n AS ($blockBitsSql),
+  private def knnCtesDuck(k: Int): String =
+    s"""n AS ($blockBitsSql),
        |e AS (SELECT vec_id, embedding, label,
        |             ${duckSig("embedding", tables(0))} & ((1 << (SELECT nbits FROM n)) - 1) AS bucket
        |      FROM embeddings),
@@ -1342,10 +1339,27 @@ object AnnSql {
        |tk AS (SELECT src, dst, cos FROM (
        |         SELECT src, dst, cos,
        |                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-       |         FROM p) t WHERE rn <= $k)
-       |SELECT a.src AS id1, a.dst AS id2, ROUND(a.cos, 6) AS cos
-       |FROM tk a JOIN tk b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
-       |ORDER BY id1, id2""".stripMargin
+       |         FROM p) t WHERE rn <= $k)""".stripMargin
+
+  private val knnMutualSelect =
+    """SELECT a.src AS id1, a.dst AS id2, ROUND(a.cos, 6) AS cos
+      |FROM tk a JOIN tk b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+      |ORDER BY id1, id2""".stripMargin
+
+  def knnGraphFromSigSpark(k: Int): String =
+    s"WITH ${knnCtesSpark(k)}\n$knnMutualSelect"
+
+  def knnGraphDuck(k: Int): String =
+    s"WITH ${knnCtesDuck(k)}\n$knnMutualSelect"
+
+  /** DIRECTED top-k edge list (the pre-mutual-filter kNN graph) — every
+    * node carries out-degree <= k, the structure graph-ROUTED search walks
+    * (mutual filtering prunes edges a greedy walk needs for reachability).
+    */
+  def knnDirectedSpark(k: Int): String =
+    s"WITH ${knnCtesSpark(k)}\nSELECT src, dst, cos FROM tk"
+
+  private[llm] def knnDirectedDuckCtes(k: Int): String = knnCtesDuck(k)
 
   def nearDupDuck(threshold: String): String =
     s"""WITH n AS ($blockBitsSql),

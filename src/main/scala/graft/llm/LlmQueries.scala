@@ -224,6 +224,21 @@ object LlmQueries {
       .createOrReplaceTempView("ann_sig")
   }
 
+  /** Staged DIRECTED kNN edge list (the persisted graph-index artifact
+    * graph-routed search walks) — built once per (session, dir) over the
+    * shared staged signatures and checkpointed, so the beam hops reference
+    * a materialized table instead of re-inlining the candidate chain.
+    */
+  private[llm] val knnEdgeCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame](8)
+
+  private[llm] def knnEdgesCached(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    knnEdgeCache.getOrElseUpdate((s, d)) {
+      registerSig(s, d)
+      s.sql(AnnSql.knnDirectedSpark(3)).localCheckpoint(true)
+    }
+
   /** Memoized persistent corpus index for incremental dedup (same
     * lifecycle pattern as sigCache / the MinHash pair memo).
     */

@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Recall + plan pins for graph-routed ANN search (q_ann_graph_search). */
+class GraphSearchSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private lazy val beam =
+    SparkEntry.queries("q_ann_graph_search")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+
+  private lazy val brute = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.queries.Tables.registerAll(spark, sf)
+    spark.sql(
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7)
+        |SELECT vec_id, graft_cosine(embedding, q.qe) AS cos
+        |FROM embeddings CROSS JOIN q WHERE vec_id != 7
+        |ORDER BY cos DESC, vec_id LIMIT 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+  }
+
+  test("beam search finds the EXACT top-1 and >= 2 of the brute top-3") {
+    assert(beam.head._2 == brute.head._1,
+      s"top-1: beam ${beam.head._2} vs brute ${brute.head._1}")
+    val overlap = beam.map(_._2).toSet.intersect(brute.map(_._1).toSet).size
+    assert(overlap >= 2, s"recall@3 too low: $overlap/3")
+  }
+
+  test("beam scores are exact cosines, strictly ranked, qid excluded") {
+    assert(beam.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(beam.forall(_._2 != 7L), "query vector must not return itself")
+    assert(beam.sliding(2).forall {
+      case Array(a, b) => a._3 >= b._3
+      case _ => true
+    })
+    // reported csim is the true cosine (rounded to 6), not a graph estimate
+    val bruteAll = spark.sql(
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7)
+        |SELECT vec_id, ROUND(graft_cosine(embedding, q.qe), 6) AS cos
+        |FROM embeddings CROSS JOIN q""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    beam.foreach { case (_, id, cs) => assert(cs == bruteAll(id), s"$id score drift") }
+  }
+
+  test("per-hop work is frontier x edges equi-joins; only the 1-row query nests") {
+    val df = SparkEntry.queries("q_ann_graph_search")(spark, sf)
+    val p = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the staged (checkpointed) edge table is scanned as-is; the LSH
+    // probe chain that BUILDS it must never re-derive inside the search
+    // plan (xxhash64 appears only in Spark's injected runtime bloom
+    // filters, so probe for the construction's shiftleft bucket masking)
+    assert(p.contains("Scan ExistingRDD"), "edges are not the staged table:\n" + p)
+    assert(!p.contains("shiftleft"), "edge construction leaked into the search plan:\n" + p)
+  }
+}
