@@ -108,8 +108,78 @@ object WarehouseQueries {
       |SELECT pid, COUNT(*) AS n_rows, MIN(cents) AS min_cents, MAX(cents) AS max_cents
       |FROM asn GROUP BY pid ORDER BY pid""".stripMargin
 
+  /** Per-user hourly time-series resampling with forward fill: aggregate
+    * purchases to hour bins, generate each user's COMPLETE hour spine
+    * between their first and last active hour (the missing-bin
+    * densification every feature/metrics pipeline needs before rolling
+    * computations), left-join the actuals back and forward-fill the last
+    * observed value across the gaps with an IGNORE NULLS running
+    * last_value.
+    *
+    * 100 TB shape: the bin aggregate map-side combines to (user, hour)
+    * cardinality; the spine generates at most span-hours rows per user
+    * from the K-row per-user min/max table (no calendar cross join); the
+    * fill window rides the same user_id partitioning as the spine join.
+    * Money forward-fills as integer cents (exact in any fold order).
+    */
+  private def resampleSql(epochUs: String, lastValIgnoreNulls: String) =
+    s"""WITH e AS (SELECT user_id,
+       |                 CAST(FLOOR($epochUs / 3600000000) AS BIGINT) AS hr,
+       |                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+       |          FROM events WHERE event_type = 'purchase'),
+       |b AS (SELECT user_id, hr, SUM(cents) AS cents, COUNT(*) AS n
+       |      FROM e GROUP BY user_id, hr),
+       |sp AS (SELECT user_id, SPINE_EXPR AS hr
+       |       FROM (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM b GROUP BY user_id) z),
+       |f AS (SELECT sp.user_id, sp.hr, b.cents, b.n
+       |      FROM sp LEFT JOIN b ON sp.user_id = b.user_id AND sp.hr = b.hr),
+       |fill AS (SELECT user_id, hr, COALESCE(n, 0) AS n_events, cents,
+       |                $lastValIgnoreNulls
+       |                  OVER (PARTITION BY user_id ORDER BY hr
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+       |         FROM f)
+       |SELECT user_id, hr, CAST(n_events AS BIGINT) AS n_events,
+       |       CAST(COALESCE(cents, 0) AS BIGINT) AS cents,
+       |       CAST(ff AS BIGINT) AS cents_ff
+       |FROM fill WHERE user_id % 5 = 0 ORDER BY user_id, hr""".stripMargin
+
+  private val resampleSpark =
+    resampleSql("unix_micros(CAST(ts AS TIMESTAMP))", "last_value(cents) IGNORE NULLS")
+      .replace("SPINE_EXPR", "explode(sequence(mn, mx))")
+
+  private val resampleDuck =
+    resampleSql("epoch_us(ts)", "last_value(cents IGNORE NULLS)")
+      .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")
+
+  /** Weekly cohort retention triangle: cohort = the user's first active
+    * week; cell (cohort, offset) counts distinct users from that cohort
+    * active offset weeks later, with retention in basis points against
+    * the cohort's own week-0 size. Two shuffles total (user_id for the
+    * cohort min, (cohort, offset) for the cell rollup); the week-0
+    * denominator arrives by a window over the tiny cell table, not a
+    * second scan.
+    */
+  private def retentionSql(epochUs: String) =
+    s"""WITH e AS (SELECT user_id,
+       |                 CAST(FLOOR($epochUs / 604800000000) AS BIGINT) AS wk
+       |          FROM events),
+       |coh AS (SELECT user_id, MIN(wk) AS cwk FROM e GROUP BY user_id),
+       |act AS (SELECT DISTINCT e.user_id, c.cwk, e.wk - c.cwk AS off
+       |        FROM e JOIN coh c ON e.user_id = c.user_id),
+       |g AS (SELECT cwk, off, COUNT(*) AS n_users FROM act GROUP BY cwk, off),
+       |r AS (SELECT cwk, off, n_users,
+       |             MAX(CASE WHEN off = 0 THEN n_users END) OVER (PARTITION BY cwk) AS n0
+       |      FROM g)
+       |SELECT cwk, CAST(off AS INT) AS wk_offset, CAST(n_users AS BIGINT) AS n_users,
+       |       CAST(FLOOR(n_users * 10000.0 / n0 + 0.5) AS BIGINT) AS retention_bp
+       |FROM r ORDER BY cwk, wk_offset""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_dim_scd2" -> sql(scd2),
-    "q_layout_range_partition" -> sql2(rangePartSpark, rangePartDuck)
+    "q_layout_range_partition" -> sql2(rangePartSpark, rangePartDuck),
+    "q_ts_resample_ffill" -> sql2(resampleSpark, resampleDuck),
+    "q_events_retention" -> sql2(
+      retentionSql("unix_micros(CAST(ts AS TIMESTAMP))"),
+      retentionSql("epoch_us(ts)"))
   )
 }

@@ -109,6 +109,46 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ts_resample_ffill: complete hour spine per user; fill carries the last observation") {
+    val out = rows("q_ts_resample_ffill").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (u, rs0) =>
+      val rs = rs0.sortBy(_._2)
+      // densification: no missing hour between the user's min and max
+      assert(rs.map(_._2).toSeq == (rs.head._2 to rs.last._2),
+        s"user $u: spine has gaps")
+      // endpoints carry data by construction
+      assert(rs.head._3 > 0 && rs.last._3 > 0, s"user $u: empty spine edge")
+      // forward fill: an observed bin fills with itself, a gap bin carries
+      // the most recent observed value
+      var last = rs.head._4
+      rs.foreach { case (_, hr, n, cents, ff) =>
+        if (n > 0) { assert(ff == cents, s"user $u hr $hr: observed bin ff != cents"); last = cents }
+        else assert(cents == 0 && ff == last, s"user $u hr $hr: fill broke")
+      }
+      // there IS something to fill on this fixture
+      assert(rs.exists(_._3 == 0), s"user $u: fixture has no gaps to fill")
+    }
+  }
+
+  test("q_events_retention: week-0 is 10000 bp and no cell exceeds its cohort") {
+    val out = rows("q_events_retention").map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (cwk, cells) =>
+      val base = cells.find(_._2 == 0).getOrElse(fail(s"cohort $cwk missing week 0"))
+      assert(base._4 == 10000L)
+      cells.foreach { c =>
+        assert(c._3 <= base._3, s"cohort $cwk offset ${c._2} exceeds cohort size")
+        assert(c._4 <= 10000L)
+      }
+    }
+    // cohort sums reconcile with the distinct-user universe
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.filter(_._2 == 0).map(_._3).sum == users)
+  }
+
   test("q_mix_unimax: rarer sources get MORE epochs (the fairness property vs proportional)") {
     val out = rows("q_mix_unimax").map(r => (r.getLong(1), r.getLong(4)))
     out.sortBy(_._1).sliding(2).foreach {
