@@ -64,10 +64,14 @@ object TextIndex {
        |        FROM n$r)""".stripMargin
   }
 
-  /** Shared round chain + output (dialect-free given an s0 symbol table). */
+  /** Shared round chain (dialect-free given an s0 symbol table). */
+  private val bpeRounds = s"${bpeRound(1)},\n${bpeRound(2)}"
+
+  /** Merge-training output: the learned rule per round + the resulting
+    * symbol inventory.
+    */
   private val bpeTail =
-    s"""${bpeRound(1)},
-       |${bpeRound(2)}
+    s"""$bpeRounds
        |SELECT rnd, sym, cnt FROM (
        |  SELECT 1 AS rnd, concat(s1, '|', s2) AS sym, CAST(cnt AS BIGINT) AS cnt FROM t1
        |  UNION ALL
@@ -76,18 +80,45 @@ object TextIndex {
        |  SELECT 3 AS rnd, s AS sym, CAST(SUM(c) AS BIGINT) AS cnt FROM s2 GROUP BY s
        |) u ORDER BY rnd, cnt DESC, sym""".stripMargin
 
-  private val bpeSparkChain =
-    s"""WITH s0 AS (SELECT w, c, i AS p, CAST(i AS BIGINT) AS rk, substr(w, i, 1) AS s
-       |            FROM bpe_wt LATERAL VIEW explode(sequence(1, length(w))) t AS i),
-       |$bpeTail""".stripMargin
+  /** Tokenizer APPLICATION output: per word type — its corpus count,
+    * character length, and encoded symbol count under the two learned
+    * merges, plus the corpus rollup (chars vs tokens and the compression
+    * in basis points). The encode itself IS the round chain's final
+    * symbol table; this output just accounts for it — per-word rows stay
+    * vocabulary-bounded, the corpus totals are exact integer sums.
+    */
+  private val bpeEncodeTail =
+    s"""$bpeRounds,
+       |enc AS (SELECT w, MIN(c) AS c, COUNT(*) AS n_sym FROM s2 GROUP BY w),
+       |base AS (SELECT w, length(w) AS n_char FROM bpe_wt),
+       |pw AS (SELECT enc.w, enc.c, base.n_char, enc.n_sym
+       |       FROM enc JOIN base ON enc.w = base.w)
+       |SELECT w, CAST(c AS BIGINT) AS n_occurrences,
+       |       CAST(n_char AS BIGINT) AS n_chars, CAST(n_sym AS BIGINT) AS n_tokens,
+       |       CAST(SUM(c * n_char) OVER () AS BIGINT) AS corpus_chars,
+       |       CAST(SUM(c * n_sym) OVER () AS BIGINT) AS corpus_tokens,
+       |       CAST(FLOOR(CAST(SUM(c * n_sym) OVER () AS DOUBLE) * 10000
+       |                  / CAST(SUM(c * n_char) OVER () AS DOUBLE) + 0.5) AS BIGINT) AS tokens_vs_chars_bp
+       |FROM pw ORDER BY w""".stripMargin
 
-  private val bpeDuck =
-    s"""WITH wt AS (SELECT w, COUNT(*) AS c
-       |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-       |            GROUP BY w),
-       |s0 AS (SELECT w, c, i AS p, CAST(i AS BIGINT) AS rk, substr(w, i, 1) AS s
-       |       FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM wt) z),
-       |$bpeTail""".stripMargin
+  private val bpeSparkS0 =
+    """s0 AS (SELECT w, c, i AS p, CAST(i AS BIGINT) AS rk, substr(w, i, 1) AS s
+      |       FROM bpe_wt LATERAL VIEW explode(sequence(1, length(w))) t AS i)""".stripMargin
+
+  private val bpeSparkChain = s"WITH $bpeSparkS0,\n$bpeTail"
+
+  private val bpeEncodeSparkChain = s"WITH $bpeSparkS0,\n$bpeEncodeTail"
+
+  private val bpeDuckCtes =
+    """bpe_wt AS (SELECT w, COUNT(*) AS c
+      |           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      |           GROUP BY w),
+      |s0 AS (SELECT w, c, i AS p, CAST(i AS BIGINT) AS rk, substr(w, i, 1) AS s
+      |       FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM bpe_wt) z)""".stripMargin
+
+  private val bpeDuck = s"WITH $bpeDuckCtes,\n$bpeTail"
+
+  private val bpeEncodeDuck = s"WITH $bpeDuckCtes,\n$bpeEncodeTail"
 
   /** Inverted index with delta-encoded postings: per term — document
     * frequency, total varint bytes for the gap-encoded posting list, the
@@ -142,21 +173,36 @@ object TextIndex {
     * CTE-re-inlining lesson). Exposed for the hand-computed TextIndexSpec
     * micro-corpus check.
     */
-  private[llm] def bpeFromDocs(
-      s: org.apache.spark.sql.SparkSession,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private def stageWt(
+      docs: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
       .createOrReplaceTempView("bpe_wt")
+  }
+
+  private[llm] def bpeFromDocs(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    stageWt(docs)
     s.sql(bpeSparkChain)
+  }
+
+  private[llm] def bpeEncodeFromDocs(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    stageWt(docs)
+    s.sql(bpeEncodeSparkChain)
   }
 
   val specs: Map[String, QuerySpec] = Map(
     "q_text_bpe_train" -> QuerySpec(
       (s, d) => bpeFromDocs(s, graft.queries.Tables.documents(s, d)),
       Some(bpeDuck)),
+    "q_text_bpe_encode" -> QuerySpec(
+      (s, d) => bpeEncodeFromDocs(s, graft.queries.Tables.documents(s, d)),
+      Some(bpeEncodeDuck)),
     "q_text_inverted_index" -> sql2(invSpark, invDuck)
   )
 }

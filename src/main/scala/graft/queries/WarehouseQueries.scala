@@ -174,9 +174,50 @@ object WarehouseQueries {
        |       CAST(FLOOR(n_users * 10000.0 / n0 + 0.5) AS BIGINT) AS retention_bp
        |FROM r ORDER BY cwk, wk_offset""".stripMargin
 
+  /** Rolling z-score anomaly detection over the per-user hourly purchase
+    * series: each bin scores against the mean/std of its TRAILING 24
+    * observed bins (current row excluded — the classic self-exclusion that
+    * keeps a spike from masking itself), flagged at |z| >= 3 with an
+    * 8-observation warm-up and a zero-variance guard.
+    *
+    * Determinism: the window maintains integer COUNT/SUM/SUM-of-squares in
+    * cents (exact in any fold order; cents² stays far under 2^53); the
+    * z-score numerator n·x − s is integer; only the final
+    * SQRT/divide/FLOOR run in doubles — the same IEEE ops in the same
+    * order in both engines (the q_embed_snapshot_drift discipline). All
+    * three windows ride ONE user_id exchange.
+    */
+  private def anomalySql(epochUs: String) =
+    s"""WITH e AS (SELECT user_id,
+       |                 CAST(FLOOR($epochUs / 3600000000) AS BIGINT) AS hr,
+       |                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+       |          FROM events WHERE event_type = 'purchase'),
+       |b AS (SELECT user_id, hr, SUM(cents) AS cents FROM e GROUP BY user_id, hr),
+       |w AS (SELECT user_id, hr, cents,
+       |             COUNT(*) OVER wnd AS n,
+       |             SUM(cents) OVER wnd AS s,
+       |             SUM(cents * cents) OVER wnd AS s2
+       |      FROM b
+       |      WINDOW wnd AS (PARTITION BY user_id ORDER BY hr
+       |                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+       |z AS (SELECT user_id, hr, cents, n,
+       |             CASE WHEN n >= 8 AND n * s2 - s * s > 0
+       |                  THEN CAST(FLOOR(CAST(n * cents - s AS DOUBLE)
+       |                                  / (n * SQRT(CAST(n * s2 - s * s AS DOUBLE)
+       |                                              / (n * (n - 1.0)))) * 100 + 0.5) AS BIGINT)
+       |                  END AS z_bp
+       |      FROM w)
+       |SELECT user_id, hr, CAST(cents AS BIGINT) AS cents,
+       |       CAST(n AS BIGINT) AS n_window, z_bp,
+       |       CAST(CASE WHEN z_bp IS NOT NULL AND ABS(z_bp) >= 300 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+       |FROM z WHERE user_id % 5 = 0 ORDER BY user_id, hr""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_dim_scd2" -> sql(scd2),
     "q_layout_range_partition" -> sql2(rangePartSpark, rangePartDuck),
+    "q_ts_anomaly_zscore" -> sql2(
+      anomalySql("unix_micros(CAST(ts AS TIMESTAMP))"),
+      anomalySql("epoch_us(ts)")),
     "q_ts_resample_ffill" -> sql2(resampleSpark, resampleDuck),
     "q_events_retention" -> sql2(
       retentionSql("unix_micros(CAST(ts AS TIMESTAMP))"),

@@ -26,6 +26,24 @@ class TextIndexSpec extends AnyFunSuite {
       (3, "ab", 3L), (3, "c", 2L), (3, "d", 2L), (3, "a", 1L), (3, "aa", 1L)))
   }
 
+  test("BPE encode: per-word token counts reconcile and merges strictly compress") {
+    val out = SparkEntry.queries("q_text_bpe_encode")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    val (chars, toks, bp) = (out.head._5, out.head._6, out.head._7)
+    out.foreach { case (w, _, nChar, nSym, c2, t2, b2) =>
+      assert(nSym <= nChar, s"$w: encode grew the word")
+      assert(nSym >= 1)
+      assert((c2, t2, b2) == (chars, toks, bp), s"$w: rollup columns differ across rows")
+    }
+    assert(out.map(o => o._2 * o._3).sum == chars)
+    assert(out.map(o => o._2 * o._4).sum == toks)
+    assert(toks < chars, "two merges must compress this corpus")
+    assert(bp == math.floor(toks.toDouble * 10000 / chars + 0.5).toLong)
+  }
+
   test("inverted index: gaps reconstruct the first postings; df matches distinct docs") {
     val out = SparkEntry.queries("q_text_inverted_index")(spark, sf)
       .collect()

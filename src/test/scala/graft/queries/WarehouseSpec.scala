@@ -132,6 +132,33 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ts_anomaly_zscore: warm-up respected and z matches a Scala replay") {
+    val out = rows("q_ts_anomaly_zscore").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getInt(5)))
+    assert(out.nonEmpty)
+    assert(out.exists(_._5.isDefined), "no scored rows on this fixture")
+    out.groupBy(_._1).foreach { case (u, rs0) =>
+      val rs = rs0.sortBy(_._2)
+      rs.zipWithIndex.foreach { case ((_, hr, cents, n, zbp, flag), i) =>
+        val window = rs.slice(math.max(0, i - 24), i).map(_._3)
+        assert(n == window.length, s"user $u hr $hr: window count")
+        if (n < 8) assert(zbp.isEmpty, s"user $u hr $hr: scored inside warm-up")
+        zbp.foreach { z =>
+          val nn = window.length.toDouble
+          val s = window.sum.toDouble
+          val s2 = window.map(c => c * c).sum.toDouble
+          val variance = (nn * s2 - s * s) / (nn * (nn - 1.0))
+          val expect = math.floor(
+            (nn * cents - s) / (nn * math.sqrt(variance)) * 100 + 0.5).toLong
+          assert(z == expect, s"user $u hr $hr: z $z vs $expect")
+          assert((flag == 1) == (math.abs(z) >= 300))
+        }
+        if (zbp.isEmpty) assert(flag == 0)
+      }
+    }
+  }
+
   test("q_events_retention: week-0 is 10000 bp and no cell exceeds its cohort") {
     val out = rows("q_events_retention").map(r =>
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
