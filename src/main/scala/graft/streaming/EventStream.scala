@@ -161,6 +161,28 @@ object EventStream {
       (s, d) => VectorIngest.assignIngest(s, d, VectorIngest.buildIndex(s, d)),
       VectorIngest.oracleSql),
 
+    // Streaming quantile sketch: per-event-type 64-bucket value histogram
+    // in bounded GroupState, re-emitting p50/p90/p99 bucket estimates each
+    // batch — the live percentile monitor an ops pipeline keeps over an
+    // unbounded stream. Histogram increments COMMUTE, so the final sketch
+    // (and its quantile read-off) is invariant to micro-batch chopping and
+    // equals the batch closed form exactly.
+    "q_stream_quantile_sketch" -> QuerySpec.df(
+      (s, d) => quantileSketchCounts(s, d),
+      """WITH e AS (SELECT event_type,
+        |                 LEAST(63, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT)) AS b
+        |          FROM events),
+        |h AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY event_type, b),
+        |cum AS (SELECT event_type, b,
+        |               SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |               SUM(c) OVER (PARTITION BY event_type) AS n
+        |        FROM h)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |       CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN b END) AS INT) AS p50_b,
+        |       CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN b END) AS INT) AS p90_b,
+        |       CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN b END) AS INT) AS p99_b
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // Session windows (12h gap); oracle = gaps-and-islands over the batch
     // table. Spark's session_window is half-open [start, last_ts + gap), so
     // an event exactly 12h after its predecessor starts a NEW session — the
@@ -622,6 +644,62 @@ object EventStream {
     runToTable(updates, "update")
       .groupBy("user_id").agg(max(col("n")).as("n"))
       .orderBy("user_id")
+  }
+
+  /** Streaming quantile sketch: a fixed 64-bucket histogram of the value
+    * column per event_type, maintained in GroupState (bounded: 64 longs
+    * per key, regardless of stream length — the mergeable-summary
+    * discipline of a production percentile monitor), with p50/p90/p99
+    * bucket indices re-derived from the sketch on every batch. The
+    * quantile rule is the exact integer form `smallest b with
+    * 100·cum(b) >= q·n`, so the final emission equals the batch closed
+    * form bit-for-bit; histogram increments commute, making the result
+    * invariant to how the stream chops into micro-batches.
+    */
+  def quantileSketchCounts(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchFrom(spark, stage(spark, dir), Map.empty)
+
+  /** Source-path variant: StreamRecoverySpec drives it with
+    * maxFilesPerTrigger=1 over a multi-file copy to pin that micro-batch
+    * chopping cannot change the sketch.
+    */
+  private[streaming] def quantileSketchFrom(
+      spark: SparkSession, staged: String, opts: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val schema = spark.read.parquet(staged).schema
+    val sketched = spark.readStream
+      .schema(schema)
+      .options(opts)
+      .parquet(staged)
+      .selectExpr("event_type",
+        "LEAST(63, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS INT)) AS b")
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[(String, Int)], state: GroupState[Seq[Long]]) =>
+          val h = state.getOption.map(_.toArray).getOrElse(Array.fill(64)(0L))
+          rows.foreach { case (_, b) => h(b) += 1 }
+          state.update(h.toIndexedSeq)
+          val n = h.sum
+          def pct(q: Long): Int = {
+            var cum = 0L
+            var i = 0
+            while (i < 64 && cum * 100 < q * n) { cum += h(i); i += 1 }
+            math.max(0, i - 1)
+          }
+          (et, n, pct(50), pct(90), pct(99))
+      }
+      .toDF("event_type", "n", "p50_b", "p90_b", "p99_b")
+    // Update mode re-emits the sketch read-off per batch; n is strictly
+    // increasing, so the max-n row is the final state.
+    runToTable(sketched, "update")
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("p50_b"), col("p90_b"), col("p99_b"))).as("x"))
+      .selectExpr("event_type", "x.n AS n",
+        "CAST(x.p50_b AS INT) AS p50_b", "CAST(x.p90_b AS INT) AS p90_b",
+        "CAST(x.p99_b AS INT) AS p99_b")
+      .orderBy("event_type")
   }
 
   /** Multi-row custom state (flatMapGroupsWithState): per-user MILESTONE

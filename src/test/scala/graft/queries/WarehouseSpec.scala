@@ -12,7 +12,11 @@ import graft.TestSpark
 class WarehouseSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
-  private lazy val spark = TestSpark.spark
+  // own session: the service-replay suites register an in-memory `orders`
+  // temp view on the shared session, and registerAll's per-(session, dir)
+  // guard would then leave it shadowing the fixture table (the hazard
+  // GlobalPlanSweepSpec documents)
+  private lazy val spark = TestSpark.spark.newSession()
 
   private def rows(name: String) =
     SparkEntry.queries(name)(spark, sf).collect()

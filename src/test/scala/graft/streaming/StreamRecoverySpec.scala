@@ -413,4 +413,39 @@ class StreamRecoverySpec extends AnyFunSuite {
       EventStream.releaseStateStores(spark)
     }
   }
+
+  test("quantile sketch is invariant to micro-batch chopping and equals the batch closed form") {
+    val chopped = freshDir("qsketch").resolve("events").toString
+    graft.queries.Tables.events(spark, sf).repartition(3)
+      .write.mode("overwrite").parquet(chopped)
+    assert(new java.io.File(chopped).listFiles().count(_.getName.startsWith("part-")) == 3)
+    // 3 files x maxFilesPerTrigger=1 => 3 micro-batches through the state
+    val choppedOut = EventStream
+      .quantileSketchFrom(spark, chopped, Map("maxFilesPerTrigger" -> "1"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val oneShot = EventStream.quantileSketchCounts(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(choppedOut.toSeq == oneShot.toSeq,
+      "micro-batch chopping changed the sketch")
+    // batch closed form inside Spark (independent of the DuckDB oracle);
+    // own view name: the shared session's `events` may be shadowed by a
+    // service-replay suite's in-memory view
+    graft.queries.Tables.events(spark, sf).createOrReplaceTempView("qsketch_events")
+    val batch = spark.sql(
+      """WITH e AS (SELECT event_type,
+        |                 LEAST(63, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT)) AS b
+        |          FROM qsketch_events),
+        |h AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY event_type, b),
+        |cum AS (SELECT event_type, b,
+        |               SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+        |               SUM(c) OVER (PARTITION BY event_type) AS n
+        |        FROM h)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |       CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN b END) AS INT) AS p50_b,
+        |       CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN b END) AS INT) AS p90_b,
+        |       CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN b END) AS INT) AS p99_b
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(oneShot.toSeq == batch.toSeq)
+  }
 }
