@@ -41,12 +41,15 @@ object GraphSearch {
     * this corpus. Per-hop state stays bounded at |labels| x W rows.
     */
   private def beamCtes(cosFn: (String, String) => String): String = {
+    // ONE frontier reference per hop: the edge table carries self-loops
+    // (see knnEdgesCached), so "keep the frontier ∪ expand its out-edges"
+    // is a single equi-join — a second `FROM f_{r-1}` branch would make
+    // Catalyst re-inline the whole frontier subtree 2^hops times
+    // (measured 6.4 s vs 2.6 s for the linear chain at sf0.1).
     val hopCtes = (1 to hops).map { r =>
       val prev = s"f${r - 1}"
-      s"""h$r AS (SELECT DISTINCT vec_id FROM (
-         |  SELECT vec_id FROM $prev
-         |  UNION ALL
-         |  SELECT g.dst AS vec_id FROM $prev JOIN g_edges g ON g.src = $prev.vec_id) u),
+      s"""h$r AS (SELECT DISTINCT g.dst AS vec_id
+         |        FROM $prev JOIN g_edges g ON g.src = $prev.vec_id),
          |s$r AS (SELECT h.vec_id, e.label, ${cosFn("e.embedding", "q.qe")} AS cos
          |        FROM h$r h JOIN embeddings e ON h.vec_id = e.vec_id CROSS JOIN q
          |        WHERE h.vec_id != $qid),
@@ -77,7 +80,9 @@ object GraphSearch {
 
   private def duckSql: String =
     s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
-       |g_edges AS (SELECT src, dst FROM tk),
+       |g_edges AS (SELECT src, dst FROM tk
+       |            UNION ALL
+       |            SELECT vec_id AS src, vec_id AS dst FROM embeddings),
        |${beamCtes(AnnSql.duckCos)}
        |$beamOut""".stripMargin
 

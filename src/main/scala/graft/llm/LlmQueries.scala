@@ -236,7 +236,13 @@ object LlmQueries {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     knnEdgeCache.getOrElseUpdate((s, d)) {
       registerSig(s, d)
-      s.sql(AnnSql.knnDirectedSpark(3)).localCheckpoint(true)
+      // self-loops let a beam hop keep its frontier through the SAME
+      // equi-join that expands it — one frontier reference per hop
+      // instead of a UNION branch Catalyst would re-inline 2^hops times
+      s.sql(AnnSql.knnDirectedSpark(3))
+        .unionByName(Tables.embeddings(s, d)
+          .selectExpr("vec_id AS src", "vec_id AS dst", "CAST(1.0 AS DOUBLE) AS cos"))
+        .localCheckpoint(true)
     }
 
   /** Memoized persistent corpus index for incremental dedup (same
