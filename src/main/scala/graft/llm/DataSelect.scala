@@ -432,7 +432,42 @@ object DataSelect {
        |             FROM documents GROUP BY source),
        |$unimaxTail""".stripMargin
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): each item
+    * draws u ∈ (0,1) and keys on u^(1/w) — the k LARGEST keys are an
+    * exact weighted sample without replacement. Ranking by
+    * −ln(u)/w ASCENDING is the same order in exponential-race form and
+    * keeps the arithmetic in one LN + one divide. This is THE
+    * distributed one-pass weighted sampler (no sequential reservoir —
+    * every item keys independently, top-k merges associatively), here
+    * with weight = document length in characters.
+    *
+    * 100 TB shape: one pruned scan + TakeOrdered (per-partition heap,
+    * k-row driver merge). Determinism: u derives from a 24-bit md5 slice
+    * of doc_id; the key FLOORs to integer nano-units before ranking, ties
+    * break on doc_id.
+    */
+  private def weightedSampleSql(md5Big: String): String =
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |                 ($md5Big + 0.5) / 16777216.0 AS u
+       |          FROM documents WHERE n_chars > 0),
+       |k AS (SELECT doc_id, n_chars,
+       |             CAST(FLOOR(-LN(u) / n_chars * 1000000000 + 0.5) AS BIGINT) AS key_ns
+       |      FROM d),
+       |sel AS (SELECT doc_id, n_chars, key_ns FROM k
+       |        ORDER BY key_ns, doc_id LIMIT 50)
+       |SELECT CAST(row_number() OVER (ORDER BY key_ns, doc_id) AS INT) AS rk,
+       |       doc_id, CAST(n_chars AS BIGINT) AS weight, key_ns
+       |FROM sel ORDER BY rk""".stripMargin
+
+  private val weightedSampleSpark = weightedSampleSql(
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)")
+
+  private val weightedSampleDuck = weightedSampleSql(
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT")
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_sample_weighted" -> sql2(weightedSampleSpark, weightedSampleDuck),
     "q_mix_unimax" -> sql2(unimaxSpark, unimaxDuck),
     "q_select_dsir" -> sql2(dsirSpark(), dsirDuck()),
     "q_select_dsir_cluster" -> QuerySpec(
