@@ -114,6 +114,48 @@ object WindowQueries {
     // gap-fill primitive for sparse event attributes. Spark puts IGNORE
     // NULLS after the call, DuckDB inside the argument list; values match
     // exactly.
+    // QUALIFY parity: DuckDB filters on a window result inline; Spark
+    // lacks the clause, so the engine-side form is the standard derived-
+    // table emulation — one answer from the two formulations.
+    "q_win_qualify" -> sql2(
+      """SELECT c_mktsegment, c_custkey, bal_cents, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+        |         CAST(rank() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 2 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+      """SELECT c_mktsegment, c_custkey,
+        |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+        |       CAST(rank() OVER (PARTITION BY c_mktsegment
+        |                         ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+        |FROM customer QUALIFY rnk <= 2
+        |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin),
+
+    // Frame-EXCLUDE parity: DuckDB's EXCLUDE CURRENT ROW; Spark lacks the
+    // modifier, so the engine computes the full ±3 frame and subtracts the
+    // current row — the peer-average shape (leave-one-out smoothing).
+    // Integer cents keep both engines' sums exact.
+    "q_win_exclude_current" -> sql2(
+      """SELECT o_custkey, o_orderkey,
+        |       CAST((SUM(cents) OVER w) - cents AS BIGINT) AS peer_cents,
+        |       CAST((COUNT(*) OVER w) - 1 AS BIGINT) AS peer_n
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders) t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS peer_cents,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS peer_n
+        |FROM (SELECT o_custkey, o_orderkey,
+        |             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |      FROM orders) t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
     "q_win_ignore_nulls" -> sql2(
       """SELECT o_custkey, o_orderkey,
         |last_value(NULLIF(o_orderpriority, '1-URGENT')) IGNORE NULLS
