@@ -1122,6 +1122,21 @@ object AnnSql {
       elem: (String, String) => String,
       zeros: String,
       dimFrom: String => String,
+      pack: String): String =
+    s"WITH ${probeTrainCtes(table, quant, dotFn, elem, zeros, dimFrom, pack)}\nSELECT j, wj FROM w3 ORDER BY j"
+
+  /** The training chain WITHOUT the WITH prefix/final select, for
+    * composition (the learned reranker splices it next to a retrieval
+    * chain; CTE names e/a0-a3/m1-3/u1-3/w1-3 are disjoint from the
+    * BM25/RRF chain's).
+    */
+  private def probeTrainCtes(
+      table: String,
+      quant: String,
+      dotFn: (String, String) => String,
+      elem: (String, String) => String,
+      zeros: String,
+      dimFrom: String => String,
       pack: String): String = {
     val rounds = (1 to 3).map { t =>
       s"""m$t AS (SELECT e.y, e.x, a.warr,
@@ -1137,11 +1152,19 @@ object AnnSql {
          |       FROM u$t),
          |a$t AS (SELECT $pack AS warr FROM w$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT CASE WHEN label = 1 THEN 1 ELSE -1 END AS y, $quant AS x FROM $table),
+    s"""e AS (SELECT CASE WHEN label = 1 THEN 1 ELSE -1 END AS y, $quant AS x FROM $table),
        |a0 AS (SELECT $zeros AS warr),
-       |$rounds
-       |SELECT j, wj FROM w3 ORDER BY j""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private[llm] def probeTrainCtesDuck(table: String = "embeddings"): String = probeTrainCtes(
+    table,
+    kmQ,
+    (a, b) => s"list_dot_product($a, $b)",
+    (arr, j) => s"$arr[$j + 1]",
+    s"list_transform(range($dim), x -> CAST(0 AS DOUBLE))",
+    src => s"FROM (SELECT y, x, warr, mis, unnest(range(0, $dim)) AS j FROM $src) z",
+    "list(CAST(wj AS DOUBLE) ORDER BY j)")
 
   def probeTrainSpark(table: String = "embeddings"): String = probeTrainSql(
     table,

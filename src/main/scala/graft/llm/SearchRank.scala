@@ -290,17 +290,20 @@ object SearchRank {
     * double on both engines (a bare 1.0 is DECIMAL in DuckDB, and
     * DECIMAL/INT division would diverge from Spark's double division).
     */
-  private def rrfFuse: String =
+  private def rrfF: String =
     """f AS (SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
       |             ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + b.r), 0)
       |                   + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0), 6) AS rrf,
       |             COALESCE(b.r, -1) AS bm25_rank, COALESCE(v.r, -1) AS vec_rank
       |      FROM (SELECT * FROM br WHERE r <= 50) b
-      |      FULL JOIN (SELECT * FROM vr WHERE r <= 50) v ON b.doc_id = v.doc_id)
-      |SELECT rk, doc_id, rrf, bm25_rank, vec_rank FROM (
-      |  SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk,
-      |         doc_id, rrf, bm25_rank, vec_rank FROM f) t
-      |WHERE rk <= 20 ORDER BY rk""".stripMargin
+      |      FULL JOIN (SELECT * FROM vr WHERE r <= 50) v ON b.doc_id = v.doc_id)""".stripMargin
+
+  private def rrfFuse: String =
+    s"""$rrfF
+       |SELECT rk, doc_id, rrf, bm25_rank, vec_rank FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk,
+       |         doc_id, rrf, bm25_rank, vec_rank FROM f) t
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
 
   private def rankCte: String =
     """br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS INT) AS r FROM sc),
@@ -443,7 +446,78 @@ object SearchRank {
        |$rankCte,
        |$rrfFuse""".stripMargin
 
+  /** Learned reranking over hybrid retrieval (the two-stage serving
+    * pattern: cheap candidate generation, learned scorer on the short
+    * list — Karpukhin et al. arXiv:2004.04906 serve DPR this way): the
+    * RRF-fused top-20 reranks by the averaged-perceptron probe's logit
+    * ⟨w, x⟩ over the candidate's quantized embedding. The probe weights
+    * are the EXACT training output of q_embed_probe_train (Spark stages
+    * them as the persisted 64-row model artifact a serving tier loads;
+    * DuckDB re-derives the bit-identical trajectory inline), so the
+    * rerank scores are integers and the final order is exact in both
+    * engines. Per-query rerank work is |candidates| = 20 dot products —
+    * constant, whatever the corpus size.
+    */
+  private def rerankTail: String =
+    """fused AS (SELECT doc_id, rrf, rrf_rk FROM (
+      |  SELECT doc_id, rrf,
+      |         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rrf_rk
+      |  FROM f) t WHERE rrf_rk <= 20),
+      |rr AS (SELECT fu.doc_id, fu.rrf, fu.rrf_rk,
+      |              CAST(DOT_EXPR AS BIGINT) AS logit
+      |       FROM fused fu JOIN embeddings em ON fu.doc_id = em.vec_id
+      |       CROSS JOIN pw)
+      |SELECT CAST(row_number() OVER (ORDER BY logit DESC, doc_id) AS INT) AS rk,
+      |       doc_id, logit, rrf, rrf_rk
+      |FROM rr ORDER BY rk""".stripMargin
+
+  private def rerankSparkSql: String =
+    s"""WITH w AS (SELECT doc_id, word FROM documents
+       |           LATERAL VIEW explode(split(text, ' ')) t AS word),
+       |$bm25Body,
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |vs AS (SELECT c.vec_id AS doc_id,
+       |              ROUND(${AnnSql.sparkCos("qv.qe", "c.embedding")}, 6) AS csim
+       |       FROM qv JOIN embeddings c ON c.vec_id != 0),
+       |$rankCte,
+       |$rrfF,
+       |pw AS (SELECT transform(array_sort(collect_list(struct(j, wj))),
+       |                        s -> CAST(s.wj AS DOUBLE)) AS warr
+       |       FROM probe_w),
+       |${rerankTail.replace("DOT_EXPR",
+            s"graft_dot_d(${AnnSql.kmQSpark.replace("embedding", "em.embedding")}, pw.warr)")}""".stripMargin
+
+  private def rerankDuckSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |$bm25Body,
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |vs AS (SELECT c.vec_id AS doc_id,
+       |              ROUND(${AnnSql.duckCos("qv.qe", "c.embedding")}, 6) AS csim
+       |       FROM qv JOIN embeddings c ON c.vec_id != 0),
+       |$rankCte,
+       |$rrfF,
+       |${AnnSql.probeTrainCtesDuck()},
+       |pw AS (SELECT list(CAST(wj AS DOUBLE) ORDER BY j) AS warr FROM w3),
+       |${rerankTail.replace("DOT_EXPR",
+            s"list_dot_product(${AnnSql.kmQ.replace("embedding", "em.embedding")}, pw.warr)")}""".stripMargin
+
+  /** Staged probe-weight artifact, memoized per (session, dir) — the
+    * 64-row trained model a serving tier would load once.
+    */
+  private val probeWCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame](8)
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_search_rerank_probe" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        probeWCache.getOrElseUpdate((s, d)) {
+          s.sql(AnnSql.probeTrainSpark()).localCheckpoint(true)
+        }.createOrReplaceTempView("probe_w")
+        s.sql(rerankSparkSql)
+      },
+      Some(rerankDuckSql)),
     "q_dedup_substring" -> sql2(substringSparkSql(), substringDuckSql),
     "q_dedup_substring_clean" -> sql2(substringCleanSparkSql(), substringCleanDuckSql),
     "q_text_bm25" -> sql2(bm25SparkSql(), bm25DuckSql),

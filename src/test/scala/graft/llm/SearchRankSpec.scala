@@ -272,4 +272,30 @@ class SearchRankSpec extends AnyFunSuite {
     val scores = rows.map(_.getDouble(2)).toSeq
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("learned rerank: same candidate set as hybrid top-20, exact logits, a real reorder") {
+    val s2 = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    val rr = graft.SparkEntry.queries("q_search_rerank_probe")(s2, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val hy = graft.SparkEntry.queries("q_search_hybrid_rrf")(s2, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // stage 1 is candidate generation: the rerank must score EXACTLY the
+    // fused top-20, never widen or narrow it
+    assert(rr.map(_._2).toSet == hy.map(_._2).toSet)
+    assert(rr.map(x => x._5 -> x._2).toMap == hy.map(x => x._1 -> x._2).toMap,
+      "rrf_rk column must reproduce the hybrid ranking")
+    // logits are the real probe scores: recompute one candidate's dot
+    graft.functions.GraftFunctions.register(s2)
+    graft.queries.Tables.registerAll(s2, sf)
+    val w = s2.sql(AnnSql.probeTrainSpark()).collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    val someDoc = rr.head._2
+    val x = s2.sql(s"SELECT transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) FROM embeddings WHERE vec_id = $someDoc")
+      .collect().head.getSeq[Long](0)
+    val expect = x.zipWithIndex.map { case (v, j) => v * w(j.toLong) }.sum
+    assert(rr.head._3 == expect, s"logit ${rr.head._3} vs replayed $expect")
+    // the reranker must actually CHANGE the order on this fixture
+    assert(rr.exists(x => x._1 != x._5), "rerank is a no-op reorder")
+  }
 }

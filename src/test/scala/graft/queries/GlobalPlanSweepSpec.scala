@@ -42,6 +42,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_embed_probe_train",   // 1-row weight-array broadcast per training round
     "q_graph_pagerank",      // single-row teleport-quantum join; rank x edges is equi (GraphRankSpec pins)
     "q_search_hybrid_rrf",   // single-row query-vector broadcast (1 x N scoring branch)
+    "q_search_rerank_probe", // 1-row query-vector + 1-row packed-weight broadcasts; candidates join equi
     "q_search_hybrid_ivf",   // broadcast CELL table only (two-level quantizer vector branch)
     "q_text_unigram_logprob", // broadcast unigram LM (vocabulary-bounded)
     "q_select_dsir",         // single-row corpus-total joins + <=128-row score table
