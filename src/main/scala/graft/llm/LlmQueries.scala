@@ -1957,6 +1957,59 @@ object LlmQueries {
         |       CAST(MIN(CASE WHEN i = w * h * 3 - 1 THEN b END) AS INT) AS pxn
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
 
+    // REAL PNG decode: 8-bit truecolor PNGs constructed IN-ENGINE as
+    // valid byte streams — signature, IHDR, one IDAT whose zlib stream
+    // uses a STORED deflate block (the only deflate form SQL can emit)
+    // with a CORRECT Adler-32 computed by an integer fold over the
+    // scanline stream (filter bytes included in the positional weights),
+    // and IEND. Multimodal.decodePng then runs a REAL zlib INFLATE
+    // (java.util.zip verifies the Adler-32 — a one-byte fixture error
+    // fails loudly) plus full None/Sub/Up/Average/Paeth unfiltering
+    // (filtered + Deflater-compressed PNGs are pinned in PngDecodeSpec,
+    // where Scala can emit dynamic-Huffman streams SQL cannot). Stats
+    // check against the oracle's closed form over the pixel formula.
+    "q_multimodal_png_decode" -> df(
+      (s, d) => Multimodal.pngStats(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .selectExpr("doc_id",
+            "CAST(4 + (doc_id DIV 10) % 5 AS INT) AS w",
+            "CAST(3 + (doc_id DIV 10) % 4 AS INT) AS h")
+          .selectExpr("doc_id", "w", "h",
+            "CAST(h * (3 * w + 1) AS BIGINT) AS n")
+          .selectExpr("doc_id", "w", "h", "n",
+            """aggregate(sequence(0, w * h * 3 - 1),
+              |  named_struct('a', CAST(1 AS BIGINT), 'b', n),
+              |  (acc, i) -> named_struct(
+              |    'a', acc.a + pmod(doc_id * 23 + i * 29, 256),
+              |    'b', acc.b + (n - (CAST(i DIV (3 * w) AS BIGINT) * (3 * w + 1) + 1 + i % (3 * w)))
+              |                 * pmod(doc_id * 23 + i * 29, 256))) AS ab""".stripMargin)
+          .selectExpr("doc_id",
+            """concat(
+              |  unhex('89504E470D0A1A0A'),
+              |  unhex(concat('0000000D49484452', lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'),
+              |               '0802000000', '00000000')),
+              |  unhex(concat(lpad(hex(11 + n), 8, '0'), '49444154', '7801', '01',
+              |               lpad(hex(n % 256), 2, '0'), lpad(hex(n DIV 256), 2, '0'),
+              |               lpad(hex(255 - n % 256), 2, '0'), lpad(hex(255 - n DIV 256), 2, '0'),
+              |               aggregate(transform(sequence(0, CAST(n AS INT) - 1),
+              |                 s -> CASE WHEN s % (3 * w + 1) = 0 THEN '00'
+              |                           ELSE lpad(hex(pmod(doc_id * 23 + (s - s DIV (3 * w + 1) - 1) * 29, 256)), 2, '0') END),
+              |                 '', (a, x) -> concat(a, x)),
+              |               lpad(hex(ab.b % 65521), 4, '0'), lpad(hex(ab.a % 65521), 4, '0'),
+              |               '00000000')),
+              |  unhex('0000000049454E4400000000')) AS payload""".stripMargin)),
+      """WITH p AS (SELECT doc_id, 4 + (doc_id // 10) % 5 AS w, 3 + (doc_id // 10) % 4 AS h
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |v AS (SELECT doc_id, w, h, i, (doc_id * 23 + i * 29) % 256 AS b
+        |      FROM (SELECT doc_id, w, h, unnest(range(0, CAST(w * h * 3 AS INT))) AS i FROM p) z)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(SUM(CASE WHEN i % 3 = 0 THEN b END) AS BIGINT) AS sum_r,
+        |       CAST(SUM(CASE WHEN i % 3 = 1 THEN b END) AS BIGINT) AS sum_g,
+        |       CAST(SUM(CASE WHEN i % 3 = 2 THEN b END) AS BIGINT) AS sum_b,
+        |       CAST(MIN(CASE WHEN i = 0 THEN b END) AS INT) AS px0,
+        |       CAST(MIN(CASE WHEN i = w * h * 3 - 1 THEN b END) AS INT) AS pxn
+        |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
+
     // REAL grayscale decode: P5 PGM payloads (identical header grammar to
     // P6, ONE byte per pixel) constructed in-engine with their own pixel
     // formula, decoded executor-side by the shared binary-PNM parser
