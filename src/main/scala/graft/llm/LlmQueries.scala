@@ -2122,8 +2122,9 @@ object LlmQueries {
         |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
 
     // GENERIC multimodal decode: a mixed-format corpus (every media doc's
-    // format chosen by (doc_id DIV 10) % 4 — P6 PPM / PCM WAV / 24-bit BMP
-    // / raw bytes) is sniffed by magic and routed to the REAL parsers;
+    // format chosen by (doc_id DIV 10) % 6 — P6 PPM / PCM WAV / 24-bit BMP
+    // / raw bytes / P5 PGM / truecolor PNG) is sniffed by magic and
+    // routed to the REAL parsers;
     // only the raw branch (standing in for codec-bound formats like JPEG)
     // runs the declared byte-stats stub. The oracle recomputes every
     // format's decoded stats from the construction's closed form — a
@@ -2134,7 +2135,7 @@ object LlmQueries {
       s"""$mixedMediaOracleCtes,
         |img AS (SELECT doc_id, SUM((doc_id * 7 + i * 13) % 256) AS csum
         |        FROM (SELECT doc_id, unnest(range(0, CAST(w * h * 3 AS INT))) AS i
-        |              FROM mm_par WHERE fmt IN (0, 2)) z
+        |              FROM mm_par WHERE fmt IN (0, 2, 5)) z
         |        GROUP BY doc_id),
         |aud AS (SELECT doc_id, SUM(ABS(((doc_id * 31 + i * 17) % 4096) - 2048)) AS csum
         |        FROM (SELECT doc_id, unnest(range(0, CAST(n * ch AS INT))) AS i
@@ -2145,19 +2146,20 @@ object LlmQueries {
         |              FROM mm_par WHERE fmt = 4) z
         |        GROUP BY doc_id)
         |SELECT p.doc_id,
-        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' WHEN 4 THEN 'pgm' ELSE 'raw' END AS format,
-        |       CAST(CASE WHEN p.fmt IN (0, 2, 4) THEN p.w ELSE -1 END AS INT) AS width,
-        |       CAST(CASE WHEN p.fmt IN (0, 2, 4) THEN p.h ELSE -1 END AS INT) AS height,
-        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN 3 WHEN p.fmt = 1 THEN p.ch WHEN p.fmt = 4 THEN 1 ELSE -1 END AS INT) AS channels,
-        |       CAST(CASE WHEN p.fmt IN (0, 2, 4) THEN p.w * p.h
+        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' WHEN 4 THEN 'pgm' WHEN 5 THEN 'png' ELSE 'raw' END AS format,
+        |       CAST(CASE WHEN p.fmt IN (0, 2, 4, 5) THEN p.w ELSE -1 END AS INT) AS width,
+        |       CAST(CASE WHEN p.fmt IN (0, 2, 4, 5) THEN p.h ELSE -1 END AS INT) AS height,
+        |       CAST(CASE WHEN p.fmt IN (0, 2, 5) THEN 3 WHEN p.fmt = 1 THEN p.ch WHEN p.fmt = 4 THEN 1 ELSE -1 END AS INT) AS channels,
+        |       CAST(CASE WHEN p.fmt IN (0, 2, 4, 5) THEN p.w * p.h
         |                 WHEN p.fmt = 1 THEN p.n * p.ch
         |                 ELSE $mmRawLenDuck END AS BIGINT) AS n_units,
         |       CAST(CASE WHEN p.fmt = 0 THEN $mmPpmLenDuck
         |                 WHEN p.fmt = 1 THEN 44 + p.n * p.ch * 2
         |                 WHEN p.fmt = 2 THEN $mmBmpLenDuck
         |                 WHEN p.fmt = 4 THEN $mmPgmLenDuck
+        |                 WHEN p.fmt = 5 THEN 68 + p.h * (3 * p.w + 1)
         |                 ELSE $mmRawLenDuck END AS INT) AS payload_bytes,
-        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN i.csum
+        |       CAST(CASE WHEN p.fmt IN (0, 2, 5) THEN i.csum
         |                 WHEN p.fmt = 1 THEN a.csum
         |                 WHEN p.fmt = 4 THEN g.csum
         |                 ELSE length(p.text) - length(replace(p.text, ' ', '')) END AS BIGINT) AS checksum
@@ -2178,7 +2180,7 @@ object LlmQueries {
         |      FROM (SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c
         |            FROM (SELECT doc_id, w, h, x, unnest(range(0, 12)) AS y
         |                  FROM (SELECT doc_id, w, h, unnest(range(0, 16)) AS x
-        |                        FROM mm_par WHERE fmt IN (0, 2)) z1) z2) z3),
+        |                        FROM mm_par WHERE fmt IN (0, 2, 5)) z1) z2) z3),
         |r AS (SELECT doc_id, SUM((doc_id * 7 + i * 13) % 256) AS csum
         |      FROM g GROUP BY doc_id),
         |g2 AS (SELECT doc_id, (((y * h) // 12) * w + ((x * w) // 16)) AS i
@@ -2188,19 +2190,21 @@ object LlmQueries {
         |r2 AS (SELECT doc_id, SUM((doc_id * 7 + i * 13) % 256) AS csum
         |       FROM g2 GROUP BY doc_id)
         |SELECT p.doc_id,
-        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' WHEN 4 THEN 'pgm' ELSE 'raw' END AS format,
+        |       CASE p.fmt WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'bmp' WHEN 4 THEN 'pgm' WHEN 5 THEN 'png' ELSE 'raw' END AS format,
         |       CAST(CASE WHEN p.fmt = 0 THEN $mmPpmLenDuck
         |                 WHEN p.fmt = 1 THEN 44 + p.n * p.ch * 2
         |                 WHEN p.fmt = 2 THEN $mmBmpLenDuck
         |                 WHEN p.fmt = 4 THEN $mmPgmLenDuck
+        |                 WHEN p.fmt = 5 THEN 68 + p.h * (3 * p.w + 1)
         |                 ELSE $mmRawLenDuck END AS INT) AS src_bytes,
         |       16 AS target_w, 12 AS target_h,
         |       CAST(CASE WHEN p.fmt = 0 THEN 13 + 16 * 12 * 3
         |                 WHEN p.fmt = 2 THEN 54 + 48 * 12
         |                 WHEN p.fmt = 4 THEN 13 + 16 * 12
+        |                 WHEN p.fmt = 5 THEN 68 + 12 * (3 * 16 + 1)
         |                 WHEN p.fmt = 1 THEN LEAST(44 + p.n * p.ch * 2, 3)
         |                 ELSE LEAST($mmRawLenDuck, 3) END AS BIGINT) AS resized_bytes,
-        |       CAST(CASE WHEN p.fmt IN (0, 2) THEN r.csum
+        |       CAST(CASE WHEN p.fmt IN (0, 2, 5) THEN r.csum
         |                 WHEN p.fmt = 4 THEN r2.csum
         |                 ELSE -1 END AS BIGINT) AS checksum
         |FROM mm_par p LEFT JOIN r ON p.doc_id = r.doc_id
@@ -2263,10 +2267,10 @@ object LlmQueries {
     Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
       .selectExpr("doc_id", "text", "doc_id DIV 10 AS q")
       .selectExpr("doc_id", "text",
-        "CAST(q % 5 AS INT) AS fmt",
-        "CAST(4 + (q DIV 5) % 5 AS INT) AS w",
-        "CAST(3 + (q DIV 5) % 4 AS INT) AS h",
-        "CAST(1 + (q DIV 5) % 2 AS INT) AS ch",
+        "CAST(q % 6 AS INT) AS fmt",
+        "CAST(4 + (q DIV 6) % 5 AS INT) AS w",
+        "CAST(3 + (q DIV 6) % 4 AS INT) AS h",
+        "CAST(1 + (q DIV 6) % 2 AS INT) AS ch",
         "CAST(16 + doc_id % 17 AS INT) AS n")
       .selectExpr("doc_id",
         s"""CASE fmt
@@ -2301,6 +2305,22 @@ object LlmQueries {
            |  encode(concat('P5\\n', CAST(w AS STRING), ' ', CAST(h AS STRING), '\\n255\\n'), 'UTF-8'),
            |  unhex(aggregate(transform(sequence(0, w * h - 1),
            |    i -> lpad(hex(pmod(doc_id * 7 + i * 13, 256)), 2, '0')), '', (a, x) -> concat(a, x))))
+           |WHEN 5 THEN concat(
+           |  unhex('89504E470D0A1A0A'),
+           |  unhex(concat('0000000D49484452', lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0802000000', '00000000')),
+           |  unhex(concat(lpad(hex(11 + h * (3 * w + 1)), 8, '0'), '49444154', '7801', '01',
+           |    lpad(hex((h * (3 * w + 1)) % 256), 2, '0'), lpad(hex((h * (3 * w + 1)) DIV 256), 2, '0'),
+           |    lpad(hex(255 - (h * (3 * w + 1)) % 256), 2, '0'), lpad(hex(255 - (h * (3 * w + 1)) DIV 256), 2, '0'),
+           |    aggregate(transform(sequence(0, h * (3 * w + 1) - 1),
+           |      s -> CASE WHEN s % (3 * w + 1) = 0 THEN '00'
+           |                ELSE lpad(hex(pmod(doc_id * 7 + (s - s DIV (3 * w + 1) - 1) * 13, 256)), 2, '0') END),
+           |      '', (a, x) -> concat(a, x)),
+           |    lpad(hex(pmod(CAST(h * (3 * w + 1) AS BIGINT) + aggregate(sequence(0, w * h * 3 - 1), CAST(0 AS BIGINT),
+           |      (acc, i) -> acc + (h * (3 * w + 1) - (CAST(i DIV (3 * w) AS BIGINT) * (3 * w + 1) + 1 + i % (3 * w))) * pmod(doc_id * 7 + i * 13, 256)), 65521)), 4, '0'),
+           |    lpad(hex(pmod(1 + aggregate(sequence(0, w * h * 3 - 1), CAST(0 AS BIGINT),
+           |      (acc, i) -> acc + pmod(doc_id * 7 + i * 13, 256)), 65521)), 4, '0'),
+           |    '00000000')),
+           |  unhex('0000000049454E4400000000'))
            |ELSE encode(concat('RAW:', text), 'UTF-8')
            |END AS payload""".stripMargin)
   }
@@ -2320,9 +2340,9 @@ object LlmQueries {
   private def mixedMediaOracleCtes: String =
     """WITH mm_base AS (SELECT doc_id, text, doc_id // 10 AS q
       |                 FROM documents WHERE doc_id % 10 = 0),
-      |mm_par AS (SELECT doc_id, text, CAST(q % 5 AS INT) AS fmt,
-      |                  4 + (q // 5) % 5 AS w, 3 + (q // 5) % 4 AS h,
-      |                  1 + (q // 5) % 2 AS ch, 16 + doc_id % 17 AS n
+      |mm_par AS (SELECT doc_id, text, CAST(q % 6 AS INT) AS fmt,
+      |                  4 + (q // 6) % 5 AS w, 3 + (q // 6) % 4 AS h,
+      |                  1 + (q // 6) % 2 AS ch, 16 + doc_id % 17 AS n
       |           FROM mm_base)""".stripMargin
 
   // closed-form payload byte lengths per format (DuckDB dialect)

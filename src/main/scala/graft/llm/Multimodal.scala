@@ -457,6 +457,9 @@ object Multimodal {
     b.length >= 2 && b(0) == 'P' && b(1) == '6'
   private def isPgm(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'P' && b(1) == '5'
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
   private def isBmp(b: Array[Byte]): Boolean =
     b.length >= 2 && b(0) == 'B' && b(1) == 'M'
   private def isWav(b: Array[Byte]): Boolean =
@@ -509,6 +512,10 @@ object Multimodal {
           val img = orThrow(decodeBmp(bytes))
           DecodedMedia(id, "bmp", img.width, img.height, 3,
             img.width.toLong * img.height, bytes.length, sumBytes(img.pixels))
+        } else if (isPng(bytes)) {
+          val img = orThrow(decodePng(bytes))
+          DecodedMedia(id, "png", img.width, img.height, 3,
+            img.width.toLong * img.height, bytes.length, sumBytes(img.pixels))
         } else if (isWav(bytes)) {
           val wav = orThrow(decodeWav(bytes))
           var sumAbs = 0L
@@ -549,6 +556,13 @@ object Multimodal {
   def bmpEncodedLength(tw: Int, th: Int): Long =
     54L + (((tw * 3 + 3) / 4) * 4).toLong * th
 
+  /** Byte length of a STORED-deflate truecolor PNG re-encode (the
+    * deterministic encoding this engine emits): signature 8 + IHDR 25 +
+    * IDAT (8 + 11 + scanline stream + 4) + IEND 12.
+    */
+  def pngEncodedLength(tw: Int, th: Int): Long =
+    68L + th.toLong * (3L * tw + 1)
+
   /** Generic resize over a (doc_id, payload) binary column: PPM and BMP
     * payloads run the REAL decode → nearest-neighbor resample
     * ([[resizePpmNearest]]) → re-encode-length accounting; audio and
@@ -579,6 +593,11 @@ object Multimodal {
           val out = resized(orThrow(decodeBmp(bytes)))
           ResizedAny(id, "bmp", bytes.length, tw, th,
             bmpEncodedLength(tw, th), sumBytes(out.pixels))
+        } else if (isPng(bytes)) {
+          val png = orThrow(decodePng(bytes))
+          val out = resized(PpmImage(png.width, png.height, 255, png.pixels))
+          ResizedAny(id, "png", bytes.length, tw, th,
+            pngEncodedLength(tw, th), sumBytes(out.pixels))
         } else {
           val fmt = if (isWav(bytes)) "wav" else "raw"
           ResizedAny(id, fmt, bytes.length, tw, th,
