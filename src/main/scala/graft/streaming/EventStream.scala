@@ -161,6 +161,20 @@ object EventStream {
       (s, d) => VectorIngest.assignIngest(s, d, VectorIngest.buildIndex(s, d)),
       VectorIngest.oracleSql),
 
+    // Spark 4 transformWithState (the new arbitrary-state API): per-user
+    // top-3 purchase amounts in one typed ValueState tuple — bounded
+    // per-key state, commutative merge (batch-chop invariant), RocksDB
+    // state store. Oracle = the batch ranked-window closed form.
+    "q_stream_top_purchases" -> QuerySpec.df(
+      (s, d) => topPurchasesCounts(s, d),
+      """WITH e AS (SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        |          FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, cents,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY cents DESC) AS rk
+        |      FROM e)
+        |SELECT user_id, CAST(rk AS INT) AS rk, cents FROM r WHERE rk <= 3
+        |ORDER BY user_id, rk""".stripMargin),
+
     // Streaming quantile sketch: per-event-type 64-bucket value histogram
     // in bounded GroupState, re-emitting p50/p90/p99 bucket estimates each
     // batch — the live percentile monitor an ops pipeline keeps over an
@@ -700,6 +714,84 @@ object EventStream {
         "CAST(x.p50_b AS INT) AS p50_b", "CAST(x.p90_b AS INT) AS p90_b",
         "CAST(x.p99_b AS INT) AS p99_b")
       .orderBy("event_type")
+  }
+
+  /** Spark 4 `transformWithState` processor: per-user top-3 purchase
+    * amounts in a single typed ValueState tuple (n_seen, top1..top3) —
+    * bounded state per key, and the top-3-of-a-multiset merge commutes,
+    * so the final emission is invariant to micro-batch chopping and
+    * equals the batch window closed form. This is the NEW arbitrary-state
+    * API (SPARK-40434, the mapGroupsWithState successor): typed state
+    * handles acquired in init() from the processor handle, TTL-capable,
+    * RocksDB-backed.
+    */
+  private class TopPurchasesProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Int, Long)] {
+    private val Min = Long.MinValue
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("top3",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Int, Long)] = {
+      var (n, a, b, c) = Option(st.get()).getOrElse((0L, Min, Min, Min))
+      rows.foreach { case (_, v) =>
+        n += 1
+        if (v >= a) { c = b; b = a; a = v }
+        else if (v >= b) { c = b; b = v }
+        else if (v > c) c = v
+      }
+      st.update((n, a, b, c))
+      Seq((key, n, 1, a), (key, n, 2, b), (key, n, 3, c))
+        .filter(_._4 != Min).iterator
+    }
+  }
+
+  /** Replay purchases through [[TopPurchasesProcessor]]; update-mode
+    * re-emits each key's current top-3 per batch with a monotone n_seen,
+    * so the max-n_seen row per (user, rank) is the final state.
+    * transformWithState requires the RocksDB state store; the provider is
+    * pinned for the stream's session capture and restored after.
+    */
+  def topPurchasesCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stage(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tops = spark.readStream
+        .schema(schema)
+        .parquet(staged)
+        .where("event_type = 'purchase'")
+        .selectExpr("user_id", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents")
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new TopPurchasesProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n_seen", "rk", "cents")
+      runToTable(tops, "update")
+        .groupBy("user_id", "rk")
+        .agg(max(struct(col("n_seen"), col("cents"))).as("x"))
+        .selectExpr("user_id", "CAST(rk AS INT) AS rk", "x.cents AS cents")
+        .orderBy("user_id", "rk")
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
   }
 
   /** Multi-row custom state (flatMapGroupsWithState): per-user MILESTONE
