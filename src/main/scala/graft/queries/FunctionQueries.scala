@@ -199,6 +199,48 @@ object FunctionQueries {
 
     // JSON extraction from events.props (not in DataFusion core 53 —
     // SURVEY §2.B.8 marks it an extension; Spark ships it built-in).
+    // Spark 4 VARIANT type (the semi-structured column format): parse the
+    // JSON props column into VARIANT once and extract typed fields with
+    // variant_get — the open-schema ingestion path Spark 4 added for
+    // exactly this events-with-loose-props shape. DuckDB oracle reads the
+    // same fields through its JSON extraction; a missing path must come
+    // back NULL (counted), not error.
+    "q_fn_variant" -> sql2(
+      """WITH v AS (SELECT event_type,
+        |                 variant_get(parse_json(props), '$.k', 'bigint') AS k,
+        |                 variant_get(try_parse_json(props), '$.missing', 'bigint') AS miss
+        |          FROM events)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+        |       CAST(SUM(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH v AS (SELECT event_type,
+        |                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |                 CAST(json_extract_string(props, '$.missing') AS BIGINT) AS miss
+        |          FROM events)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+        |       CAST(SUM(CASE WHEN miss IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Lateral column aliases: a select-list expression referencing an
+    // alias defined EARLIER in the same list (Spark 3.4+/DuckDB both
+    // support it) — one shared text, the chained-derivation idiom that
+    // otherwise forces nested subqueries.
+    "q_select_lateral_alias" -> sql2(
+      """SELECT o_orderkey,
+        |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |       cents DIV 100 AS dollars,
+        |       dollars % 10 AS last_digit
+        |FROM orders WHERE o_orderkey % 25 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey,
+        |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |       cents // 100 AS dollars,
+        |       dollars % 10 AS last_digit
+        |FROM orders WHERE o_orderkey % 25 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
     "q_fn_json" -> sql2(
       """SELECT event_id, CAST(get_json_object(props, '$.k') AS INT) AS k, event_type
         |FROM events WHERE event_id % 17 = 0 ORDER BY event_id""".stripMargin,
