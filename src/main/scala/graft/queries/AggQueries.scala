@@ -105,6 +105,21 @@ object AggQueries {
         |1 AS hll_ok, 1 AS pct_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // SQL-standard ordered-set aggregates: PERCENTILE_CONT / PERCENTILE_DISC
+    // WITHIN GROUP (ORDER BY ...) — one shared text; inputs quantize to
+    // integer cents first so both engines interpolate over the identical
+    // integer-valued doubles (a + f·(b − a) is then the same IEEE op), and
+    // the display ROUNDs to 4 places.
+    "q_agg_percentile_within" -> sql(
+      """SELECT o_orderpriority,
+        |  ROUND(percentile_cont(0.25) WITHIN GROUP (
+        |    ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)), 4) AS p25,
+        |  ROUND(percentile_cont(0.9) WITHIN GROUP (
+        |    ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)), 4) AS p90,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (
+        |    ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS p50_disc
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     "q_agg_median" -> sql2(
       """SELECT l_returnflag, ROUND(median(l_quantity), 4) AS med_qty,
         |ROUND(percentile(l_quantity, 0.25), 4) AS q25,
