@@ -466,7 +466,53 @@ object DataSelect {
   private val weightedSampleDuck = weightedSampleSql(
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT")
 
+  /** Curriculum ordering + quality-weighted upsampling: score every
+    * document (distinct-word ratio in basis points — the Gopher-style
+    * repetition signal), split each source into terciles, then (a) order
+    * training easy→hard (highest-quality tercile is phase 3, the classic
+    * anneal-to-quality curriculum — FineWeb/OLMo-style "best data last")
+    * and (b) give better terciles more epochs (3/2/1) by exploding an
+    * epoch index — the repetition-aware upsampling a token-starved run
+    * applies to its best data.
+    *
+    * 100 TB shape: one corpus scan computes the per-doc score (array ops,
+    * no shuffle), the tercile windows shuffle by source only (the
+    * q_text_ppl_bucket discipline — never an unpartitioned corpus-wide
+    * sort), and the epoch explode fans each row <= 3x. Determinism:
+    * integer bp scores, tie-break on doc_id, fixed tercile→(phase,
+    * epochs) map.
+    */
+  private val currTail =
+    """t AS (SELECT doc_id, source, bp,
+      |             ntile(3) OVER (PARTITION BY source ORDER BY bp, doc_id) AS tr
+      |      FROM q),
+      |ph AS (SELECT doc_id, source, bp,
+      |              CAST(tr AS INT) AS phase,
+      |              CAST(tr AS INT) AS n_epochs
+      |       FROM t)
+      |SELECT doc_id, source, bp, phase, n_epochs, CAST(ep AS INT) AS epoch_idx
+      |FROM ph EPOCH_EXPLODE
+      |WHERE doc_id % 10 = 0
+      |ORDER BY doc_id, epoch_idx""".stripMargin
+
+  private def currSpark: String =
+    s"""WITH q AS (SELECT doc_id, source,
+       |                 CAST(FLOOR(size(array_distinct(split(text, ' '))) * 10000.0
+       |                            / size(split(text, ' ')) + 0.5) AS BIGINT) AS bp
+       |          FROM documents WHERE size(split(text, ' ')) > 0),
+       |${currTail.replace("EPOCH_EXPLODE",
+           "LATERAL VIEW explode(sequence(1, n_epochs)) e AS ep")}""".stripMargin
+
+  private def currDuck: String =
+    s"""WITH q AS (SELECT doc_id, source,
+       |                 CAST(FLOOR(len(list_distinct(string_split(text, ' '))) * 10000.0
+       |                            / len(string_split(text, ' ')) + 0.5) AS BIGINT) AS bp
+       |          FROM documents WHERE len(string_split(text, ' ')) > 0),
+       |${currTail.replace("FROM ph EPOCH_EXPLODE",
+           "FROM (SELECT doc_id, source, bp, phase, n_epochs, unnest(range(1, n_epochs + 1)) AS ep FROM ph) z")}""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_mix_curriculum" -> sql2(currSpark, currDuck),
     "q_sample_weighted" -> sql2(weightedSampleSpark, weightedSampleDuck),
     "q_mix_unimax" -> sql2(unimaxSpark, unimaxDuck),
     "q_select_dsir" -> sql2(dsirSpark(), dsirDuck()),

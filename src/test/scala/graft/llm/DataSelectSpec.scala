@@ -50,6 +50,25 @@ class DataSelectSpec extends AnyFunSuite {
     assert(clus.map(_.toString).toSeq == clus2.map(_.toString).toSeq)
   }
 
+  test("curriculum: better docs land in later phases with more epochs, exploded exactly") {
+    val s = spark.newSession()
+    val out = graft.SparkEntry.queries("q_mix_curriculum")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+    assert(out.nonEmpty)
+    // epoch explosion is exact: doc with n_epochs = k appears k times, idx 1..k
+    out.groupBy(_._1).foreach { case (doc, rows) =>
+      val k = rows.head._5
+      assert(rows.head._4 == k, "phase and epochs must share the tercile")
+      assert(rows.map(_._6).sorted.toSeq == (1 to k), s"doc $doc epochs wrong")
+    }
+    // within a source, a strictly better score never lands in an earlier phase
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val perDoc = rows.groupBy(_._1).map { case (_, rs) => (rs.head._3, rs.head._4) }.toSeq
+      for ((bpA, phA) <- perDoc; (bpB, phB) <- perDoc if bpA < bpB)
+        assert(phA <= phB || bpA == bpB, s"$src: score order violated ($bpA->$phA vs $bpB->$phB)")
+    }
+  }
+
   test("weighted sampling (A-ES): heavier documents are overrepresented vs a uniform draw") {
     val s = spark.newSession()
     val sel = graft.SparkEntry.queries("q_sample_weighted")(s, sf).collect()
