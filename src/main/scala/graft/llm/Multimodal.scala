@@ -654,6 +654,11 @@ object Multimodal {
                     (bytes(data + 8), bytes(data + 9), bytes(data + 10),
                       bytes(data + 11), bytes(data + 12))
                   if (w <= 0 || h <= 0) err = s"bad dims ${w}x$h"
+                  else if (w.toLong * h * 3 + h > Int.MaxValue)
+                    // raster/scanline buffers are Int-indexed arrays; an
+                    // oversized header must reject, not overflow into a
+                    // NegativeArraySizeException or a multi-GB allocation
+                    err = s"dims ${w}x$h exceed the decodable raster bound"
                   else if (bd != 8) err = s"unsupported bit depth $bd"
                   else if (ct != 2) err = s"unsupported color type $ct"
                   else if (cm != 0 || fm != 0) err = "bad compression/filter method"

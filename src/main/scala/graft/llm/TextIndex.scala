@@ -101,9 +101,14 @@ object TextIndex {
        |                  / CAST(SUM(c * n_char) OVER () AS DOUBLE) + 0.5) AS BIGINT) AS tokens_vs_chars_bp
        |FROM pw ORDER BY w""".stripMargin
 
+  // the length(w) > 0 guard keeps the two dialects identical on empty
+  // word types: Spark's sequence(1, 0) is the DESCENDING [1, 0] while
+  // DuckDB's range(1, 1) is empty — an ''-token (consecutive spaces in a
+  // future fixture) would otherwise build different symbol tables
   private val bpeSparkS0 =
     """s0 AS (SELECT w, c, i AS p, CAST(i AS BIGINT) AS rk, substr(w, i, 1) AS s
-      |       FROM bpe_wt LATERAL VIEW explode(sequence(1, length(w))) t AS i)""".stripMargin
+      |       FROM bpe_wt LATERAL VIEW explode(sequence(1, length(w))) t AS i
+      |       WHERE length(w) > 0)""".stripMargin
 
   private val bpeSparkChain = s"WITH $bpeSparkS0,\n$bpeTail"
 
@@ -114,7 +119,8 @@ object TextIndex {
       |           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
       |           GROUP BY w),
       |s0 AS (SELECT w, c, i AS p, CAST(i AS BIGINT) AS rk, substr(w, i, 1) AS s
-      |       FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i FROM bpe_wt) z)""".stripMargin
+      |       FROM (SELECT w, c, unnest(range(1, length(w) + 1)) AS i
+      |             FROM bpe_wt WHERE length(w) > 0) z)""".stripMargin
 
   private val bpeDuck = s"WITH $bpeDuckCtes,\n$bpeTail"
 
@@ -181,27 +187,29 @@ object TextIndex {
   private val wtCache = new graft.LruMemo[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame](8)
 
-  private def stageWt(
-      docs: org.apache.spark.sql.DataFrame): Unit = {
+  /** ONE definition of the word-type aggregation, shared by the memoized
+    * fixture path and the ad-hoc test path — tokenization drift between
+    * them would make the spec pin different semantics than the query
+    * ships.
+    */
+  private def buildWt(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .coalesce(1) // vocabulary-bounded: one partition beats 32 empty ones downstream
       .localCheckpoint(true)
-      .createOrReplaceTempView("bpe_wt")
   }
 
+  private def stageWt(
+      docs: org.apache.spark.sql.DataFrame): Unit =
+    buildWt(docs).createOrReplaceTempView("bpe_wt")
+
   private def stageWtCached(
-      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    import org.apache.spark.sql.functions._
+      s: org.apache.spark.sql.SparkSession, d: String): Unit =
     wtCache.getOrElseUpdate((s, d)) {
-      graft.queries.Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .coalesce(1)
-        .localCheckpoint(true)
+      buildWt(graft.queries.Tables.documents(s, d))
     }.createOrReplaceTempView("bpe_wt")
-  }
 
   private[llm] def bpeFromDocs(
       s: org.apache.spark.sql.SparkSession,

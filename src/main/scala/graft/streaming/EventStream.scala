@@ -184,7 +184,7 @@ object EventStream {
     "q_stream_quantile_sketch" -> QuerySpec.df(
       (s, d) => quantileSketchCounts(s, d),
       """WITH e AS (SELECT event_type,
-        |                 LEAST(63, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT)) AS b
+        |                 LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT))) AS b
         |          FROM events),
         |h AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY event_type, b),
         |cum AS (SELECT event_type, b,
@@ -687,7 +687,7 @@ object EventStream {
       .options(opts)
       .parquet(staged)
       .selectExpr("event_type",
-        "LEAST(63, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS INT)) AS b")
+        "LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS INT))) AS b")
       .as[(String, Int)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {

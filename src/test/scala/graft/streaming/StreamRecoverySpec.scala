@@ -433,7 +433,7 @@ class StreamRecoverySpec extends AnyFunSuite {
     graft.queries.Tables.events(spark, sf).createOrReplaceTempView("qsketch_events")
     val batch = spark.sql(
       """WITH e AS (SELECT event_type,
-        |                 LEAST(63, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT)) AS b
+        |                 LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT))) AS b
         |          FROM qsketch_events),
         |h AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY event_type, b),
         |cum AS (SELECT event_type, b,
