@@ -253,6 +253,40 @@ object RelationalQueries {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY event_id""".stripMargin),
 
+    // As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`): the
+    // nearest prior click still matches only if it happened within 2 h of
+    // the purchase — stale context must not attribute. Same single-shuffle
+    // running-MAX plan as q_join_asof with a conditional null-out at the
+    // edge; the oracle nulls the SAME bound on top of DuckDB's native ASOF
+    // result (two engines, two strategies, one answer).
+    "q_join_asof_tolerance" -> sql2(
+      """WITH u AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT user_id, ts, event_id, event_type,
+        |             MAX(CASE WHEN event_type = 'click' THEN ts END)
+        |               OVER (PARTITION BY user_id ORDER BY ts, event_type
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        |      FROM u),
+        |g AS (SELECT event_id, user_id, ts, click_ts,
+        |             unix_micros(CAST(ts AS TIMESTAMP))
+        |               - unix_micros(CAST(click_ts AS TIMESTAMP)) AS gap_us
+        |      FROM w WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN gap_us <= 7200000000 THEN click_ts END AS click_ts,
+        |       CASE WHEN gap_us <= 7200000000 THEN gap_us END AS gap_us,
+        |       CAST(CASE WHEN gap_us <= 7200000000 THEN 1 ELSE 0 END AS INT) AS matched
+        |FROM g ORDER BY event_id""".stripMargin,
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+        |             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN gap_us <= 7200000000 THEN click_ts END AS click_ts,
+        |       CASE WHEN gap_us <= 7200000000 THEN gap_us END AS gap_us,
+        |       CAST(CASE WHEN gap_us <= 7200000000 THEN 1 ELSE 0 END AS INT) AS matched
+        |FROM g ORDER BY event_id""".stripMargin),
+
     "q_join_using" -> sql(
       """SELECT nationkey, n_name, c_custkey
         |FROM (SELECT n_nationkey AS nationkey, n_name FROM nation) n
