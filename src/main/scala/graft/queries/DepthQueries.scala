@@ -64,6 +64,31 @@ object DepthQueries {
         |ORDER BY revenue DESC, n_name""".stripMargin),
 
     // TPC-H Q3 shape: shipping-priority top-k.
+    // TPC-H Q8-shaped market share: per order-year, one nation's fraction
+    // of the PROMO-part revenue — the nested-ratio aggregation over the
+    // full star schema. Revenue folds in exact DECIMAL(18,2); the ratio's
+    // two operands cast to double only at the edge (both sums are exact
+    // integers in cents, so the one division+ROUND is the identical IEEE
+    // op in both engines). Dimension sides broadcast; the fact shuffles
+    // once to (yr, n_name), then the share rollup is a K-row regroup.
+    "q_tpch_q8ish" -> sql(
+      """WITH rev AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr, n_name,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_type = 'PROMO'
+        |  GROUP BY CAST(EXTRACT(year FROM o_orderdate) AS INT), n_name)
+        |SELECT yr,
+        |       ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN r ELSE 0 END) AS DOUBLE)
+        |             / CAST(SUM(r) AS DOUBLE), 6) AS mkt_share,
+        |       CAST(SUM(r) AS DOUBLE) AS total_rev
+        |FROM rev GROUP BY yr ORDER BY yr""".stripMargin),
+
     "q_tpch_q3ish" -> sql(
       """SELECT l_orderkey,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
