@@ -222,6 +222,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("In(event_type"), "event-type filter must push into the scan")
   }
 
+  test("Q8-shaped market share broadcasts every dimension; two aggregation exchanges (q_tpch_q8ish)") {
+    val p = plan("q_tpch_q8ish")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "dimension joins must broadcast at this scale, not sort-merge:\n" + p)
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 3,
+      s"expected <=3 hash exchanges ((yr, n_name) partial->final + share regroup), got $hashExchanges:\n$p")
+  }
+
   test("SCD2 reconstruction rides ONE key exchange, no history self-join (q_dim_scd2)") {
     val p = plan("q_dim_scd2")
     assert(!p.contains("Join"), s"SCD2 must be windows only, found a join:\n$p")
