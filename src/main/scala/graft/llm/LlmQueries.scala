@@ -1350,6 +1350,39 @@ object LlmQueries {
     // text (distinct eval shingles are the small build side → broadcast);
     // output restricted to a doc_id % 25 sample so the degenerate fixture
     // vocabulary doesn't explode the verified row set.
+    // N-gram NOVELTY scoring — the marginal-contribution metric data
+    // valuation ranks documents by (Carlini et al.'s dedup work measures
+    // corpora this way): for every doc, the fraction (bp) of its distinct
+    // 8-grams whose corpus-FIRST occurrence is this doc. A mirror/quote
+    // document scores near 0; the canonical source of a template scores
+    // high. One shingle pass, one MIN-per-gram-TYPE aggregate (map-side
+    // combined, vocabulary-of-grams-bounded), one equi-join back — no
+    // pairwise work, the span-dedup discipline applied to a per-doc
+    // metric.
+    "q_text_novelty" -> sql2(
+      """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, md5(array_join(slice(w, i, 8), ' ')) AS g
+        |       FROM t LATERAL VIEW explode(sequence(1, GREATEST(size(w) - 7, 1))) x AS i
+        |       WHERE i + 7 <= size(w)),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g),
+        |n AS (SELECT sh.doc_id, COUNT(*) AS n_grams,
+        |             SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_new
+        |      FROM sh JOIN f ON sh.g = f.g GROUP BY sh.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_new AS BIGINT) AS n_new,
+        |       CAST(FLOOR(n_new * 10000.0 / n_grams + 0.5) AS BIGINT) AS novelty_bp
+        |FROM n WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS g
+        |       FROM (SELECT doc_id, w, unnest(range(1, GREATEST(len(w) - 7, 1) + 1)) AS i FROM t) z
+        |       WHERE i + 7 <= len(w)),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g),
+        |n AS (SELECT sh.doc_id, COUNT(*) AS n_grams,
+        |             SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_new
+        |      FROM sh JOIN f ON sh.g = f.g GROUP BY sh.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_new AS BIGINT) AS n_new,
+        |       CAST(FLOOR(n_new * 10000.0 / n_grams + 0.5) AS BIGINT) AS novelty_bp
+        |FROM n WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
+
     "q_text_decontaminate" -> sql2(
       """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, array_join(slice(w, i, 8), ' ') AS g
