@@ -423,10 +423,19 @@ object LlmQueries {
     // Mutual k-NN graph over the same staged signatures — the structure
     // graph-based curation passes consume (AnnSql.knnGraphFromSigSpark
     // scale notes).
+    // The mutual filter runs over the SAME staged directed-edge artifact
+    // graph search walks (knnEdgesCached) — one candidate-chain pass
+    // serves both queries; self-loops are excluded by src != dst. The
+    // DuckDB oracle still derives the whole chain independently.
     "q_ann_knn_graph" -> QuerySpec(
       (s, d) => {
-        registerSig(s, d)
-        s.sql(AnnSql.knnGraphFromSigSpark(3))
+        knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+        s.sql(
+          """SELECT a.src AS id1, a.dst AS id2, ROUND(a.cos, 6) AS cos
+            |FROM g_edges a JOIN g_edges b
+            |  ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+            |WHERE a.src != a.dst
+            |ORDER BY id1, id2""".stripMargin)
       },
       Some(AnnSql.knnGraphDuck(3))),
 
