@@ -212,7 +212,48 @@ object WarehouseQueries {
        |       CAST(CASE WHEN z_bp IS NOT NULL AND ABS(z_bp) >= 300 THEN 1 ELSE 0 END AS INT) AS is_anomaly
        |FROM z WHERE user_id % 5 = 0 ORDER BY user_id, hr""".stripMargin
 
+  /** Linear (multi-touch) attribution: every purchase splits one unit of
+    * credit equally across the SAME user's clicks in the trailing hour;
+    * the output rolls credit up per click event. The interval predicate
+    * is executed as a BANDED equi-join — each purchase probes its two
+    * covering hour buckets (the q_join_theta_banded discipline applied to
+    * time), so the plan is hash joins with bounded fan-out, never a range
+    * nested loop. Credit is FLOOR(10000/k) bp per click (integer-exact in
+    * any fold order; the residue stays unassigned, as published
+    * attribution models round).
+    */
+  private def attributionSql(epochUs: String) =
+    s"""WITH c AS (SELECT event_id AS click_id, user_id, $epochUs AS cus
+       |          FROM events WHERE event_type = 'click'),
+       |p AS (SELECT event_id AS purchase_id, user_id, $epochUs AS pus
+       |      FROM events WHERE event_type = 'purchase'),
+       |pb AS (SELECT purchase_id, user_id, pus,
+       |              CAST(FLOOR(pus / 3600000000) AS BIGINT) - b AS bkt
+       |       FROM p LATERAL_B),
+       |cand AS (SELECT p.purchase_id, p.pus, c.click_id, c.cus
+       |         FROM pb p JOIN c
+       |           ON p.user_id = c.user_id
+       |          AND p.bkt = CAST(FLOOR(c.cus / 3600000000) AS BIGINT)
+       |         WHERE c.cus >= p.pus - 3600000000 AND c.cus <= p.pus),
+       |k AS (SELECT purchase_id, COUNT(*) AS n_clicks FROM cand GROUP BY purchase_id),
+       |cr AS (SELECT cand.click_id,
+       |              CAST(FLOOR(10000.0 / k.n_clicks) AS BIGINT) AS credit_bp
+       |       FROM cand JOIN k ON cand.purchase_id = k.purchase_id)
+       |SELECT click_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |       CAST(SUM(credit_bp) AS BIGINT) AS credit_bp
+       |FROM cr GROUP BY click_id ORDER BY click_id""".stripMargin
+
+  private val attributionSpark =
+    attributionSql("unix_micros(CAST(ts AS TIMESTAMP))")
+      .replace("LATERAL_B", "LATERAL VIEW explode(sequence(0, 1)) t AS b")
+
+  private val attributionDuck =
+    attributionSql("epoch_us(ts)")
+      .replace("FROM p LATERAL_B",
+        "FROM (SELECT purchase_id, user_id, pus, unnest(range(0, 2)) AS b FROM p) z")
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_events_attribution" -> sql2(attributionSpark, attributionDuck),
     "q_dim_scd2" -> sql(scd2),
     "q_layout_range_partition" -> sql2(rangePartSpark, rangePartDuck),
     "q_ts_anomaly_zscore" -> sql2(

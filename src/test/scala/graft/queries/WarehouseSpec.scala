@@ -136,6 +136,40 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_attribution: credit conserves per purchase and matches a brute replay") {
+    val out = rows("q_events_attribution").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.nonEmpty)
+    // brute replay: every purchase credits floor(10000/k) to each of its
+    // k trailing-hour clicks
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    val credits = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    purchases.foreach { case (_, pu, _, pus) =>
+      val cs = clicks.filter(c => c._2 == pu && c._4 >= pus - 3600000000L && c._4 <= pus)
+      if (cs.nonEmpty) {
+        val per = 10000L / cs.length
+        cs.foreach { c =>
+          val (n, bp) = credits.getOrElse(c._1, (0L, 0L))
+          credits(c._1) = (n + 1, bp + per)
+        }
+      }
+    }
+    assert(out.toSet == credits.map { case (id, (n, bp)) => (id, n, bp) }.toSet)
+    // conservation: no purchase hands out more than 10000 bp
+    val totalBp = out.map(_._3).sum
+    val totalPurchCredited = purchases.count { case (_, pu, _, pus) =>
+      clicks.exists(c => c._2 == pu && c._4 >= pus - 3600000000L && c._4 <= pus)
+    }
+    assert(totalBp <= totalPurchCredited * 10000L)
+    assert(totalBp > (totalPurchCredited * 10000L * 9) / 10,
+      "floor residue should stay under 10% of the credit mass")
+  }
+
   test("q_ts_anomaly_zscore: warm-up respected and z matches a Scala replay") {
     val out = rows("q_ts_anomaly_zscore").map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
