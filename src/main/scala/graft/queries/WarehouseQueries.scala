@@ -252,7 +252,60 @@ object WarehouseQueries {
       .replace("FROM p LATERAL_B",
         "FROM (SELECT purchase_id, user_id, pus, unnest(range(0, 2)) AS b FROM p) z")
 
+  /** Next-event transition matrix (the user-journey Markov model product
+    * analytics fits): per user, order events by time and count (current →
+    * next) event-type pairs, with row-normalized probabilities in basis
+    * points. One lead() window rides a user_id exchange; the rollup is a
+    * K²-row regroup; the row normalizer is a window over that K² table.
+    * Ordering ties break on event_id, so the sequence — and therefore the
+    * matrix — is deterministic.
+    */
+  private val transitions =
+    """WITH s AS (SELECT user_id, event_type,
+      |                 lead(event_type) OVER (PARTITION BY user_id
+      |                                        ORDER BY ts, event_id) AS nxt
+      |          FROM events)
+      |SELECT event_type AS src, nxt AS dst, COUNT(*) AS n,
+      |       CAST(FLOOR(COUNT(*) * 10000.0
+      |                  / SUM(COUNT(*)) OVER (PARTITION BY event_type) + 0.5) AS BIGINT) AS p_bp
+      |FROM s WHERE nxt IS NOT NULL
+      |GROUP BY event_type, nxt ORDER BY src, dst""".stripMargin
+
+  /** ORDERED funnel (signup → later click → later purchase): each stage
+    * must happen strictly after the previous stage's FIRST completion —
+    * the sequence constraint a plain per-type count funnel cannot
+    * express. Three per-user MIN aggregates chained by equi-joins (each
+    * join keyed on user_id; the stage predicate rides the join's WHERE),
+    * then one global rollup with conversion rates in basis points.
+    */
+  private val funnelOrdered =
+    """WITH s AS (SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0
+      |          FROM events GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t1
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > s.t0
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t2
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      |      GROUP BY e.user_id),
+      |f AS (SELECT s.user_id,
+      |             CASE WHEN s.t0 IS NOT NULL THEN 1 ELSE 0 END AS st0,
+      |             CASE WHEN c.t1 IS NOT NULL THEN 1 ELSE 0 END AS st1,
+      |             CASE WHEN p.t2 IS NOT NULL THEN 1 ELSE 0 END AS st2
+      |      FROM s LEFT JOIN c ON s.user_id = c.user_id
+      |             LEFT JOIN p ON s.user_id = p.user_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |       CAST(SUM(st0) AS BIGINT) AS n_signup,
+      |       CAST(SUM(st1) AS BIGINT) AS n_click_after,
+      |       CAST(SUM(st2) AS BIGINT) AS n_purchase_after,
+      |       CAST(FLOOR(SUM(st1) * 10000.0 / GREATEST(SUM(st0), 1) + 0.5) AS BIGINT) AS conv1_bp,
+      |       CAST(FLOOR(SUM(st2) * 10000.0 / GREATEST(SUM(st1), 1) + 0.5) AS BIGINT) AS conv2_bp
+      |FROM f""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_events_transitions" -> sql(transitions),
+    "q_events_funnel_ordered" -> sql(funnelOrdered),
     "q_events_attribution" -> sql2(attributionSpark, attributionDuck),
     "q_dim_scd2" -> sql(scd2),
     "q_layout_range_partition" -> sql2(rangePartSpark, rangePartDuck),
