@@ -303,7 +303,50 @@ object WarehouseQueries {
       |       CAST(FLOOR(SUM(st2) * 10000.0 / GREATEST(SUM(st1), 1) + 0.5) AS BIGINT) AS conv2_bp
       |FROM f""".stripMargin
 
+  /** Kaplan–Meier survival curve for time-to-first-purchase (hours from
+    * each user's first event), right-censoring users who never purchase
+    * at their last observed event — the retention/conversion estimator
+    * that handles incomplete journeys correctly (a naive conversion rate
+    * treats censored users as failures).
+    *
+    * S(t) = Π_{t_i <= t} (1 − d_i/n_i) folds in INTEGER log space:
+    * each factor FLOORs ln(1 − d/n) to micro-nats, the running product is
+    * a window SUM over the bounded time axis (≤ span-hours rows), and
+    * EXP/round happen once at the display edge — the same determinism
+    * discipline as q_text_ppl_bucket. At-risk counts come from a prefix
+    * window over the grouped observation-time table, NOT a correlated
+    * per-row rescan.
+    */
+  private def kmSurvivalSql(epochUs: String) =
+    s"""WITH u AS (SELECT user_id, MIN($epochUs) AS t_first,
+       |                 MIN(CASE WHEN event_type = 'purchase' THEN $epochUs END) AS t_conv,
+       |                 MAX($epochUs) AS t_last
+       |          FROM events GROUP BY user_id),
+       |d AS (SELECT user_id,
+       |             CAST(FLOOR((COALESCE(t_conv, t_last) - t_first) / 3600000000.0) AS BIGINT) AS t_obs,
+       |             CASE WHEN t_conv IS NOT NULL THEN 1 ELSE 0 END AS conv
+       |      FROM u),
+       |ev AS (SELECT t_obs AS t, SUM(conv) AS d FROM d GROUP BY t_obs),
+       |ax AS (SELECT t_obs AS t, COUNT(*) AS c FROM d GROUP BY t_obs),
+       |pre AS (SELECT t, SUM(c) OVER (ORDER BY t
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_before
+       |        FROM ax),
+       |risk AS (SELECT ev.t, ev.d,
+       |                (SELECT COUNT(*) FROM d) - COALESCE(pre.n_before, 0) AS n
+       |         FROM ev JOIN pre ON ev.t = pre.t
+       |         WHERE ev.d > 0),
+       |km AS (SELECT t, d, n,
+       |              SUM(CAST(FLOOR(LN(1.0 - CAST(d AS DOUBLE) / n) * 1000000) AS BIGINT))
+       |                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_log
+       |       FROM risk WHERE d < n)
+       |SELECT t AS hours, CAST(d AS BIGINT) AS n_conv, CAST(n AS BIGINT) AS n_risk,
+       |       CAST(FLOOR(EXP(cum_log / 1000000.0) * 10000 + 0.5) AS BIGINT) AS surv_bp
+       |FROM km ORDER BY hours""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_events_survival_km" -> sql2(
+      kmSurvivalSql("unix_micros(CAST(ts AS TIMESTAMP))"),
+      kmSurvivalSql("epoch_us(ts)")),
     "q_events_transitions" -> sql(transitions),
     "q_events_funnel_ordered" -> sql(funnelOrdered),
     "q_events_attribution" -> sql2(attributionSpark, attributionDuck),

@@ -197,6 +197,46 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_survival_km: non-increasing curve that matches a Scala KM replay") {
+    val out = rows("q_events_survival_km").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // survival is a product of factors in (0, 1]: strictly non-increasing
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1)
+        assert(b._4 <= a._4, "survival must not increase")
+        assert(b._3 <= a._3 - a._2, "at-risk must shrink by at least the converters")
+      case _ => ()
+    }
+    // independent replay in Scala from the raw events
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // .toSeq BEFORE mapping to pairs: mapping the Map directly would
+    // rebuild a Map keyed on tObs and silently collapse users sharing an
+    // observation time
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val first = es.map(_._3).min
+      val conv = es.filter(_._2 == "purchase").map(_._3).minOption
+      val tObs = math.floor((conv.getOrElse(es.map(_._3).max) - first) / 3600000000.0).toLong
+      (tObs, conv.isDefined)
+    }
+    val total = perUser.size.toLong
+    val byT = perUser.groupBy(_._1)
+    val times = out.map(_._1)
+    var cumLog = 0L
+    times.foreach { t =>
+      val d = byT.get(t).map(_.count(_._2).toLong).getOrElse(0L)
+      val nBefore = perUser.count(_._1 < t).toLong
+      val n = total - nBefore
+      cumLog += math.floor(math.log(1.0 - d.toDouble / n) * 1000000).toLong
+      val sBp = math.floor(math.exp(cumLog / 1000000.0) * 10000 + 0.5).toLong
+      val row = out.find(_._1 == t).get
+      assert(row._2 == d && row._3 == n && row._4 == sBp, s"t=$t: $row vs ($d, $n, $sBp)")
+    }
+  }
+
   test("q_events_retention: week-0 is 10000 bp and no cell exceeds its cohort") {
     val out = rows("q_events_retention").map(r =>
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
