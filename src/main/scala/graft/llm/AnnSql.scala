@@ -1364,16 +1364,19 @@ object AnnSql {
        |                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |         FROM p) t WHERE rn <= $k)""".stripMargin
 
-  private val knnMutualSelect =
-    """SELECT a.src AS id1, a.dst AS id2, ROUND(a.cos, 6) AS cos
-      |FROM tk a JOIN tk b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
-      |ORDER BY id1, id2""".stripMargin
-
-  def knnGraphFromSigSpark(k: Int): String =
-    s"WITH ${knnCtesSpark(k)}\n$knnMutualSelect"
+  /** ONE definition of the mutual filter, over any directed-edge
+    * relation: `a.src < a.dst` alone excludes self-loops on both sides
+    * (b.src = a.dst, b.dst = a.src with a.src < a.dst cannot be a loop),
+    * so the SAME text serves the in-chain `tk` and the staged
+    * self-loop-carrying edge artifact.
+    */
+  private[llm] def knnMutualOver(rel: String): String =
+    s"""SELECT a.src AS id1, a.dst AS id2, ROUND(a.cos, 6) AS cos
+       |FROM $rel a JOIN $rel b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+       |ORDER BY id1, id2""".stripMargin
 
   def knnGraphDuck(k: Int): String =
-    s"WITH ${knnCtesDuck(k)}\n$knnMutualSelect"
+    s"WITH ${knnCtesDuck(k)}\n${knnMutualOver("tk")}"
 
   /** DIRECTED top-k edge list (the pre-mutual-filter kNN graph) — every
     * node carries out-degree <= k, the structure graph-ROUTED search walks

@@ -425,17 +425,13 @@ object LlmQueries {
     // scale notes).
     // The mutual filter runs over the SAME staged directed-edge artifact
     // graph search walks (knnEdgesCached) — one candidate-chain pass
-    // serves both queries; self-loops are excluded by src != dst. The
+    // serves both queries; `a.src < a.dst` in the shared mutual text
+    // already excludes the artifact's self-loops on both join sides. The
     // DuckDB oracle still derives the whole chain independently.
     "q_ann_knn_graph" -> QuerySpec(
       (s, d) => {
         knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
-        s.sql(
-          """SELECT a.src AS id1, a.dst AS id2, ROUND(a.cos, 6) AS cos
-            |FROM g_edges a JOIN g_edges b
-            |  ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
-            |WHERE a.src != a.dst
-            |ORDER BY id1, id2""".stripMargin)
+        s.sql(AnnSql.knnMutualOver("g_edges"))
       },
       Some(AnnSql.knnGraphDuck(3))),
 
@@ -1353,12 +1349,6 @@ object LlmQueries {
         |ROUND(CAST(nd AS DOUBLE) / n, 4) AS distinct_ratio
         |FROM a ORDER BY doc_id""".stripMargin),
 
-    // Decontamination: flag training documents sharing any 8-gram with the
-    // eval set (doc_id % 97) — the benchmark-leakage check every training
-    // corpus needs. Candidate generation is an equi-join on the shingle
-    // text (distinct eval shingles are the small build side → broadcast);
-    // output restricted to a doc_id % 25 sample so the degenerate fixture
-    // vocabulary doesn't explode the verified row set.
     // N-gram NOVELTY scoring — the marginal-contribution metric data
     // valuation ranks documents by (Carlini et al.'s dedup work measures
     // corpora this way): for every doc, the fraction (bp) of its distinct
@@ -1392,6 +1382,12 @@ object LlmQueries {
         |       CAST(FLOOR(n_new * 10000.0 / n_grams + 0.5) AS BIGINT) AS novelty_bp
         |FROM n WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
 
+    // Decontamination: flag training documents sharing any 8-gram with the
+    // eval set (doc_id % 97) — the benchmark-leakage check every training
+    // corpus needs. Candidate generation is an equi-join on the shingle
+    // text (distinct eval shingles are the small build side → broadcast);
+    // output restricted to a doc_id % 25 sample so the degenerate fixture
+    // vocabulary doesn't explode the verified row set.
     "q_text_decontaminate" -> sql2(
       """WITH t AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, array_join(slice(w, i, 8), ' ') AS g

@@ -63,7 +63,6 @@ object DepthQueries {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin),
 
-    // TPC-H Q3 shape: shipping-priority top-k.
     // TPC-H Q8-shaped market share: per order-year, one nation's fraction
     // of the PROMO-part revenue — the nested-ratio aggregation over the
     // full star schema. Revenue folds in exact DECIMAL(18,2); the ratio's
@@ -84,11 +83,12 @@ object DepthQueries {
         |  WHERE p_type = 'PROMO'
         |  GROUP BY CAST(EXTRACT(year FROM o_orderdate) AS INT), n_name)
         |SELECT yr,
-        |       ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN r ELSE 0 END) AS DOUBLE)
+        |       ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_12' THEN r ELSE 0 END) AS DOUBLE)
         |             / CAST(SUM(r) AS DOUBLE), 6) AS mkt_share,
         |       CAST(SUM(r) AS DOUBLE) AS total_rev
         |FROM rev GROUP BY yr ORDER BY yr""".stripMargin),
 
+    // TPC-H Q3 shape: shipping-priority top-k.
     "q_tpch_q3ish" -> sql(
       """SELECT l_orderkey,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

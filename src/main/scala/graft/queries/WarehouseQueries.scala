@@ -326,21 +326,25 @@ object WarehouseQueries {
        |             CAST(FLOOR((COALESCE(t_conv, t_last) - t_first) / 3600000000.0) AS BIGINT) AS t_obs,
        |             CASE WHEN t_conv IS NOT NULL THEN 1 ELSE 0 END AS conv
        |      FROM u),
-       |ev AS (SELECT t_obs AS t, SUM(conv) AS d FROM d GROUP BY t_obs),
-       |ax AS (SELECT t_obs AS t, COUNT(*) AS c FROM d GROUP BY t_obs),
-       |pre AS (SELECT t, SUM(c) OVER (ORDER BY t
-       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_before
-       |        FROM ax),
-       |risk AS (SELECT ev.t, ev.d,
-       |                (SELECT COUNT(*) FROM d) - COALESCE(pre.n_before, 0) AS n
-       |         FROM ev JOIN pre ON ev.t = pre.t
-       |         WHERE ev.d > 0),
+       |g AS (SELECT t_obs AS t, SUM(conv) AS d, COUNT(*) AS c FROM d GROUP BY t_obs),
+       |pre AS (SELECT t, d,
+       |               SUM(c) OVER (ORDER BY t
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_before,
+       |               SUM(c) OVER () AS total
+       |        FROM g),
+       |risk AS (SELECT t, d, total - COALESCE(n_before, 0) AS n
+       |         FROM pre WHERE d > 0),
        |km AS (SELECT t, d, n,
-       |              SUM(CAST(FLOOR(LN(1.0 - CAST(d AS DOUBLE) / n) * 1000000) AS BIGINT))
-       |                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_log
-       |       FROM risk WHERE d < n)
+       |              SUM(CASE WHEN d < n
+       |                       THEN CAST(FLOOR(LN(1.0 - CAST(d AS DOUBLE) / n) * 1000000) AS BIGINT)
+       |                       ELSE CAST(0 AS BIGINT) END)
+       |                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_log,
+       |              MAX(CASE WHEN d = n THEN 1 ELSE 0 END)
+       |                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS extinct
+       |       FROM risk)
        |SELECT t AS hours, CAST(d AS BIGINT) AS n_conv, CAST(n AS BIGINT) AS n_risk,
-       |       CAST(FLOOR(EXP(cum_log / 1000000.0) * 10000 + 0.5) AS BIGINT) AS surv_bp
+       |       CASE WHEN extinct = 1 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(FLOOR(EXP(cum_log / 1000000.0) * 10000 + 0.5) AS BIGINT) END AS surv_bp
        |FROM km ORDER BY hours""".stripMargin
 
   val specs: Map[String, QuerySpec] = Map(

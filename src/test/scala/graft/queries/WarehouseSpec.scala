@@ -226,14 +226,25 @@ class WarehouseSpec extends AnyFunSuite {
     val byT = perUser.groupBy(_._1)
     val times = out.map(_._1)
     var cumLog = 0L
+    var extinct = false
     times.foreach { t =>
       val d = byT.get(t).map(_.count(_._2).toLong).getOrElse(0L)
       val nBefore = perUser.count(_._1 < t).toLong
       val n = total - nBefore
-      cumLog += math.floor(math.log(1.0 - d.toDouble / n) * 1000000).toLong
-      val sBp = math.floor(math.exp(cumLog / 1000000.0) * 10000 + 0.5).toLong
+      if (d == n) extinct = true
+      else cumLog += math.floor(math.log(1.0 - d.toDouble / n) * 1000000).toLong
+      val sBp =
+        if (extinct) 0L
+        else math.floor(math.exp(cumLog / 1000000.0) * 10000 + 0.5).toLong
       val row = out.find(_._1 == t).get
       assert(row._2 == d && row._3 == n && row._4 == sBp, s"t=$t: $row vs ($d, $n, $sBp)")
+    }
+    // the terminal d = n row must be PRESENT with surv 0 (review-round
+    // catch: dropping it undercounts final conversions) — on this fixture
+    // every user converts, so the curve must reach zero
+    if (perUser.forall(_._2)) {
+      assert(out.last._4 == 0L, "curve must reach 0 when all users convert")
+      assert(out.map(_._2).sum == total, "every conversion must appear on the curve")
     }
   }
 
