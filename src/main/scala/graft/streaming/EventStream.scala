@@ -175,6 +175,35 @@ object EventStream {
         |SELECT user_id, CAST(rk AS INT) AS rk, cents FROM r WHERE rk <= 3
         |ORDER BY user_id, rk""".stripMargin),
 
+    // Streaming drift monitor: live per-type value histogram chi-squared
+    // against the static "training period" reference (driftAlertCounts
+    // doc). Oracle = the batch closed form with the identical per-bucket
+    // integer-FLOOR discipline over all 64 buckets.
+    "q_stream_drift_alert" -> QuerySpec.df(
+      (s, d) => driftAlertCounts(s, d),
+      """WITH e AS (SELECT event_type, event_id,
+        |                 LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT))) AS b
+        |          FROM events),
+        |ref AS (SELECT event_type, b, COUNT(*) AS r FROM e WHERE event_id % 3 = 0 GROUP BY event_type, b),
+        |refm AS (SELECT event_type, SUM(r) AS m FROM ref GROUP BY event_type),
+        |obs AS (SELECT event_type, b, COUNT(*) AS o FROM e WHERE event_id % 3 != 0 GROUP BY event_type, b),
+        |obsn AS (SELECT event_type, SUM(o) AS n FROM obs GROUP BY event_type),
+        |bx AS (SELECT rm.event_type, gb.b,
+        |              COALESCE(o.o, 0) AS o, COALESCE(r.r, 0) AS r, rm.m, onn.n
+        |       FROM refm rm
+        |       CROSS JOIN (SELECT unnest(range(0, 64)) AS b) gb
+        |       LEFT JOIN ref r ON rm.event_type = r.event_type AND gb.b = r.b
+        |       LEFT JOIN obs o ON rm.event_type = o.event_type AND gb.b = o.b
+        |       JOIN obsn onn ON rm.event_type = onn.event_type),
+        |chi AS (SELECT event_type, n,
+        |               CAST(SUM(CAST(FLOOR(CAST(o * (m + 64) - n * (r + 1) AS DOUBLE)
+        |                              * CAST(o * (m + 64) - n * (r + 1) AS DOUBLE)
+        |                              / CAST(n * (r + 1) * (m + 64) AS DOUBLE)
+        |                              * 1000000) AS BIGINT)) AS BIGINT) AS chi2_micro
+        |        FROM bx GROUP BY event_type, n)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, chi2_micro
+        |FROM chi ORDER BY event_type""".stripMargin),
+
     // Streaming quantile sketch: per-event-type 64-bucket value histogram
     // in bounded GroupState, re-emitting p50/p90/p99 bucket estimates each
     // batch — the live percentile monitor an ops pipeline keeps over an
@@ -713,6 +742,79 @@ object EventStream {
       .selectExpr("event_type", "x.n AS n",
         "CAST(x.p50_b AS INT) AS p50_b", "CAST(x.p90_b AS INT) AS p90_b",
         "CAST(x.p99_b AS INT) AS p99_b")
+      .orderBy("event_type")
+  }
+
+  /** Streaming distribution-drift monitor: the live value histogram per
+    * event_type (same 64-bucket sketch as [[quantileSketchCounts]])
+    * scores against a STATIC reference histogram (the event_id % 3 = 0
+    * "training period" slice of the batch table) with a chi-square
+    * statistic re-emitted per batch — the alert a serving pipeline keeps
+    * on input drift. The reference is a constant ≤ |types| x 64 table
+    * computed once and captured (the broadcast-artifact shape); state is
+    * the bounded histogram; increments commute, so the FINAL emission
+    * equals the batch closed form.
+    *
+    * Determinism: with add-1-smoothed reference mass R_b = r_b + 1 over
+    * M = m + 64, each bucket contributes
+    * FLOOR((o_b·M − n·R_b)² / (n·R_b·M) · 1e6) — the difference and the
+    * denominator are exact integers below 2^53, the one square/divide
+    * runs on identical doubles in both engines, and the per-bucket FLOOR
+    * makes the 64-term sum an integer fold (exact in any order).
+    */
+  def driftAlertCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val staged = stage(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val bucketExpr =
+      "LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS INT))) AS b"
+    // constant-size reference artifact (types x 64), computed batch-side
+    val ref: Map[String, Array[Long]] = spark.read.parquet(staged)
+      .where("event_id % 3 = 0")
+      .selectExpr("event_type", bucketExpr)
+      .groupBy("event_type", "b").count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (et, rows) =>
+        val h = Array.fill(64)(0L)
+        rows.foreach(r => h(r.getInt(1)) = r.getLong(2))
+        et -> h
+      }
+    def chi2Micro(et: String, o: Array[Long], n: Long): Long = {
+      val r = ref.getOrElse(et, Array.fill(64)(0L))
+      val m = r.sum
+      val bigM = m + 64
+      var acc = 0L
+      var b = 0
+      while (b < 64) {
+        val bigR = r(b) + 1
+        val diff = (o(b) * bigM - n * bigR).toDouble
+        acc += math.floor(diff * diff / (n * bigR * bigM).toDouble * 1000000).toLong
+        b += 1
+      }
+      acc
+    }
+    val scored = spark.readStream
+      .schema(schema)
+      .parquet(staged)
+      .where("event_id % 3 != 0")
+      .selectExpr("event_type", bucketExpr)
+      .as[(String, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[(String, Int)], state: GroupState[Seq[Long]]) =>
+          val h = state.getOption.map(_.toArray).getOrElse(Array.fill(64)(0L))
+          rows.foreach { case (_, b) => h(b) += 1 }
+          state.update(h.toIndexedSeq)
+          val n = h.sum
+          (et, n, chi2Micro(et, h, n))
+      }
+      .toDF("event_type", "n", "chi2_micro")
+    runToTable(scored, "update")
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("chi2_micro"))).as("x"))
+      .selectExpr("event_type", "x.n AS n", "x.chi2_micro AS chi2_micro")
       .orderBy("event_type")
   }
 
