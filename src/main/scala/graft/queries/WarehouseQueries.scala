@@ -347,7 +347,30 @@ object WarehouseQueries {
        |            ELSE CAST(FLOOR(EXP(cum_log / 1000000.0) * 10000 + 0.5) AS BIGINT) END AS surv_bp
        |FROM km ORDER BY hours""".stripMargin
 
+  /** Event-type co-occurrence LIFT (market-basket association over user
+    * baskets): lift(a,b) = P(a,b) / (P(a)·P(b)) across users, > 1 when
+    * two behaviors attract. The self-join runs on DISTINCT (user, type)
+    * rows, so per-user fan-out is bounded by |types|² regardless of how
+    * many events a user has; the totals enter as scalar subqueries (the
+    * BM25 discipline — no 1-row join in the plan). Lift reports in bp
+    * with exact-integer operands into one FLOORed division.
+    */
+  private val lift =
+    """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT COUNT(DISTINCT user_id) AS total FROM events),
+      |per AS (SELECT event_type, COUNT(*) AS c FROM u GROUP BY event_type),
+      |pair AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS cab
+      |         FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |         GROUP BY a.event_type, b.event_type)
+      |SELECT ta, tb, CAST(cab AS BIGINT) AS n_both,
+      |       CAST(FLOOR(cab * 10000.0 * (SELECT total FROM n)
+      |                  / (pa.c * pb.c) + 0.5) AS BIGINT) AS lift_bp
+      |FROM pair JOIN per pa ON ta = pa.event_type
+      |          JOIN per pb ON tb = pb.event_type
+      |ORDER BY ta, tb""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_events_lift" -> sql(lift),
     "q_events_survival_km" -> sql2(
       kmSurvivalSql("unix_micros(CAST(ts AS TIMESTAMP))"),
       kmSurvivalSql("epoch_us(ts)")),
