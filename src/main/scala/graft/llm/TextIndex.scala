@@ -225,7 +225,56 @@ object TextIndex {
     s.sql(bpeEncodeSparkChain)
   }
 
+  /** Per-doc zlib compression ratio — the RefinedWeb/Gopher-family
+    * quality heuristic a real pipeline computes with a REAL compressor
+    * (highly compressible text = repetitive boilerplate; natural prose
+    * sits near a characteristic band): executor-side
+    * java.util.zip.Deflater at BEST_COMPRESSION over the raw UTF-8
+    * bytes. The exact deflate byte count is implementation-defined, so
+    * the oracle takes the self-verifying form (the q_agg_approx
+    * pattern): Spark emits the exactly-checkable raw length plus a
+    * compressed-below-90% flag; the oracle recomputes the length closed
+    * form and asserts the flag — this corpus' 31-word vocabulary must
+    * compress well, and a broken deflate path flips the flag into a hash
+    * mismatch.
+    */
+  final case class Compressibility(doc_id: Long, n_raw: Long, is_compressible: Int)
+
+  private def compressibility(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+          d.setInput(raw)
+          d.finish()
+          var comp = 0L
+          while (!d.finished()) comp += d.deflate(buf)
+          d.end()
+          // below ~200 bytes the zlib header/trailer overhead dominates
+          // and the ratio says nothing about content quality — the flag
+          // is asserted only where the signal is meaningful
+          val ok = raw.length < 200 || comp * 10 < raw.length * 9L
+          Compressibility(id, raw.length.toLong, if (ok) 1 else 0)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_text_compressibility" -> QuerySpec(
+      (s, d) => compressibility(
+        graft.queries.Tables.documents(s, d)
+          .where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)),
+      Some(
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_raw,
+          |       1 AS is_compressible
+          |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
     "q_text_bpe_train" -> QuerySpec(
       (s, d) => { stageWtCached(s, d); s.sql(bpeSparkChain) },
       Some(bpeDuck)),

@@ -120,6 +120,33 @@ object AggQueries {
         |    ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS p50_disc
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // Pearson correlation via EXACT integer raw moments (the
+    // q_embed_covariance discipline applied to the SQL aggregate surface):
+    // native corr() accumulates floats in engine-specific single-pass
+    // formulas whose last-ulp drift can flip a ROUND, so the parity row
+    // folds integer Σx/Σy/Σxy/Σx²/Σy² — every SUM stays below 2^53 at
+    // these SFs (whole-dollar prices, not cents, keep Σy² small; a 100 TB
+    // run widens the moments to DECIMAL), each operand casts to double
+    // INDIVIDUALLY before the n·sxy − sx·sy style products (the raw
+    // integer products would overflow BIGINT where DuckDB's HUGEINT
+    // would not — a silent cross-engine divergence), and the one
+    // multiply/sqrt/divide chain runs on identical doubles at the edge.
+    "q_agg_corr_exact" -> sql(
+      """WITH v AS (SELECT l_returnflag,
+        |                 CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+        |                 CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS y
+        |          FROM lineitem),
+        |m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |             CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy
+        |      FROM v GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CAST(FLOOR((n * sxy - sx * sy)
+        |                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |                  * 1000000 + 0.5) AS BIGINT) AS corr_micro
+        |FROM m ORDER BY l_returnflag""".stripMargin),
+
     "q_agg_median" -> sql2(
       """SELECT l_returnflag, ROUND(median(l_quantity), 4) AS med_qty,
         |ROUND(percentile(l_quantity, 0.25), 4) AS q25,
