@@ -349,13 +349,29 @@ object WarehouseQueries {
 
   /** Event-type co-occurrence LIFT (market-basket association over user
     * baskets): lift(a,b) = P(a,b) / (P(a)·P(b)) across users, > 1 when
-    * two behaviors attract. The self-join runs on DISTINCT (user, type)
-    * rows, so per-user fan-out is bounded by |types|² regardless of how
-    * many events a user has; the totals enter as scalar subqueries (the
-    * BM25 discipline — no 1-row join in the plan). Lift reports in bp
-    * with exact-integer operands into one FLOORed division.
+    * two behaviors attract. The per-user basket (DISTINCT types) is
+    * aggregated ONCE and STAGED (localCheckpoint — SQL-text CTEs
+    * re-inline per reference, which planned 5 events scans; the staged
+    * form scans events once, the q_text_bpe_train discipline), then the
+    * pair self-join runs over exploded baskets with per-user fan-out
+    * bounded by |types|². Lift reports in bp with exact-integer operands
+    * into one FLOORed division.
     */
-  private val lift =
+  private val liftTail =
+    """WITH e AS (SELECT user_id, t FROM lift_u LATERAL VIEW explode(ts) x AS t),
+      |n AS (SELECT COUNT(*) AS total FROM lift_u),
+      |per AS (SELECT t AS event_type, COUNT(*) AS c FROM e GROUP BY t),
+      |pair AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS cab
+      |         FROM e a JOIN e b ON a.user_id = b.user_id AND a.t < b.t
+      |         GROUP BY a.t, b.t)
+      |SELECT ta, tb, CAST(cab AS BIGINT) AS n_both,
+      |       CAST(FLOOR(cab * 10000.0 * (SELECT total FROM n)
+      |                  / (pa.c * pb.c) + 0.5) AS BIGINT) AS lift_bp
+      |FROM pair JOIN per pa ON ta = pa.event_type
+      |          JOIN per pb ON tb = pb.event_type
+      |ORDER BY ta, tb""".stripMargin
+
+  private val liftDuck =
     """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
       |n AS (SELECT COUNT(DISTINCT user_id) AS total FROM events),
       |per AS (SELECT event_type, COUNT(*) AS c FROM u GROUP BY event_type),
@@ -370,7 +386,15 @@ object WarehouseQueries {
       |ORDER BY ta, tb""".stripMargin
 
   val specs: Map[String, QuerySpec] = Map(
-    "q_events_lift" -> sql(lift),
+    "q_events_lift" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        s.sql("SELECT user_id, collect_set(event_type) AS ts FROM events GROUP BY user_id")
+          .localCheckpoint(true)
+          .createOrReplaceTempView("lift_u")
+        s.sql(liftTail)
+      },
+      Some(liftDuck)),
     "q_events_survival_km" -> sql2(
       kmSurvivalSql("unix_micros(CAST(ts AS TIMESTAMP))"),
       kmSurvivalSql("epoch_us(ts)")),

@@ -18,6 +18,16 @@ import graft.queries.{QuerySpec, Tables}
   */
 object EventStream {
 
+  /** ONE definition of the 64-bucket value quantization shared by the
+    * quantile sketch and the drift monitor on BOTH the streaming side and
+    * their oracle texts — a clamp fix must not be able to land in one
+    * copy only (the first-review-round lesson).
+    */
+  private val bucketSqlBigint =
+    "LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT))) AS b"
+  private val bucketSqlInt =
+    "LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS INT))) AS b"
+
   /** The streaming results equal the batch aggregations — which is exactly
     * what the DuckDB oracles compute.
     */
@@ -181,20 +191,24 @@ object EventStream {
     // integer-FLOOR discipline over all 64 buckets.
     "q_stream_drift_alert" -> QuerySpec.df(
       (s, d) => driftAlertCounts(s, d),
-      """WITH e AS (SELECT event_type, event_id,
-        |                 LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT))) AS b
+      // rooted in the OBSERVED types (obsn), mirroring the streaming side
+      // exactly: a type absent from the reference slice scores against the
+      // all-zero smoothed reference (chi2Micro's getOrElse fallback), and
+      // a reference-only type emits nothing (no stream state exists)
+      s"""WITH e AS (SELECT event_type, event_id, $bucketSqlBigint
         |          FROM events),
         |ref AS (SELECT event_type, b, COUNT(*) AS r FROM e WHERE event_id % 3 = 0 GROUP BY event_type, b),
         |refm AS (SELECT event_type, SUM(r) AS m FROM ref GROUP BY event_type),
         |obs AS (SELECT event_type, b, COUNT(*) AS o FROM e WHERE event_id % 3 != 0 GROUP BY event_type, b),
         |obsn AS (SELECT event_type, SUM(o) AS n FROM obs GROUP BY event_type),
-        |bx AS (SELECT rm.event_type, gb.b,
-        |              COALESCE(o.o, 0) AS o, COALESCE(r.r, 0) AS r, rm.m, onn.n
-        |       FROM refm rm
+        |bx AS (SELECT onn.event_type, gb.b,
+        |              COALESCE(o.o, 0) AS o, COALESCE(r.r, 0) AS r,
+        |              COALESCE(rm.m, 0) AS m, onn.n
+        |       FROM obsn onn
         |       CROSS JOIN (SELECT unnest(range(0, 64)) AS b) gb
-        |       LEFT JOIN ref r ON rm.event_type = r.event_type AND gb.b = r.b
-        |       LEFT JOIN obs o ON rm.event_type = o.event_type AND gb.b = o.b
-        |       JOIN obsn onn ON rm.event_type = onn.event_type),
+        |       LEFT JOIN refm rm ON onn.event_type = rm.event_type
+        |       LEFT JOIN ref r ON onn.event_type = r.event_type AND gb.b = r.b
+        |       LEFT JOIN obs o ON onn.event_type = o.event_type AND gb.b = o.b),
         |chi AS (SELECT event_type, n,
         |               CAST(SUM(CAST(FLOOR(CAST(o * (m + 64) - n * (r + 1) AS DOUBLE)
         |                              * CAST(o * (m + 64) - n * (r + 1) AS DOUBLE)
@@ -212,8 +226,7 @@ object EventStream {
     // equals the batch closed form exactly.
     "q_stream_quantile_sketch" -> QuerySpec.df(
       (s, d) => quantileSketchCounts(s, d),
-      """WITH e AS (SELECT event_type,
-        |                 LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT))) AS b
+      s"""WITH e AS (SELECT event_type, $bucketSqlBigint
         |          FROM events),
         |h AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY event_type, b),
         |cum AS (SELECT event_type, b,
@@ -715,15 +728,12 @@ object EventStream {
       .schema(schema)
       .options(opts)
       .parquet(staged)
-      .selectExpr("event_type",
-        "LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS INT))) AS b")
+      .selectExpr("event_type", bucketSqlInt)
       .as[(String, Int)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (et: String, rows: Iterator[(String, Int)], state: GroupState[Seq[Long]]) =>
-          val h = state.getOption.map(_.toArray).getOrElse(Array.fill(64)(0L))
-          rows.foreach { case (_, b) => h(b) += 1 }
-          state.update(h.toIndexedSeq)
+          val h = foldHistogram(rows, state)
           val n = h.sum
           def pct(q: Long): Int = {
             var cum = 0L
@@ -743,6 +753,18 @@ object EventStream {
         "CAST(x.p50_b AS INT) AS p50_b", "CAST(x.p90_b AS INT) AS p90_b",
         "CAST(x.p99_b AS INT) AS p99_b")
       .orderBy("event_type")
+  }
+
+  /** Fold a batch of bucket hits into the bounded 64-long histogram
+    * state (shared by the sketch and drift processors).
+    */
+  private def foldHistogram(
+      rows: Iterator[(String, Int)],
+      state: org.apache.spark.sql.streaming.GroupState[Seq[Long]]): Array[Long] = {
+    val h = state.getOption.map(_.toArray).getOrElse(Array.fill(64)(0L))
+    rows.foreach { case (_, b) => h(b) += 1 }
+    state.update(h.toIndexedSeq)
+    h
   }
 
   /** Streaming distribution-drift monitor: the live value histogram per
@@ -767,8 +789,7 @@ object EventStream {
     import spark.implicits._
     val staged = stage(spark, dir)
     val schema = spark.read.parquet(staged).schema
-    val bucketExpr =
-      "LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS INT))) AS b"
+    val bucketExpr = bucketSqlInt
     // constant-size reference artifact (types x 64), computed batch-side
     val ref: Map[String, Array[Long]] = spark.read.parquet(staged)
       .where("event_id % 3 = 0")
@@ -804,9 +825,7 @@ object EventStream {
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (et: String, rows: Iterator[(String, Int)], state: GroupState[Seq[Long]]) =>
-          val h = state.getOption.map(_.toArray).getOrElse(Array.fill(64)(0L))
-          rows.foreach { case (_, b) => h(b) += 1 }
-          state.update(h.toIndexedSeq)
+          val h = foldHistogram(rows, state)
           val n = h.sum
           (et, n, chi2Micro(et, h, n))
       }
