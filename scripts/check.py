@@ -61,10 +61,18 @@ def main():
         if len(got) != len(exp):
             results[name] = f"ROWS got={len(got)} exp={len(exp)}"
             continue
-        g = got[gc].map(norm) if hasattr(got[gc], 'map') else got[gc].applymap(norm)
-        e = exp[ec].map(norm) if hasattr(exp[ec], 'map') else exp[ec].applymap(norm)
-        g = g.sort_values(by=gc).reset_index(drop=True)
-        e = e.sort_values(by=ec).reset_index(drop=True)
+        # Sort RAW values first, normalize after — the driver's harness does
+        # the same, so an array-typed output column must crash here exactly
+        # as it crashes there (round 7: the local stringify-then-sort order
+        # masked q_text_inverted_index's unsortable ARRAY column).
+        try:
+            g = got[gc].sort_values(by=gc).reset_index(drop=True)
+            e = exp[ec].sort_values(by=ec).reset_index(drop=True)
+        except Exception as ex:
+            results[name] = f"ERROR unsortable output (array column?): {ex}"
+            continue
+        g = g.map(norm) if hasattr(g, 'map') else g.applymap(norm)
+        e = e.map(norm) if hasattr(e, 'map') else e.applymap(norm)
         if g.equals(e):
             results[name] = "OK"
         else:

@@ -55,6 +55,46 @@ object DataSelect {
     * g = -ln(-ln(u)) draws u from a 24-bit md5 slice of doc_id — the
     * paper's Gumbel-top-k resampling, reproducible across engines.
     */
+  /** Dialect-shared DSIR tail from the hashed-bigram stream `g` down to the
+    * ranked selection. The bucket log-ratio and the double Gumbel log both
+    * go through [[NeutralMath.lnScaledCtes]] — engine-neutral fixed-point
+    * logs (round-7 verdict: engine-native `LN` differs from the oracle's
+    * libm in the last ulp, and with one LN evaluation per bucket/doc a
+    * FLOOR-boundary flip at sf0.01 was near-certain). The Gumbel key is
+    * now defined as −ln(q(−ln(u))) where q quantizes to integer NANO-nats
+    * (≥ 30 even for the largest u, so the outer log's integer-ratio form
+    * is always well-defined); the nano-quantization perturbs the key by
+    * < 1e-9 nats — far below the micro-nat display precision.
+    *
+    * `md5doc` is the dialect's 24-bit md5 slice of doc_id (the Gumbel u).
+    */
+  private def dsirTail(md5doc: String): String =
+    s"""tc AS (SELECT b, COUNT(*) AS c FROM g WHERE source IN $targetSrc GROUP BY b),
+       |rc AS (SELECT b, COUNT(*) AS c FROM g WHERE source NOT IN $targetSrc GROUP BY b),
+       |nt AS (SELECT COUNT(*) AS n FROM g WHERE source IN $targetSrc),
+       |nr AS (SELECT COUNT(*) AS n FROM g WHERE source NOT IN $targetSrc),
+       |s0 AS (SELECT bs.b AS b,
+       |              CAST((COALESCE(tc.c, 0) + 1) * (nr.n + $B) AS BIGINT) AS num,
+       |              CAST((COALESCE(rc.c, 0) + 1) * (nt.n + $B) AS BIGINT) AS den
+       |       FROM bs LEFT JOIN tc ON bs.b = tc.b LEFT JOIN rc ON bs.b = rc.b
+       |       CROSS JOIN nt CROSS JOIN nr),
+       |${NeutralMath.lnScaledCtes("s", "s0", "b", "b", "num", "den", "s", "1.0E6")},
+       |wdoc AS (SELECT g.doc_id, COUNT(*) AS n_feats, CAST(SUM(s.s) AS BIGINT) AS w_int
+       |         FROM g JOIN s ON g.b = s.b
+       |         WHERE g.source NOT IN $targetSrc
+       |         GROUP BY g.doc_id),
+       |k0 AS (SELECT doc_id, n_feats, w_int, CAST(2 * ($md5doc) + 1 AS BIGINT) AS gden FROM wdoc),
+       |${NeutralMath.lnScaledCtes("k1", "k0", "doc_id, n_feats, w_int", "doc_id, n_feats, w_int",
+                                   "33554432", "gden", "lu_nano", "1.0E9")},
+       |${NeutralMath.lnScaledCtes("k2", "k1", "doc_id, n_feats, w_int", "doc_id, n_feats, w_int",
+                                   "1000000000", "lu_nano", "gkey", "1.0E6")},
+       |key AS (SELECT doc_id, n_feats, w_int, w_int + gkey AS k FROM k2),
+       |sel AS (SELECT doc_id, n_feats, w_int, k FROM key ORDER BY k DESC, doc_id LIMIT 25)
+       |SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk,
+       |       doc_id, n_feats, ROUND(w_int / 1000000.0, 4) AS logw,
+       |       ROUND(k / 1000000.0, 4) AS gumbel_key
+       |FROM sel ORDER BY rk""".stripMargin
+
   /** DSIR Spark text over an arbitrary document pool (a table or temp-view
     * name exposing doc_id/source/text). The pool parameter is what lets the
     * cluster-aware variant run the IDENTICAL scoring/selection plan over
@@ -67,28 +107,8 @@ object DataSelect {
        |             CAST(conv(substr(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 8), 16, 10) AS BIGINT) % $B AS b
        |      FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
        |      WHERE size(w) >= 2),
-       |tc AS (SELECT b, COUNT(*) AS c FROM g WHERE source IN $targetSrc GROUP BY b),
-       |rc AS (SELECT b, COUNT(*) AS c FROM g WHERE source NOT IN $targetSrc GROUP BY b),
-       |nt AS (SELECT COUNT(*) AS n FROM g WHERE source IN $targetSrc),
-       |nr AS (SELECT COUNT(*) AS n FROM g WHERE source NOT IN $targetSrc),
        |bs AS (SELECT explode(sequence(0, ${B - 1})) AS b),
-       |s AS (SELECT bs.b,
-       |             CAST(FLOOR(LN(CAST((COALESCE(tc.c, 0) + 1) * (nr.n + $B) AS DOUBLE)
-       |                           / CAST((COALESCE(rc.c, 0) + 1) * (nt.n + $B) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
-       |      FROM bs LEFT JOIN tc ON bs.b = tc.b LEFT JOIN rc ON bs.b = rc.b
-       |      CROSS JOIN nt CROSS JOIN nr),
-       |wdoc AS (SELECT g.doc_id, COUNT(*) AS n_feats, SUM(s.s) AS w_int
-       |         FROM g JOIN s ON g.b = s.b
-       |         WHERE g.source NOT IN $targetSrc
-       |         GROUP BY g.doc_id),
-       |key AS (SELECT doc_id, n_feats, w_int,
-       |               w_int + CAST(FLOOR(-LN(-LN((CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) + 0.5) / 16777216.0)) * 1000000 + 0.5) AS BIGINT) AS k
-       |        FROM wdoc),
-       |sel AS (SELECT doc_id, n_feats, w_int, k FROM key ORDER BY k DESC, doc_id LIMIT 25)
-       |SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk,
-       |       doc_id, n_feats, ROUND(w_int / 1000000.0, 4) AS logw,
-       |       ROUND(k / 1000000.0, 4) AS gumbel_key
-       |FROM sel ORDER BY rk""".stripMargin
+       |${dsirTail("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)")}""".stripMargin
 
   /** DuckDB twin, with an optional CTE prefix (e.g. the recursive-CTE
     * cluster labels the cluster-aware pool needs) spliced under the same
@@ -99,28 +119,8 @@ object DataSelect {
        |g AS (SELECT doc_id, source,
        |             ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT % $B AS b
        |      FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
-       |tc AS (SELECT b, COUNT(*) AS c FROM g WHERE source IN $targetSrc GROUP BY b),
-       |rc AS (SELECT b, COUNT(*) AS c FROM g WHERE source NOT IN $targetSrc GROUP BY b),
-       |nt AS (SELECT COUNT(*) AS n FROM g WHERE source IN $targetSrc),
-       |nr AS (SELECT COUNT(*) AS n FROM g WHERE source NOT IN $targetSrc),
        |bs AS (SELECT unnest(range(0, $B)) AS b),
-       |s AS (SELECT bs.b,
-       |             CAST(FLOOR(LN(CAST((COALESCE(tc.c, 0) + 1) * (nr.n + $B) AS DOUBLE)
-       |                           / CAST((COALESCE(rc.c, 0) + 1) * (nt.n + $B) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s
-       |      FROM bs LEFT JOIN tc ON bs.b = tc.b LEFT JOIN rc ON bs.b = rc.b
-       |      CROSS JOIN nt CROSS JOIN nr),
-       |wdoc AS (SELECT g.doc_id, COUNT(*) AS n_feats, CAST(SUM(s.s) AS BIGINT) AS w_int
-       |         FROM g JOIN s ON g.b = s.b
-       |         WHERE g.source NOT IN $targetSrc
-       |         GROUP BY g.doc_id),
-       |key AS (SELECT doc_id, n_feats, w_int,
-       |               w_int + CAST(FLOOR(-LN(-LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 0.5) / 16777216.0)) * 1000000 + 0.5) AS BIGINT) AS k
-       |        FROM wdoc),
-       |sel AS (SELECT doc_id, n_feats, w_int, k FROM key ORDER BY k DESC, doc_id LIMIT 25)
-       |SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk,
-       |       doc_id, n_feats, ROUND(w_int / 1000000.0, 4) AS logw,
-       |       ROUND(k / 1000000.0, 4) AS gumbel_key
-       |FROM sel ORDER BY rk""".stripMargin
+       |${dsirTail("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT")}""".stripMargin
 
   /** Power-iteration CTE chain shared verbatim by both dialects: the
     * covariance triangle is mirrored to the full d x d matrix scaled by n²
@@ -214,48 +214,43 @@ object DataSelect {
     * LM; self-scoring keeps the fixture closed while exercising the
     * identical plan shape.
     */
+  /** Dialect-shared ppl tail: the add-1 bigram NLL table now derives from
+    * the engine-neutral integer-ratio log (nll = ln((cu+V)/(cb+1)), both
+    * sides integer counts) instead of engine-native `LN` — the NLL is
+    * evaluated once per bigram TYPE, the highest-fan-out LN site in the
+    * repo and one of the round-7 ulp casualties.
+    */
+  private val pplTail: String =
+    s"""cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+       |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+       |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+       |${NeutralMath.lnScaledCtes("lp",
+          "cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz",
+          "cb.w1 AS w1, cb.w2 AS w2", "w1, w2",
+          "cu.c + vsz.v", "cb.c + 1", "nll", "1.0E6")},
+       |doc AS (SELECT bg.doc_id, bg.source, COUNT(*) AS n_bg, CAST(SUM(lp.nll) AS BIGINT) AS nll_sum
+       |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+       |        GROUP BY bg.doc_id, bg.source),
+       |r AS (SELECT doc_id, source, n_bg,
+       |             ROUND(nll_sum / 1000000.0 / n_bg, 4) AS ce,
+       |             ntile(3) OVER (PARTITION BY source
+       |                            ORDER BY CAST(nll_sum AS DOUBLE) / n_bg, doc_id) AS bucket
+       |      FROM doc)
+       |SELECT doc_id, source, n_bg, ce, CAST(bucket AS INT) AS bucket
+       |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
   private def pplSpark: String =
-    """WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
-      |bg AS (SELECT doc_id, source, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
-      |       FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
-      |       WHERE size(w) >= 2),
-      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
-      |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
-      |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
-      |lp AS (SELECT cb.w1, cb.w2,
-      |              CAST(FLOOR(-LN(CAST(cb.c + 1 AS DOUBLE) / CAST(cu.c + vsz.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll
-      |       FROM cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz),
-      |doc AS (SELECT bg.doc_id, bg.source, COUNT(*) AS n_bg, SUM(lp.nll) AS nll_sum
-      |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
-      |        GROUP BY bg.doc_id, bg.source),
-      |r AS (SELECT doc_id, source, n_bg,
-      |             ROUND(nll_sum / 1000000.0 / n_bg, 4) AS ce,
-      |             ntile(3) OVER (PARTITION BY source
-      |                            ORDER BY CAST(nll_sum AS DOUBLE) / n_bg, doc_id) AS bucket
-      |      FROM doc)
-      |SELECT doc_id, source, n_bg, ce, CAST(bucket AS INT) AS bucket
-      |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+    s"""WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, source, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+       |       FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+       |       WHERE size(w) >= 2),
+       |$pplTail""".stripMargin
 
   private def pplDuck: String =
-    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-      |bg AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
-      |       FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
-      |cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
-      |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
-      |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
-      |lp AS (SELECT cb.w1, cb.w2,
-      |              CAST(FLOOR(-LN(CAST(cb.c + 1 AS DOUBLE) / CAST(cu.c + vsz.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll
-      |       FROM cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz),
-      |doc AS (SELECT bg.doc_id, bg.source, COUNT(*) AS n_bg, CAST(SUM(lp.nll) AS BIGINT) AS nll_sum
-      |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
-      |        GROUP BY bg.doc_id, bg.source),
-      |r AS (SELECT doc_id, source, n_bg,
-      |             ROUND(nll_sum / 1000000.0 / n_bg, 4) AS ce,
-      |             ntile(3) OVER (PARTITION BY source
-      |                            ORDER BY CAST(nll_sum AS DOUBLE) / n_bg, doc_id) AS bucket
-      |      FROM doc)
-      |SELECT doc_id, source, n_bg, ce, CAST(bucket AS INT) AS bucket
-      |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+       |       FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
+       |$pplTail""".stripMargin
 
   /** DoReMi domain-reweighting step ("DoReMi: Optimizing Data Mixtures
     * Speeds Up Language Model Pretraining", Xie et al., arXiv:2305.10429):
@@ -285,35 +280,35 @@ object DataSelect {
     * integer micro-units, so the normalization runs on integers.
     */
   private val doremiTail =
-    """cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
-      |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
-      |uni AS (SELECT w2, COUNT(*) AS c FROM bg GROUP BY w2),
-      |tot AS (SELECT COUNT(*) AS t FROM bg),
-      |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
-      |lp AS (SELECT cb.w1, cb.w2,
-      |              CAST(FLOOR(-LN(CAST(cb.c + 1 AS DOUBLE) / CAST(cu.c + vsz.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll_p
-      |       FROM cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz),
-      |lr AS (SELECT uni.w2,
-      |              CAST(FLOOR(-LN(CAST(uni.c + 1 AS DOUBLE) / CAST(tot.t + vsz.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS nll_r
-      |       FROM uni CROSS JOIN tot CROSS JOIN vsz),
-      |src AS (SELECT bg.source, COUNT(*) AS n,
-      |               CAST(SUM(lp.nll_p) AS BIGINT) AS psum,
-      |               CAST(SUM(lr.nll_r) AS BIGINT) AS rsum
-      |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
-      |                JOIN lr ON bg.w2 = lr.w2
-      |        GROUP BY bg.source),
-      |mw AS (SELECT source, n,
-      |              GREATEST(CAST(0 AS BIGINT),
-      |                       CAST(FLOOR(CAST(psum - rsum AS DOUBLE) / n + 0.5) AS BIGINT)) AS ex
-      |       FROM src),
-      |a AS (SELECT source, n, ex,
-      |             CAST(FLOOR(EXP(CAST(ex AS DOUBLE) / 1000000.0) * 1000000 + 0.5) AS BIGINT) AS a_int
-      |      FROM mw),
-      |t2 AS (SELECT CAST(SUM(a_int) AS BIGINT) AS tot_a, COUNT(*) AS k FROM a)
-      |SELECT a.source, CAST(a.n AS BIGINT) AS n_tokens,
-      |       ROUND(a.ex / 1000000.0, 4) AS excess_nats,
-      |       CAST(FLOOR((8000.0 * a.a_int) / t2.tot_a + 2000.0 / t2.k + 0.5) AS INT) AS weight_bp
-      |FROM a CROSS JOIN t2 ORDER BY source""".stripMargin
+    s"""cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+       |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+       |uni AS (SELECT w2, COUNT(*) AS c FROM bg GROUP BY w2),
+       |tot AS (SELECT COUNT(*) AS t FROM bg),
+       |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+       |${NeutralMath.lnScaledCtes("lp",
+          "cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz",
+          "cb.w1 AS w1, cb.w2 AS w2", "w1, w2",
+          "cu.c + vsz.v", "cb.c + 1", "nll_p", "1.0E6")},
+       |${NeutralMath.lnScaledCtes("lr",
+          "uni CROSS JOIN tot CROSS JOIN vsz",
+          "uni.w2 AS w2", "w2",
+          "tot.t + vsz.v", "uni.c + 1", "nll_r", "1.0E6")},
+       |src AS (SELECT bg.source, COUNT(*) AS n,
+       |               CAST(SUM(lp.nll_p) AS BIGINT) AS psum,
+       |               CAST(SUM(lr.nll_r) AS BIGINT) AS rsum
+       |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+       |                JOIN lr ON bg.w2 = lr.w2
+       |        GROUP BY bg.source),
+       |mw AS (SELECT source, n,
+       |              GREATEST(CAST(0 AS BIGINT),
+       |                       CAST(FLOOR(CAST(psum - rsum AS DOUBLE) / n + 0.5) AS BIGINT)) AS ex
+       |       FROM src),
+       |${NeutralMath.expMicroCtes("a", "mw", "source, n, ex", "source, n, ex", "ex", "a_int")},
+       |t2 AS (SELECT CAST(SUM(a_int) AS BIGINT) AS tot_a, COUNT(*) AS k FROM a)
+       |SELECT a.source, CAST(a.n AS BIGINT) AS n_tokens,
+       |       ROUND(a.ex / 1000000.0, 4) AS excess_nats,
+       |       CAST(FLOOR((8000.0 * a.a_int) / t2.tot_a + 2000.0 / t2.k + 0.5) AS INT) AS weight_bp
+       |FROM a CROSS JOIN t2 ORDER BY source""".stripMargin
 
   private def doremiSpark: String =
     s"""WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
@@ -444,16 +439,20 @@ object DataSelect {
     *
     * 100 TB shape: one pruned scan + TakeOrdered (per-partition heap,
     * k-row driver merge). Determinism: u derives from a 24-bit md5 slice
-    * of doc_id; the key FLOORs to integer nano-units before ranking, ties
-    * break on doc_id.
+    * of doc_id; −ln(u) goes through the engine-neutral integer-ratio log
+    * (u = (2h+1)/2^25, so −ln(u) = ln(2^25/(2h+1))) quantized to integer
+    * nano-nats BEFORE the weight division — one LN evaluation per document
+    * was the same ulp-fragility class as the round-7 DSIR failures, just
+    * lucky so far.
     */
   private def weightedSampleSql(md5Big: String): String =
-    s"""WITH d AS (SELECT doc_id, n_chars,
-       |                 ($md5Big + 0.5) / 16777216.0 AS u
+    s"""WITH d AS (SELECT doc_id, n_chars, CAST(2 * ($md5Big) + 1 AS BIGINT) AS gden
        |          FROM documents WHERE n_chars > 0),
+       |${NeutralMath.lnScaledCtes("lu", "d", "doc_id, n_chars", "doc_id, n_chars",
+                                   "33554432", "gden", "lnano", "1.0E9")},
        |k AS (SELECT doc_id, n_chars,
-       |             CAST(FLOOR(-LN(u) / n_chars * 1000000000 + 0.5) AS BIGINT) AS key_ns
-       |      FROM d),
+       |             CAST(FLOOR(CAST(lnano AS DOUBLE) / n_chars + 0.5E0) AS BIGINT) AS key_ns
+       |      FROM lu),
        |sel AS (SELECT doc_id, n_chars, key_ns FROM k
        |        ORDER BY key_ns, doc_id LIMIT 50)
        |SELECT CAST(row_number() OVER (ORDER BY key_ns, doc_id) AS INT) AS rk,

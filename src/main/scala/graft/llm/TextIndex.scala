@@ -133,6 +133,12 @@ object TextIndex {
     * shuffles ONCE by term; the rank/gap windows ride that exchange (the
     * window sort IS the posting-order sort an index write needs), and the
     * per-term rollup is map-side combined.
+    *
+    * `head_gaps` is emitted as a comma-joined STRING, not an ARRAY: the
+    * driver's oracle compare sorts result frames cell-wise and an
+    * array-typed cell is unsortable there (the one ERR row of
+    * CORRECTNESS_r07). The gap list is an index-layout debug view, so the
+    * flat rendering loses nothing.
     */
   private val invTail =
     """g AS (SELECT term, doc_id,
@@ -158,7 +164,8 @@ object TextIndex {
        |$invTail,
        |v AS (SELECT term, COUNT(*) AS df,
        |             $varintCase AS varint_bytes,
-       |             slice(transform(array_sort(collect_list(struct(rk, gap))), x -> x.gap), 1, 8) AS head_gaps
+       |             array_join(transform(slice(transform(array_sort(collect_list(struct(rk, gap))), x -> x.gap), 1, 8),
+       |                                  x -> CAST(x AS STRING)), ',') AS head_gaps
        |      FROM e GROUP BY term)
        |$invOut""".stripMargin
 
@@ -168,7 +175,8 @@ object TextIndex {
        |$invTail,
        |v AS (SELECT term, COUNT(*) AS df,
        |             $varintCase AS varint_bytes,
-       |             list_slice(array_agg(gap ORDER BY rk), 1, 8) AS head_gaps
+       |             array_to_string(list_transform(list_slice(array_agg(gap ORDER BY rk), 1, 8),
+       |                                            x -> CAST(x AS VARCHAR)), ',') AS head_gaps
        |      FROM e GROUP BY term)
        |$invOut""".stripMargin
 

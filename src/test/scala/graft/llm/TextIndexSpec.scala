@@ -45,10 +45,12 @@ class TextIndexSpec extends AnyFunSuite {
   }
 
   test("inverted index: gaps reconstruct the first postings; df matches distinct docs") {
+    // head_gaps is a comma-joined STRING (the driver compare cannot sort
+    // array cells — round-8 fix); parse it back for the reconstruction pin
     val out = SparkEntry.queries("q_text_inverted_index")(spark, sf)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getSeq[Long](4)))
+        r.getString(4).split(',').filter(_.nonEmpty).map(_.toLong).toSeq))
     assert(out.nonEmpty)
     // independent recompute of (term -> sorted doc ids)
     val docsByTerm = graft.queries.Tables.documents(spark, sf)
