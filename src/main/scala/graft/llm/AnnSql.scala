@@ -628,6 +628,72 @@ object AnnSql {
   private[llm] def hierSingleQueryDuck(qid: Long, nprobe: Int = 3, p1: Int = 2): String =
     hierSingleQueryCtes(duckCos, qid, nprobe, p1)
 
+  /** Staged two-level IVF index — the PERSISTED form of [[hierAsnCtes]]'s
+    * output (cell table, centroid routing, full vector assignment),
+    * materialized once per (session, dir) and registered as the temp views
+    * `hier_c1` / `hier_a21` / `hier_asn`. Serving queries (the hybrid
+    * retrieval family) probe these views with pure equi-joins instead of
+    * re-deriving the quantizer chain in-statement — at 100 TB the index
+    * build is a batch job and the probe path must not pay it per query
+    * (round-7 plan audit: the inline form ran the N×N^¼ assignment window
+    * TWICE per hybrid query). The DuckDB oracle keeps the inline
+    * derivation (the rerank-probe precedent: Spark stages the artifact,
+    * the oracle re-derives the bit-identical table), so correctness still
+    * pins staged == derived every round.
+    */
+  private val hierIndexCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](8)
+
+  private[graft] def stageHierIndex(
+      s: org.apache.spark.sql.SparkSession, d: String, p1: Int = 2): Unit = {
+    graft.queries.Tables.registerAll(s, d)
+    graft.functions.GraftFunctions.register(s)
+    val chain = hierAsnCtes(
+      "embeddings", "embedding", (a, b) => s"graft_cosine($a, $b)", desc = true, p1)
+    val (c1, a21, asn) = hierIndexCache.getOrElseUpdate((s, d)) {
+      // unreferenced CTEs are pruned, so the two small extracts never run
+      // the N-sized v1 window — only the asn build pays it, once
+      val c1 = s.sql(s"WITH $chain SELECT c1_id, c1e FROM c1").localCheckpoint(true)
+      val a21 = s.sql(s"WITH $chain SELECT cent_id, cv, c1_id FROM a21").localCheckpoint(true)
+      val asn = s.sql(
+        s"""WITH $chain,
+           |asn AS (SELECT vec_id, v, cent_id FROM (
+           |  SELECT v.vec_id, v.v, a.cent_id,
+           |         row_number() OVER (PARTITION BY v.vec_id
+           |           ORDER BY graft_cosine(v.v, a.cv) DESC, a.cent_id) AS rn
+           |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1)
+           |SELECT vec_id, v, cent_id FROM asn""".stripMargin).localCheckpoint(true)
+      (c1, a21, asn)
+    }
+    c1.createOrReplaceTempView("hier_c1")
+    a21.createOrReplaceTempView("hier_a21")
+    asn.createOrReplaceTempView("hier_asn")
+  }
+
+  /** Single-query probe chain over the STAGED index views — emits the same
+    * `vs` (doc_id, csim) contract as [[hierSingleQuerySpark]] and computes
+    * the identical result: the query's p1 cells, its nprobe centroids, and
+    * exact re-scoring against only those centroids' members. Per-query
+    * work: N^¼ cell scores + p1·(nlist/nlist1) routing scores + nprobe
+    * posting lists, all via equi-joins on the staged views.
+    */
+  private[llm] def hierSingleQueryStagedSpark(
+      qid: Long, nprobe: Int = 3, p1: Int = 2): String =
+    s"""qc AS (SELECT qid, qe, c1_id FROM (
+       |  SELECT q.vec_id AS qid, q.embedding AS qe, c1.c1_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY graft_cosine(q.embedding, c1.c1e) DESC, c1.c1_id) AS rn
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id = $qid) q
+       |  CROSS JOIN hier_c1 c1) t WHERE rn <= $p1),
+       |qp AS (SELECT qid, qe, cent_id FROM (
+       |  SELECT qc.qid, qc.qe, a.cent_id,
+       |         row_number() OVER (PARTITION BY qc.qid
+       |           ORDER BY graft_cosine(qc.qe, a.cv) DESC, a.cent_id) AS rn
+       |  FROM qc JOIN hier_a21 a ON qc.c1_id = a.c1_id) t WHERE rn <= $nprobe),
+       |vs AS (SELECT a.vec_id AS doc_id, ROUND(graft_cosine(qp.qe, a.v), 6) AS csim
+       |       FROM qp JOIN hier_asn a ON a.cent_id = qp.cent_id AND a.vec_id != $qid)""".stripMargin
+
   /** One k-means (Lloyd) refinement step over the IVF centroid seed set —
     * the index-build iteration [[ivfTopKSpark]]'s doc promises: assign
     * every vector to its nearest centroid, then report per-cluster size,

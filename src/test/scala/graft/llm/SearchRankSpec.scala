@@ -141,8 +141,11 @@ class SearchRankSpec extends AnyFunSuite {
     val got = spark.sql(SearchRank.bm25SparkSql("sr_bm25"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     def bm25(tf: Double, dl: Double): Double = {
-      val n = 3.0; val df = 2.0; val avgdl = 16.0 / 3.0
-      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val avgdl = 16.0 / 3.0
+      // idf = ln(1 + (N-df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1)), via the
+      // engine-neutral micro-nat kernel the SQL uses (N=3, df=2); the
+      // micro-nat quantization is part of the operator's definition
+      val idf = NeutralMath.lnScaledJvm(2 * 3 + 2, 2 * 2 + 1, 1.0e6) / 1.0e6
       val s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
       BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }

@@ -544,4 +544,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(source"), p.take(2000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("retrieval queries probe the STAGED indexes: zero corpus explodes per query") {
+    // Round-7 plan audit: the four retrieval queries each re-inlined the
+    // bm25 word-stream CTE 3-4x (one full corpus token explode PER
+    // consumer), and the IVF branch re-derived the quantizer chain
+    // in-statement. The serving contract is now: stageBm25 /
+    // stageHierIndex pay the explode/assignment ONCE per (session, dir),
+    // and the query plans contain NO Generate at all — every per-query op
+    // is an equi-join against a staged view.
+    for (q <- Seq("q_text_bm25", "q_search_hybrid_rrf", "q_search_hybrid_ivf",
+                  "q_search_rerank_probe")) {
+      val p = plan(q)
+      assert("Generate".r.findAllIn(p).isEmpty, s"$q explodes the corpus in-query: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // brute branches may nested-loop only 1-row builds (the query vector /
+    // scalar stats); the IVF probe additionally nested-loops the N^(1/4)
+    // staged cell table — nothing corpus-sized
+    val pIvf = plan("q_search_hybrid_ivf")
+    assert(!pIvf.contains("SortMergeJoin") || pIvf.contains("BroadcastHashJoin"), pIvf.take(1500))
+  }
 }
