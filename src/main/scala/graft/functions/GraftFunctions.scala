@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD, SortedOverlap, WordNgrams}
+import org.apache.spark.sql.graftbridge.{CosineSimilarity, DotProduct, DotProductDD, ExpMicro, LnScaledMicro, SortedOverlap, WordNgrams}
 
 /** Registration hook for the engine's custom functions — an embedding
   * application calls this from its SessionProvider (mirrors per-session
@@ -28,6 +28,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ngrams",
       exprs => WordNgrams(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ln_scaled",
+      exprs => LnScaledMicro(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_exp_micro",
+      exprs => ExpMicro(exprs(0)),
       "built-in")
   }
 }

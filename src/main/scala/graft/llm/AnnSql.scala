@@ -113,11 +113,24 @@ object AnnSql {
       s"(CASE WHEN list_dot_product(${duckD(e)}, ${duckPlaneLit(p)}) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** ceil(log2(m)) for an integer expression m ≥ 1, as the bit length of
+    * m−1 — pure integer arithmetic, no libm. Round-8 hardening: the old
+    * CEIL(log2(x)) flips across engines when x sits a last-ulp from a
+    * power of two, and nbits feeds the bucket masks, so a flip would
+    * change every candidate set. `bin(BIGINT)` is minimal-width in both
+    * dialects (probed on Spark 4.1.2 and DuckDB 1.0.0).
+    */
+  private def ceilLog2Int(m: String): String =
+    s"(CASE WHEN $m <= 1 THEN 0 ELSE CAST(LENGTH(bin(CAST($m AS BIGINT) - 1)) AS INT) END)"
+
   /** clamp(ceil(log2(COUNT(*) / targetBucket)), lo, maxBits) — identical
-    * text shape in both dialects (log2/CEIL/GREATEST/LEAST exist in both).
+    * text in both dialects. ceil(N/targetBucket) is exact (targetBucket
+    * is a power of two: the +1023 add and the divide are both exact
+    * double ops for any realistic N), and the log2 is integer bit length.
     */
   private def nbitsSql(lo: Int): String =
-    s"SELECT GREATEST($lo, LEAST($maxBits, CAST(CEIL(log2(CAST(COUNT(*) AS DOUBLE) / $targetBucket.0)) AS INT))) AS nbits FROM embeddings"
+    s"SELECT GREATEST($lo, LEAST($maxBits, ${ceilLog2Int(
+      s"CAST(FLOOR((CAST(COUNT(*) AS DOUBLE) + ${targetBucket - 1}.0E0) / $targetBucket.0E0) AS BIGINT)")})) AS nbits FROM embeddings"
 
   // ---- queries ----
 
@@ -1378,8 +1391,14 @@ object AnnSql {
     * lambda fold lives on in bruteTopKSpark as the no-extension
     * formulation.
     */
+  /** ceil(log2(x)) = ceil(log2(ceil(x))) for x > 1 (both sides of the
+    * clamp agree at x ≤ 1), so the non-integer N/|labels|/targetBucket
+    * reduces to one shared-text CEIL — correctly rounded, bit-identical
+    * across engines — followed by the integer bit-length log2.
+    */
   private def blockBitsSql: String =
-    s"SELECT GREATEST(0, LEAST($maxBits, CAST(CEIL(log2(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT label) / $targetBucket.0)) AS INT))) AS nbits FROM embeddings"
+    s"SELECT GREATEST(0, LEAST($maxBits, ${ceilLog2Int(
+      s"CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT label) / $targetBucket.0E0) AS BIGINT)")})) AS nbits FROM embeddings"
 
   /** Mutual k-NN graph over the same (label, sign sub-bucket) blocking as
     * the embedding near-dup: every vector generates DIRECTED candidates

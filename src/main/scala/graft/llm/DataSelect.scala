@@ -68,7 +68,7 @@ object DataSelect {
     *
     * `md5doc` is the dialect's 24-bit md5 slice of doc_id (the Gumbel u).
     */
-  private def dsirTail(md5doc: String): String =
+  private def dsirTail(md5doc: String, k: NeutralMath.KernelSplice): String =
     s"""tc AS (SELECT b, COUNT(*) AS c FROM g WHERE source IN $targetSrc GROUP BY b),
        |rc AS (SELECT b, COUNT(*) AS c FROM g WHERE source NOT IN $targetSrc GROUP BY b),
        |nt AS (SELECT COUNT(*) AS n FROM g WHERE source IN $targetSrc),
@@ -78,16 +78,16 @@ object DataSelect {
        |              CAST((COALESCE(rc.c, 0) + 1) * (nt.n + $B) AS BIGINT) AS den
        |       FROM bs LEFT JOIN tc ON bs.b = tc.b LEFT JOIN rc ON bs.b = rc.b
        |       CROSS JOIN nt CROSS JOIN nr),
-       |${NeutralMath.lnScaledCtes("s", "s0", "b", "b", "num", "den", "s", "1.0E6")},
+       |${k.ln("s", "s0", "b", "b", "num", "den", "s", "1.0E6")},
        |wdoc AS (SELECT g.doc_id, COUNT(*) AS n_feats, CAST(SUM(s.s) AS BIGINT) AS w_int
        |         FROM g JOIN s ON g.b = s.b
        |         WHERE g.source NOT IN $targetSrc
        |         GROUP BY g.doc_id),
        |k0 AS (SELECT doc_id, n_feats, w_int, CAST(2 * ($md5doc) + 1 AS BIGINT) AS gden FROM wdoc),
-       |${NeutralMath.lnScaledCtes("k1", "k0", "doc_id, n_feats, w_int", "doc_id, n_feats, w_int",
-                                   "33554432", "gden", "lu_nano", "1.0E9")},
-       |${NeutralMath.lnScaledCtes("k2", "k1", "doc_id, n_feats, w_int", "doc_id, n_feats, w_int",
-                                   "1000000000", "lu_nano", "gkey", "1.0E6")},
+       |${k.ln("k1", "k0", "doc_id, n_feats, w_int, gden", "doc_id, n_feats, w_int",
+               "33554432", "gden", "lu_nano", "1.0E9")},
+       |${k.ln("k2", "k1", "doc_id, n_feats, w_int, lu_nano", "doc_id, n_feats, w_int",
+               "1000000000", "lu_nano", "gkey", "1.0E6")},
        |key AS (SELECT doc_id, n_feats, w_int, w_int + gkey AS k FROM k2),
        |sel AS (SELECT doc_id, n_feats, w_int, k FROM key ORDER BY k DESC, doc_id LIMIT 25)
        |SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk,
@@ -108,7 +108,8 @@ object DataSelect {
        |      FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
        |      WHERE size(w) >= 2),
        |bs AS (SELECT explode(sequence(0, ${B - 1})) AS b),
-       |${dsirTail("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)")}""".stripMargin
+       |${dsirTail("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)",
+                     NeutralMath.SparkKernel)}""".stripMargin
 
   /** DuckDB twin, with an optional CTE prefix (e.g. the recursive-CTE
     * cluster labels the cluster-aware pool needs) spliced under the same
@@ -120,7 +121,8 @@ object DataSelect {
        |             ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT % $B AS b
        |      FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
        |bs AS (SELECT unnest(range(0, $B)) AS b),
-       |${dsirTail("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT")}""".stripMargin
+       |${dsirTail("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT",
+                     NeutralMath.OracleKernel)}""".stripMargin
 
   /** Power-iteration CTE chain shared verbatim by both dialects: the
     * covariance triangle is mirrored to the full d x d matrix scaled by n²
@@ -220,11 +222,11 @@ object DataSelect {
     * evaluated once per bigram TYPE, the highest-fan-out LN site in the
     * repo and one of the round-7 ulp casualties.
     */
-  private val pplTail: String =
+  private def pplTail(k: NeutralMath.KernelSplice): String =
     s"""cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
        |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
        |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
-       |${NeutralMath.lnScaledCtes("lp",
+       |${k.ln("lp",
           "cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz",
           "cb.w1 AS w1, cb.w2 AS w2", "w1, w2",
           "cu.c + vsz.v", "cb.c + 1", "nll", "1.0E6")},
@@ -244,13 +246,13 @@ object DataSelect {
        |bg AS (SELECT doc_id, source, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
        |       FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
        |       WHERE size(w) >= 2),
-       |$pplTail""".stripMargin
+       |${pplTail(NeutralMath.SparkKernel)}""".stripMargin
 
   private def pplDuck: String =
     s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
        |bg AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
        |       FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
-       |$pplTail""".stripMargin
+       |${pplTail(NeutralMath.OracleKernel)}""".stripMargin
 
   /** DoReMi domain-reweighting step ("DoReMi: Optimizing Data Mixtures
     * Speeds Up Language Model Pretraining", Xie et al., arXiv:2305.10429):
@@ -279,17 +281,17 @@ object DataSelect {
     * (identical double op in both engines) and is immediately FLOORed to
     * integer micro-units, so the normalization runs on integers.
     */
-  private val doremiTail =
+  private def doremiTail(k: NeutralMath.KernelSplice): String =
     s"""cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
        |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
        |uni AS (SELECT w2, COUNT(*) AS c FROM bg GROUP BY w2),
        |tot AS (SELECT COUNT(*) AS t FROM bg),
        |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
-       |${NeutralMath.lnScaledCtes("lp",
+       |${k.ln("lp",
           "cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz",
           "cb.w1 AS w1, cb.w2 AS w2", "w1, w2",
           "cu.c + vsz.v", "cb.c + 1", "nll_p", "1.0E6")},
-       |${NeutralMath.lnScaledCtes("lr",
+       |${k.ln("lr",
           "uni CROSS JOIN tot CROSS JOIN vsz",
           "uni.w2 AS w2", "w2",
           "tot.t + vsz.v", "uni.c + 1", "nll_r", "1.0E6")},
@@ -303,7 +305,7 @@ object DataSelect {
        |              GREATEST(CAST(0 AS BIGINT),
        |                       CAST(FLOOR(CAST(psum - rsum AS DOUBLE) / n + 0.5) AS BIGINT)) AS ex
        |       FROM src),
-       |${NeutralMath.expMicroCtes("a", "mw", "source, n, ex", "source, n, ex", "ex", "a_int")},
+       |${k.exp("a", "mw", "source, n, ex", "source, n, ex", "ex", "a_int")},
        |t2 AS (SELECT CAST(SUM(a_int) AS BIGINT) AS tot_a, COUNT(*) AS k FROM a)
        |SELECT a.source, CAST(a.n AS BIGINT) AS n_tokens,
        |       ROUND(a.ex / 1000000.0, 4) AS excess_nats,
@@ -315,13 +317,13 @@ object DataSelect {
        |bg AS (SELECT source, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
        |       FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
        |       WHERE size(w) >= 2),
-       |$doremiTail""".stripMargin
+       |${doremiTail(NeutralMath.SparkKernel)}""".stripMargin
 
   private def doremiDuck: String =
     s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
        |bg AS (SELECT source, w[i] AS w1, w[i + 1] AS w2
        |       FROM (SELECT source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
-       |$doremiTail""".stripMargin
+       |${doremiTail(NeutralMath.OracleKernel)}""".stripMargin
 
   /** Cluster-aware DSIR: importance-resample over near-dup cluster
     * REPRESENTATIVES instead of raw documents. Plain DSIR lets a heavily
@@ -445,11 +447,11 @@ object DataSelect {
     * was the same ulp-fragility class as the round-7 DSIR failures, just
     * lucky so far.
     */
-  private def weightedSampleSql(md5Big: String): String =
+  private def weightedSampleSql(md5Big: String, k: NeutralMath.KernelSplice): String =
     s"""WITH d AS (SELECT doc_id, n_chars, CAST(2 * ($md5Big) + 1 AS BIGINT) AS gden
        |          FROM documents WHERE n_chars > 0),
-       |${NeutralMath.lnScaledCtes("lu", "d", "doc_id, n_chars", "doc_id, n_chars",
-                                   "33554432", "gden", "lnano", "1.0E9")},
+       |${k.ln("lu", "d", "doc_id, n_chars, gden", "doc_id, n_chars",
+               "33554432", "gden", "lnano", "1.0E9")},
        |k AS (SELECT doc_id, n_chars,
        |             CAST(FLOOR(CAST(lnano AS DOUBLE) / n_chars + 0.5E0) AS BIGINT) AS key_ns
        |      FROM lu),
@@ -460,10 +462,12 @@ object DataSelect {
        |FROM sel ORDER BY rk""".stripMargin
 
   private val weightedSampleSpark = weightedSampleSql(
-    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)")
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)",
+    NeutralMath.SparkKernel)
 
   private val weightedSampleDuck = weightedSampleSql(
-    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT")
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT",
+    NeutralMath.OracleKernel)
 
   /** Curriculum ordering + quality-weighted upsampling: score every
     * document (distinct-word ratio in basis points — the Gopher-style

@@ -181,6 +181,21 @@ object LlmQueries {
        |WHERE c >= $threshold * (s1.n + s2.n - c)
        |ORDER BY id1, id2""".stripMargin
 
+  /** n_docs^0.3 in integer micro-units, engine-neutral: ln through the
+    * integer-ratio kernel, ×0.3 as an exact integer-scaled rounding, exp
+    * through the Taylor kernel — replaces EXP(0.3·LN(n)), whose libm pair
+    * was the same last-ulp exposure as the round-7 DSIR failures. Emits
+    * the CTE `w` (source, n_docs, n_toks, w_int) from a K-row `src`.
+    */
+  private def alphaWeightCtes(k: NeutralMath.KernelSplice): String =
+    s"""${k.ln("wl", "src", "source, n_docs, n_toks",
+        "source, n_docs, n_toks", "n_docs", "1", "ln_u", "1.0E6")},
+       |wm AS (SELECT source, n_docs, n_toks,
+       |              CAST(FLOOR(CAST(3 * ln_u AS DOUBLE) / 10.0E0 + 0.5E0) AS BIGINT) AS a_u
+       |       FROM wl),
+       |${k.exp("w", "wm", "source, n_docs, n_toks",
+        "source, n_docs, n_toks", "a_u", "w_int")}""".stripMargin
+
   /** Temperature-mix Spark text parameterized by source table so the
     * scale-behavior suite can drive it over synthetic skewed corpora
     * (same pattern as [[paragraphDedupSparkSql]]). The sample target (200
@@ -190,9 +205,7 @@ object LlmQueries {
     s"""WITH src AS (SELECT source, COUNT(*) AS n_docs,
        |                    CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n_toks
        |             FROM $table GROUP BY source),
-       |w AS (SELECT source, n_docs, n_toks,
-       |             CAST(FLOOR(EXP(0.3 * LN(CAST(n_docs AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w_int
-       |      FROM src),
+       |${alphaWeightCtes(NeutralMath.SparkKernel)},
        |tot AS (SELECT CAST(SUM(w_int) AS BIGINT) AS tw FROM w),
        |rate AS (SELECT source, n_docs, n_toks, w_int,
        |                LEAST(CAST(10000 AS BIGINT),
@@ -259,6 +272,48 @@ object LlmQueries {
       MinHashDedup.CorpusIndex(
         idx.banded.localCheckpoint(true), idx.words.localCheckpoint(true))
     }
+
+  /** Dialect-shared TF-IDF tail from the word stream `w` down: the idf
+    * ln(N/(1+df)) is an integer ratio, so it rides the engine-neutral
+    * micro-nat log instead of each engine's libm `ln` (one evaluation per
+    * word TYPE — the round-7 ulp-fragility class). tfidf = tf·idf_u/1e6
+    * is an exact integer product into one shared-text double division.
+    */
+  private def tfidfTail(k: NeutralMath.KernelSplice): String =
+    s"""tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+       |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
+       |nd AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 = 0),
+       |idf0 AS (SELECT word, CAST((SELECT n FROM nd) AS BIGINT) AS inum,
+       |                CAST(1 + df AS BIGINT) AS iden
+       |         FROM dfreq),
+       |${k.ln("idfc", "idf0", "word, inum, iden", "word",
+          "inum", "iden", "idf_u", "1.0E6")},
+       |s AS (SELECT tf.doc_id, tf.word,
+       |             ROUND(CAST(tf.tf * idfc.idf_u AS DOUBLE) / 1.0E6, 6) AS tfidf
+       |      FROM tf JOIN idfc ON tf.word = idfc.word)
+       |SELECT doc_id, CAST(rk AS INT) AS rk, word, tfidf FROM (
+       |  SELECT doc_id, word, tfidf,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
+       |  FROM s) t
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** Dialect-shared unigram-logprob tail: per-word-type logp quantizes to
+    * integer micro-nats through the neutral kernel BEFORE the per-doc
+    * aggregation, making the fold an exact integer SUM (the old
+    * AVG-of-doubles additionally depended on partition fold order).
+    */
+  private def unigramTail(k: NeutralMath.KernelSplice): String =
+    s"""freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+       |lf0 AS (SELECT word, CAST(c AS BIGINT) AS lnum,
+       |               CAST((SELECT n FROM tot) AS BIGINT) AS lden
+       |        FROM freq),
+       |${k.ln("lf", "lf0", "word, lnum, lden", "word",
+          "lnum", "lden", "lp_u", "1.0E6")}
+       |SELECT doc_id, ROUND(CAST(SUM(lp_u) AS DOUBLE) / 1.0E6 / COUNT(*), 4) AS avg_logp,
+       |       COUNT(*) AS n_tokens
+       |FROM w JOIN lf USING (word)
+       |WHERE doc_id % 10 = 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val specs: Map[String, QuerySpec] = Map(
     // ---- deduplication ----
@@ -1005,10 +1060,10 @@ object LlmQueries {
     // The per-source admission rate is materialized in basis points and
     // admission is the md5-bucket rule, so the draw is deterministic.
     //
-    // Determinism: the only cross-engine float is EXP(0.3*LN(n)) —
-    // composed identically in both dialects and FLOOR+0.5'd to integer
-    // micro-units before any further arithmetic (same contract as the
-    // DSIR/ppl LN usage); everything after is integer.
+    // Determinism: n^0.3 rides the engine-neutral ln/exp kernels
+    // (alphaWeightCtes — zero libm involvement, shared text), FLOOR+0.5'd
+    // to integer micro-units before any further arithmetic; everything
+    // after is integer.
     //
     // 100 TB shape: per-source stats are a K-row map-side-combined
     // aggregate; the rate table joins back broadcast (K rows); admission
@@ -1017,12 +1072,10 @@ object LlmQueries {
     // re-inline documented in SCALE.md), no shuffle wider than K.
     "q_mix_temperature" -> sql2(
       temperatureMixSparkSql(),
-      """WITH src AS (SELECT source, COUNT(*) AS n_docs,
+      s"""WITH src AS (SELECT source, COUNT(*) AS n_docs,
         |                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
         |             FROM documents GROUP BY source),
-        |w AS (SELECT source, n_docs, n_toks,
-        |             CAST(FLOOR(EXP(0.3 * LN(CAST(n_docs AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS w_int
-        |      FROM src),
+        |${alphaWeightCtes(NeutralMath.OracleKernel)},
         |tot AS (SELECT CAST(SUM(w_int) AS BIGINT) AS tw FROM w),
         |rate AS (SELECT source, n_docs, n_toks, w_int,
         |                LEAST(CAST(10000 AS BIGINT),
@@ -1235,35 +1288,13 @@ object LlmQueries {
     // sums), the ranking runs on the ROUNDED score, and ties break on the
     // term text.
     "q_text_tfidf" -> sql2(
-      """WITH w AS (SELECT doc_id, word FROM documents
-        |           LATERAL VIEW explode(split(text, ' ')) t AS word
-        |           WHERE doc_id % 5 = 0),
-        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
-        |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
-        |nd AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 = 0),
-        |s AS (SELECT tf.doc_id, tf.word,
-        |             ROUND(tf * ln(CAST((SELECT n FROM nd) AS DOUBLE)
-        |                           / (CAST(1 AS DOUBLE) + CAST(df AS DOUBLE))), 6) AS tfidf
-        |      FROM tf JOIN dfreq ON tf.word = dfreq.word)
-        |SELECT doc_id, CAST(rk AS INT) AS rk, word, tfidf FROM (
-        |  SELECT doc_id, word, tfidf,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
-        |  FROM s) t
-        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |           FROM documents WHERE doc_id % 5 = 0),
-        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
-        |dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word),
-        |nd AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 5 = 0),
-        |s AS (SELECT tf.doc_id, tf.word,
-        |             ROUND(tf * ln(CAST((SELECT n FROM nd) AS DOUBLE)
-        |                           / (CAST(1 AS DOUBLE) + CAST(df AS DOUBLE))), 6) AS tfidf
-        |      FROM tf JOIN dfreq ON tf.word = dfreq.word)
-        |SELECT doc_id, CAST(rk AS INT) AS rk, word, tfidf FROM (
-        |  SELECT doc_id, word, tfidf,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rk
-        |  FROM s) t
-        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+      s"""WITH w AS (SELECT doc_id, word FROM documents
+         |           LATERAL VIEW explode(split(text, ' ')) t AS word
+         |           WHERE doc_id % 5 = 0),
+         |${tfidfTail(NeutralMath.SparkKernel)}""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |           FROM documents WHERE doc_id % 5 = 0),
+         |${tfidfTail(NeutralMath.OracleKernel)}""".stripMargin),
 
     // BPE-style merge-candidate counting (the inner step of tokenizer
     // vocabulary induction): count adjacent symbol pairs corpus-wide and
@@ -1750,20 +1781,12 @@ object LlmQueries {
       // corpus token count, computed as a pruned aggregate of the
       // documents table directly — summing freq's counts would re-derive
       // the full explode+aggregate subtree.
-      """WITH w AS (SELECT doc_id, word FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word),
-        |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n FROM documents)
-        |SELECT doc_id, ROUND(AVG(LN(c / CAST(n AS DOUBLE))), 4) AS avg_logp, COUNT(*) AS n_tokens
-        |FROM w JOIN freq USING (word) CROSS JOIN tot
-        |WHERE doc_id % 10 = 0
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-        |freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
-        |tot AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n FROM documents)
-        |SELECT doc_id, ROUND(AVG(LN(c / CAST(n AS DOUBLE))), 4) AS avg_logp, COUNT(*) AS n_tokens
-        |FROM w JOIN freq USING (word) CROSS JOIN tot
-        |WHERE doc_id % 10 = 0
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      s"""WITH w AS (SELECT doc_id, word FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word),
+         |tot AS (SELECT CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n FROM documents),
+         |${unigramTail(NeutralMath.SparkKernel)}""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |tot AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n FROM documents),
+         |${unigramTail(NeutralMath.OracleKernel)}""".stripMargin),
 
     // Embedding covariance accumulation (the PCA/whitening precursor a
     // feature-space analysis pass runs before choosing projection dims):

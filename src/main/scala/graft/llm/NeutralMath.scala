@@ -133,35 +133,64 @@ object NeutralMath {
        |                 CAST(FLOOR(($expIntCase) * ($expPoly) * 1.0E6 + 0.5E0) AS BIGINT) AS $out
        |          FROM ${id}_c)""".stripMargin
 
-  /** Reference implementation of the emitted ln kernel, for specs: performs
-    * the IDENTICAL op sequence in Scala so tests can assert the SQL chain
-    * and the JVM agree bit-for-bit, and that the result tracks
-    * `math.log` to ≤ 1e-12 relative.
+  /** JVM reference implementation = the native Catalyst expression's
+    * compute ([[org.apache.spark.sql.graftbridge.LnScaledMicro]]) — ONE
+    * op-sequence definition serves the codegen'd Spark path, the spec
+    * pins, and the chain-parity argument.
     */
-  def lnScaledJvm(num: Long, den: Long, scale: Double): Long = {
-    require(num > 0 && den > 0)
-    val e0 = (64 - java.lang.Long.numberOfLeadingZeros(num)) -
-      (64 - java.lang.Long.numberOfLeadingZeros(den))
-    val m0 = (if (e0 < 0) (num << -e0).toDouble else num.toDouble) /
-      (if (e0 > 0) (den << e0).toDouble else den.toDouble)
-    val (m1, e1) = if (m0 < 1.0) (m0 + m0, e0 - 1) else (m0, e0)
-    val (m2, e2) = if (m1 >= math.sqrt(2.0)) (m1 * 0.5, e1 + 1) else (m1, e1)
-    val z = (m2 - 1.0) / (m2 + 1.0)
-    val z2 = z * z
-    val cs = (0 to 7).map(k => 2.0 / (2 * k + 1))
-    val horner = cs.reverse.reduceLeft((acc, c) => c + z2 * acc)
-    math.floor((z * horner + e2.toDouble * math.log(2.0)) * scale + 0.5).toLong
+  def lnScaledJvm(num: Long, den: Long, scale: Double): Long =
+    org.apache.spark.sql.graftbridge.LnScaledMicro.compute(num, den, scale)
+
+  /** JVM reference implementation of the exp kernel (same contract). */
+  def expMicroJvm(xMicro: Long): Long =
+    org.apache.spark.sql.graftbridge.ExpMicro.compute(xMicro)
+
+  /** Spark-side scalar form: the native codegen'd expression performing
+    * the IDENTICAL op sequence as [[lnScaledCtes]] (pinned bit-for-bit by
+    * NeutralMathSpec). Use this in Spark dialect texts — one straight-line
+    * call inside whole-stage codegen; the 8-stage CTE chain is the ORACLE
+    * form (DuckDB has no extension hook, and the chain's stacked
+    * projections resist CollapseProject on the Spark side, measured
+    * ~0.25 µs/row interpreted overhead plus per-chain planning cost).
+    */
+  def lnScaledSpark(num: String, den: String, scale: String): String =
+    s"graft_ln_scaled(CAST($num AS BIGINT), CAST($den AS BIGINT), $scale)"
+
+  /** Spark-side scalar exp form (see [[lnScaledSpark]]). */
+  def expMicroSpark(x: String): String =
+    s"graft_exp_micro(CAST($x AS BIGINT))"
+
+  /** Splice strategy: how a dialect text embeds the neutral kernels. Both
+    * strategies emit a CTE named `id` exposing columns keepOut + out, so a
+    * tail builder written once against this interface generates BOTH the
+    * Spark text (native expression, [[SparkKernel]]) and the DuckDB oracle
+    * (IEEE-exact chain, [[OracleKernel]]) from a single source — the
+    * shared-tail discipline survives the native-function split.
+    */
+  sealed trait KernelSplice {
+    def ln(id: String, from: String, keepIn: String, keepOut: String,
+           num: String, den: String, out: String, scale: String): String
+    def exp(id: String, from: String, keepIn: String, keepOut: String,
+            x: String, out: String): String
   }
 
-  /** Reference implementation of the emitted exp kernel, for specs. */
-  def expMicroJvm(xMicro: Long): Long = {
-    require(xMicro >= 0)
-    val xn = math.floor(xMicro.toDouble / 1.0e6).toLong
-    val xf = (xMicro - xn * 1000000L).toDouble / 1.0e6
-    var fact = 1.0
-    val cs = (0 to 17).map { k => if (k > 0) fact *= k; 1.0 / fact }
-    val poly = cs.reverse.reduceLeft((acc, c) => c + xf * acc)
-    val en = math.exp(math.min(xn, 29L).toDouble)
-    math.floor(en * poly * 1.0e6 + 0.5).toLong
+  /** Spark dialect: one CTE wrapping the codegen'd native call. */
+  case object SparkKernel extends KernelSplice {
+    def ln(id: String, from: String, keepIn: String, keepOut: String,
+           num: String, den: String, out: String, scale: String): String =
+      s"$id AS (SELECT $keepIn, ${lnScaledSpark(num, den, scale)} AS $out FROM $from)"
+    def exp(id: String, from: String, keepIn: String, keepOut: String,
+            x: String, out: String): String =
+      s"$id AS (SELECT $keepIn, ${expMicroSpark(x)} AS $out FROM $from)"
+  }
+
+  /** Oracle dialect: the chain of IEEE-exact CTE stages. */
+  case object OracleKernel extends KernelSplice {
+    def ln(id: String, from: String, keepIn: String, keepOut: String,
+           num: String, den: String, out: String, scale: String): String =
+      lnScaledCtes(id, from, keepIn, keepOut, num, den, out, scale)
+    def exp(id: String, from: String, keepIn: String, keepOut: String,
+            x: String, out: String): String =
+      expMicroCtes(id, from, keepIn, keepOut, x, out)
   }
 }

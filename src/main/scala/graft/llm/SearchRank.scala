@@ -253,12 +253,12 @@ object SearchRank {
     * orders by the ROUNDed score (ties broken by doc_id), so a last-ulp
     * fold difference cannot flip ranks.
     */
-  private def bm25ScoreTail: String =
+  private def bm25ScoreTail(k: NeutralMath.KernelSplice): String =
     s"""bst AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sdl FROM dlt),
        |av AS (SELECT CAST(sdl AS DOUBLE) / CAST(nn AS DOUBLE) AS avgdl FROM bst),
        |dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY word),
        |idf0 AS (SELECT word, 2 * (SELECT nn FROM bst) + 2 AS inum, 2 * df + 1 AS iden FROM dfq),
-       |${NeutralMath.lnScaledCtes("idf", "idf0", "word", "word", "inum", "iden", "idf_u", "1.0E6")},
+       |${k.ln("idf", "idf0", "word, inum, iden", "word", "inum", "iden", "idf_u", "1.0E6")},
        |sc AS (SELECT tfq.doc_id,
        |              SUM(CAST(idf.idf_u AS DOUBLE) / 1.0E6
        |                  * CAST(tfq.tf AS DOUBLE) * (1.2E0 + 1.0E0)
@@ -330,17 +330,17 @@ object SearchRank {
     */
   private[llm] def bm25SparkSql(table: String = "documents"): String =
     s"""WITH ${bm25InlineSparkCtes(table)},
-       |$bm25ScoreTail
+       |${bm25ScoreTail(NeutralMath.SparkKernel)}
        |$bm25Rank""".stripMargin
 
   private def bm25StagedSparkSql: String =
     s"""WITH $bm25StagedCtes,
-       |$bm25ScoreTail
+       |${bm25ScoreTail(NeutralMath.SparkKernel)}
        |$bm25Rank""".stripMargin
 
   private def bm25DuckSql: String =
     s"""WITH $bm25InlineDuckCtes,
-       |$bm25ScoreTail
+       |${bm25ScoreTail(NeutralMath.OracleKernel)}
        |$bm25Rank""".stripMargin
 
   /** RRF fusion body: identical in both dialects once `br` (BM25 ranks)
@@ -381,7 +381,7 @@ object SearchRank {
     */
   private def hybridSparkSql: String =
     s"""WITH $bm25StagedCtes,
-       |$bm25ScoreTail,
+       |${bm25ScoreTail(NeutralMath.SparkKernel)},
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (SELECT c.vec_id AS doc_id,
        |              ROUND(${AnnSql.sparkCos("qv.qe", "c.embedding")}, 6) AS csim
@@ -391,7 +391,7 @@ object SearchRank {
 
   private def hybridDuckSql: String =
     s"""WITH $bm25InlineDuckCtes,
-       |$bm25ScoreTail,
+       |${bm25ScoreTail(NeutralMath.OracleKernel)},
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (SELECT c.vec_id AS doc_id,
        |              ROUND(${AnnSql.duckCos("qv.qe", "c.embedding")}, 6) AS csim
@@ -491,14 +491,14 @@ object SearchRank {
     */
   private def hybridIvfSparkSql: String =
     s"""WITH $bm25StagedCtes,
-       |$bm25ScoreTail,
+       |${bm25ScoreTail(NeutralMath.SparkKernel)},
        |${AnnSql.hierSingleQueryStagedSpark(0)},
        |$rankCte,
        |$rrfFuse""".stripMargin
 
   private def hybridIvfDuckSql: String =
     s"""WITH $bm25InlineDuckCtes,
-       |$bm25ScoreTail,
+       |${bm25ScoreTail(NeutralMath.OracleKernel)},
        |${AnnSql.hierSingleQueryDuck(0)},
        |$rankCte,
        |$rrfFuse""".stripMargin
@@ -530,7 +530,7 @@ object SearchRank {
 
   private def rerankSparkSql: String =
     s"""WITH $bm25StagedCtes,
-       |$bm25ScoreTail,
+       |${bm25ScoreTail(NeutralMath.SparkKernel)},
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (SELECT c.vec_id AS doc_id,
        |              ROUND(${AnnSql.sparkCos("qv.qe", "c.embedding")}, 6) AS csim
@@ -545,7 +545,7 @@ object SearchRank {
 
   private def rerankDuckSql: String =
     s"""WITH $bm25InlineDuckCtes,
-       |$bm25ScoreTail,
+       |${bm25ScoreTail(NeutralMath.OracleKernel)},
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (SELECT c.vec_id AS doc_id,
        |              ROUND(${AnnSql.duckCos("qv.qe", "c.embedding")}, 6) AS csim

@@ -85,7 +85,13 @@ object Tables {
     * same-named views must use separate sessions (which is the service's
     * per-user session model anyway, A2).
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    // The engine's native expressions (graft_ln_scaled / graft_exp_micro /
+    // graft_cosine, …) are part of the session surface every inventory
+    // query may reference — registered here (idempotent, a handful of map
+    // inserts) exactly like the per-session function registration the
+    // reference performs in its SessionProvider.
+    graft.functions.GraftFunctions.register(spark)
     if (lastDir.get(spark) != dir) {
       // Fault-isolated per table: one broken fixture (round 6: a regenerated
       // events.parquet) must not take down queries over the other nine
@@ -110,6 +116,7 @@ object Tables {
             }.mkString(" | "))
       }
     }
+  }
 
   /** Force every fixture view back to `dir`, bypassing the (session, dir)
     * guard. For callers that deliberately SHADOWED a fixture name with

@@ -310,14 +310,17 @@ object WarehouseQueries {
     * treats censored users as failures).
     *
     * S(t) = Π_{t_i <= t} (1 − d_i/n_i) folds in INTEGER log space:
-    * each factor FLOORs ln(1 − d/n) to micro-nats, the running product is
-    * a window SUM over the bounded time axis (≤ span-hours rows), and
-    * EXP/round happen once at the display edge — the same determinism
-    * discipline as q_text_ppl_bucket. At-risk counts come from a prefix
-    * window over the grouped observation-time table, NOT a correlated
-    * per-row rescan.
+    * each factor is ln((n−d)/n) — an integer ratio — rounded to micro-nats
+    * by the engine-neutral kernel (round-8: the old libm LN here was the
+    * same last-ulp exposure the DSIR family tripped over), the running
+    * product is a window SUM over the bounded time axis (≤ span-hours
+    * rows), and the display-edge exp rides the neutral Taylor kernel on
+    * the NEGATED clamped sum: surv = 1e10 / (exp(−cum)·1e6) in basis
+    * points, exact integer division semantics in both engines. At-risk
+    * counts come from a prefix window over the grouped observation-time
+    * table, NOT a correlated per-row rescan.
     */
-  private def kmSurvivalSql(epochUs: String) =
+  private def kmSurvivalSql(epochUs: String, k: graft.llm.NeutralMath.KernelSplice) =
     s"""WITH u AS (SELECT user_id, MIN($epochUs) AS t_first,
        |                 MIN(CASE WHEN event_type = 'purchase' THEN $epochUs END) AS t_conv,
        |                 MAX($epochUs) AS t_last
@@ -334,18 +337,26 @@ object WarehouseQueries {
        |        FROM g),
        |risk AS (SELECT t, d, total - COALESCE(n_before, 0) AS n
        |         FROM pre WHERE d > 0),
+       |lr0 AS (SELECT t, d, n,
+       |               CAST(GREATEST(n - d, 1) AS BIGINT) AS fnum, CAST(n AS BIGINT) AS fden
+       |        FROM risk),
+       |${k.ln("lrk", "lr0", "t, d, n, GREATEST(n - d, 0) AS nd, fnum, fden",
+          "t, d, n, nd", "fnum", "fden", "lfac", "1.0E6")},
        |km AS (SELECT t, d, n,
-       |              SUM(CASE WHEN d < n
-       |                       THEN CAST(FLOOR(LN(1.0 - CAST(d AS DOUBLE) / n) * 1000000) AS BIGINT)
-       |                       ELSE CAST(0 AS BIGINT) END)
+       |              SUM(CASE WHEN nd > 0 THEN lfac ELSE CAST(0 AS BIGINT) END)
        |                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_log,
-       |              MAX(CASE WHEN d = n THEN 1 ELSE 0 END)
+       |              MAX(CASE WHEN nd = 0 THEN 1 ELSE 0 END)
        |                OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS extinct
-       |       FROM risk)
+       |       FROM lrk),
+       |km2 AS (SELECT t, d, n, extinct,
+       |               LEAST(CAST(29000000 AS BIGINT), 0 - cum_log) AS negcum
+       |        FROM km),
+       |${k.exp("kmx", "km2", "t, d, n, extinct, negcum",
+          "t, d, n, extinct", "negcum", "einv")}
        |SELECT t AS hours, CAST(d AS BIGINT) AS n_conv, CAST(n AS BIGINT) AS n_risk,
        |       CASE WHEN extinct = 1 THEN CAST(0 AS BIGINT)
-       |            ELSE CAST(FLOOR(EXP(cum_log / 1000000.0) * 10000 + 0.5) AS BIGINT) END AS surv_bp
-       |FROM km ORDER BY hours""".stripMargin
+       |            ELSE CAST(FLOOR(1.0E10 / CAST(einv AS DOUBLE) + 0.5E0) AS BIGINT) END AS surv_bp
+       |FROM kmx ORDER BY hours""".stripMargin
 
   /** Event-type co-occurrence LIFT (market-basket association over user
     * baskets): lift(a,b) = P(a,b) / (P(a)·P(b)) across users, > 1 when
@@ -396,8 +407,8 @@ object WarehouseQueries {
       },
       Some(liftDuck)),
     "q_events_survival_km" -> sql2(
-      kmSurvivalSql("unix_micros(CAST(ts AS TIMESTAMP))"),
-      kmSurvivalSql("epoch_us(ts)")),
+      kmSurvivalSql("unix_micros(CAST(ts AS TIMESTAMP))", graft.llm.NeutralMath.SparkKernel),
+      kmSurvivalSql("epoch_us(ts)", graft.llm.NeutralMath.OracleKernel)),
     "q_events_transitions" -> sql(transitions),
     "q_events_funnel_ordered" -> sql(funnelOrdered),
     "q_events_attribution" -> sql2(attributionSpark, attributionDuck),

@@ -60,16 +60,21 @@ class NeutralMathSpec extends AnyFunSuite {
     }
     val cases = structured ++ random ++ hunters
     val values = cases.map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    graft.functions.GraftFunctions.register(spark)
     val sql =
       s"""WITH src AS (SELECT col1 AS num, col2 AS den FROM VALUES $values),
          |${NeutralMath.lnScaledCtes("c", "src", "num, den", "num, den", "num", "den", "o", "1.0E6")}
-         |SELECT num, den, o FROM c""".stripMargin
+         |SELECT num, den, o, ${NeutralMath.lnScaledSpark("num", "den", "1.0E6")} AS o2 FROM c""".stripMargin
     val got = spark.sql(sql).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(got.size == cases.distinct.size)
     for ((n, d) <- cases) {
       val exp = NeutralMath.lnScaledJvm(n, d, 1.0e6)
-      assert(got((n, d)) == exp, s"ln($n/$d): spark=${got((n, d))} jvm=$exp")
+      val (chain, native) = got((n, d))
+      assert(chain == exp, s"ln($n/$d): chain=$chain jvm=$exp")
+      // the native codegen'd expression must match the chain BIT-FOR-BIT —
+      // the Spark dialect runs the native form, the oracle runs the chain
+      assert(native == exp, s"ln($n/$d): native=$native jvm=$exp")
     }
   }
 
@@ -90,18 +95,22 @@ class NeutralMathSpec extends AnyFunSuite {
     val xs = (Seq(0L, 1L, 999999L, 1000000L, 1000001L, 28999999L) ++
       Seq.fill(200)(rnd.nextLong(29000000L))).distinct
     val values = xs.map(x => s"($x)").mkString(", ")
+    graft.functions.GraftFunctions.register(spark)
     val sql =
       s"""WITH src AS (SELECT col1 AS x FROM VALUES $values),
          |${NeutralMath.expMicroCtes("c", "src", "x", "x", "x", "o")}
-         |SELECT x, o FROM c""".stripMargin
+         |SELECT x, o, ${NeutralMath.expMicroSpark("x")} AS o2 FROM c""".stripMargin
     val got = spark.sql(sql).collect()
-      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))).toMap
     for (x <- xs) {
       val exp = NeutralMath.expMicroJvm(x)
-      assert(got(x) == exp, s"exp($x µ): spark=${got(x)} jvm=$exp")
+      val (chain, native) = got(x)
+      assert(chain == exp, s"exp($x µ): chain=$chain jvm=$exp")
+      assert(native == exp, s"exp($x µ): native=$native jvm=$exp")
       val truth = math.exp(x / 1e6) * 1e6
-      assert(math.abs(got(x) - truth) <= math.max(truth * 1e-9, 1.0),
-        s"exp($x µ): ${got(x)} vs $truth")
+      assert(math.abs(chain - truth) <= math.max(truth * 1e-9, 1.0),
+        s"exp($x µ): $chain vs $truth")
     }
   }
 }

@@ -85,6 +85,7 @@ class ScaleBehaviorSpec extends AnyFunSuite {
       // ~20 deterministic words per doc
       "concat_ws(' ', transform(sequence(0, 19), j -> concat('w', CAST(pmod(xxhash64(id, j), 997) AS STRING)))) AS text")
       .createOrReplaceTempView("docs_tmix_scale")
+    graft.functions.GraftFunctions.register(s) // n^0.3 rides graft_ln_scaled/graft_exp_micro
     val rows = s.sql(LlmQueries.temperatureMixSparkSql("docs_tmix_scale")).collect()
     assert(rows.length == 6)
     val byName = rows.map(r => r.getString(0) -> r).toMap
