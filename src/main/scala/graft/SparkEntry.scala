@@ -50,6 +50,7 @@ object SparkEntry {
       graft.llm.DataSelect.specs ++
       graft.llm.TextIndex.specs ++
       graft.llm.GraphSearch.specs ++
+      graft.llm.HnswSearch.specs ++
       graft.streaming.EventStream.specs
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1412,42 +1412,42 @@ object AnnSql {
     * a per-node window, and the mutual filter is a self equi-join on the
     * reversed pair — every step linear-shuffle at any N.
     */
-  private def knnCtesSpark(k: Int): String =
-    s"""n AS ($blockBitsSql),
-       |e AS (SELECT vec_id, embedding, label,
-       |             s1 & (shiftleft(1, (SELECT nbits FROM n)) - 1) AS bucket
-       |      FROM ann_sig),
-       |probes AS (SELECT vec_id, embedding, label,
+  private def knnCtesSpark(k: Int, nodeFilter: String = "1 = 1", cp: String = ""): String =
+    s"""${cp}n AS ($blockBitsSql),
+       |${cp}e AS (SELECT vec_id, embedding, label,
+       |             s1 & (shiftleft(1, (SELECT nbits FROM ${cp}n)) - 1) AS bucket
+       |      FROM ann_sig WHERE $nodeFilter),
+       |${cp}probes AS (SELECT vec_id, embedding, label,
        |                  CASE WHEN i = 0 THEN bucket
        |                       ELSE CAST(bucket ^ shiftleft(1, i - 1) AS INT) END AS pbucket
        |           FROM (SELECT vec_id, embedding, label, bucket, i
-       |                 FROM e LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
-       |           WHERE i <= (SELECT nbits FROM n)),
-       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, graft_cosine(a.embedding, b.embedding) AS cos
-       |      FROM probes a JOIN e b
+       |                 FROM ${cp}e LATERAL VIEW explode(sequence(0, $maxBits)) x AS i) t
+       |           WHERE i <= (SELECT nbits FROM ${cp}n)),
+       |${cp}p AS (SELECT a.vec_id AS src, b.vec_id AS dst, graft_cosine(a.embedding, b.embedding) AS cos
+       |      FROM ${cp}probes a JOIN ${cp}e b
        |        ON a.label = b.label AND a.pbucket = b.bucket AND a.vec_id != b.vec_id),
-       |tk AS (SELECT src, dst, cos FROM (
+       |${cp}tk AS (SELECT src, dst, cos FROM (
        |         SELECT src, dst, cos,
        |                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-       |         FROM p) t WHERE rn <= $k)""".stripMargin
+       |         FROM ${cp}p) t WHERE rn <= $k)""".stripMargin
 
-  private def knnCtesDuck(k: Int): String =
-    s"""n AS ($blockBitsSql),
-       |e AS (SELECT vec_id, embedding, label,
-       |             ${duckSig("embedding", tables(0))} & ((1 << (SELECT nbits FROM n)) - 1) AS bucket
-       |      FROM embeddings),
-       |probes AS (SELECT vec_id, embedding, label,
+  private def knnCtesDuck(k: Int, nodeFilter: String = "1 = 1", cp: String = ""): String =
+    s"""${cp}n AS ($blockBitsSql),
+       |${cp}e AS (SELECT vec_id, embedding, label,
+       |             ${duckSig("embedding", tables(0))} & ((1 << (SELECT nbits FROM ${cp}n)) - 1) AS bucket
+       |      FROM embeddings WHERE $nodeFilter),
+       |${cp}probes AS (SELECT vec_id, embedding, label,
        |                  CASE WHEN i = 0 THEN bucket
        |                       ELSE xor(bucket, 1 << (i - 1)) END AS pbucket
-       |           FROM (SELECT vec_id, embedding, label, bucket, unnest(range(0, ${maxBits + 1})) AS i FROM e) t
-       |           WHERE i <= (SELECT nbits FROM n)),
-       |p AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckCos("a.embedding", "b.embedding")} AS cos
-       |      FROM probes a JOIN e b
+       |           FROM (SELECT vec_id, embedding, label, bucket, unnest(range(0, ${maxBits + 1})) AS i FROM ${cp}e) t
+       |           WHERE i <= (SELECT nbits FROM ${cp}n)),
+       |${cp}p AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${duckCos("a.embedding", "b.embedding")} AS cos
+       |      FROM ${cp}probes a JOIN ${cp}e b
        |        ON a.label = b.label AND a.pbucket = b.bucket AND a.vec_id != b.vec_id),
-       |tk AS (SELECT src, dst, cos FROM (
+       |${cp}tk AS (SELECT src, dst, cos FROM (
        |         SELECT src, dst, cos,
        |                row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-       |         FROM p) t WHERE rn <= $k)""".stripMargin
+       |         FROM ${cp}p) t WHERE rn <= $k)""".stripMargin
 
   /** ONE definition of the mutual filter, over any directed-edge
     * relation: `a.src < a.dst` alone excludes self-loops on both sides
@@ -1470,7 +1470,33 @@ object AnnSql {
   def knnDirectedSpark(k: Int): String =
     s"WITH ${knnCtesSpark(k)}\nSELECT src, dst, cos FROM tk"
 
+  /** Node-filtered directed kNN — the HNSW upper-layer edge builder: the
+    * SAME blocked candidate generation and per-node top-k, restricted to
+    * the nodes the filter admits (e.g. `hnsw level >= 1`). `cp` prefixes
+    * the CTE names so two layers can coexist in one statement.
+    */
+  def knnDirectedSparkOver(k: Int, nodeFilter: String): String =
+    s"WITH ${knnCtesSpark(k, nodeFilter)}\nSELECT src, dst, cos FROM tk"
+
   private[llm] def knnDirectedDuckCtes(k: Int): String = knnCtesDuck(k)
+
+  private[llm] def knnDirectedDuckCtesOver(k: Int, nodeFilter: String, cp: String): String =
+    knnCtesDuck(k, nodeFilter, cp)
+
+  /** Deterministic HNSW level (Malkov & Yashunin arXiv:1603.09320 §4.2,
+    * M = 4): the count of trailing base-4 zeros of a 24-bit md5 slice of
+    * vec_id, capped at 3 — P(level >= k) = 4^-k, the paper's geometric
+    * draw with PURE INTEGER arithmetic (no float, no log, no RNG state:
+    * trivially engine-identical and reproducible across builds).
+    */
+  private[llm] def hnswLevelSpark: String =
+    hnswLevel("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 6), 16, 10) AS BIGINT)")
+
+  private[llm] def hnswLevelDuck: String =
+    hnswLevel("('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT")
+
+  private def hnswLevel(h: String): String =
+    s"(CASE WHEN ($h) % 4 <> 0 THEN 0 WHEN ($h) % 16 <> 0 THEN 1 WHEN ($h) % 64 <> 0 THEN 2 ELSE 3 END)"
 
   def nearDupDuck(threshold: String): String =
     s"""WITH n AS ($blockBitsSql),
