@@ -65,6 +65,10 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.llm.AnnSql.stageHierIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // graph-index artifacts for the two walk-serving queries (the kNN
+    // edge BUILD cost stays measured by q_ann_knn_graph itself)
+    try graft.llm.LlmQueries.knnEdgesCached(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // Dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed matrix
     // (isolating one query from cross-query JVM state is the first step of

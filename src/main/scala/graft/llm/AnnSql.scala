@@ -684,6 +684,52 @@ object AnnSql {
     asn.createOrReplaceTempView("hier_asn")
   }
 
+  /** BATCH probe chain over the derived quantizer — the multi-query
+    * serving form of [[hierSingleQueryCtes]]: every vector passing
+    * `qFilter` becomes a query, its probes ride the SAME v1/a21 routing,
+    * and `vs` carries (qid, doc_id, csim). Total work: |Q|·nprobe·N/nlist
+    * score evals through equi-joins — the per-query cost is independent
+    * of |Q|, which is the whole point of a persisted index at 100 TB.
+    */
+  private[llm] def hierBatchQueryCtes(
+      cosFn: (String, String) => String, qFilter: String,
+      nprobe: Int = 3, p1: Int = 2): String =
+    s"""${hierAsnCtes("embeddings", "embedding", cosFn, desc = true, p1)},
+       |asn AS (SELECT vec_id, v, cent_id FROM (
+       |  SELECT v.vec_id, v.v, a.cent_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${cosFn("v.v", "a.cv")} DESC, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1),
+       |qp AS (SELECT qid, qe, cent_id FROM (
+       |  SELECT q.vec_id AS qid, q.v AS qe, a.cent_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${cosFn("q.v", "a.cv")} DESC, a.cent_id) AS rn
+       |  FROM v1 q JOIN a21 a ON q.c1_id = a.c1_id
+       |  WHERE $qFilter) t WHERE rn <= $nprobe),
+       |vs AS (SELECT qp.qid, a.vec_id AS doc_id, ROUND(${cosFn("qp.qe", "a.v")}, 6) AS csim
+       |       FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid)""".stripMargin
+
+  /** Batch probe over the STAGED views (`hier_c1`/`hier_a21`/`hier_asn`) —
+    * identical results to [[hierBatchQueryCtes]] with `q.` as the filter
+    * qualifier; the |Q|-row query side nested-loops ONLY the N^¼ staged
+    * cell table.
+    */
+  private[llm] def hierBatchQueryStagedSpark(
+      qFilter: String, nprobe: Int = 3, p1: Int = 2): String =
+    s"""qc AS (SELECT qid, qe, c1_id FROM (
+       |  SELECT q.vec_id AS qid, q.embedding AS qe, c1.c1_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY graft_cosine(q.embedding, c1.c1e) DESC, c1.c1_id) AS rn
+       |  FROM (SELECT vec_id, embedding FROM embeddings WHERE $qFilter) q
+       |  CROSS JOIN hier_c1 c1) t WHERE rn <= $p1),
+       |qp AS (SELECT qid, qe, cent_id FROM (
+       |  SELECT qc.qid, qc.qe, a.cent_id,
+       |         row_number() OVER (PARTITION BY qc.qid
+       |           ORDER BY graft_cosine(qc.qe, a.cv) DESC, a.cent_id) AS rn
+       |  FROM qc JOIN hier_a21 a ON qc.c1_id = a.c1_id) t WHERE rn <= $nprobe),
+       |vs AS (SELECT qp.qid, a.vec_id AS doc_id, ROUND(graft_cosine(qp.qe, a.v), 6) AS csim
+       |       FROM qp JOIN hier_asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid)""".stripMargin
+
   /** Single-query probe chain over the STAGED index views — emits the same
     * `vs` (doc_id, csim) contract as [[hierSingleQuerySpark]] and computes
     * the identical result: the query's p1 cells, its nprobe centroids, and

@@ -245,7 +245,7 @@ object LlmQueries {
   private[llm] val knnEdgeCache = new graft.LruMemo[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame](8)
 
-  private[llm] def knnEdgesCached(
+  private[graft] def knnEdgesCached(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     knnEdgeCache.getOrElseUpdate((s, d)) {
       registerSig(s, d)

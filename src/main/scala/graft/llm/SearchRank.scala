@@ -557,6 +557,85 @@ object SearchRank {
        |${rerankTail.replace("DOT_EXPR",
             s"list_dot_product(${AnnSql.kmQ.replace("embedding", "em.embedding")}, pw.warr)")}""".stripMargin
 
+  /** BATCH hybrid serving — 10 queries through the staged indexes in ONE
+    * plan, the shape that proves the build-once-serve-many story: each
+    * query brings its own term set (a 30-row inline table) and its own
+    * query vector; the lexical side probes the staged posting table, the
+    * vector side probes the staged two-level IVF, and RRF fuses per
+    * query. Every per-query artifact joins equi on (qid / word / cent_id);
+    * adding queries adds ROWS to bounded probe tables, not plan nodes or
+    * corpus passes — per-query cost is flat in |Q| (the q_ann batch-probe
+    * contract). The oracle re-derives posting stats and quantizer inline.
+    */
+  private val batchQFilter = "vec_id % 50 = 0 AND vec_id < 500"
+
+  /** 3 deterministic terms per query, rotating the fixture vocabulary so
+    * every query exercises a different lexical slice.
+    */
+  private val batchVocab = Seq(
+    "vector", "join", "stream", "filter", "hash", "merge", "scan", "sort",
+    "group", "window", "batch", "query", "table", "key", "column")
+
+  private def batchTermRows: String =
+    (for (q <- 0 until 10; j <- 0 until 3)
+      yield s"(${q * 50}, '${batchVocab((q * 3 + j) % batchVocab.size)}')").mkString(", ")
+
+  /** Dialect-shared batch scoring + fusion from `qt` (qid, term),
+    * `wtf` (doc_id, word, tf), `dlt` (doc_id, dl) and `vs`
+    * (qid, doc_id, csim) down to the fused per-query top-5.
+    */
+  private def hybridBatchTail(k: NeutralMath.KernelSplice): String =
+    s"""bst AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(dl) AS BIGINT) AS sdl FROM dlt),
+       |av AS (SELECT CAST(sdl AS DOUBLE) / CAST(nn AS DOUBLE) AS avgdl FROM bst),
+       |dfq0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM wtf
+       |         WHERE word IN (SELECT DISTINCT term FROM qt) GROUP BY word),
+       |idf0 AS (SELECT word, 2 * (SELECT nn FROM bst) + 2 AS inum, 2 * df + 1 AS iden FROM dfq0),
+       |${k.ln("idf", "idf0", "word, inum, iden", "word", "inum", "iden", "idf_u", "1.0E6")},
+       |tfq AS (SELECT qt.qid, w2.doc_id, qt.term AS word, w2.tf
+       |        FROM wtf w2 JOIN qt ON w2.word = qt.term),
+       |sc AS (SELECT tfq.qid, tfq.doc_id,
+       |              SUM(CAST(idf.idf_u AS DOUBLE) / 1.0E6
+       |                  * CAST(tfq.tf AS DOUBLE) * (1.2E0 + 1.0E0)
+       |                  / (CAST(tfq.tf AS DOUBLE) + 1.2E0 * (1.0E0 - 0.75E0
+       |                     + 0.75E0 * CAST(dlt.dl AS DOUBLE) / (SELECT avgdl FROM av)))) AS score
+       |       FROM tfq JOIN idf ON tfq.word = idf.word
+       |            JOIN dlt ON tfq.doc_id = dlt.doc_id
+       |       GROUP BY tfq.qid, tfq.doc_id),
+       |br AS (SELECT qid, doc_id,
+       |              CAST(row_number() OVER (PARTITION BY qid ORDER BY ROUND(score, 4) DESC, doc_id) AS INT) AS r
+       |       FROM sc),
+       |vr AS (SELECT qid, doc_id,
+       |              CAST(row_number() OVER (PARTITION BY qid ORDER BY csim DESC, doc_id) AS INT) AS r
+       |       FROM vs),
+       |f AS (SELECT COALESCE(b.qid, v.qid) AS qid, COALESCE(b.doc_id, v.doc_id) AS doc_id,
+       |             ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + b.r), 0)
+       |                   + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0), 6) AS rrf,
+       |             COALESCE(b.r, -1) AS bm25_rank, COALESCE(v.r, -1) AS vec_rank
+       |      FROM (SELECT * FROM br WHERE r <= 50) b
+       |      FULL JOIN (SELECT * FROM vr WHERE r <= 50) v
+       |        ON b.qid = v.qid AND b.doc_id = v.doc_id)
+       |SELECT CAST(qid AS BIGINT) AS qid, rk, doc_id, rrf, bm25_rank, vec_rank FROM (
+       |  SELECT qid, doc_id, rrf, bm25_rank, vec_rank,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS INT) AS rk
+       |  FROM f) t
+       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  private def hybridBatchSparkSql: String =
+    s"""WITH qt AS (SELECT qid, term FROM VALUES $batchTermRows AS t(qid, term)),
+       |wtf AS (SELECT doc_id, word, tf FROM bm25_tf),
+       |dlt AS (SELECT doc_id, dl FROM bm25_dl),
+       |${AnnSql.hierBatchQueryStagedSpark(batchQFilter)},
+       |${hybridBatchTail(NeutralMath.SparkKernel)}""".stripMargin
+
+  private def hybridBatchDuckSql: String =
+    s"""WITH qt AS (SELECT qid, term FROM (VALUES $batchTermRows) t(qid, term)),
+       |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |wtf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word),
+       |dlt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+       |${AnnSql.hierBatchQueryCtes(AnnSql.duckCos,
+          s"q.vec_id % 50 = 0 AND q.vec_id < 500")},
+       |${hybridBatchTail(NeutralMath.OracleKernel)}""".stripMargin
+
   /** Staged probe-weight artifact, memoized per (session, dir) — the
     * 64-row trained model a serving tier would load once.
     */
@@ -593,6 +672,14 @@ object SearchRank {
         s.sql(hybridIvfSparkSql)
       },
       Some(hybridIvfDuckSql)),
+    "q_search_hybrid_batch" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stageBm25(s, d)
+        AnnSql.stageHierIndex(s, d)
+        s.sql(hybridBatchSparkSql)
+      },
+      Some(hybridBatchDuckSql)),
     "q_text_heavy_hitters" -> sql2(heavyHittersSparkSql(), heavyHittersDuckSql)
   )
 }

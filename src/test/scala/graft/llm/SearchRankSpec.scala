@@ -138,6 +138,7 @@ class SearchRankSpec extends AnyFunSuite {
       0L -> "vector vector filler filler",
       1L -> "vector filler filler filler filler filler filler filler",
       2L -> "noise noise noise noise")
+    graft.functions.GraftFunctions.register(spark) // idf rides graft_ln_scaled
     val got = spark.sql(SearchRank.bm25SparkSql("sr_bm25"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     def bm25(tf: Double, dl: Double): Double = {
@@ -300,5 +301,24 @@ class SearchRankSpec extends AnyFunSuite {
     assert(rr.head._3 == expect, s"logit ${rr.head._3} vs replayed $expect")
     // the reranker must actually CHANGE the order on this fixture
     assert(rr.exists(x => x._1 != x._5), "rerank is a no-op reorder")
+  }
+
+  test("batch hybrid serving: query 0 reproduces the single-query indexed hybrid exactly") {
+    // batch query 0 carries the SAME terms (vector/join/stream) and the
+    // SAME query vector (vec_id 0) as q_search_hybrid_ivf, through the
+    // SAME staged indexes — its per-query slice must reproduce the
+    // single-query result row for row (the serving plan only changes |Q|)
+    val s2 = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q_search_hybrid_batch")(s2, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+    assert(batch.map(_._1).distinct.length == 10, "expected 10 queries in the batch")
+    assert(batch.groupBy(_._1).values.forall(_.length == 5))
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._2)
+      .map(x => (x._2, x._3, x._4, x._5, x._6))
+    val single = graft.SparkEntry.queries("q_search_hybrid_ivf")(s2, sf).collect()
+      .take(5).map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4)))
+    assert(q0.toSeq == single.toSeq,
+      s"batch q0 ${q0.toSeq} != single-query hybrid ${single.toSeq}")
   }
 }

@@ -44,6 +44,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_search_hybrid_rrf",   // single-row query-vector broadcast (1 x N scoring branch)
     "q_search_rerank_probe", // 1-row query-vector + 1-row packed-weight broadcasts; candidates join equi
     "q_search_hybrid_ivf",   // broadcast CELL table only (two-level quantizer vector branch)
+    "q_search_hybrid_batch", // |Q|=10-row query side x the N^(1/4) staged cell table only
     "q_text_unigram_logprob", // broadcast unigram LM (vocabulary-bounded)
     "q_select_dsir",         // single-row corpus-total joins + <=128-row score table
     "q_select_dsir_cluster", // same DSIR body over the dedup pool; pool join itself is equi

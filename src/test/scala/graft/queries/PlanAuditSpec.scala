@@ -554,7 +554,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // and the query plans contain NO Generate at all — every per-query op
     // is an equi-join against a staged view.
     for (q <- Seq("q_text_bm25", "q_search_hybrid_rrf", "q_search_hybrid_ivf",
-                  "q_search_rerank_probe")) {
+                  "q_search_hybrid_batch", "q_search_rerank_probe")) {
       val p = plan(q)
       assert("Generate".r.findAllIn(p).isEmpty, s"$q explodes the corpus in-query: ${p.take(1500)}")
       assert(!p.contains("CartesianProduct"), q)
