@@ -1969,6 +1969,71 @@ object LlmQueries {
         |WHERE n_match >= 2
         |ORDER BY id1, id2""".stripMargin),
 
+    // Perceptual near-dup dedup over REAL decoded images — the image-side
+    // MinHash analog every multimodal training-data pipeline runs: the
+    // aHash fingerprint (integer grayscale, mean threshold, one bit per
+    // pixel) computed from the REAL PPM decoder's pixel bytes
+    // (Multimodal.ppmAHash, executor-side), then candidate pairs via a
+    // BANDED equi-join on 8-bit hash bands (hamming <= 2 guarantees >= 2
+    // intact bands of 4 — the pigeonhole multi-probe of q_dedup_simhash)
+    // and an exact bit_count filter. Fixture: images repeat every 40
+    // ids (base = (doc_id DIV 10) % 40 drives pixels AND dims) with an
+    // every-29th-pixel brightness perturbation from doc_id DIV 400, so
+    // genuine near-dups exist with small nonzero hamming distances. The
+    // oracle replays grayscale/mean/hash from the closed pixel formula —
+    // a decoder one byte off or a float sneaking into the hash diverges.
+    // 100 TB: decode+hash is one executor-side pass; pairs come only
+    // from band buckets (equi) — never all-pairs.
+    "q_multimodal_phash_dedup" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        val payload = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .selectExpr("doc_id", "CAST((doc_id DIV 10) % 40 AS INT) AS base")
+          .selectExpr("doc_id", "base",
+            "CAST(4 + base % 5 AS INT) AS w", "CAST(3 + base % 4 AS INT) AS h")
+          .selectExpr("doc_id",
+            """concat(
+              |  encode(concat('P6\n', CAST(w AS STRING), ' ', CAST(h AS STRING), '\n255\n'), 'UTF-8'),
+              |  unhex(aggregate(
+              |    transform(sequence(0, w * h * 3 - 1),
+              |              i -> lpad(hex(pmod(base * 7 + i * 13
+              |                                 + CASE WHEN i % 29 = 0 THEN pmod(doc_id DIV 400, 3) ELSE 0 END,
+              |                                 256)), 2, '0')),
+              |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin)
+        Multimodal.ppmAHash(payload).createOrReplaceTempView("mm_ph")
+        s.sql(
+          """WITH b AS (SELECT doc_id, ahash, bd, CAST((ahash >> (8 * bd)) & 255 AS INT) AS bv
+            |           FROM mm_ph LATERAL VIEW explode(sequence(0, 3)) t AS bd),
+            |cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+            |                a.ahash AS h1, b2.ahash AS h2
+            |         FROM b a JOIN b b2 ON a.bd = b2.bd AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+            |SELECT id1, id2, CAST(bit_count(h1 ^ h2) AS INT) AS hamming
+            |FROM cand WHERE bit_count(h1 ^ h2) <= 2
+            |ORDER BY id1, id2""".stripMargin)
+      },
+      Some(
+        """WITH p AS (SELECT doc_id, (doc_id // 10) % 40 AS base FROM documents WHERE doc_id % 10 = 0),
+          |d AS (SELECT doc_id, base, 4 + base % 5 AS w, 3 + base % 4 AS h FROM p),
+          |g AS (SELECT doc_id, j,
+          |        ((base * 7 + (3 * j) * 13     + CASE WHEN (3 * j)     % 29 = 0 THEN (doc_id // 400) % 3 ELSE 0 END) % 256
+          |       + (base * 7 + (3 * j + 1) * 13 + CASE WHEN (3 * j + 1) % 29 = 0 THEN (doc_id // 400) % 3 ELSE 0 END) % 256
+          |       + (base * 7 + (3 * j + 2) * 13 + CASE WHEN (3 * j + 2) % 29 = 0 THEN (doc_id // 400) % 3 ELSE 0 END) % 256) // 3 AS gray
+          |      FROM (SELECT doc_id, base, unnest(range(0, CAST(w * h AS INT))) AS j FROM d) z),
+          |m AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) // COUNT(*) AS mean FROM g GROUP BY doc_id),
+          |hsh AS (SELECT g.doc_id,
+          |               CAST(SUM(CASE WHEN g.gray >= m.mean AND g.j < 32
+          |                             THEN CAST(1 AS BIGINT) << CAST(g.j AS INT)
+          |                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+          |        FROM g JOIN m ON g.doc_id = m.doc_id GROUP BY g.doc_id),
+          |b AS (SELECT doc_id, ahash, bd, CAST((ahash >> (8 * bd)) & 255 AS INT) AS bv
+          |      FROM (SELECT doc_id, ahash, unnest(range(0, 4)) AS bd FROM hsh) z),
+          |cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+          |                a.ahash AS h1, b2.ahash AS h2
+          |         FROM b a JOIN b b2 ON a.bd = b2.bd AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+          |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+          |FROM cand WHERE bit_count(xor(h1, h2)) <= 2
+          |ORDER BY id1, id2""".stripMargin)),
+
     "q_multimodal_meta" -> sql2(
       """SELECT doc_id, octet_length(encode(text, 'UTF-8')) AS n_bytes,
         |lower(hex(encode(substr(text, 1, 4), 'UTF-8'))) AS magic,

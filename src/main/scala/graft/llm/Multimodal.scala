@@ -120,6 +120,53 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int, maxval: Int,
       sum_r: Long, sum_g: Long, sum_b: Long, px0: Int, pxn: Int)
 
+  /** Per-image average-hash (aHash — the classic perceptual fingerprint a
+    * large-scale image-dedup pass blocks on): integer grayscale
+    * (r+g+b) DIV 3 per pixel, threshold at the integer mean, one bit per
+    * pixel for the first min(npixels, 32) pixels in row-major order. All
+    * arithmetic is integer floor-division — bit-identical to the oracle's
+    * closed-form SQL replay by construction (no float anywhere).
+    */
+  final case class PHashRow(doc_id: Long, width: Int, height: Int, ahash: Long)
+
+  /** Decode + hash a (doc_id, payload) binary column with the REAL PPM
+    * parser, executor-side (the [[ppmStats]] plumbing, different rollup).
+    */
+  def ppmAHash(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodePpm(bytes) match {
+          case Left(err) => throw new IllegalArgumentException(s"doc $id: $err")
+          case Right(img) =>
+            val npix = img.width * img.height
+            val gray = new Array[Long](npix)
+            var sum = 0L
+            var j = 0
+            while (j < npix) {
+              val r = img.pixels(3 * j) & 0xff
+              val g = img.pixels(3 * j + 1) & 0xff
+              val b = img.pixels(3 * j + 2) & 0xff
+              gray(j) = (r + g + b) / 3
+              sum += gray(j)
+              j += 1
+            }
+            val mean = sum / npix
+            var hash = 0L
+            j = 0
+            while (j < npix && j < 32) {
+              if (gray(j) >= mean) hash |= 1L << j
+              j += 1
+            }
+            PHashRow(id, img.width, img.height, hash)
+        }
+      })
+      .toDF()
+  }
+
   /** Decode a (doc_id, payload) binary column with the REAL PPM parser,
     * executor-side. A payload that fails to decode fails the job loudly —
     * a corrupt fixture must never pass as a parsed one.

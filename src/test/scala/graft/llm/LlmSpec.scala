@@ -446,4 +446,30 @@ class LlmSpec extends AnyFunSuite {
     val r2 = result.find(_.getLong(0) == 2L).get
     assert(r2.getString(1) == "raw" && r2.getInt(6) == 0 && r2.getLong(7) == 0)
   }
+
+  test("perceptual phash dedup: decoded hash matches the closed form; planted near-dups surface") {
+    val s = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    val pairs = graft.SparkEntry.queries("q_multimodal_phash_dedup")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 2))
+    assert(pairs.exists(_._3 > 0), "perturbed copies should sit at nonzero hamming")
+    // planted same-base copy: doc 0 (base 0, noise 0) vs doc 400 (base 0, noise 1)
+    assert(pairs.contains((0L, 400L, 0)) || pairs.exists(p => p._1 == 0L && p._2 == 400L),
+      s"planted near-dup (0, 400) missing from ${pairs.take(8).toSeq}")
+
+    // independent closed-form replay of doc 0's aHash (base 0, noise 0):
+    // channel bytes are (i*13) % 256 over a 4x3 image
+    val w = 4; val h = 3
+    val gray = (0 until w * h).map { j =>
+      (0 to 2).map(c => ((3 * j + c) * 13) % 256).sum / 3
+    }
+    val mean = gray.map(_.toLong).sum / (w * h)
+    var expect = 0L
+    for (j <- 0 until math.min(w * h, 32) if gray(j) >= mean) expect |= 1L << j
+    val got = s.table("mm_ph").filter("doc_id = 0").collect().head
+      .getAs[Long]("ahash")
+    assert(got == expect, s"decoded-path hash $got != closed-form $expect")
+  }
 }
