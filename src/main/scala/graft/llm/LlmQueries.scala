@@ -2034,6 +2034,70 @@ object LlmQueries {
           |FROM cand WHERE bit_count(xor(h1, h2)) <= 2
           |ORDER BY id1, id2""".stripMargin)),
 
+    // Audio near-dup via energy-profile fingerprints over REAL WAV decode
+    // — the audio sibling of q_multimodal_phash_dedup: mono 16-bit PCM
+    // clips constructed in-engine: a base-keyed waveform under a
+    // base-keyed per-window amplitude ENVELOPE (so energy profiles are
+    // discriminative — the un-enveloped sawtooth made every clip's
+    // profile flat and the fingerprint matched everything), perturbed
+    // same-base copies via every-23rd-sample noise from doc_id DIV 400,
+    // decoded by the genuine RIFF/WAVE parser,
+    // fingerprinted as 16 mean-thresholded window-energy bits
+    // (Multimodal.wavAFingerprint), candidates via 4x4-bit band equi-join
+    // + exact bit_count <= 2 (the same pigeonhole as the image path). The
+    // oracle replays windows/energies/bits from the closed sample formula.
+    "q_multimodal_audio_fp_dedup" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        val payload = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .selectExpr("doc_id", "CAST((doc_id DIV 10) % 40 AS INT) AS base")
+          .selectExpr("doc_id", "base", "CAST(64 + base % 17 AS INT) AS n")
+          .selectExpr("doc_id",
+            s"""concat(
+               |  encode('RIFF', 'UTF-8'), unhex(${hexLe32("36 + n * 2")}),
+               |  encode('WAVEfmt ', 'UTF-8'), unhex(${hexLe32("16")}),
+               |  unhex(${hexLe16("1")}), unhex(${hexLe16("1")}),
+               |  unhex(${hexLe32("8000")}), unhex(${hexLe32("8000 * 2")}),
+               |  unhex(${hexLe16("2")}), unhex(${hexLe16("16")}),
+               |  encode('data', 'UTF-8'), unhex(${hexLe32("n * 2")}),
+               |  unhex(aggregate(transform(sequence(0, n - 1),
+               |    i -> ${hexLe16("(pmod(base * 31 + i * 17, 256) - 128) * (1 + pmod(base * 3 + i DIV (n DIV 16), 7)) + CASE WHEN i % 23 = 0 THEN pmod(doc_id DIV 400, 5) ELSE 0 END")}),
+               |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin)
+        Multimodal.wavAFingerprint(payload).createOrReplaceTempView("mm_afp")
+        s.sql(
+          """WITH b AS (SELECT doc_id, afp, bd, CAST((afp >> (4 * bd)) & 15 AS INT) AS bv
+            |           FROM mm_afp LATERAL VIEW explode(sequence(0, 3)) t AS bd),
+            |cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+            |                a.afp AS h1, b2.afp AS h2
+            |         FROM b a JOIN b b2 ON a.bd = b2.bd AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+            |SELECT id1, id2, CAST(bit_count(h1 ^ h2) AS INT) AS hamming
+            |FROM cand WHERE bit_count(h1 ^ h2) <= 2
+            |ORDER BY id1, id2""".stripMargin)
+      },
+      Some(
+        """WITH p AS (SELECT doc_id, (doc_id // 10) % 40 AS base FROM documents WHERE doc_id % 10 = 0),
+          |d AS (SELECT doc_id, base, 64 + base % 17 AS n FROM p),
+          |v AS (SELECT doc_id, n, i,
+          |             ABS(((base * 31 + i * 17) % 256 - 128) * (1 + (base * 3 + i // (n // 16)) % 7)
+          |                 + CASE WHEN i % 23 = 0 THEN (doc_id // 400) % 5 ELSE 0 END) AS a
+          |      FROM (SELECT doc_id, base, n, unnest(range(0, CAST(n AS INT))) AS i FROM d) z
+          |      WHERE i < (n // 16) * 16),
+          |e AS (SELECT doc_id, CAST(i // (n // 16) AS INT) AS w, CAST(SUM(a) AS BIGINT) AS en
+          |      FROM v GROUP BY doc_id, CAST(i // (n // 16) AS INT)),
+          |m AS (SELECT doc_id, CAST(SUM(en) AS BIGINT) // 16 AS mean FROM e GROUP BY doc_id),
+          |hsh AS (SELECT e.doc_id,
+          |               CAST(SUM(CASE WHEN e.en >= m.mean THEN CAST(1 AS BIGINT) << e.w
+          |                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp
+          |        FROM e JOIN m ON e.doc_id = m.doc_id GROUP BY e.doc_id),
+          |b AS (SELECT doc_id, afp, bd, CAST((afp >> (4 * bd)) & 15 AS INT) AS bv
+          |      FROM (SELECT doc_id, afp, unnest(range(0, 4)) AS bd FROM hsh) z),
+          |cand AS (SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+          |                a.afp AS h1, b2.afp AS h2
+          |         FROM b a JOIN b b2 ON a.bd = b2.bd AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+          |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+          |FROM cand WHERE bit_count(xor(h1, h2)) <= 2
+          |ORDER BY id1, id2""".stripMargin)),
+
     "q_multimodal_meta" -> sql2(
       """SELECT doc_id, octet_length(encode(text, 'UTF-8')) AS n_bytes,
         |lower(hex(encode(substr(text, 1, 4), 'UTF-8'))) AS magic,

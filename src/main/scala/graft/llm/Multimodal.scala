@@ -361,6 +361,48 @@ object Multimodal {
     Left("no data chunk")
   }
 
+  /** Per-clip audio fingerprint — the audio sibling of [[ppmAHash]]: the
+    * clip's samples split into 16 equal windows (tail remainder ignored),
+    * per-window absolute-amplitude energy, one bit per window thresholded
+    * at the integer mean of the 16 energies. The energy-profile
+    * fingerprint an audio-dedup pass blocks on, all integer arithmetic —
+    * bit-identical to the closed-form SQL replay.
+    */
+  final case class AudioFpRow(doc_id: Long, n_samples: Int, afp: Long)
+
+  def wavAFingerprint(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Left(err) => throw new IllegalArgumentException(s"doc $id: $err")
+          case Right(wav) =>
+            require(wav.channels == 1, s"doc $id: fingerprint fixture must be mono")
+            val n = wav.samples.length
+            require(n >= 16, s"doc $id: too short to window ($n samples)")
+            val win = n / 16
+            val en = new Array[Long](16)
+            var total = 0L
+            var w = 0
+            while (w < 16) {
+              var k = 0
+              var e = 0L
+              while (k < win) { e += math.abs(wav.samples(w * win + k).toLong); k += 1 }
+              en(w) = e; total += e; w += 1
+            }
+            val mean = total / 16
+            var fp = 0L
+            w = 0
+            while (w < 16) { if (en(w) >= mean) fp |= 1L << w; w += 1 }
+            AudioFpRow(id, n, fp)
+        }
+      })
+      .toDF()
+  }
+
   /** Per-clip decode rollup for the oracle: format fields, frame count,
     * integer amplitude sums, first/last samples.
     */

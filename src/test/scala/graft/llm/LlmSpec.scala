@@ -472,4 +472,34 @@ class LlmSpec extends AnyFunSuite {
       .getAs[Long]("ahash")
     assert(got == expect, s"decoded-path hash $got != closed-form $expect")
   }
+
+  test("audio fingerprint dedup: decoded fingerprint matches the closed form; planted copies pair") {
+    val s = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    val pairs = graft.SparkEntry.queries("q_multimodal_audio_fp_dedup")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty && pairs.forall(_._3 <= 2))
+    // planted same-base copy (doc 0 vs doc 400) must surface
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 400L),
+      s"planted audio near-dup (0, 400) missing from ${pairs.take(8).toSeq}")
+    // fingerprints must be discriminative: far fewer pairs than all-pairs
+    val n = s.table("mm_afp").count()
+    assert(pairs.length < n * (n - 1) / 8,
+      s"fingerprint degenerate: ${pairs.length} pairs from $n clips")
+
+    // closed-form replay of doc 0's fingerprint (base 0, noise 0):
+    // s(i) = ((i*17) % 256 - 128) * (1 + (i div win) % 7), n = 64, win = 4
+    val nS = 64; val win = nS / 16
+    val en = (0 until 16).map { w =>
+      (0 until win).map { k =>
+        val i = w * win + k
+        math.abs(((i * 17) % 256 - 128).toLong * (1 + (i / win) % 7))
+      }.sum
+    }
+    val mean = en.sum / 16
+    var expect = 0L
+    for (w <- 0 until 16 if en(w) >= mean) expect |= 1L << w
+    val got = s.table("mm_afp").filter("doc_id = 0").collect().head.getAs[Long]("afp")
+    assert(got == expect, s"decoded-path fingerprint $got != closed-form $expect")
+  }
 }
