@@ -2098,6 +2098,75 @@ object LlmQueries {
           |FROM cand WHERE bit_count(xor(h1, h2)) <= 2
           |ORDER BY id1, id2""".stripMargin)),
 
+    // Video near-dup by shared FRAME fingerprints — the third modality's
+    // dedup, composed from the image path: each "video" is a deterministic
+    // sequence of PPM frames (content keyed by (vbase, absolute frame
+    // index); half the corpus is TRIMMED by one leading frame, the classic
+    // edit whole-file hashing misses), every frame decodes through the
+    // REAL PPM parser into an aHash (Multimodal.ppmAHash over a packed
+    // (doc, frame) key), and two videos pair when they share frames:
+    // candidates via an EQUI-join on the frame hash, containment = shared
+    // distinct hashes / min(frame count) in basis points. A trimmed copy
+    // scores 7500+ bp; unrelated videos share nothing. 100 TB: decode is
+    // one executor pass over frames, matching is hash-bucket equi-join —
+    // the q_dedup_containment shape at the frame level.
+    "q_multimodal_video_dedup" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        val frames = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .selectExpr("doc_id", "CAST((doc_id DIV 10) % 25 AS INT) AS vbase",
+            "CAST(4 + (doc_id DIV 10) % 3 AS INT) AS nf",
+            "CAST(pmod(doc_id DIV 250, 2) AS INT) AS trim")
+          .selectExpr("doc_id", "vbase", "explode(sequence(0, nf - 1)) AS f", "trim")
+          .selectExpr("doc_id * 16 + f AS doc_id", "vbase", "trim + f AS af")
+          .selectExpr("doc_id",
+            """concat(
+              |  encode('P6\n8 4\n255\n', 'UTF-8'),
+              |  unhex(aggregate(
+              |    transform(sequence(0, 95),
+              |              i -> lpad(hex(pmod((vbase * 8 + af) * (i + 3) * (i + 7) + i * 13, 256)), 2, '0')),
+              |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin)
+        Multimodal.ppmAHash(frames).createOrReplaceTempView("mm_vf")
+        s.sql(
+          """WITH fh AS (SELECT DISTINCT doc_id DIV 16 AS vid, ahash FROM mm_vf),
+            |sz AS (SELECT vid, COUNT(*) AS nh FROM fh GROUP BY vid),
+            |pr AS (SELECT a.vid AS id1, b.vid AS id2, COUNT(*) AS shared
+            |       FROM fh a JOIN fh b ON a.ahash = b.ahash AND a.vid < b.vid
+            |       GROUP BY a.vid, b.vid)
+            |SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
+            |       CAST(FLOOR(shared * 10000.0 / LEAST(s1.nh, s2.nh)) AS BIGINT) AS containment_bp
+            |FROM pr JOIN sz s1 ON id1 = s1.vid JOIN sz s2 ON id2 = s2.vid
+            |WHERE shared * 2 >= LEAST(s1.nh, s2.nh)
+            |ORDER BY id1, id2""".stripMargin)
+      },
+      Some(
+        """WITH p AS (SELECT doc_id, (doc_id // 10) % 25 AS vbase,
+          |                  4 + (doc_id // 10) % 3 AS nf, (doc_id // 250) % 2 AS trim
+          |           FROM documents WHERE doc_id % 10 = 0),
+          |fr AS (SELECT doc_id, vbase, trim + f AS af
+          |       FROM (SELECT doc_id, vbase, nf, trim, unnest(range(0, CAST(nf AS INT))) AS f FROM p) z),
+          |g AS (SELECT doc_id, af, j,
+          |        (((vbase * 8 + af) * (3 * j + 3) * (3 * j + 7) + (3 * j) * 13) % 256
+          |       + ((vbase * 8 + af) * (3 * j + 4) * (3 * j + 8) + (3 * j + 1) * 13) % 256
+          |       + ((vbase * 8 + af) * (3 * j + 5) * (3 * j + 9) + (3 * j + 2) * 13) % 256) // 3 AS gray
+          |      FROM (SELECT doc_id, vbase, af, unnest(range(0, 32)) AS j FROM fr) z2),
+          |m AS (SELECT doc_id, af, CAST(SUM(gray) AS BIGINT) // 32 AS mean FROM g GROUP BY doc_id, af),
+          |hsh AS (SELECT g.doc_id, g.af,
+          |               CAST(SUM(CASE WHEN g.gray >= m.mean
+          |                             THEN CAST(1 AS BIGINT) << CAST(g.j AS INT)
+          |                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+          |        FROM g JOIN m ON g.doc_id = m.doc_id AND g.af = m.af GROUP BY g.doc_id, g.af),
+          |fh AS (SELECT DISTINCT doc_id AS vid, ahash FROM hsh),
+          |sz AS (SELECT vid, COUNT(*) AS nh FROM fh GROUP BY vid),
+          |pr AS (SELECT a.vid AS id1, b.vid AS id2, COUNT(*) AS shared
+          |       FROM fh a JOIN fh b ON a.ahash = b.ahash AND a.vid < b.vid
+          |       GROUP BY a.vid, b.vid)
+          |SELECT id1, id2, CAST(shared AS BIGINT) AS shared,
+          |       CAST(FLOOR(shared * 10000.0 / LEAST(s1.nh, s2.nh)) AS BIGINT) AS containment_bp
+          |FROM pr JOIN sz s1 ON id1 = s1.vid JOIN sz s2 ON id2 = s2.vid
+          |WHERE shared * 2 >= LEAST(s1.nh, s2.nh)
+          |ORDER BY id1, id2""".stripMargin)),
+
     "q_multimodal_meta" -> sql2(
       """SELECT doc_id, octet_length(encode(text, 'UTF-8')) AS n_bytes,
         |lower(hex(encode(substr(text, 1, 4), 'UTF-8'))) AS magic,

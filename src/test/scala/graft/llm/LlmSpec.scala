@@ -502,4 +502,22 @@ class LlmSpec extends AnyFunSuite {
     val got = s.table("mm_afp").filter("doc_id = 0").collect().head.getAs[Long]("afp")
     assert(got == expect, s"decoded-path fingerprint $got != closed-form $expect")
   }
+
+  test("video dedup: trimmed copies pair by shared frame fingerprints; no cross-content pairs") {
+    val s = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    val pairs = graft.SparkEntry.queries("q_multimodal_video_dedup")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.nonEmpty)
+    // every pair must share video content (same vbase) — the 32-bit frame
+    // hash over the quadratic content formula leaves no accidental matches
+    // on this fixture
+    for ((id1, id2, _, _) <- pairs)
+      assert((id1 / 10) % 25 == (id2 / 10) % 25, s"cross-content pair ($id1, $id2)")
+    // the planted trim (doc 0 full vs doc 250 trimmed by one frame) must
+    // surface with high containment despite differing frame counts
+    val planted = pairs.find(p => p._1 == 0L && p._2 == 250L)
+    assert(planted.isDefined, s"trimmed copy (0, 250) missing from ${pairs.take(6).toSeq}")
+    assert(planted.get._4 >= 7000, s"containment too low: ${planted.get}")
+  }
 }
