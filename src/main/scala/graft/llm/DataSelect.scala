@@ -514,7 +514,71 @@ object DataSelect {
        |${currTail.replace("FROM ph EPOCH_EXPLODE",
            "FROM (SELECT doc_id, source, bp, phase, n_epochs, unnest(range(1, n_epochs + 1)) AS ep FROM ph) z")}""".stripMargin
 
+  /** Neyman-allocation stratified sampling (the textbook optimal
+    * allocation, Neyman 1934: n_h ∝ N_h·σ_h — strata with more internal
+    * variance get more of the budget, minimizing the estimator variance
+    * of a mean under a fixed total sample size). Strata are sources, the
+    * surveyed variable is document length.
+    *
+    * Determinism discipline: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — ONE
+    * IEEE-exact sqrt of an exact integer (integer moments; SQRT is one of
+    * the five correctly-rounded basic ops, so no libm exposure) —
+    * immediately quantized to integer CENTI-units (coarse enough that
+    * 300·wq stays far inside 2^53, so the largest-remainder division of
+    * the exact multiple is itself exact) and the across-strata total is
+    * an exact integer sum (a float Σ over strata would be fold-order
+    * dependent). The budget splits by the largest-remainder method
+    * (remainder ties break on source), capped at N_h. Admission is a per-source md5 rank — hex strings compare
+    * identically in both engines, the window shuffles by source only.
+    *
+    * 100 TB: one map-side-combined moment aggregate (K rows), constant
+    * integer arithmetic on the K-row table, one per-source ranking window
+    * for admission — the q_text_ppl_bucket shuffle discipline.
+    */
+  private def neymanSql(md5doc: String): String =
+    s"""WITH mo AS (SELECT source, COUNT(*) AS nh,
+       |                  CAST(SUM(n_chars) AS BIGINT) AS sx,
+       |                  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+       |           FROM documents GROUP BY source),
+       |w AS (SELECT source, nh, sx, sxx,
+       |             CAST(FLOOR(SQRT(CAST(nh * sxx - sx * sx AS DOUBLE)) * 1.0E2 + 0.5E0) AS BIGINT) AS wq
+       |      FROM mo),
+       |tw AS (SELECT CAST(SUM(wq) AS BIGINT) AS tot FROM w),
+       |q0 AS (SELECT source, nh, sx, wq,
+       |              CAST(300 * wq AS BIGINT) % (SELECT tot FROM tw) AS rem
+       |       FROM w),
+       |q AS (SELECT source, nh, sx, wq, rem,
+       |             CAST((300 * wq - rem) / (SELECT tot FROM tw) AS BIGINT) AS base_q
+       |      FROM q0),
+       |ex AS (SELECT source, nh, sx, wq, base_q,
+       |              CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rrk,
+       |              300 - CAST(SUM(base_q) OVER () AS BIGINT) AS spare
+       |       FROM q),
+       |al AS (SELECT source, nh, sx, wq,
+       |              LEAST(nh, base_q + CASE WHEN rrk <= spare THEN 1 ELSE 0 END) AS alloc
+       |       FROM ex),
+       |rkd AS (SELECT d.source, d.doc_id, d.n_chars,
+       |               row_number() OVER (PARTITION BY d.source
+       |                                  ORDER BY $md5doc, d.doc_id) AS rk
+       |        FROM documents d),
+       |sel AS (SELECT rkd.source, COUNT(*) AS n_sampled,
+       |               CAST(SUM(rkd.n_chars) AS BIGINT) AS chars_sampled
+       |        FROM rkd JOIN al ON rkd.source = al.source
+       |        WHERE rkd.rk <= al.alloc
+       |        GROUP BY rkd.source)
+       |SELECT al.source, CAST(al.nh AS BIGINT) AS n_docs,
+       |       ROUND(al.wq / 100.0, 2) AS neyman_weight,
+       |       CAST(al.alloc AS BIGINT) AS alloc,
+       |       CAST(COALESCE(sel.n_sampled, 0) AS BIGINT) AS n_sampled,
+       |       COALESCE(sel.chars_sampled, CAST(0 AS BIGINT)) AS chars_sampled
+       |FROM al LEFT JOIN sel ON al.source = sel.source
+       |ORDER BY al.source""".stripMargin
+
+  private val neymanSpark = neymanSql("md5(CAST(d.doc_id AS STRING))")
+  private val neymanDuck = neymanSql("md5(CAST(d.doc_id AS VARCHAR))")
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_sample_neyman" -> sql2(neymanSpark, neymanDuck),
     "q_mix_curriculum" -> sql2(currSpark, currDuck),
     "q_sample_weighted" -> sql2(weightedSampleSpark, weightedSampleDuck),
     "q_mix_unimax" -> sql2(unimaxSpark, unimaxDuck),

@@ -186,4 +186,31 @@ class DataSelectSpec extends AnyFunSuite {
       assert(n <= audit.getOrElse(st, 0L),
         s"admitted $n docs with status $st but the snapshot only contains ${audit.getOrElse(st, 0L)}")
   }
+
+  test("Neyman allocation: budget exact, variance-proportional, replayed from raw moments") {
+    val s = spark.newSession()
+    val rows = graft.SparkEntry.queries("q_sample_neyman")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // the largest-remainder split must hit the 300-doc budget exactly
+    // (no stratum is capped on this fixture), and sampling must fill it
+    assert(rows.map(_._3).sum == 300L, s"alloc sum ${rows.map(_._3).sum}")
+    assert(rows.forall(r => r._4 == r._3), "admitted count != allocation")
+
+    // independent replay: allocation ∝ N_h·σ_h from raw integer moments
+    import org.apache.spark.sql.functions._
+    val mo = graft.queries.Tables.documents(s, sf)
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val wq = mo.map { case (src, n, sx, sxx) =>
+      src -> math.floor(math.sqrt((n * sxx - sx * sx).toDouble) * 100 + 0.5).toLong
+    }.toMap
+    val tot = wq.values.sum
+    val base = rows.map { case (src, _, _, _) => src -> (300 * wq(src)) / tot }.toMap
+    for ((src, _, alloc, _) <- rows)
+      assert(alloc == base(src) || alloc == base(src) + 1,
+        s"$src: alloc $alloc not the floor quota ${base(src)} (+0/1 remainder)")
+  }
 }
