@@ -396,7 +396,48 @@ object WarehouseQueries {
       |          JOIN per pb ON tb = pb.event_type
       |ORDER BY ta, tb""".stripMargin
 
+  /** k-anonymous release with a two-level generalization ladder (Sweeney,
+    * "k-Anonymity: a model for protecting privacy", IJUFKS 2002): the
+    * quasi-identifier (event_type, hour-of-day, value bucket) must appear
+    * in at least K = 5 rows to be released. Cells below K GENERALIZE the
+    * value bucket tens → hundreds and re-test; still-small cells suppress.
+    * This is the release audit a data-governance pass runs before handing
+    * an event extract to a downstream team.
+    *
+    * 100 TB: two map-side-combined aggregates over the (pruned) event
+    * scan build the level-1 and level-2 cell tables (bounded by
+    * |types|·24·|buckets| — constants, broadcast back onto the rows), the
+    * per-row level decision is a projection, and the rollup is
+    * cell-bounded. Determinism: integer hour/bucket arithmetic, the
+    * level-2 table counts ONLY level-1-failing rows (generalizing
+    * already-released rows would double-count them into their wider
+    * cell).
+    */
+  private def kAnonSql(epochUs: String, intDiv: String) = {
+    def dv(a: String, b: String) = s"$a $intDiv $b"
+    s"""WITH e AS (SELECT event_type,
+       |                 CAST(CAST(FLOOR($epochUs / 3600000000) AS BIGINT) % 24 AS INT) AS hh,
+       |                 ${dv("CAST(FLOOR(value) AS BIGINT)", "10")} AS v10,
+       |                 ${dv("CAST(FLOOR(value) AS BIGINT)", "100")} AS v100
+       |          FROM events),
+       |g1 AS (SELECT event_type, hh, v10, COUNT(*) AS n FROM e GROUP BY event_type, hh, v10),
+       |u AS (SELECT e.event_type, e.hh, e.v100
+       |      FROM e JOIN g1 ON e.event_type = g1.event_type AND e.hh = g1.hh AND e.v10 = g1.v10
+       |      WHERE g1.n < 5),
+       |g2 AS (SELECT event_type, hh, v100, COUNT(*) AS n FROM u GROUP BY event_type, hh, v100),
+       |lv AS (SELECT e.event_type,
+       |              CASE WHEN g1.n >= 5 THEN 1 WHEN g2.n >= 5 THEN 2 ELSE 3 END AS lvl
+       |       FROM e JOIN g1 ON e.event_type = g1.event_type AND e.hh = g1.hh AND e.v10 = g1.v10
+       |       LEFT JOIN g2 ON e.event_type = g2.event_type AND e.hh = g2.hh AND e.v100 = g2.v100)
+       |SELECT event_type, CAST(lvl AS INT) AS level, COUNT(*) AS n_rows
+       |FROM lv GROUP BY event_type, lvl
+       |ORDER BY event_type, level""".stripMargin
+  }
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_events_k_anonymity" -> sql2(
+      kAnonSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV"),
+      kAnonSql("epoch_us(ts)", "//")),
     "q_events_lift" -> QuerySpec(
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)

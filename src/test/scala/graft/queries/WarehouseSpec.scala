@@ -265,6 +265,35 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.filter(_._2 == 0).map(_._3).sum == users)
   }
 
+  test("q_events_k_anonymity: every released cell holds >= 5 rows; row mass is conserved") {
+    val s = graft.TestSpark.spark.newSession()
+    val out = graft.SparkEntry.queries("q_events_k_anonymity")(s, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(out.nonEmpty && out.forall(r => r._2 >= 1 && r._2 <= 3))
+    // total released+suppressed rows == total events (nothing dropped)
+    val total = graft.queries.Tables.events(s, sf).count()
+    assert(out.map(_._3).sum == total, s"${out.map(_._3).sum} != $total events")
+    // independent k-guarantee replay: re-derive the level-1 and level-2
+    // cells and check every cell the operator releases meets K = 5
+    val cells = s.sql(
+      """WITH e AS (SELECT event_type,
+        |                 CAST(CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT) % 24 AS INT) AS hh,
+        |                 CAST(FLOOR(value) AS BIGINT) DIV 10 AS v10,
+        |                 CAST(FLOOR(value) AS BIGINT) DIV 100 AS v100
+        |          FROM events),
+        |g1 AS (SELECT event_type, hh, v10, COUNT(*) AS n FROM e GROUP BY 1, 2, 3),
+        |u AS (SELECT e.* FROM e JOIN g1 USING (event_type, hh, v10) WHERE g1.n < 5),
+        |g2 AS (SELECT event_type, hh, v100, COUNT(*) AS n FROM u GROUP BY 1, 2, 3)
+        |SELECT 1 AS lvl, n FROM g1 WHERE n >= 5
+        |UNION ALL SELECT 2, n FROM g2 WHERE n >= 5""".stripMargin).collect()
+    assert(cells.forall(_.getLong(1) >= 5))
+    // the operator's released row mass per level equals the cell replay's
+    val byLvl = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val replay = cells.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).sum).toMap
+    assert(byLvl.getOrElse(1, 0L) == replay.getOrElse(1, 0L), "level-1 mass mismatch")
+    assert(byLvl.getOrElse(2, 0L) == replay.getOrElse(2, 0L), "level-2 mass mismatch")
+  }
+
   test("q_mix_unimax: rarer sources get MORE epochs (the fairness property vs proportional)") {
     val out = rows("q_mix_unimax").map(r => (r.getLong(1), r.getLong(4)))
     out.sortBy(_._1).sliding(2).foreach {
