@@ -46,6 +46,59 @@ object CorpusIngest {
   /** Pre-stage hook for the bench's untimed setup phase. */
   def stageAll(spark: SparkSession, dir: String): Unit = { stage(spark, dir); () }
 
+  /** Ingest-time PERCEPTUAL media dedup — the streaming form of
+    * q_multimodal_phash_dedup's fingerprint stage: incoming media payloads
+    * (the crawl-batch replay, one file per trigger) decode through the
+    * REAL PPM parser and fingerprint executor-side INSIDE the stream
+    * (Multimodal.ppmAHash is typed mapPartitions — it runs unchanged on a
+    * streaming Dataset), then stateful dropDuplicates on
+    * (width, height, ahash) admits only the first-seen fingerprint. The
+    * admitted SET is arrival-order invariant (which keeper wins is not —
+    * so the contract aggregates the set, per-dimension unique-fingerprint
+    * counts, never the keeper ids). At scale the dedup state is keyed by
+    * the 32-bit fingerprint per dimension bucket; a production ingest adds
+    * a watermark on ingest time to bound it (the q_stream_dedup_within_wm
+    * discipline) — the replay fixture has no event-time column to
+    * watermark on.
+    */
+  def mediaDedupIngest(
+      spark: SparkSession, dir: String, maxFilesPerTrigger: String = "1"): DataFrame = {
+    val staged = stage(spark, dir)
+    val schema = spark.read.parquet(staged).schema
+    val payloads = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(staged)
+      .selectExpr("doc_id", "CAST((doc_id DIV 10) % 40 AS INT) AS base")
+      .selectExpr("doc_id", "base",
+        "CAST(4 + base % 5 AS INT) AS w", "CAST(3 + base % 4 AS INT) AS h")
+      .selectExpr("doc_id",
+        """concat(
+          |  encode(concat('P6\n', CAST(w AS STRING), ' ', CAST(h AS STRING), '\n255\n'), 'UTF-8'),
+          |  unhex(aggregate(
+          |    transform(sequence(0, w * h * 3 - 1),
+          |              i -> lpad(hex(pmod(base * 7 + i * 13
+          |                                 + CASE WHEN i % 29 = 0 THEN pmod(doc_id DIV 400, 3) ELSE 0 END,
+          |                                 256)), 2, '0')),
+          |    '', (a, x) -> concat(a, x)))) AS payload""".stripMargin)
+    val admitted = graft.llm.Multimodal.ppmAHash(payloads)
+      .dropDuplicates("width", "height", "ahash")
+
+    val queryName = s"graft_media_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val query = admitted.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try query.processAllAvailable()
+    finally { query.stop(); EventStream.releaseStateStores(spark) }
+    val sunk = spark.table(queryName)
+    spark.catalog.dropTempView(queryName)
+    sunk.groupBy("width", "height")
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy("width", "height")
+  }
+
   /** One row per incoming doc with >= 1 corpus near-duplicate:
     * (new_id, n_matches, first_match). threshold in Jaccard.
     */

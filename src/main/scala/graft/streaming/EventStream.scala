@@ -161,6 +161,31 @@ object EventStream {
         |SELECT new_id, COUNT(*) AS n_matches, MIN(old_id) AS first_match
         |FROM m GROUP BY new_id ORDER BY new_id""".stripMargin),
 
+    // Ingest-time perceptual media dedup: crawl-batch payloads decode +
+    // fingerprint INSIDE the stream (real PPM parser via typed
+    // mapPartitions), stateful dropDuplicates admits first-seen
+    // fingerprints; the contract aggregates the admitted SET (arrival-
+    // order invariant), per-dimension unique counts. Oracle = the batch
+    // COUNT(DISTINCT fingerprint) from the closed pixel formula.
+    "q_stream_media_dedup" -> QuerySpec.df(
+      (s, d) => CorpusIngest.mediaDedupIngest(s, d),
+      """WITH p AS (SELECT doc_id, (doc_id // 10) % 40 AS base FROM documents WHERE doc_id % 10 = 9),
+        |d AS (SELECT doc_id, base, 4 + base % 5 AS w, 3 + base % 4 AS h FROM p),
+        |g AS (SELECT doc_id, w, h, j,
+        |        ((base * 7 + (3 * j) * 13     + CASE WHEN (3 * j)     % 29 = 0 THEN (doc_id // 400) % 3 ELSE 0 END) % 256
+        |       + (base * 7 + (3 * j + 1) * 13 + CASE WHEN (3 * j + 1) % 29 = 0 THEN (doc_id // 400) % 3 ELSE 0 END) % 256
+        |       + (base * 7 + (3 * j + 2) * 13 + CASE WHEN (3 * j + 2) % 29 = 0 THEN (doc_id // 400) % 3 ELSE 0 END) % 256) // 3 AS gray
+        |      FROM (SELECT doc_id, base, w, h, unnest(range(0, CAST(w * h AS INT))) AS j FROM d) z),
+        |m AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) // COUNT(*) AS mean FROM g GROUP BY doc_id),
+        |hsh AS (SELECT g.doc_id, MIN(g.w) AS w, MIN(g.h) AS h,
+        |               CAST(SUM(CASE WHEN g.gray >= m.mean AND g.j < 32
+        |                             THEN CAST(1 AS BIGINT) << CAST(g.j AS INT)
+        |                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ahash
+        |        FROM g JOIN m ON g.doc_id = m.doc_id GROUP BY g.doc_id)
+        |SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       COUNT(DISTINCT ahash) AS n_unique
+        |FROM hsh GROUP BY w, h ORDER BY width, height""".stripMargin),
+
     // Ingest-time ANN list assignment: incoming vectors stream through the
     // batch-built two-level quantizer — cells as in-plan literals (pure
     // projection probe), centroids via a broadcast stream-static equi-join

@@ -448,4 +448,15 @@ class StreamRecoverySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
     assert(oneShot.toSeq == batch.toSeq)
   }
+
+  test("media dedup ingest is micro-batch-chop invariant (admitted SET, not keepers)") {
+    val sf = "/root/testdata/sf0.001"
+    val chopped = CorpusIngest.mediaDedupIngest(spark.newSession(), sf, "1")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val oneShot = CorpusIngest.mediaDedupIngest(spark.newSession(), sf, "2")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(chopped.toSeq == oneShot.toSeq,
+      s"unique-fingerprint counts depend on micro-batch chopping: ${chopped.toSeq} vs ${oneShot.toSeq}")
+    assert(chopped.nonEmpty && chopped.map(_._3).sum > 0)
+  }
 }
