@@ -577,8 +577,72 @@ object DataSelect {
   private val neymanSpark = neymanSql("md5(CAST(d.doc_id AS STRING))")
   private val neymanDuck = neymanSql("md5(CAST(d.doc_id AS VARCHAR))")
 
+  /** Leave-one-source-out perplexity contrast: score every document under
+    * (a) the add-1 bigram LM trained on the WHOLE corpus (the
+    * q_text_ppl_bucket model) and (b) the LM trained on every source
+    * EXCEPT the document's own — derived ALGEBRAICALLY by subtracting the
+    * per-source gram counts from the global tables, so the K
+    * leave-one-out models cost ONE extra aggregation, not K training
+    * passes. The gap ce_loo − ce_self is the source-idiosyncrasy /
+    * memorization signal a curation pass uses to find documents that only
+    * their own source's distribution explains (cf. the
+    * reducible-holdout-loss family, Mindermann et al. arXiv:2206.07137 —
+    * here with closed-form LMs so the operator is exact and
+    * oracle-checkable). The vocabulary smoothing constant V stays global
+    * in both models (documented simplification: V is a smoothing
+    * hyperparameter, not a trained statistic).
+    *
+    * 100 TB: the extra state over q_text_ppl_bucket is the per-(source,
+    * gram) TYPE table — token-stream-bounded, map-side combined; every
+    * join is on gram keys; both NLL tables ride the engine-neutral log.
+    */
+  private def pplLooTail(k: NeutralMath.KernelSplice): String =
+    s"""cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+       |cu AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1),
+       |cbs AS (SELECT source, w1, w2, COUNT(*) AS c FROM bg GROUP BY source, w1, w2),
+       |cus AS (SELECT source, w1, COUNT(*) AS c FROM bg GROUP BY source, w1),
+       |vsz AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+       |${k.ln("lps",
+          "cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN vsz",
+          "cb.w1 AS w1, cb.w2 AS w2", "w1, w2",
+          "cu.c + vsz.v", "cb.c + 1", "nll_self", "1.0E6")},
+       |lo0 AS (SELECT cbs.source AS source, cbs.w1 AS w1, cbs.w2 AS w2,
+       |               CAST(cu.c - cus.c + vsz.v AS BIGINT) AS lnum,
+       |               CAST(cb.c - cbs.c + 1 AS BIGINT) AS lden
+       |        FROM cbs JOIN cb ON cbs.w1 = cb.w1 AND cbs.w2 = cb.w2
+       |                 JOIN cus ON cbs.source = cus.source AND cbs.w1 = cus.w1
+       |                 JOIN cu ON cbs.w1 = cu.w1
+       |        CROSS JOIN vsz),
+       |${k.ln("lpl", "lo0", "source, w1, w2, lnum, lden", "source, w1, w2",
+          "lnum", "lden", "nll_loo", "1.0E6")},
+       |doc AS (SELECT bg.doc_id, bg.source, COUNT(*) AS n_bg,
+       |               CAST(SUM(lps.nll_self) AS BIGINT) AS self_sum,
+       |               CAST(SUM(lpl.nll_loo) AS BIGINT) AS loo_sum
+       |        FROM bg JOIN lps ON bg.w1 = lps.w1 AND bg.w2 = lps.w2
+       |                JOIN lpl ON bg.source = lpl.source AND bg.w1 = lpl.w1 AND bg.w2 = lpl.w2
+       |        GROUP BY bg.doc_id, bg.source)
+       |SELECT doc_id, source, CAST(n_bg AS BIGINT) AS n_bg,
+       |       ROUND(self_sum / 1000000.0 / n_bg, 4) AS ce_self,
+       |       ROUND(loo_sum / 1000000.0 / n_bg, 4) AS ce_loo,
+       |       CAST(FLOOR(CAST(loo_sum - self_sum AS DOUBLE) / n_bg + 0.5E0) AS BIGINT) AS gap_micro
+       |FROM doc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
+  private def pplLooSpark: String =
+    s"""WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, source, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+       |       FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+       |       WHERE size(w) >= 2),
+       |${pplLooTail(NeutralMath.SparkKernel)}""".stripMargin
+
+  private def pplLooDuck: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+       |       FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
+       |${pplLooTail(NeutralMath.OracleKernel)}""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_sample_neyman" -> sql2(neymanSpark, neymanDuck),
+    "q_text_ppl_loo" -> sql2(pplLooSpark, pplLooDuck),
     "q_mix_curriculum" -> sql2(currSpark, currDuck),
     "q_sample_weighted" -> sql2(weightedSampleSpark, weightedSampleDuck),
     "q_mix_unimax" -> sql2(unimaxSpark, unimaxDuck),

@@ -213,4 +213,23 @@ class DataSelectSpec extends AnyFunSuite {
       assert(alloc == base(src) || alloc == base(src) + 1,
         s"$src: alloc $alloc not the floor quota ${base(src)} (+0/1 remainder)")
   }
+
+  test("LOO perplexity: self branch reproduces q_text_ppl_bucket's model; the gap is a real signal") {
+    val s = spark.newSession()
+    val loo = graft.SparkEntry.queries("q_text_ppl_loo")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDecimal(3), r.getDecimal(4), r.getLong(5)))
+    assert(loo.nonEmpty)
+    // ce_self is the SAME model + kernel as q_text_ppl_bucket's ce — must
+    // match digit for digit on the shared doc slice
+    val bucket = graft.SparkEntry.queries("q_text_ppl_bucket")(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(3)).toMap
+    for ((id, _, ceSelf, _, _) <- loo)
+      assert(ceSelf.compareTo(bucket(id)) == 0,
+        s"doc $id: ce_self $ceSelf != ppl_bucket ce ${bucket(id)}")
+    // idiosyncrasy signal: on this fixture every source's documents are
+    // harder for the leave-one-out model on average
+    val bySrc = loo.groupBy(_._2).view.mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    assert(bySrc.values.forall(_ > 0),
+      s"some source has non-positive mean LOO gap: $bySrc")
+  }
 }

@@ -51,6 +51,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_mix_temperature",     // single-row weight-total join; rate table joins equi on source
     "q_select_doremi",       // single-row vocab/total joins + K-domain-row weight table
     "q_text_ppl_bucket",     // single-row vocabulary-size join onto the bigram TYPE table
+    "q_text_ppl_loo",        // same single-row vocabulary-size join, both LM branches
     "q_embed_pca_project",   // iterate-chain joins are d^2-sized, never N (norms are now 8-row windows)
     "q_layout_range_partition", // single-row (k-1)-cut boundary-array broadcast — the RangePartitioner shape
     "q_ann_graph_search",    // single-row query-vector broadcast; hops are frontier-edge equi-joins
