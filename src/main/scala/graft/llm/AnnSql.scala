@@ -753,6 +753,45 @@ object AnnSql {
        |vs AS (SELECT a.vec_id AS doc_id, ROUND(graft_cosine(qp.qe, a.v), 6) AS csim
        |       FROM qp JOIN hier_asn a ON a.cent_id = qp.cent_id AND a.vec_id != $qid)""".stripMargin
 
+  /** Matryoshka truncation evaluation (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022): how much retrieval quality
+    * survives truncating the 64-dim embeddings to their 16-dim prefix —
+    * the sizing study a serving tier runs before committing to a cheaper
+    * index. Per query: brute top-10 under the FULL cosine vs the
+    * TRUNCATED-and-renormalized cosine, reported as overlap@10. Both
+    * rankings order by the ROUNDed score with vec_id tie-breaks (the repo
+    * ranking discipline), so ranks are integer-deterministic. The brute
+    * scoring is the evaluation harness — at scale it runs on a bounded
+    * query sample exactly like this (the sweep-allowlisted q_ann_topk
+    * shape); the production path the study decides between is the IVF
+    * family.
+    */
+  private def matryoshkaSql(
+      cosFn: (String, String) => String, sliceFn: String => String): String = {
+    def ranked(name: String, cos: String): String =
+      s"""$name AS (SELECT qid, cid FROM (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |         row_number() OVER (PARTITION BY q.qid
+         |           ORDER BY ROUND($cos, 6) DESC, c.vec_id) AS r
+         |  FROM q JOIN embeddings c ON c.vec_id != q.qid) z WHERE r <= 10)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |           WHERE vec_id % 50 = 0 AND vec_id < 500),
+       |${ranked("fullr", cosFn("q.qe", "c.embedding"))},
+       |${ranked("trunc", cosFn(sliceFn("q.qe"), sliceFn("c.embedding")))},
+       |ov AS (SELECT f.qid, COUNT(*) AS n
+       |       FROM fullr f JOIN trunc t ON f.qid = t.qid AND f.cid = t.cid
+       |       GROUP BY f.qid)
+       |SELECT q.qid, CAST(COALESCE(ov.n, 0) AS INT) AS overlap10
+       |FROM q LEFT JOIN ov ON q.qid = ov.qid
+       |ORDER BY q.qid""".stripMargin
+  }
+
+  def matryoshkaSpark: String =
+    matryoshkaSql(sparkCos, e => s"slice($e, 1, 16)")
+
+  def matryoshkaDuck: String =
+    matryoshkaSql(duckCos, e => s"list_slice($e, 1, 16)")
+
   /** One k-means (Lloyd) refinement step over the IVF centroid seed set —
     * the index-build iteration [[ivfTopKSpark]]'s doc promises: assign
     * every vector to its nearest centroid, then report per-cluster size,

@@ -728,6 +728,11 @@ object LlmQueries {
 
     // ---- similarity search ----
     "q_ann_topk" -> sql2(AnnSql.bruteTopKSpark(5), AnnSql.bruteTopKDuck(5)),
+
+    // Matryoshka truncation sizing study: brute top-10 overlap between the
+    // full 64-dim cosine and the 16-dim-prefix cosine, per query (AnnSql
+    // doc — the evaluation harness an embedding-budget decision runs).
+    "q_embed_matryoshka_eval" -> sql2(AnnSql.matryoshkaSpark, AnnSql.matryoshkaDuck),
     "q_ann_topk_native" -> QuerySpec(
       (s, d) => {
         Tables.registerAll(s, d)

@@ -636,6 +636,40 @@ object SearchRank {
           s"q.vec_id % 50 = 0 AND q.vec_id < 500")},
        |${hybridBatchTail(NeutralMath.OracleKernel)}""".stripMargin
 
+  /** RAG context assembly — the step between retrieval and the model
+    * call: take the ranked candidates (the staged-BM25 top-20 for the
+    * fixed query), pack them into a 256-token context budget GREEDILY IN
+    * RANK ORDER (each doc costs its indexed length + 2 separator tokens),
+    * and emit the packed manifest. Greedy-by-rank is the standard RAG
+    * packing rule (relevance order is the contract with the ranker;
+    * knapsack-optimal packing would reorder evidence). Work after
+    * retrieval: one running-sum window over <= 20 rows — constant at any
+    * corpus size; doc lengths come from the staged bm25_dl table, not a
+    * re-tokenization.
+    */
+  private def ragPackTail: String =
+    s"""top AS (SELECT rk, doc_id, score FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS INT) AS rk,
+       |         doc_id, ROUND(score, 4) AS score FROM sc) r
+       |  WHERE rk <= 20),
+       |costed AS (SELECT top.rk, top.doc_id, top.score, dlt.dl + 2 AS cost,
+       |                  SUM(dlt.dl + 2) OVER (ORDER BY top.rk
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |           FROM top JOIN dlt ON top.doc_id = dlt.doc_id)
+       |SELECT rk, doc_id, score, CAST(cost AS BIGINT) AS n_tokens,
+       |       CAST(cum AS BIGINT) AS cum_tokens
+       |FROM costed WHERE cum <= 256 ORDER BY rk""".stripMargin
+
+  private def ragPackSparkSql: String =
+    s"""WITH $bm25StagedCtes,
+       |${bm25ScoreTail(NeutralMath.SparkKernel)},
+       |$ragPackTail""".stripMargin
+
+  private def ragPackDuckSql: String =
+    s"""WITH $bm25InlineDuckCtes,
+       |${bm25ScoreTail(NeutralMath.OracleKernel)},
+       |$ragPackTail""".stripMargin
+
   /** Staged probe-weight artifact, memoized per (session, dir) — the
     * 64-row trained model a serving tier would load once.
     */
@@ -680,6 +714,9 @@ object SearchRank {
         s.sql(hybridBatchSparkSql)
       },
       Some(hybridBatchDuckSql)),
+    "q_search_rag_pack" -> QuerySpec(
+      (s, d) => { stageBm25(s, d); s.sql(ragPackSparkSql) },
+      Some(ragPackDuckSql)),
     "q_text_heavy_hitters" -> sql2(heavyHittersSparkSql(), heavyHittersDuckSql)
   )
 }

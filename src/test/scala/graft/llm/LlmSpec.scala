@@ -503,6 +503,23 @@ class LlmSpec extends AnyFunSuite {
     assert(got == expect, s"decoded-path fingerprint $got != closed-form $expect")
   }
 
+  test("matryoshka eval: one row per query, overlap bounded, identity truncation = 10/10") {
+    val s = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_embed_matryoshka_eval")(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(out.map(_._1).toSeq == (0L until 500L by 50L).toSeq)
+    assert(out.forall { case (_, ov) => ov >= 0 && ov <= 10 })
+    // harness self-check: with a 64-dim "truncation" (identity) the overlap
+    // must be exactly 10 for every query — any rank instability would show
+    graft.queries.Tables.registerAll(s, sf)
+    val ident = s.sql(AnnSql.matryoshkaSpark.replace("slice(", "slice64(")
+        .replace("slice64(q.qe, 1, 16)", "slice(q.qe, 1, 64)")
+        .replace("slice64(c.embedding, 1, 16)", "slice(c.embedding, 1, 64)"))
+      .collect().map(r => r.getInt(1))
+    assert(ident.forall(_ == 10), s"identity truncation overlap != 10: ${ident.toSeq}")
+  }
+
   test("video dedup: trimmed copies pair by shared frame fingerprints; no cross-content pairs") {
     val s = spark.newSession()
     val sf = "/root/testdata/sf0.001"

@@ -26,6 +26,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_join_theta",          // non-equi parity form (banded twin is the scale path)
     "q_join_theta_banded",   // residual band-local non-equi over a dimension side
     "q_ann_topk",            // brute-force baseline: broadcast query vectors
+    "q_embed_matryoshka_eval", // same brute harness shape: bounded query-vector broadcast x2
     "q_ann_topk_native",     // same shape, native kernel
     "q_ann_ivf",             // broadcast centroid table (nlist ~ sqrt(N))
     "q_ann_recall_curve",    // brute ground-truth branch (bounded query sample) + 3-row level table
