@@ -124,6 +124,43 @@ object TextIndex {
 
   private val bpeDuck = s"WITH $bpeDuckCtes,\n$bpeTail"
 
+  /** Tokenizer FERTILITY by source (tokens per character under the learned
+    * merges) — the multilingual-tokenizer equity metric (cf. mT5/BLOOM
+    * tokenizer analyses): a source whose text compresses worse pays more
+    * sequence length per byte of content, so the mix designer needs the
+    * per-source rate, not the corpus rollup q_text_bpe_encode reports.
+    * Composition: the SAME staged word-type table + 2-round merge chain
+    * (word-TYPE-bounded work) joined to a per-(source, word) count table —
+    * one extra token-stream aggregation; everything else is
+    * vocabulary-bounded joins.
+    */
+  private val fertilityTail =
+    s"""$bpeRounds,
+       |enc AS (SELECT w, COUNT(*) AS n_sym FROM s2 GROUP BY w),
+       |base AS (SELECT w, length(w) AS n_char FROM bpe_wt),
+       |f AS (SELECT wts.source,
+       |             CAST(SUM(wts.c * enc.n_sym) AS BIGINT) AS toks,
+       |             CAST(SUM(wts.c * base.n_char) AS BIGINT) AS chars
+       |      FROM wts JOIN enc ON wts.w = enc.w JOIN base ON wts.w = base.w
+       |      GROUP BY wts.source)
+       |SELECT source, chars, toks,
+       |       CAST(FLOOR(CAST(toks AS DOUBLE) * 10000 / chars + 0.5) AS BIGINT) AS fertility_bp
+       |FROM f ORDER BY source""".stripMargin
+
+  private val fertilitySpark =
+    s"""WITH $bpeSparkS0,
+       |wts AS (SELECT source, word AS w, COUNT(*) AS c
+       |        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
+       |        GROUP BY source, word),
+       |$fertilityTail""".stripMargin
+
+  private val fertilityDuck =
+    s"""WITH $bpeDuckCtes,
+       |wts AS (SELECT source, w, COUNT(*) AS c
+       |        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+       |        GROUP BY source, w),
+       |$fertilityTail""".stripMargin
+
   private val bpeEncodeDuck = s"WITH $bpeDuckCtes,\n$bpeEncodeTail"
 
   /** Inverted index with delta-encoded postings: per term — document
@@ -295,6 +332,13 @@ object TextIndex {
     "q_text_bpe_encode" -> QuerySpec(
       (s, d) => { stageWtCached(s, d); s.sql(bpeEncodeSparkChain) },
       Some(bpeEncodeDuck)),
+    "q_text_bpe_fertility" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d) // wts reads documents directly
+        stageWtCached(s, d)
+        s.sql(fertilitySpark)
+      },
+      Some(fertilityDuck)),
     "q_text_inverted_index" -> sql2(invSpark, invDuck)
   )
 }
