@@ -434,7 +434,32 @@ object WarehouseQueries {
        |ORDER BY event_type, level""".stripMargin
   }
 
+  /** Small-file compaction planning (the OPTIMIZE/bin-packing maintenance
+    * pass every lakehouse runs): treat each document as a data file of
+    * n_chars bytes, plan target-size (4096-byte) output bins PER
+    * PARTITION (source) by the deterministic sorted-fill rule — order
+    * files largest-first within the partition, running byte sum, bin id =
+    * prefix DIV target. Sorted fill is the parallel-friendly next-fit-
+    * decreasing: one window per partition key (never a global sort — the
+    * q_text_ppl_bucket shuffle discipline), bin count within NFD's 2x
+    * optimum bound, and the output is the manifest a rewrite job executes.
+    * Reported per bin: file count, bytes, fill vs target in bp.
+    */
+  private def compactionSql(intDiv: String) =
+    s"""WITH f AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes FROM documents),
+       |r AS (SELECT source, doc_id, bytes,
+       |             SUM(bytes) OVER (PARTITION BY source ORDER BY bytes DESC, doc_id
+       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM f),
+       |b AS (SELECT source, doc_id, bytes, (cum - 1) $intDiv 4096 AS bin FROM r)
+       |SELECT source, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_files,
+       |       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       |       CAST(FLOOR(CAST(SUM(bytes) AS DOUBLE) * 10000 / 4096 + 0.5) AS BIGINT) AS fill_bp
+       |FROM b GROUP BY source, bin
+       |ORDER BY source, bin""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_layout_compaction_plan" -> sql2(compactionSql("DIV"), compactionSql("//")),
     "q_events_k_anonymity" -> sql2(
       kAnonSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV"),
       kAnonSql("epoch_us(ts)", "//")),
