@@ -102,6 +102,68 @@ object GraphRank {
       .orderBy("rk")
   }
 
+  /** Adamic-Adar link prediction over the mutual kNN graph (Adamic &
+    * Adar, "Friends and neighbors on the Web", Social Networks 2003):
+    * for every non-adjacent pair (a, b) sharing at least one neighbor,
+    * score AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — common neighbors
+    * weighted inversely by how promiscuous they are. In a curation
+    * pipeline this predicts missing kNN edges (candidate pairs for a
+    * second-pass semantic dedup or graph densification) without any new
+    * embedding work: it composes the SAME staged directed-edge artifact
+    * as q_ann_knn_graph / graph search.
+    *
+    * 100 TB shape: candidates come from the two-hop equi-join of the
+    * undirected edge list with itself on the SHARED NEIGHBOR — per-node
+    * fan-out is bounded by deg² ≤ (2k)², so the candidate set is O(N·k²),
+    * never all-pairs; adjacency is removed by a LEFT-anti equi-join on the
+    * mutual edges; the result is TakeOrdered top-20. Determinism: deg is
+    * an exact integer, ln(deg) rides the engine-neutral micro-nat log,
+    * and each z contributes the exact integer 1e12 DIV ln_micro(deg z)
+    * (deg z ≥ 2 for any common neighbor, so the divisor is ≥ ln 2 · 1e6 —
+    * never zero); the per-pair score is an integer sum, fold-order exact.
+    */
+  private def adamicTail(intDiv: String, k: NeutralMath.KernelSplice): String =
+    s"""ue AS (SELECT id1 AS node, id2 AS nbr FROM me
+       |       UNION ALL
+       |       SELECT id2 AS node, id1 AS nbr FROM me),
+       |dg0 AS (SELECT node, COUNT(*) AS deg FROM ue GROUP BY node),
+       |${k.ln("dg", "dg0", "node, deg", "node, deg", "deg", "1", "ln_micro", "1.0E6")},
+       |cn AS (SELECT ea.node AS id1, eb.node AS id2, ea.nbr AS z
+       |       FROM ue ea JOIN ue eb ON ea.nbr = eb.nbr AND ea.node < eb.node),
+       |sc AS (SELECT cn.id1, cn.id2, COUNT(*) AS n_common,
+       |              CAST(SUM(1000000000000 $intDiv dg.ln_micro) AS BIGINT) AS aa_pico
+       |       FROM cn JOIN dg ON cn.z = dg.node
+       |       GROUP BY cn.id1, cn.id2),
+       |pred AS (SELECT sc.id1, sc.id2, sc.n_common, sc.aa_pico
+       |         FROM sc LEFT JOIN me ON sc.id1 = me.id1 AND sc.id2 = me.id2
+       |         WHERE me.id1 IS NULL),
+       |sel AS (SELECT id1, id2, n_common, aa_pico FROM pred
+       |        ORDER BY aa_pico DESC, id1, id2 LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY aa_pico DESC, id1, id2) AS INT) AS rk,
+       |       id1, id2, CAST(n_common AS BIGINT) AS n_common,
+       |       ROUND(aa_pico / 1.0E12, 4) AS aa_score
+       |FROM sel ORDER BY rk""".stripMargin
+
+  /** Mutual-edge derivation shared by both dialects: the same text as
+    * AnnSql.knnMutualOver, minus the cos column this operator ignores.
+    */
+  private def mutualCte(rel: String): String =
+    s"""me AS (SELECT a.src AS id1, a.dst AS id2
+       |       FROM $rel a JOIN $rel b
+       |         ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst)""".stripMargin
+
+  private def adamicSpark(s: SparkSession, d: String): DataFrame = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    s.sql(
+      s"""WITH ${mutualCte("g_edges")},
+         |${adamicTail("DIV", NeutralMath.SparkKernel)}""".stripMargin)
+  }
+
+  private def adamicDuck: String =
+    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+       |${mutualCte("tk")},
+       |${adamicTail("//", NeutralMath.OracleKernel)}""".stripMargin
+
   /** Unrolled 5-iteration DuckDB oracle: identical scaled-integer
     * arithmetic, so the hash comparison is exact — no rounding anywhere.
     */
@@ -115,6 +177,7 @@ object GraphRank {
          |  ON nodes.id = f.dst)""".stripMargin
     }.mkString(",\n")
     Map(
+      "q_graph_adamic_adar" -> QuerySpec.df(adamicSpark, adamicDuck),
       "q_graph_pagerank" -> QuerySpec.df(
         pagerankSpark,
         s"""WITH nodes AS (SELECT doc_id AS id FROM documents),

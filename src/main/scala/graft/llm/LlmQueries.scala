@@ -315,6 +315,26 @@ object LlmQueries {
        |WHERE doc_id % 10 = 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared watermark-detector text over a dialect token-stream CTE `tok`
+    * (doc_id, source, word) and a dialect md5-slice hash of `word`. The
+    * green list is the hash-parity half of the vocabulary; z is the
+    * one-proportion test (2·green − n)/√n against the null p = 1/2.
+    */
+  private def watermarkSql(tokCte: String, md5word: String): String =
+    s"""WITH $tokCte,
+       |g AS (SELECT doc_id, source, COUNT(*) AS n,
+       |             CAST(SUM(CASE WHEN ($md5word) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS green
+       |      FROM tok GROUP BY doc_id, source)
+       |SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens, green AS n_green,
+       |       CASE WHEN n >= 16
+       |            THEN CAST(FLOOR(CAST(2 * green - n AS DOUBLE)
+       |                            / SQRT(CAST(n AS DOUBLE)) * 100 + 0.5E0) AS BIGINT)
+       |            END AS z_centi,
+       |       CASE WHEN n >= 16
+       |                  AND CAST(2 * green - n AS DOUBLE) / SQRT(CAST(n AS DOUBLE)) >= 2.0E0
+       |            THEN 1 ELSE 0 END AS flagged
+       |FROM g WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     // ---- deduplication ----
 
@@ -1585,6 +1605,30 @@ object LlmQueries {
         |CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')),
         |     ['the', 'and', 'of', 'to', 'in', 'a', 'is'])) >= 2 THEN 'en' ELSE 'unk' END AS pred_lang
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin),
+
+    // LLM-watermark detection (unigram green-list variant — Zhao et al.,
+    // "Provable Robust Watermarking for AI-Generated Text",
+    // arXiv:2306.17439; the per-token z-test is Kirchenbauer et al.,
+    // arXiv:2301.10226 §4): a watermarking sampler boosts a pseudorandom
+    // "green" half of the vocabulary, so generated text shows a green-token
+    // excess. The detector recomputes the hash-keyed green list (md5 parity
+    // — engine-identical), counts green hits per document, and flags
+    // documents whose one-proportion z-score exceeds the 2σ threshold —
+    // the synthetic-text screen a contamination-conscious corpus pass runs.
+    // Determinism: n and green are exact integers; z rides one shared-text
+    // SQRT (IEEE correctly rounded in both engines) and one division, then
+    // quantizes to centi-units. 100 TB: one scan, per-doc map-side combine,
+    // no joins at all. Docs under 16 tokens are below the test's power and
+    // emit NULL z (explicitly, not a tiny-sample false flag).
+    "q_text_watermark_detect" -> sql2(
+      watermarkSql(
+        """tok AS (SELECT doc_id, source, word
+          |        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word)""".stripMargin,
+        "CAST(conv(substr(md5(word), 1, 6), 16, 10) AS BIGINT)"),
+      watermarkSql(
+        """tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+          |        FROM documents)""".stripMargin,
+        "('0x' || substr(md5(word), 1, 6))::BIGINT")),
 
     // Per-source quality calibration: raw quality scores are not
     // comparable across sources (a classifier's score distribution drifts

@@ -458,7 +458,102 @@ object WarehouseQueries {
        |FROM b GROUP BY source, bin
        |ORDER BY source, bin""".stripMargin
 
+  /** ANALYZE-style column statistics (the CBO inputs every at-scale
+    * deployment maintains: Spark's `ANALYZE TABLE … COMPUTE STATISTICS FOR
+    * COLUMNS`, the stats behind broadcast-vs-shuffle join choices and
+    * `spark.sql.autoBroadcastJoinThreshold`): per column — row count, null
+    * count, EXACT distinct count, min/max, and average width. Shaped as
+    * ONE scan unpivoted to a (column, value) stream and the repo's
+    * two-phase exact-distinct discipline (group by (col, value) first —
+    * high cardinality, even shuffle; then a C-row rollup), instead of C
+    * per-column COUNT(DISTINCT) funnels. Integer columns are zero-padded
+    * to fixed width so min/max are numeric order AND plain string
+    * comparisons (engine-identical); doubles/timestamps are profiled by a
+    * real deployment too but excluded here because their string rendering
+    * is engine-specific (the determinism contract, not a capability gap).
+    */
+  private def colProfileSql(unpivot: String): String =
+    s"""WITH v AS ($unpivot),
+       |c AS (SELECT col_name, val, COUNT(*) AS c FROM v GROUP BY col_name, val),
+       |p AS (SELECT col_name,
+       |             CAST(SUM(c) AS BIGINT) AS n_rows,
+       |             CAST(SUM(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
+       |             CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
+       |             MIN(val) AS min_val, MAX(val) AS max_val,
+       |             CAST(FLOOR(CAST(SUM(CASE WHEN val IS NOT NULL THEN CAST(LENGTH(val) AS BIGINT) * c ELSE 0 END) AS DOUBLE)
+       |                        * 100 / NULLIF(SUM(CASE WHEN val IS NOT NULL THEN c ELSE 0 END), 0)
+       |                        + 0.5E0) AS BIGINT) AS avg_len_centi
+       |      FROM c GROUP BY col_name)
+       |SELECT col_name, n_rows, n_null, ndv, min_val, max_val, avg_len_centi
+       |FROM p ORDER BY col_name""".stripMargin
+
+  private val colProfileSpark = colProfileSql(
+    """SELECT col_name, val FROM orders
+      |       LATERAL VIEW stack(4,
+      |         'o_orderkey', lpad(CAST(o_orderkey AS STRING), 12, '0'),
+      |         'o_custkey', lpad(CAST(o_custkey AS STRING), 12, '0'),
+      |         'o_orderstatus', o_orderstatus,
+      |         'o_orderpriority', o_orderpriority) s AS col_name, val""".stripMargin)
+
+  private val colProfileDuck = colProfileSql(
+    """SELECT 'o_orderkey' AS col_name, lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS val FROM orders
+      |       UNION ALL
+      |       SELECT 'o_custkey', lpad(CAST(o_custkey AS VARCHAR), 12, '0') FROM orders
+      |       UNION ALL
+      |       SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |       UNION ALL
+      |       SELECT 'o_orderpriority', o_orderpriority FROM orders""".stripMargin)
+
+  /** Clustering-depth audit (the OPTIMIZE/Z-ORDER payoff diagnostic Delta
+    * and Iceberg maintenance report): how many files OVERLAP on the query
+    * predicate column. A predicate on l_shipdate must open every file
+    * whose [min, max] shipdate interval covers it, so overlap depth =
+    * files-per-point = the scan amplification data skipping cannot save.
+    * Compares two layouts of the same rows: files written in INGEST order
+    * (orderkey batches — each file spans almost the whole date range,
+    * depth ≈ file count) vs files CLUSTERED on shipdate (30-day ranges —
+    * depth ≈ 1). Depth comes from the classic boundary sweep: ±1 events
+    * at each file's min/max day, one running-sum window PER LAYOUT over
+    * the 2F-row manifest (never the data), starts ordered before ends at
+    * the same day so touching files count as overlapping. Determinism:
+    * integer day stats; within equal (day, delta) ties the prefix-sum
+    * multiset at start rows is permutation-invariant, so AVG/MAX are
+    * engine-exact; the mean is an integer-sum division, never a float
+    * fold. 100 TB: the per-file min/max aggregate is the only data pass
+    * (map-side combined, F groups); the sweep is manifest-sized.
+    */
+  private def clusterDepthSql(dayExpr: String, intDiv: String): String =
+    s"""WITH rows0 AS (SELECT l_orderkey, $dayExpr AS day FROM lineitem),
+       |fr AS (SELECT 'ingest' AS layout, l_orderkey $intDiv 128 AS fid, day FROM rows0
+       |       UNION ALL
+       |       SELECT 'clustered' AS layout, day $intDiv 30 AS fid, day FROM rows0),
+       |f AS (SELECT layout, fid, MIN(day) AS mn, MAX(day) AS mx, COUNT(*) AS n_rows
+       |      FROM fr GROUP BY layout, fid),
+       |ev AS (SELECT layout, mn AS d, 1 AS delta FROM f
+       |       UNION ALL
+       |       SELECT layout, mx AS d, -1 AS delta FROM f),
+       |sw AS (SELECT layout, d, delta,
+       |              SUM(delta) OVER (PARTITION BY layout ORDER BY d, delta DESC
+       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+       |       FROM ev),
+       |dep AS (SELECT layout, CAST(MAX(depth) AS BIGINT) AS max_depth,
+       |               CAST(FLOOR(CAST(SUM(CASE WHEN delta = 1 THEN depth ELSE 0 END) AS DOUBLE) * 100
+       |                          / SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) + 0.5E0) AS BIGINT) AS avg_depth_centi
+       |        FROM sw GROUP BY layout),
+       |fc AS (SELECT layout, COUNT(*) AS n_files,
+       |              CAST(MIN(mx - mn) AS BIGINT) AS min_span_days,
+       |              CAST(MAX(mx - mn) AS BIGINT) AS max_span_days
+       |       FROM f GROUP BY layout)
+       |SELECT fc.layout, CAST(fc.n_files AS BIGINT) AS n_files,
+       |       fc.min_span_days, fc.max_span_days, dep.max_depth, dep.avg_depth_centi
+       |FROM fc JOIN dep ON fc.layout = dep.layout
+       |ORDER BY fc.layout""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_stats_column_profile" -> sql2(colProfileSpark, colProfileDuck),
+    "q_layout_clustering_depth" -> sql2(
+      clusterDepthSql("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')", "DIV"),
+      clusterDepthSql("(CAST(l_shipdate AS DATE) - DATE '1970-01-01')", "//")),
     "q_layout_compaction_plan" -> sql2(compactionSql("DIV"), compactionSql("//")),
     "q_events_k_anonymity" -> sql2(
       kAnonSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV"),

@@ -75,4 +75,37 @@ class GraphRankSpec extends AnyFunSuite {
     // 3 iterations + init each cross-join the broadcast teleport row.
     assert(nested <= 4, s"unexpected nested loops:\n$plan")
   }
+
+  test("q_graph_adamic_adar: independent Scala replay of the AA top-20 from the mutual edges") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    // The mutual-graph query shares the staged edge artifact the AA query
+    // composes, so both views of the graph are the same construction.
+    val edges = graft.SparkEntry.queries("q_ann_knn_graph")(sess, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val adjacent = edges.toSet
+    val deg = nbrs.map { case (n, s) => n -> s.size.toLong }
+    // AA replay: for every shared neighbor z, every non-adjacent neighbor
+    // pair (a < b) of z collects 1e12 div ln_micro(deg z).
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((z, ns) <- nbrs; a <- ns; b <- ns if a < b && !adjacent((a, b))) {
+      val w = 1000000000000L / NeutralMath.lnScaledJvm(deg(z), 1L, 1.0e6)
+      val (c, s) = acc.getOrElse((a, b), (0L, 0L))
+      acc((a, b)) = (c + 1, s + w)
+    }
+    val expTop = acc.toSeq
+      .map { case ((a, b), (c, s)) => (a, b, c, s) }
+      .sortBy { case (a, b, _, s) => (-s, a, b) }
+      .take(20)
+    val got = graft.SparkEntry.queries("q_graph_adamic_adar")(sess, sf)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == expTop.length)
+    got.zip(expTop).foreach { case ((ga, gb, gc, gs), (ea, eb, ec, es)) =>
+      assert((ga, gb, gc) == (ea, eb, ec))
+      assert(math.abs(gs - es / 1.0e12) < 1e-4)
+    }
+  }
 }

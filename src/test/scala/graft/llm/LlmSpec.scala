@@ -537,4 +537,36 @@ class LlmSpec extends AnyFunSuite {
     assert(planted.isDefined, s"trimmed copy (0, 250) missing from ${pairs.take(6).toSeq}")
     assert(planted.get._4 >= 7000, s"containment too low: ${planted.get}")
   }
+
+  test("q_text_watermark_detect: z-scores replay exactly from a JVM green-list recount") {
+    val s = spark.newSession()
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_text_watermark_detect")(s, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getInt(5))).toMap
+    assert(out.nonEmpty)
+    def green(word: String): Boolean =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(word).substring(0, 6), 16) % 2 == 0
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 10 = 0").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length == out.size)
+    for ((id, text) <- docs) {
+      val words = text.split(" ", -1)
+      val n = words.length.toLong
+      val g = words.count(green).toLong
+      val (qn, qg, qz, qf) = out(id)
+      assert((qn, qg) == (n, g), s"doc $id token/green recount mismatch")
+      if (n >= 16) {
+        val z = (2.0 * g - n) / math.sqrt(n.toDouble)
+        assert(qz.contains(math.floor(z * 100 + 0.5).toLong), s"doc $id z mismatch")
+        assert(qf == (if (z >= 2.0) 1 else 0), s"doc $id flag mismatch")
+      } else assert(qz.isEmpty && qf == 0, s"doc $id under-powered row must not flag")
+    }
+    // the natural corpus is not watermarked: the detector must not fire
+    // on more than a small false-positive tail (z >= 2 is the 2.3% tail)
+    val flagged = out.values.count(_._4 == 1)
+    assert(flagged <= out.size / 10, s"$flagged of ${out.size} docs flagged on clean text")
+  }
 }

@@ -303,4 +303,40 @@ class WarehouseSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("q_stats_column_profile: stats equal direct fixture aggregates (pk has ndv = rows)") {
+    val out = rows("q_stats_column_profile").map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getLong(6))).toMap
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val n = o.count()
+    // primary key: ndv == rows, no nulls, min/max are the padded keys
+    val (okRows, okNull, okNdv, okMin, okMax, okLen) = out("o_orderkey")
+    assert(okRows == n && okNull == 0L && okNdv == n)
+    val keys = o.selectExpr("min(o_orderkey)", "max(o_orderkey)").head()
+    assert(okMin == f"${keys.getLong(0)}%012d" && okMax == f"${keys.getLong(1)}%012d")
+    assert(okLen == 1200L, "zero-padded key width must be exactly 12.00 chars")
+    // low-cardinality string: ndv equals the direct distinct count
+    val prioNdv = o.selectExpr("count(distinct o_orderpriority)").head().getLong(0)
+    assert(out("o_orderpriority")._3 == prioNdv)
+    assert(out.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+  }
+
+  test("q_layout_clustering_depth: shipdate-clustered files don't overlap; ingest-order files stack") {
+    val out = rows("q_layout_clustering_depth").map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    val (clFiles, clMax, clAvg) = out("clustered")
+    val (inFiles, inMax, inAvg) = out("ingest")
+    // day DIV 30 buckets are disjoint by construction: depth exactly 1
+    assert(clMax == 1L && clAvg == 100L,
+      s"clustered layout must be overlap-free, got max=$clMax avg=$clAvg")
+    // ingest-order files each span nearly the whole date range: almost
+    // every file overlaps every other
+    assert(inFiles > 1L)
+    assert(inMax >= inFiles / 2,
+      s"ingest layout should stack (max depth $inMax vs $inFiles files)")
+    // ingest files all span ~the whole date range, so mean start depth is
+    // ~(F+1)/2 — well above the clustered layout's flat 1.00
+    assert(inAvg >= 3L * clAvg, "the audit must separate the two layouts clearly")
+  }
 }
