@@ -501,6 +501,73 @@ object AnnSql {
        |FROM lv LEFT JOIN hits h ON lv.nprobe = h.nprobe CROSS JOIN nq
        |ORDER BY nprobe""".stripMargin
 
+  /** nDCG@10 of the flat IVF index against the exact brute ground truth —
+    * the rank-quality companion to [[recallCurveSpark]]'s set-overlap
+    * recall: recall says WHETHER the true neighbors were returned, nDCG
+    * says whether they came back in the right ORDER (a production ANN
+    * rollout gates on both; Järvelin & Kekäläinen, TOIS 2002).
+    *
+    * Graded relevance rel(g) = 11 − g for ground-truth rank g ∈ 1..10,
+    * rel = 0 off the gt list. DCG = Σ_hits rel / log2(rank+1), and
+    * 1/log2(r+1) = ln2/ln(r+1) rides the engine-neutral micro-nat log:
+    * gain_micro = rel · (693147·10^6) DIV ln_micro(r+1), where 693147 =
+    * FLOOR(ln 2 ·10^6 + 0.5) is the same kernel's value for ln_micro(2) —
+    * pure BIGINT end to end, the 10-row rank table pays the only kernel
+    * evaluations, and the single float division lives inside the final
+    * ROUND. IDCG is the same sum over the ideal permutation (a scalar from
+    * the same 10-row table), so nDCG = 1 exactly when the index returns
+    * the true order. At 100 TB the brute side is the bounded query-sample
+    * evaluation harness (the recall-curve protocol); the IVF side is the
+    * production probe path.
+    */
+  private def ndcgText(cos: (String, String) => String, ranksSel: String,
+                       intDiv: String, k: NeutralMath.KernelSplice): String =
+    s"""WITH st AS (SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)))) AS BIGINT) AS stride FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |      WHERE vec_id % (SELECT stride FROM st) = 0),
+       |asn AS (SELECT vec_id, embedding, cent_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e CROSS JOIN c) t WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |qp AS (SELECT qid, qe, cent_id FROM (
+       |  SELECT q.qid, q.qe, c.cent_id,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY ${cos("q.qe", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM q CROSS JOIN c) t WHERE rn <= 2),
+       |sims AS (SELECT qp.qid, a.vec_id AS cid, ${cos("qp.qe", "a.embedding")} AS cos
+       |         FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid),
+       |ivf10 AS (SELECT qid, cid, rn FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM sims) t WHERE rn <= 10),
+       |bs AS (SELECT qid, c2.vec_id AS cid, ${cos("qe", "c2.embedding")} AS cos
+       |       FROM q JOIN embeddings c2 ON c2.vec_id != qid),
+       |gt AS (SELECT qid, cid, rn AS gt_rn FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+       |  FROM bs) t WHERE rn <= 10),
+       |ranks AS ($ranksSel),
+       |${k.ln("lnr", "ranks", "r", "r", "CAST(r + 1 AS BIGINT)", "1", "ln_micro", "1.0E6")},
+       |hit AS (SELECT i.qid, i.rn, g.gt_rn
+       |        FROM ivf10 i JOIN gt g ON i.qid = g.qid AND i.cid = g.cid),
+       |dcg AS (SELECT h.qid,
+       |               CAST(SUM((11 - h.gt_rn) * 693147000000 $intDiv l.ln_micro) AS BIGINT) AS dcg_u,
+       |               COUNT(*) AS n_hits
+       |        FROM hit h JOIN lnr l ON h.rn = l.r GROUP BY h.qid),
+       |idcg AS (SELECT CAST(SUM((11 - r) * 693147000000 $intDiv ln_micro) AS BIGINT) AS idcg_u
+       |         FROM lnr)
+       |SELECT q.qid AS qid, CAST(COALESCE(d.n_hits, 0) AS BIGINT) AS n_hits,
+       |       ROUND(CAST(COALESCE(d.dcg_u, 0) AS DOUBLE) / (SELECT idcg_u FROM idcg), 4) AS ndcg
+       |FROM q LEFT JOIN dcg d ON q.qid = d.qid
+       |ORDER BY q.qid""".stripMargin
+
+  def ndcgSpark: String = ndcgText(
+    (a, b) => s"graft_cosine($a, $b)",
+    "SELECT explode(sequence(1, 10)) AS r", "DIV", NeutralMath.SparkKernel)
+
+  def ndcgDuck: String = ndcgText(
+    duckCos, "SELECT unnest(range(1, 11)) AS r", "//", NeutralMath.OracleKernel)
+
   /** Two-level (hierarchical) IVF: same index semantics as
     * [[ivfTopKSpark]], but coarse assignment no longer scores every vector
     * against all nlist ≈ sqrt(N) centroids (O(N·sqrt N) total distance

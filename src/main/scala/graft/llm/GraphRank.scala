@@ -164,6 +164,57 @@ object GraphRank {
        |${mutualCte("tk")},
        |${adamicTail("//", NeutralMath.OracleKernel)}""".stripMargin
 
+  /** Triangle census + local clustering coefficient over the mutual kNN
+    * graph — the standard graph-health audit of a similarity index (a
+    * well-clustered corpus closes its wedges; a random or broken one
+    * doesn't), and the direct input to graph-densification decisions next
+    * to [[adamicTail]]'s open-wedge predictions.
+    *
+    * Enumeration is the classic ordered-triple join (each triangle
+    * a < b < c counted exactly once): me(a,b) ⋈ me(b,c) on the middle
+    * vertex, closed by an equi-join probe of me(a,c). 100 TB shape: with
+    * the id1 < id2 edge orientation, per-vertex fan-out of the wedge join
+    * is bounded by deg² ≤ (2k)² (the kNN degree cap), so candidates are
+    * O(N·k²) — never all-pairs, and every step is an equi-join (the same
+    * candidate-generation discipline PlanAuditSpec pins for the dedup
+    * family; production systems orient by degree for skewed graphs, which
+    * this composes with). Arithmetic is pure integer (counts) plus ONE
+    * correctly-rounded division inside the final ROUND — bit-identical
+    * across engines by construction, no neutral-log kernel needed.
+    */
+  private def trianglesTail: String =
+    s"""tri AS (SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
+       |        FROM me e1
+       |        JOIN me e2 ON e2.id1 = e1.id2
+       |        JOIN me e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+       |pt AS (SELECT a AS node FROM tri UNION ALL
+       |       SELECT b AS node FROM tri UNION ALL
+       |       SELECT c AS node FROM tri),
+       |tc AS (SELECT node, COUNT(*) AS tri FROM pt GROUP BY node),
+       |ue2 AS (SELECT id1 AS node FROM me UNION ALL SELECT id2 AS node FROM me),
+       |dgt AS (SELECT node, COUNT(*) AS deg FROM ue2 GROUP BY node),
+       |tt AS (SELECT COUNT(*) AS n_tri FROM tri),
+       |selt AS (SELECT dgt.node AS node, dgt.deg AS deg, COALESCE(tc.tri, 0) AS tri
+       |         FROM dgt LEFT JOIN tc ON dgt.node = tc.node
+       |         ORDER BY tri DESC, dgt.node LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY tri DESC, node) AS INT) AS rk,
+       |       node, CAST(deg AS BIGINT) AS deg, CAST(tri AS BIGINT) AS tri_cnt,
+       |       CASE WHEN deg < 2 THEN CAST(0 AS DOUBLE)
+       |            ELSE ROUND(CAST(2 * tri AS DOUBLE) / CAST(deg * (deg - 1) AS BIGINT), 4)
+       |       END AS clust_coef,
+       |       CAST((SELECT n_tri FROM tt) AS BIGINT) AS n_tri_total
+       |FROM selt ORDER BY rk""".stripMargin
+
+  private def trianglesSpark(s: SparkSession, d: String): DataFrame = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    s.sql(s"WITH ${mutualCte("g_edges")},\n$trianglesTail")
+  }
+
+  private def trianglesDuck: String =
+    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+       |${mutualCte("tk")},
+       |$trianglesTail""".stripMargin
+
   /** Unrolled 5-iteration DuckDB oracle: identical scaled-integer
     * arithmetic, so the hash comparison is exact — no rounding anywhere.
     */
@@ -178,6 +229,7 @@ object GraphRank {
     }.mkString(",\n")
     Map(
       "q_graph_adamic_adar" -> QuerySpec.df(adamicSpark, adamicDuck),
+      "q_graph_triangles" -> QuerySpec.df(trianglesSpark, trianglesDuck),
       "q_graph_pagerank" -> QuerySpec.df(
         pagerankSpark,
         s"""WITH nodes AS (SELECT doc_id AS id FROM documents),

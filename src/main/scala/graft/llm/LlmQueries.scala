@@ -796,6 +796,17 @@ object LlmQueries {
       },
       Some(AnnSql.recallCurveDuck)),
 
+    // Rank-quality companion to the recall curve: nDCG@10 of the flat IVF
+    // probe path against the exact brute ground truth, integer micro-gain
+    // arithmetic over the neutral-log kernel (AnnSql.ndcgText doc).
+    "q_search_ndcg" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.ndcgSpark)
+      },
+      Some(AnnSql.ndcgDuck)),
+
     // Two-level IVF: coarse assignment probes ~sqrt(nlist) first-level
     // cells, then equi-joins to the centroids inside them — kills the flat
     // design's O(N·sqrt N) assignment (AnnSql.ivfHierSql doc).

@@ -108,4 +108,37 @@ class GraphRankSpec extends AnyFunSuite {
       assert(math.abs(gs - es / 1.0e12) < 1e-4)
     }
   }
+
+  test("q_graph_triangles: independent Scala replay of the census from the mutual edges") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    val edges = graft.SparkEntry.queries("q_ann_knn_graph")(sess, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adjacent = edges.toSet
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    // Ordered-triple replay: a < b < c with all three edges present.
+    val tris = for {
+      (a, b) <- edges
+      c <- nbrs(b) if b < c && adjacent((a, c))
+    } yield (a, b, c)
+    val perNode = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val deg = nbrs.map { case (n, s) => n -> s.size.toLong }
+    val expTop = deg.keys.toSeq
+      .map(n => (n, deg(n), perNode.getOrElse(n, 0L)))
+      .sortBy { case (n, _, t) => (-t, n) }
+      .take(20)
+    val got = graft.SparkEntry.queries("q_graph_triangles")(sess, sf).collect()
+    assert(got.length == expTop.length)
+    got.zip(expTop).foreach { case (r, (n, dg, t)) =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (n, dg, t))
+      val expCoef =
+        if (dg < 2) 0.0
+        else BigDecimal(2.0 * t / (dg * (dg - 1)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(4) - expCoef) < 1e-9)
+      assert(r.getLong(5) == tris.length.toLong)
+    }
+  }
 }

@@ -312,6 +312,57 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.last.getLong(2) > 0)
   }
 
+  test("q_search_ndcg: independent Scala replay of the IVF rank-quality audit") {
+    val sf = "/root/testdata/sf0.001"
+    val s = spark.newSession()
+    val embs = graft.queries.Tables.embeddings(s, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    // Same op order as graftbridge.CosineSimilarity.compute — index-order
+    // accumulation, so the replay's doubles are the query's doubles.
+    def cosv(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var n1 = 0.0; var n2 = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; n1 += x * x; n2 += y * y; i += 1
+      }
+      dot / (math.sqrt(n1) * math.sqrt(n2))
+    }
+    val n = embs.length
+    val stride = math.ceil(n / math.ceil(math.sqrt(n.toDouble))).toLong
+    val cents = embs.filter(_._1 % stride == 0)
+    def ranked(cands: Seq[(Long, Double)]): Seq[Long] =
+      cands.sortBy { case (id, c) => (-c, id) }.map(_._1)
+    val asn = embs.map { case (id, e) =>
+      id -> ranked(cents.toSeq.map { case (cid, ce) => (cid, cosv(e, ce)) }).head
+    }.toMap
+    val lnm = (2 to 11).map(r => r -> graft.llm.NeutralMath.lnScaledJvm(r.toLong, 1L, 1.0e6)).toMap
+    val idcgU = (1 to 10).map(r => (11 - r).toLong * 693147000000L / lnm(r + 1)).sum
+    val expected = embs.filter(_._1 % 50 == 0).map { case (qid, qe) =>
+      val probed = ranked(cents.toSeq.map { case (cid, ce) => (cid, cosv(qe, ce)) }).take(2).toSet
+      val ivf10 = ranked(embs.toSeq.collect {
+        case (cid, ce) if cid != qid && probed(asn(cid)) => (cid, cosv(qe, ce))
+      }).take(10)
+      val gt = ranked(embs.toSeq.collect {
+        case (cid, ce) if cid != qid => (cid, cosv(qe, ce))
+      }).take(10)
+      val gtRank = gt.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val hits = ivf10.zipWithIndex.collect {
+        case (id, i) if gtRank.contains(id) => (i + 1, gtRank(id))
+      }
+      val dcgU = hits.map { case (rn, g) => (11 - g).toLong * 693147000000L / lnm(rn + 1) }.sum
+      val ndcg = BigDecimal(dcgU.toDouble / idcgU)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (qid, hits.size.toLong, ndcg)
+    }
+    val got = graft.SparkEntry.queries("q_search_ndcg")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq)
+    // sanity bounds the replay shares: ndcg in [0, 1], hits capped at 10
+    got.foreach { case (_, h, d) => assert(h <= 10 && d >= 0.0 && d <= 1.0) }
+  }
+
   test("containment finds subset duplication that symmetric Jaccard misses") {
     // doc 2's 5 words all sit inside doc 1's 20: containment(2→1) = 1.0
     // but J = 5/20 = 0.25 — invisible at any useful Jaccard threshold.
