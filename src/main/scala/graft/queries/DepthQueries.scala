@@ -34,7 +34,53 @@ object DepthQueries {
   private[queries] def mortonSpark: String =
     mortonSql((c, n) => s"shiftleft($c, $n)")
 
+  /** Bloom-filter semi-join reduction — THE runtime-filter pattern behind
+    * every 100 TB fact⋈dim join (Spark's own runtime row-level filtering /
+    * Bloom-pruned shuffle joins, and the sideways-information-passing in
+    * Trino/Hive): hash the filtered dimension's join keys into a 16384-bit
+    * Bloom filter (261 words of 63 usable bits each — bit 63 stays clear
+    * because DuckDB range-checks shifts into the sign bit — with 2 probes
+    * per key; the two hashes are the low/high 14-bit windows of one Knuth
+    * multiplicative hash, exact BIGINT arithmetic, engine-identical),
+    * broadcast the ≤261-row word
+    * table, and prune fact rows BEFORE they reach the join shuffle. The
+    * query audits itself in ONE fact scan: per-row bloom verdict + exact
+    * dim membership side by side → pass/match/false-positive counts, the
+    * observed fp rate, and a no-false-negative proof column (Bloom filters
+    * may over-admit, never drop — `nfn_ok` = 1 pins it). At 100 TB the
+    * fact scan is the expensive side; the 2 KiB filter rides the broadcast
+    * and the ~80% of rows it rejects never pay the exchange.
+    * (Fixture keys are < 2^24, so key·2654435761 < 2^63 — a larger key
+    * domain folds the key to 32 bits first, same discipline.)
+    */
+  private def bloomPrunedSql(intDiv: String): String =
+    s"""WITH dimk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+       |             WHERE o_orderpriority = '1-URGENT'),
+       |dh AS (SELECT k, (k * 2654435761) % 16384 AS h1,
+       |              ((k * 2654435761) $intDiv 16384) % 16384 AS h2 FROM dimk),
+       |bits AS (SELECT h1 AS h FROM dh UNION ALL SELECT h2 AS h FROM dh),
+       |bw AS (SELECT w, bit_or(CAST(1 AS BIGINT) << CAST(b AS INT)) AS bm
+       |       FROM (SELECT h $intDiv 63 AS w, h % 63 AS b FROM bits) t GROUP BY w),
+       |fh AS (SELECT l_orderkey AS k, (l_orderkey * 2654435761) % 16384 AS h1,
+       |              ((l_orderkey * 2654435761) $intDiv 16384) % 16384 AS h2
+       |       FROM lineitem),
+       |fe AS (SELECT CASE WHEN (COALESCE(w1.bm, 0) & (CAST(1 AS BIGINT) << CAST(fh.h1 % 63 AS INT))) != 0
+       |                    AND (COALESCE(w2.bm, 0) & (CAST(1 AS BIGINT) << CAST(fh.h2 % 63 AS INT))) != 0
+       |                   THEN 1 ELSE 0 END AS pass,
+       |              CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END AS m
+       |       FROM fh LEFT JOIN bw w1 ON w1.w = fh.h1 $intDiv 63
+       |               LEFT JOIN bw w2 ON w2.w = fh.h2 $intDiv 63
+       |               LEFT JOIN dimk d ON fh.k = d.k)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+       |       CAST(SUM(pass) AS BIGINT) AS n_pass_bloom,
+       |       CAST(SUM(m) AS BIGINT) AS n_match_exact,
+       |       CAST(SUM(pass) - SUM(m) AS BIGINT) AS n_false_pos,
+       |       ROUND(CAST(SUM(pass) - SUM(m) AS DOUBLE) / CAST(COUNT(*) - SUM(m) AS BIGINT), 4) AS fp_rate,
+       |       CAST(MIN(CASE WHEN m = 1 THEN pass ELSE 1 END) AS INT) AS nfn_ok
+       |FROM fe""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_join_bloom_pruned" -> sql2(bloomPrunedSql("DIV"), bloomPrunedSql("//")),
     // Z-order (Morton) layout key: interleave the bits of two columns so
     // sorting by one key clusters BOTH dimensions — the multi-column data
     // -layout lever behind Delta/Iceberg Z-ORDER clustering. At 100 TB

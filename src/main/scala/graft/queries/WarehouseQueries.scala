@@ -549,8 +549,58 @@ object WarehouseQueries {
        |FROM fc JOIN dep ON fc.layout = dep.layout
        |ORDER BY fc.layout""".stripMargin
 
+  /** KMV (k-minimum-values) distinct sketch with lossless MERGE — the
+    * other half of the sketch toolbox next to q_agg_hll_merge's HLL: keep
+    * the k = 128 smallest 48-bit hashes per group; estimate distinct count
+    * as (k−1)·2^48 / h_(k) (Bar-Yossef et al., RANDOM 2002), exact when
+    * the group holds fewer than k distinct values. The union sketch is
+    * just the k smallest of the concatenated per-group minima — no rescan
+    * of the raw data, which is why a 100 TB deployment stores per-partition
+    * sketches and answers cross-partition distinct queries from ~2 KiB
+    * rollups. Every step is integer (md5-derived hashes, window row_number,
+    * one BIGINT division), so both engines agree exactly; the accuracy
+    * check against the exact distinct count is part of the output
+    * (err_bp = |est − exact|·10⁴/exact).
+    */
+  private def kmvSketchSql(hash: String, intDiv: String): String =
+    s"""WITH dv AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS v FROM orders),
+       |hx AS (SELECT grp, v, $hash AS h FROM dv),
+       |rk AS (SELECT grp, h,
+       |              row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rn,
+       |              COUNT(*) OVER (PARTITION BY grp) AS nd
+       |       FROM hx),
+       |kth AS (SELECT grp, MAX(CASE WHEN rn = 128 THEN h ELSE 0 END) AS hk, MAX(nd) AS nd
+       |        FROM rk WHERE rn <= 128 GROUP BY grp),
+       |est AS (SELECT grp, nd,
+       |               CASE WHEN nd < 128 THEN nd
+       |                    ELSE 127 * 281474976710656 $intDiv hk END AS kmv_nd
+       |        FROM kth),
+       |mgd AS (SELECT DISTINCT h FROM rk WHERE rn <= 128),
+       |mgr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM mgd),
+       |mk AS (SELECT MAX(CASE WHEN rn = 128 THEN h ELSE 0 END) AS hk, COUNT(*) AS nh
+       |       FROM mgr WHERE rn <= 128),
+       |ax AS (SELECT COUNT(DISTINCT o_custkey) AS nd FROM orders),
+       |mest AS (SELECT ax.nd,
+       |                CASE WHEN mk.nh < 128 THEN mk.nh
+       |                     ELSE 127 * 281474976710656 $intDiv mk.hk END AS kmv_nd
+       |         FROM mk CROSS JOIN ax)
+       |SELECT grp, CAST(nd AS BIGINT) AS exact_nd, CAST(kmv_nd AS BIGINT) AS kmv_nd,
+       |       CAST(abs(kmv_nd - nd) * 10000 $intDiv nd AS BIGINT) AS err_bp
+       |FROM est
+       |UNION ALL
+       |SELECT 'ALL_MERGED' AS grp, CAST(nd AS BIGINT) AS exact_nd,
+       |       CAST(kmv_nd AS BIGINT) AS kmv_nd,
+       |       CAST(abs(kmv_nd - nd) * 10000 $intDiv nd AS BIGINT) AS err_bp
+       |FROM mest
+       |ORDER BY grp""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_stats_column_profile" -> sql2(colProfileSpark, colProfileDuck),
+    "q_stats_kmv_sketch" -> sql2(
+      kmvSketchSql(
+        "CAST(conv(substr(md5(CAST(v AS STRING)), 1, 12), 16, 10) AS BIGINT)", "DIV"),
+      kmvSketchSql(
+        "('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 12))::BIGINT", "//")),
     "q_layout_clustering_depth" -> sql2(
       clusterDepthSql("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')", "DIV"),
       clusterDepthSql("(CAST(l_shipdate AS DATE) - DATE '1970-01-01')", "//")),

@@ -30,6 +30,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_topk_native",     // same shape, native kernel
     "q_ann_ivf",             // broadcast centroid table (nlist ~ sqrt(N))
     "q_ann_recall_curve",    // brute ground-truth branch (bounded query sample) + 3-row level table
+    "q_search_ndcg",         // same recall-harness shape: centroid broadcast + bounded brute gt branch
     "q_ann_ivf_hier",        // broadcast CELL table only (nlist1 ~ N^(1/4); centroids equi-join)
     "q_ann_ivfpq",           // broadcast CELL table only (two-level quantizer assignment)
     "q_ann_ivfpq_residual",  // broadcast CELL table only (two-level quantizer assignment)
@@ -39,6 +40,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_list_rebalance",  // broadcast CELL table only (two-level quantizer assignment)
     "q_sample_coreset",      // broadcast CELL table only (two-level quantizer assignment)
     "q_agg_hll_merge",       // single-row sketch-union join
+    "q_stats_kmv_sketch",    // single-row merged-kth-min x single-row exact-count join
     "q_dedup_band_tuning",   // single-row truth-count join onto the 3-row config rollup
     "q_embed_probe_train",   // 1-row weight-array broadcast per training round
     "q_graph_pagerank",      // single-row teleport-quantum join; rank x edges is equi (GraphRankSpec pins)

@@ -339,4 +339,72 @@ class WarehouseSpec extends AnyFunSuite {
     // ~(F+1)/2 — well above the clustered layout's flat 1.00
     assert(inAvg >= 3L * clAvg, "the audit must separate the two layouts clearly")
   }
+
+  test("q_join_bloom_pruned: counts replay from a JVM bloom build; no false negatives") {
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fact = Tables.lineitem(spark, sf).selectExpr("l_orderkey").collect().map(_.getLong(0))
+    val dimk = orders.collect { case (k, p) if p == "1-URGENT" => k }.toSet
+    def hashes(k: Long): (Long, Long) = {
+      val p = k * 2654435761L
+      (p % 16384, (p / 16384) % 16384)
+    }
+    val words = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (k <- dimk; h <- Seq(hashes(k)._1, hashes(k)._2))
+      words(h / 63) |= 1L << (h % 63)
+    def pass(k: Long): Boolean = {
+      val (h1, h2) = hashes(k)
+      (words(h1 / 63) & (1L << (h1 % 63))) != 0 && (words(h2 / 63) & (1L << (h2 % 63))) != 0
+    }
+    val nPass = fact.count(pass)
+    val nMatch = fact.count(dimk)
+    val r = rows("q_join_bloom_pruned").head
+    assert(r.getLong(0) == fact.length.toLong)
+    assert(r.getLong(1) == nPass.toLong)
+    assert(r.getLong(2) == nMatch.toLong)
+    assert(r.getLong(3) == (nPass - nMatch).toLong)
+    // the defining Bloom property: every true match passes the filter
+    assert(fact.filter(dimk).forall(pass), "bloom dropped a true match")
+    assert(r.getInt(5) == 1)
+    // the filter must actually prune (otherwise the runtime filter is useless)
+    assert(nPass < fact.length, "bloom pruned nothing")
+  }
+
+  test("q_stats_kmv_sketch: estimates replay from a JVM KMV build; exact-when-small rule holds") {
+    val vals = Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "o_custkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+    def h48(v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    def est(hs: Seq[Long], nd: Long): Long =
+      if (nd < 128) nd
+      else 127L * 281474976710656L / hs.sorted.apply(127)
+    val perGrp = vals.groupBy(_._1).map { case (g, vs) =>
+      val hs = vs.map(x => h48(x._2)).toSeq
+      g -> (vs.length.toLong, est(hs, vs.length.toLong))
+    }
+    // merged sketch: k smallest of the union of per-group minima
+    val minima = vals.groupBy(_._1).values
+      .flatMap(vs => vs.map(x => h48(x._2)).toSeq.distinct.sorted.take(128)).toSeq.distinct
+    val allNd = vals.map(_._2).distinct.length.toLong
+    val mergedEst =
+      if (minima.length < 128) minima.length.toLong
+      else 127L * 281474976710656L / minima.sorted.apply(127)
+    val got = rows("q_stats_kmv_sketch")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((g, (nd, e)) <- perGrp) {
+      val (gotNd, gotEst, gotErr) = got(g)
+      assert(gotNd == nd && gotEst == e, s"group $g: got ${got(g)}, expected ($nd, $e)")
+      assert(gotErr == (e - nd).abs * 10000 / nd)
+    }
+    val (mNd, mEst, _) = got("ALL_MERGED")
+    assert(mNd == allNd && mEst == mergedEst)
+    // the sketch must stay in the same ballpark as the truth (k=128 → ~9%
+    // relative error expected; 25% is a generous 3σ bound)
+    got.values.foreach { case (nd, e, _) => assert((e - nd).abs <= nd / 4) }
+  }
 }
