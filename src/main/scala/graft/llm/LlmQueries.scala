@@ -1886,6 +1886,62 @@ object LlmQueries {
         |       CAST(SUM(vj) AS BIGINT) AS sy
         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin),
 
+    // Out-of-distribution scoring via diagonal Mahalanobis distance — the
+    // embedding-space health check a pipeline runs on an incoming batch
+    // (vec_id % 7 = 0) against the in-distribution reference (the rest):
+    // per-dimension mean/variance from the reference, per-vector
+    // z² = Σ_d (x_d − μ_d)²/σ²_d, top-20 most-OOD vectors. The division-
+    // free integer form (n·x − s1)²·1000 DIV (n·s2 − s1²) keeps every
+    // per-dim term a BIGINT, so the cross-dim sum is fold-order exact and
+    // both engines agree bit-for-bit (milli-precision truncation per dim
+    // only — ranking-stable with the vec_id tie-break). 100 TB shape: one
+    // N·d explode map-side combined to d stat rows (broadcast), scoring
+    // joins the batch's N·d rows to the d-row table on dim, TakeOrdered
+    // top-20; reference stats come from a bounded sample at real scale
+    // (the kmeans_sampled contract). Fixture bound: n·x ≈ 5e3·2e3 = 1e7,
+    // squared 1e14, ×1000 = 1e17 < 2^63.
+    "q_embed_ood_diag" -> sql2(
+      """WITH x AS (SELECT vec_id, label, pos + 1 AS i,
+        |                  CAST(FLOOR(CAST(el AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xi
+        |           FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, el),
+        |st AS (SELECT i, COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS s1,
+        |              CAST(SUM(xi * xi) AS BIGINT) AS s2
+        |       FROM x WHERE vec_id % 7 != 0 GROUP BY i),
+        |z AS (SELECT x.vec_id, x.label,
+        |             ((st.n * x.xi - st.s1) * (st.n * x.xi - st.s1) * 1000)
+        |               DIV GREATEST(st.n * st.s2 - st.s1 * st.s1, 1) AS z2m
+        |      FROM x JOIN st ON x.i = st.i WHERE x.vec_id % 7 = 0),
+        |sc AS (SELECT vec_id, label, CAST(SUM(z2m) AS BIGINT) AS z2_milli,
+        |              COUNT(*) AS d
+        |       FROM z GROUP BY vec_id, label),
+        |sel AS (SELECT vec_id, label, z2_milli, d FROM sc
+        |        ORDER BY z2_milli DESC, vec_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY z2_milli DESC, vec_id) AS INT) AS rk,
+        |       vec_id, label, z2_milli,
+        |       ROUND(CAST(z2_milli AS DOUBLE) / CAST(d * 1000 AS BIGINT), 4) AS z2_per_dim
+        |FROM sel ORDER BY rk""".stripMargin,
+      """WITH x AS (SELECT vec_id, label, i,
+        |                  CAST(FLOOR(CAST(v[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xi
+        |           FROM (SELECT vec_id, label, embedding AS v,
+        |                        unnest(range(1, len(embedding) + 1)) AS i
+        |                 FROM embeddings) t),
+        |st AS (SELECT i, COUNT(*) AS n, CAST(SUM(xi) AS BIGINT) AS s1,
+        |              CAST(SUM(xi * xi) AS BIGINT) AS s2
+        |       FROM x WHERE vec_id % 7 != 0 GROUP BY i),
+        |z AS (SELECT x.vec_id, x.label,
+        |             ((st.n * x.xi - st.s1) * (st.n * x.xi - st.s1) * 1000)
+        |               // GREATEST(st.n * st.s2 - st.s1 * st.s1, 1) AS z2m
+        |      FROM x JOIN st ON x.i = st.i WHERE x.vec_id % 7 = 0),
+        |sc AS (SELECT vec_id, label, CAST(SUM(z2m) AS BIGINT) AS z2_milli,
+        |              COUNT(*) AS d
+        |       FROM z GROUP BY vec_id, label),
+        |sel AS (SELECT vec_id, label, z2_milli, d FROM sc
+        |        ORDER BY z2_milli DESC, vec_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY z2_milli DESC, vec_id) AS INT) AS rk,
+        |       vec_id, label, z2_milli,
+        |       ROUND(CAST(z2_milli AS DOUBLE) / CAST(d * 1000 AS BIGINT), 4) AS z2_per_dim
+        |FROM sel ORDER BY rk""".stripMargin),
+
     // Embedding drift between corpus snapshots — the monitoring operator a
     // pipeline runs when a new crawl lands: per label, the cosine between
     // the v1 and v2 centroid directions (versions carved with the same

@@ -594,7 +594,42 @@ object WarehouseQueries {
        |FROM mest
        |ORDER BY grp""".stripMargin
 
+  /** MERGE INTO (CDC upsert apply) semantics as one declarative pass: the
+    * base dimension (customer balances) full-outer-joins the day's change
+    * set (per-customer urgent-order totals, with a deterministic slice of
+    * keys shifted past the key domain to exercise the NOT MATCHED branch);
+    * WHEN MATCHED → UPDATE (balance += delta), WHEN NOT MATCHED BY SOURCE →
+    * KEEP, WHEN NOT MATCHED BY TARGET → INSERT. This is the exact plan
+    * Delta/Iceberg MERGE lowers to — at 100 TB it is ONE shuffle join on
+    * the dimension key (or an exchange-free sort-merge when both sides are
+    * bucketed on k, the q_src_bucketed_join layout), never a per-row
+    * driver loop. Money rides integer cents quantized per row BEFORE the
+    * sum, so the fold is exact in any order; the `% 13` slice only bounds
+    * the dumped output.
+    */
+  private val mergeUpsert =
+    """WITH base AS (SELECT c_custkey AS k,
+      |                    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      |             FROM customer),
+      |delta AS (SELECT CASE WHEN o_custkey % 11 = 5 THEN o_custkey + 1000012
+      |                      ELSE o_custkey END AS k,
+      |                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS d_c,
+      |                 COUNT(*) AS n_ch
+      |          FROM orders WHERE o_orderpriority = '1-URGENT'
+      |          GROUP BY 1),
+      |m AS (SELECT COALESCE(b.k, u.k) AS k,
+      |             CASE WHEN b.k IS NULL THEN 'INSERT'
+      |                  WHEN u.k IS NULL THEN 'KEEP'
+      |                  ELSE 'UPDATE' END AS action,
+      |             COALESCE(b.bal_c, 0) + COALESCE(u.d_c, 0) AS new_bal_c,
+      |             COALESCE(u.n_ch, 0) AS n_changes
+      |      FROM base b FULL JOIN delta u ON b.k = u.k)
+      |SELECT k, action, CAST(new_bal_c AS BIGINT) AS new_bal_c,
+      |       CAST(n_changes AS BIGINT) AS n_changes
+      |FROM m WHERE k % 13 = 0 ORDER BY k""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_dim_merge_upsert" -> sql(mergeUpsert),
     "q_stats_column_profile" -> sql2(colProfileSpark, colProfileDuck),
     "q_stats_kmv_sketch" -> sql2(
       kmvSketchSql(

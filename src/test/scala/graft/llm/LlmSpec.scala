@@ -363,6 +363,35 @@ class LlmSpec extends AnyFunSuite {
     got.foreach { case (_, h, d) => assert(h <= 10 && d >= 0.0 && d <= 1.0) }
   }
 
+  test("q_embed_ood_diag: z-scores replay from integer per-dim stats; in-dist floor holds") {
+    val sf = "/root/testdata/sf0.001"
+    val s = spark.newSession()
+    val embs = graft.queries.Tables.embeddings(s, sf)
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def milli(x: Float): Long = math.floor(x.toDouble * 1000 + 0.5).toLong
+    val d = embs.head._3.length
+    val train = embs.filter(_._1 % 7 != 0)
+    val stats = (0 until d).map { i =>
+      val xs = train.map(e => milli(e._3(i)))
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val exp = embs.filter(_._1 % 7 == 0).map { case (id, lab, v) =>
+      val z2 = (0 until d).map { i =>
+        val (n, s1, s2) = stats(i)
+        val num = (n * milli(v(i)) - s1); val den = math.max(n * s2 - s1 * s1, 1L)
+        num * num * 1000 / den
+      }.sum
+      (id, lab, z2)
+    }.sortBy { case (id, _, z) => (-z, id) }.take(20)
+    val got = graft.SparkEntry.queries("q_embed_ood_diag")(s, sf).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq)
+    // diagonal Mahalanobis on same-distribution data concentrates near
+    // z²/d = 1; the top-20 must sit above the floor but not absurdly so
+    got.foreach { case (_, _, z) => assert(z > d * 1000L / 2) }
+  }
+
   test("containment finds subset duplication that symmetric Jaccard misses") {
     // doc 2's 5 words all sit inside doc 1's 20: containment(2→1) = 1.0
     // but J = 5/20 = 0.25 — invisible at any useful Jaccard threshold.

@@ -340,6 +340,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(inAvg >= 3L * clAvg, "the audit must separate the two layouts clearly")
   }
 
+  test("q_dim_merge_upsert: full-outer merge replays; all three MERGE branches exercised") {
+    val base = Tables.customer(spark, sf)
+      .selectExpr("c_custkey", "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val delta = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "o_orderpriority",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").collect()
+      .filter(_.getString(1) == "1-URGENT")
+      .map(r => (if (r.getLong(0) % 11 == 5) r.getLong(0) + 1000012L else r.getLong(0),
+        r.getLong(2)))
+      .groupBy(_._1).map { case (k, xs) => k -> (xs.map(_._2).sum, xs.length.toLong) }
+    val exp = (base.keySet ++ delta.keySet).toSeq.sorted.collect {
+      case k if k % 13 == 0 =>
+        val action =
+          if (!base.contains(k)) "INSERT" else if (!delta.contains(k)) "KEEP" else "UPDATE"
+        val (d, n) = delta.getOrElse(k, (0L, 0L))
+        (k, action, base.getOrElse(k, 0L) + d, n)
+    }
+    val got = rows("q_dim_merge_upsert")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+    // the fixture must exercise every MERGE branch or the operator is
+    // under-tested: shifted keys insert, urgent customers update, rest keep
+    assert(got.map(_._2).toSet == Set("INSERT", "KEEP", "UPDATE"))
+    // INSERT rows carry no base balance: their balance is purely the delta
+    got.filter(_._2 == "INSERT").foreach { case (k, _, bal, n) =>
+      assert(k > 1000000L && n > 0 && bal == delta(k)._1)
+    }
+  }
+
   test("q_join_bloom_pruned: counts replay from a JVM bloom build; no false negatives") {
     val orders = Tables.orders(spark, sf)
       .selectExpr("o_orderkey", "o_orderpriority").collect()
