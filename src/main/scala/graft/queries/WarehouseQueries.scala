@@ -271,6 +271,67 @@ object WarehouseQueries {
       |FROM s WHERE nxt IS NOT NULL
       |GROUP BY event_type, nxt ORDER BY src, dst""".stripMargin
 
+  /** Sequential-pattern mining lite: the top contiguous 3-step behavior
+    * sequences with occurrence and user-support counts — the
+    * market-basket-over-time primitive (the first pass of PrefixSpan-style
+    * mining restricted to contiguous windows, which is what clickstream
+    * teams actually deploy). Two stacked lags over ONE (user, time)
+    * window partitioning — Catalyst plans a single exchange, same
+    * discipline as [[transitions]] — then a 5³-bounded group-by and a
+    * TakeOrdered top-15. Integer counts only; (ts, event_id) ordering
+    * makes the lag pair deterministic under timestamp ties.
+    */
+  private val seqTrigrams =
+    """WITH w AS (SELECT user_id, event_type AS e3,
+      |                 lag(event_type, 1) OVER (PARTITION BY user_id
+      |                                          ORDER BY ts, event_id) AS e2,
+      |                 lag(event_type, 2) OVER (PARTITION BY user_id
+      |                                          ORDER BY ts, event_id) AS e1
+      |          FROM events),
+      |g AS (SELECT e1, e2, e3, COUNT(*) AS n_occur,
+      |             COUNT(DISTINCT user_id) AS n_users
+      |      FROM w WHERE e1 IS NOT NULL GROUP BY e1, e2, e3),
+      |sel AS (SELECT e1, e2, e3, n_occur, n_users FROM g
+      |        ORDER BY n_occur DESC, e1, e2, e3 LIMIT 15)
+      |SELECT CAST(row_number() OVER (ORDER BY n_occur DESC, e1, e2, e3) AS INT) AS rk,
+      |       e1, e2, e3, CAST(n_occur AS BIGINT) AS n_occur,
+      |       CAST(n_users AS BIGINT) AS n_users
+      |FROM sel ORDER BY rk""".stripMargin
+
+  /** Watermark-lateness audit: before a streaming job fixes its watermark
+    * delay, measure — per arrival shard — how many events would arrive
+    * late at each candidate delay. The fixture's events land in event-time
+    * order, so arrival is modeled as event time plus a deterministic
+    * md5-keyed network delay in [0 s, 86400 s); the per-shard running max
+    * event time over the rows that arrived STRICTLY EARLIER is the
+    * watermark a source partition would have advanced, and an event is
+    * late at delay W when its event time trails that watermark by more
+    * than W. Because any inversion (tB − tA for B arriving before A) is
+    * bounded by the delay spread, the W = 86400 row is provably zero —
+    * the audit's self-check. One window pass partitioned by shard
+    * (parallel — watermarks ARE per-source-partition before the global
+    * min, so this is the honest shape), one 3-row delay-level join
+    * (bounded broadcast), one rollup. Feeds q_stream_dedup_within_wm's
+    * delay choice; pure integer microsecond arithmetic.
+    */
+  private def latenessSql(epochUs: String, h16: String, levels: String, intDiv: String) =
+    s"""WITH e AS (SELECT event_id, event_id % 8 AS shard, $epochUs AS us,
+       |                 $epochUs + ($h16 % 86400) * 1000000 AS arr_us
+       |          FROM events),
+       |arr AS (SELECT shard, us,
+       |               MAX(us) OVER (PARTITION BY shard ORDER BY arr_us, event_id
+       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+       |        FROM e),
+       |lv AS ($levels),
+       |d AS (SELECT lv.w_s, COUNT(*) AS n_events,
+       |             CAST(SUM(CASE WHEN arr.wm_us IS NOT NULL
+       |                            AND arr.us < arr.wm_us - CAST(lv.w_s AS BIGINT) * 1000000
+       |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |      FROM arr CROSS JOIN lv GROUP BY lv.w_s)
+       |SELECT CAST(w_s AS BIGINT) AS w_s, CAST(n_events AS BIGINT) AS n_events, n_late,
+       |       CAST(n_late * 10000 $intDiv n_events AS BIGINT) AS late_bp
+       |FROM d ORDER BY w_s""".stripMargin
+
   /** ORDERED funnel (signup → later click → later purchase): each stage
     * must happen strictly after the previous stage's FIRST completion —
     * the sequence constraint a plain per-type count funnel cannot
@@ -656,6 +717,14 @@ object WarehouseQueries {
       kmSurvivalSql("unix_micros(CAST(ts AS TIMESTAMP))", graft.llm.NeutralMath.SparkKernel),
       kmSurvivalSql("epoch_us(ts)", graft.llm.NeutralMath.OracleKernel)),
     "q_events_transitions" -> sql(transitions),
+    "q_events_seq_trigrams" -> sql(seqTrigrams),
+    "q_events_lateness_audit" -> sql2(
+      latenessSql("unix_micros(CAST(ts AS TIMESTAMP))",
+        "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 5), 16, 10) AS BIGINT)",
+        "SELECT explode(array(0, 21600, 86400)) AS w_s", "DIV"),
+      latenessSql("epoch_us(ts)",
+        "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 5))::BIGINT",
+        "SELECT unnest([0, 21600, 86400]) AS w_s", "//")),
     "q_events_funnel_ordered" -> sql(funnelOrdered),
     "q_events_attribution" -> sql2(attributionSpark, attributionDuck),
     "q_dim_scd2" -> sql(scd2),

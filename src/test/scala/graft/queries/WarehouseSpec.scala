@@ -340,6 +340,57 @@ class WarehouseSpec extends AnyFunSuite {
     assert(inAvg >= 3L * clAvg, "the audit must separate the two layouts clearly")
   }
 
+  test("q_events_seq_trigrams: counts replay from per-user ordered sliding windows") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP))", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val tri = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      es.sortBy(e => (e._3, e._4)).map(_._2).sliding(3).filter(_.length == 3)
+        .map(s => (u, (s(0), s(1), s(2)))).toSeq
+    }
+    val exp = tri.groupBy(_._2).map { case (t, xs) =>
+      (t._1, t._2, t._3, xs.length.toLong, xs.map(_._1).distinct.length.toLong)
+    }.toSeq.sortBy { case (a, b, c, n, _) => (-n, a, b, c) }.take(15)
+    val got = rows("q_events_seq_trigrams")
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp)
+    // support can never exceed occurrences
+    got.foreach { case (_, _, _, n, u) => assert(u <= n && u > 0) }
+  }
+
+  test("q_events_lateness_audit: lateness replays per shard; zero at the delay-spread bound") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("event_id", "unix_micros(CAST(ts AS TIMESTAMP))")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def jitter(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(3).map(b => f"$b%02x").mkString.take(5), 16) % 86400
+    }
+    val exp = Seq(0L, 21600L, 86400L).map { w =>
+      var late = 0L
+      ev.groupBy(_._1 % 8).values.foreach { es =>
+        var wm = Long.MinValue
+        es.map { case (id, us) => (us + jitter(id) * 1000000L, id, us) }
+          .sortBy(e => (e._1, e._2)).foreach { case (_, _, us) =>
+            if (wm != Long.MinValue && us < wm - w * 1000000L) late += 1
+            wm = math.max(wm, us)
+          }
+      }
+      (w, ev.length.toLong, late, late * 10000 / ev.length)
+    }
+    val got = rows("q_events_lateness_audit")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp)
+    // widening the allowed delay can only reduce late arrivals, the
+    // audit must be non-vacuous at W=0, and at the 86400 s delay spread
+    // the inversion bound makes lateness provably zero
+    val lates = got.map(_._3)
+    assert(lates.reverse.sorted.toSeq == lates.reverse.toSeq, s"not monotone: $lates")
+    assert(lates.head > 0)
+    assert(lates.last == 0L)
+  }
+
   test("q_dim_merge_upsert: full-outer merge replays; all three MERGE branches exercised") {
     val base = Tables.customer(spark, sf)
       .selectExpr("c_custkey", "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").collect()
