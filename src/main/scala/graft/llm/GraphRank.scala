@@ -205,6 +205,68 @@ object GraphRank {
        |       CAST((SELECT n_tri FROM tt) AS BIGINT) AS n_tri_total
        |FROM selt ORDER BY rk""".stripMargin
 
+  /** Label-propagation community detection (Raghavan, Albert & Kumara,
+    * Phys. Rev. E 2007) over the mutual kNN graph — the modularity-free
+    * community pass a curation pipeline runs to group near-duplicate
+    * neighborhoods and topic clusters beyond what connected components
+    * (q_dedup_cluster) can separate: LPA splits a component along sparse
+    * cuts because each node adopts the label carried by the MOST of its
+    * neighbors, not any label reachable through one edge.
+    *
+    * Three synchronous rounds, unrolled: every node starts as its own
+    * label; each round a node adopts the most frequent label among its
+    * neighbors plus one self-vote (the self-vote is the standard
+    * oscillation damper for bipartite-ish neighborhoods — without it a
+    * mutual pair swaps labels forever), ties broken by the SMALLEST label
+    * so the outcome is deterministic (the published algorithm breaks ties
+    * randomly; a data engine must not). Output: the 20 largest
+    * communities plus the total community count.
+    *
+    * 100 TB shape: each round is ONE equi-join of the bounded-degree edge
+    * list (deg ≤ 2k) against the label table followed by a map-side
+    * combinable (node, label) count and a per-node top-1 window — the
+    * same per-round cost as a PageRank iteration (q_graph_pagerank), with
+    * the round count fixed; no all-pairs step anywhere. Pure integer
+    * votes, fold-order exact.
+    */
+  private def lpaTail: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""v$i AS (SELECT ue.node AS node, l${i - 1}.lbl AS lbl
+         |       FROM ue JOIN l${i - 1} ON ue.nbr = l${i - 1}.node
+         |       UNION ALL
+         |       SELECT node, lbl FROM l${i - 1}),
+         |c$i AS (SELECT node, lbl, COUNT(*) AS c FROM v$i GROUP BY node, lbl),
+         |l$i AS (SELECT node, lbl FROM (
+         |         SELECT node, lbl,
+         |                row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |         FROM c$i) x WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""ue AS (SELECT id1 AS node, id2 AS nbr FROM me
+       |       UNION ALL
+       |       SELECT id2 AS node, id1 AS nbr FROM me),
+       |l0 AS (SELECT DISTINCT node, node AS lbl FROM ue),
+       |$rounds,
+       |g AS (SELECT lbl, COUNT(*) AS n_members, MIN(node) AS min_node
+       |      FROM l3 GROUP BY lbl),
+       |tot AS (SELECT COUNT(*) AS n_comm FROM g),
+       |selc AS (SELECT lbl, n_members, min_node FROM g
+       |         ORDER BY n_members DESC, lbl LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY n_members DESC, lbl) AS INT) AS rk,
+       |       lbl AS community, CAST(n_members AS BIGINT) AS n_members, min_node,
+       |       CAST((SELECT n_comm FROM tot) AS BIGINT) AS n_comm_total
+       |FROM selc ORDER BY rk""".stripMargin
+  }
+
+  private def lpaSpark(s: SparkSession, d: String): DataFrame = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    s.sql(s"WITH ${mutualCte("g_edges")},\n$lpaTail")
+  }
+
+  private def lpaDuck: String =
+    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+       |${mutualCte("tk")},
+       |$lpaTail""".stripMargin
+
   private def trianglesSpark(s: SparkSession, d: String): DataFrame = {
     LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
     s.sql(s"WITH ${mutualCte("g_edges")},\n$trianglesTail")
@@ -229,6 +291,7 @@ object GraphRank {
     }.mkString(",\n")
     Map(
       "q_graph_adamic_adar" -> QuerySpec.df(adamicSpark, adamicDuck),
+      "q_graph_label_prop" -> QuerySpec.df(lpaSpark, lpaDuck),
       "q_graph_triangles" -> QuerySpec.df(trianglesSpark, trianglesDuck),
       "q_graph_pagerank" -> QuerySpec.df(
         pagerankSpark,

@@ -36,8 +36,12 @@ object WarehouseQueries {
     * The `% 10` slice only bounds the dumped output. (PlanAuditSpec pins
     * the single-exchange property.)
     */
-  private val scd2 =
-    """WITH ch AS (SELECT o_custkey AS key, o_orderdate AS ts,
+  /** The SCD2 build chain (change stream → per-key validity intervals),
+    * shared verbatim by [[scd2]] and the point-in-time join so the two
+    * operators provably consume the same dimension.
+    */
+  private val scdChain =
+    """ch AS (SELECT o_custkey AS key, o_orderdate AS ts,
       |                  o_orderkey AS seq, o_orderstatus AS attr
       |           FROM orders),
       |sel AS (SELECT key, ts, attr,
@@ -51,7 +55,10 @@ object WarehouseQueries {
       |       WHERE prev IS NULL OR prev <> attr),
       |scd AS (SELECT key, attr, ts AS valid_from,
       |               lead(ts) OVER (PARTITION BY key ORDER BY ts) AS valid_to
-      |        FROM st)
+      |        FROM st)""".stripMargin
+
+  private val scd2 =
+    s"""WITH $scdChain
       |SELECT key, attr, valid_from, valid_to,
       |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
       |FROM scd WHERE key % 10 = 0
@@ -689,8 +696,151 @@ object WarehouseQueries {
       |       CAST(n_changes AS BIGINT) AS n_changes
       |FROM m WHERE k % 13 = 0 ORDER BY k""".stripMargin
 
+  /** Point-in-time (temporal) join: enrich each shipment fact with the
+    * customer-status dimension version that was CURRENT at ship time —
+    * the AS OF lookup every warehouse needs once a dimension is SCD2
+    * (Kimball's type-2 fact enrichment). Consumes the exact [[scdChain]]
+    * the q_dim_scd2 operator publishes, so the two operators are provably
+    * consistent.
+    *
+    * 100 TB shape: fact→orders is a key equi-join; fact→dimension is a
+    * key EQUI-join with the validity interval as a residual predicate —
+    * per-key version counts are bounded (one row per attribute change),
+    * so the residual filters a bounded bucket, never a range nested loop.
+    * Versions partition time per key, so each fact matches at most one
+    * version and the row count is exactly the fact count (LEFT join keeps
+    * pre-history facts with a NULL status). The `% 37` slice only bounds
+    * the dumped output.
+    */
+  private val pitJoin =
+    s"""WITH $scdChain,
+       |f AS (SELECT l.l_orderkey AS okey, l.l_linenumber AS line,
+       |             o.o_custkey AS key, CAST(l.l_shipdate AS DATE) AS ship_date
+       |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |      WHERE l.l_orderkey % 37 = 0),
+       |pit AS (SELECT f.okey, f.line, f.key, f.ship_date, s.attr, s.valid_from
+       |        FROM f LEFT JOIN scd s ON f.key = s.key
+       |          AND f.ship_date >= s.valid_from
+       |          AND (s.valid_to IS NULL OR f.ship_date < s.valid_to))
+       |SELECT okey, line, key, ship_date, attr AS status_asof, valid_from
+       |FROM pit ORDER BY okey, line""".stripMargin
+
+  /** Classical seasonal decomposition (trend / seasonal / remainder — the
+    * moving-average core of STL without loess) over the hourly event-count
+    * series: densify the hour spine with zero fill, take a centered
+    * 24-hour moving average as trend, average the detrended values per
+    * hour-of-day into the diurnal seasonal profile, and report each
+    * profile cell with its remainder extremes.
+    *
+    * Determinism: the detrended value is kept as the INTEGER
+    * 24·count − sum24 (24× the residual — no division until the final
+    * per-cell average), and the per-cell average uses the offset trick
+    * `(s + n·K) intdiv n − K` (K = 2·10⁹) so the integer division always
+    * sees a positive numerator: Spark's DIV truncates toward zero while
+    * DuckDB's // floors, and the two only agree on non-negative operands.
+    * 100 TB shape: the hourly bin aggregate map-side combines to
+    * span-hours rows; the spine explodes from a single global min/max row
+    * (no calendar cross join); every window/group after that runs on the
+    * BINNED series (span-hours rows, ~9k rows/year — driver-safe tiny),
+    * so the single unpartitioned ORDER BY hr window is bounded by the
+    * calendar, not the data.
+    */
+  private def seasonalSql(epochUs: String, intDiv: String) =
+    s"""WITH e AS (SELECT CAST(FLOOR($epochUs / 3600000000) AS BIGINT) AS hr
+       |          FROM events),
+       |b AS (SELECT hr, COUNT(*) AS n FROM e GROUP BY hr),
+       |sp AS (SELECT SPINE_EXPR AS hr
+       |       FROM (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM b) z),
+       |d AS (SELECT sp.hr, COALESCE(b.n, 0) AS n
+       |      FROM sp LEFT JOIN b ON sp.hr = b.hr),
+       |w AS (SELECT hr, n,
+       |             SUM(n) OVER wnd AS s24, COUNT(*) OVER wnd AS n24
+       |      FROM d
+       |      WINDOW wnd AS (ORDER BY hr ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+       |t AS (SELECT hr, n, n * 24 - s24 AS det24 FROM w WHERE n24 = 24),
+       |hod AS (SELECT hr % 24 AS hod, COUNT(*) AS n_bins, SUM(det24) AS sdet,
+       |               MIN(det24) AS mn_det, MAX(det24) AS mx_det
+       |        FROM t GROUP BY hr % 24)
+       |SELECT CAST(hod AS INT) AS hod, CAST(n_bins AS BIGINT) AS n_bins,
+       |       CAST((sdet + n_bins * 2000000000) $intDiv n_bins - 2000000000 AS BIGINT)
+       |         AS seasonal_det24,
+       |       CAST(mn_det AS BIGINT) AS min_det24, CAST(mx_det AS BIGINT) AS max_det24
+       |FROM hod ORDER BY hod""".stripMargin
+
+  /** KMV set-INTERSECTION estimation between per-event-type distinct-user
+    * sets: the audience-overlap question ("how many users both click and
+    * purchase") answered from ~2 KiB sketches instead of a rescan.
+    * Per-type k=128 minimum-value sketches (the q_stats_kmv_sketch
+    * primitive); the pair's union estimate comes from the k smallest of
+    * the two sketches' merged minima (lossless KMV merge), and the
+    * intersection by inclusion-exclusion |A∩B| = |A|+|B|−|A∪B| clamped at
+    * zero (Bar-Yossef et al., RANDOM 2002; the standard theta-sketch
+    * set-op recipe). Exact pair overlap rides along for the accuracy
+    * audit (err_bp vs max(exact, 1)).
+    *
+    * 100 TB shape: the only data-sized passes are the distinct
+    * (type, user) projection and the per-type ranked top-128 (map-side
+    * combined / window over the type partition); everything pairwise runs
+    * on ≤ T·128 sketch rows (T = event-type domain, 5 here) — the T×T
+    * pair table is a constant-bounded broadcast. The exact-overlap audit
+    * joins dv to itself on the USER key (fan-out ≤ T per user), never
+    * all-pairs.
+    */
+  private def kmvIntersectSql(hash: String, intDiv: String): String =
+    s"""WITH dv AS (SELECT DISTINCT event_type AS t, user_id AS v FROM events),
+       |hx AS (SELECT t, v, $hash AS h FROM dv),
+       |rk AS (SELECT t, h,
+       |              row_number() OVER (PARTITION BY t ORDER BY h, v) AS rn,
+       |              COUNT(*) OVER (PARTITION BY t) AS nd
+       |       FROM hx),
+       |sk AS (SELECT t, h, rn, nd FROM rk WHERE rn <= 128),
+       |est AS (SELECT t, MAX(nd) AS nd,
+       |               CASE WHEN MAX(nd) < 128 THEN MAX(nd)
+       |                    ELSE 127 * 281474976710656
+       |                         $intDiv MAX(CASE WHEN rn = 128 THEN h ELSE 0 END) END AS e
+       |        FROM sk GROUP BY t),
+       |tt AS (SELECT DISTINCT t FROM dv),
+       |pr AS (SELECT a.t AS ta, b.t AS tb FROM tt a JOIN tt b ON a.t < b.t),
+       |uh AS (SELECT pr.ta, pr.tb, s.h FROM pr JOIN sk s ON s.t = pr.ta
+       |       UNION
+       |       SELECT pr.ta, pr.tb, s.h FROM pr JOIN sk s ON s.t = pr.tb),
+       |ur AS (SELECT ta, tb, h,
+       |              row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+       |              COUNT(*) OVER (PARTITION BY ta, tb) AS nu
+       |       FROM uh),
+       |uest AS (SELECT ta, tb,
+       |                CASE WHEN MAX(nu) < 128 THEN MAX(nu)
+       |                     ELSE 127 * 281474976710656
+       |                          $intDiv MAX(CASE WHEN rn = 128 THEN h ELSE 0 END) END AS eu
+       |         FROM ur WHERE rn <= 128 GROUP BY ta, tb),
+       |ex AS (SELECT a.t AS ta, b.t AS tb, COUNT(*) AS n_exact
+       |       FROM dv a JOIN dv b ON a.v = b.v AND a.t < b.t
+       |       GROUP BY a.t, b.t),
+       |j AS (SELECT pr.ta, pr.tb, ea.e + eb.e - u.eu AS raw_est,
+       |             COALESCE(ex.n_exact, 0) AS n_exact
+       |      FROM pr JOIN est ea ON pr.ta = ea.t
+       |              JOIN est eb ON pr.tb = eb.t
+       |              JOIN uest u ON pr.ta = u.ta AND pr.tb = u.tb
+       |              LEFT JOIN ex ON pr.ta = ex.ta AND pr.tb = ex.tb)
+       |SELECT ta, tb, CAST(n_exact AS BIGINT) AS exact_inter,
+       |       CAST(GREATEST(raw_est, 0) AS BIGINT) AS kmv_inter,
+       |       CAST(abs(GREATEST(raw_est, 0) - n_exact) * 10000
+       |            $intDiv GREATEST(n_exact, 1) AS BIGINT) AS err_bp
+       |FROM j ORDER BY ta, tb""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_dim_merge_upsert" -> sql(mergeUpsert),
+    "q_dim_pit_join" -> sql(pitJoin),
+    "q_ts_seasonal_decompose" -> sql2(
+      seasonalSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV")
+        .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
+      seasonalSql("epoch_us(ts)", "//")
+        .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
+    "q_stats_kmv_intersect" -> sql2(
+      kmvIntersectSql(
+        "CAST(conv(substr(md5(CAST(v AS STRING)), 1, 12), 16, 10) AS BIGINT)", "DIV"),
+      kmvIntersectSql(
+        "('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 12))::BIGINT", "//")),
     "q_stats_column_profile" -> sql2(colProfileSpark, colProfileDuck),
     "q_stats_kmv_sketch" -> sql2(
       kmvSketchSql(

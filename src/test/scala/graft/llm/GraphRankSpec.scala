@@ -141,4 +141,36 @@ class GraphRankSpec extends AnyFunSuite {
       assert(r.getLong(5) == tris.length.toLong)
     }
   }
+
+  test("q_graph_label_prop: independent Scala replay of 3 synchronous rounds") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    val edges = graft.SparkEntry.queries("q_ann_knn_graph")(sess, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSeq }
+    // Synchronous LPA: neighbors' labels + one self-vote, most frequent
+    // wins, ties to the smallest label — the query's exact rule.
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (n, ns) =>
+        val votes = (ns.map(lbl) :+ lbl(n))
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val comm = lbl.groupBy(_._2)
+      .map { case (l, m) => (l, m.size.toLong, m.keys.min) }
+    val expTop = comm.toSeq.sortBy { case (l, n, _) => (-n, l) }.take(20)
+    val got = graft.SparkEntry.queries("q_graph_label_prop")(sess, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == expTop.length && got.nonEmpty)
+    got.zip(expTop).foreach { case ((gl, gn, gm, gt), (el, en, em)) =>
+      assert((gl, gn, gm) == (el, en, em))
+      assert(gt == comm.size.toLong)
+    }
+    // communities partition the node set, and LPA must be at least as
+    // fine as connected components (it can only split, never merge)
+    assert(comm.map(_._2).sum == nbrs.size)
+  }
 }

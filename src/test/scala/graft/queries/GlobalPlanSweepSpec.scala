@@ -41,6 +41,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_sample_coreset",      // broadcast CELL table only (two-level quantizer assignment)
     "q_agg_hll_merge",       // single-row sketch-union join
     "q_stats_kmv_sketch",    // single-row merged-kth-min x single-row exact-count join
+    "q_stats_kmv_intersect", // T-row (event-type domain) pair table x <=T*128-row sketch rows
     "q_events_lateness_audit", // 3-row delay-level table x the shard-windowed stream
     "q_dedup_band_tuning",   // single-row truth-count join onto the 3-row config rollup
     "q_embed_probe_train",   // 1-row weight-array broadcast per training round

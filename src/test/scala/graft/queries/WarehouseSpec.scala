@@ -391,6 +391,107 @@ class WarehouseSpec extends AnyFunSuite {
     assert(lates.last == 0L)
   }
 
+  test("q_dim_pit_join: one row per fact; status matches an independent SCD replay") {
+    val ords = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_custkey",
+        "CAST(o_orderdate AS DATE)", "o_orderstatus")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Date](2).toLocalDate, r.getString(3)))
+    // Replay the SCD build: per key, per ts keep the max-seq change, then
+    // collapse consecutive equal attrs into validity intervals.
+    val scd = ords.groupBy(_._2).map { case (key, os) =>
+      val perTs = os.groupBy(_._3).toSeq
+        .map { case (ts, xs) => (ts, xs.maxBy(_._1)._4) }
+        .sortBy(_._1.toString)
+      val collapsed = perTs.foldLeft(List.empty[(java.time.LocalDate, String)]) {
+        case (acc, (ts, a)) =>
+          if (acc.nonEmpty && acc.head._2 == a) acc else (ts, a) :: acc
+      }.reverse
+      key -> collapsed.zipAll(collapsed.drop(1).map(x => Some(x._1)), null, None)
+        .collect { case ((from, a), to) =>
+          (from, a, to.asInstanceOf[Option[java.time.LocalDate]]) }
+    }
+    val facts = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_linenumber", "CAST(l_shipdate AS DATE)")
+      .where("l_orderkey % 37 = 0")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getAs[java.sql.Date](2).toLocalDate))
+    val got = rows("q_dim_pit_join")
+    assert(got.length == facts.length, "PIT join must keep exactly one row per fact")
+    val okey2cust = ords.map(o => o._1 -> o._2).toMap
+    got.foreach { r =>
+      val (okey, line) = (r.getLong(0), r.getInt(1).toLong)
+      val sd = r.getAs[java.sql.Date](3).toLocalDate
+      val key = okey2cust(okey)
+      assert(r.getLong(2) == key)
+      val expect = scd(key).find { case (from, _, to) =>
+        !sd.isBefore(from) && to.forall(t => sd.isBefore(t))
+      }
+      assert(Option(r.getString(4)) == expect.map(_._2),
+        s"fact ($okey,$line) at $sd: wrong AS-OF version")
+    }
+    // the fixture ships some lineitems BEFORE their order date, so
+    // pre-history NULLs are legitimate — but they must be the exception,
+    // and every NULL must be a genuinely pre-history fact (the per-row
+    // equality above already pinned that); the join must resolve the rest
+    val resolved = got.count(_.getString(4) != null)
+    assert(resolved > got.length / 2, s"only $resolved/${got.length} facts resolved")
+  }
+
+  test("q_ts_seasonal_decompose: full Scala replay; profile averages bracketed by extremes") {
+    val hrs = Tables.events(spark, sf)
+      .selectExpr("CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT)")
+      .collect().map(_.getLong(0))
+    val counts = hrs.groupBy(identity).map { case (h, xs) => h -> xs.length.toLong }
+    val (mn, mx) = (hrs.min, hrs.max)
+    val dense = (mn to mx).map(h => counts.getOrElse(h, 0L)).toArray
+    val det = scala.collection.mutable.Map.empty[Long, List[Long]]
+    for (i <- dense.indices if i >= 11 && i + 12 < dense.length) {
+      val s24 = (i - 11 to i + 12).map(dense).sum
+      det((mn + i) % 24) = (dense(i) * 24 - s24) :: det.getOrElse((mn + i) % 24, Nil)
+    }
+    val exp = det.toSeq.map { case (hod, ds) =>
+      val n = ds.length.toLong
+      (hod, n, Math.floorDiv(ds.sum + n * 2000000000L, n) - 2000000000L, ds.min, ds.max)
+    }.sortBy(_._1)
+    val got = rows("q_ts_seasonal_decompose")
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    assert(got.length == 24, "every hour-of-day cell must be populated")
+    // a seasonal average can never escape its cell's remainder extremes
+    got.foreach { case (_, _, s, lo, hi) => assert(lo <= s && s <= hi) }
+    // detrending by a 24-bin MA makes the 24 seasonal offsets sum to ~0:
+    // each window sum appears once per hod, so the global mean of det24 is
+    // exactly 0 over complete cycles — allow the floor-div slack per cell
+    val total = got.map(s => s._3 * s._2).sum
+    assert(math.abs(total) <= 24L * got.map(_._2).max)
+  }
+
+  test("q_stats_kmv_intersect: exact overlaps replay; estimates clamp and bound") {
+    val dv = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = dv.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val types = byType.keys.toSeq.sorted
+    val expPairs = for {
+      i <- types.indices; j <- i + 1 until types.size
+    } yield (types(i), types(j),
+      (byType(types(i)) & byType(types(j))).size.toLong)
+    val got = rows("q_stats_kmv_intersect")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == expPairs)
+    got.foreach { case (ta, tb, exact, est, errBp) =>
+      assert(est >= 0, s"($ta,$tb): clamped estimate must be non-negative")
+      // k=128 KMV: each of the three estimates carries ~1/sqrt(k) relative
+      // error; inclusion-exclusion can triple it. 50% is the loose alarm
+      // bound — it catches sign errors and unit mistakes, not noise.
+      assert(errBp <= 5000, s"($ta,$tb): err_bp=$errBp vs exact=$exact est=$est")
+      assert(errBp == math.abs(est - exact) * 10000 / math.max(exact, 1L))
+    }
+  }
+
   test("q_dim_merge_upsert: full-outer merge replays; all three MERGE branches exercised") {
     val base = Tables.customer(spark, sf)
       .selectExpr("c_custkey", "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").collect()
