@@ -241,18 +241,84 @@ object DataSelect {
        |SELECT doc_id, source, n_bg, ce, CAST(bucket AS INT) AS bucket
        |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  /** Dialect heads producing the (doc_id, source, w1, w2) bigram stream —
+    * shared by the add-1 ppl, the Kneser-Ney ppl, and DoReMi.
+    */
+  private val bgHeadSpark =
+    """d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, source, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+      |       FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+      |       WHERE size(w) >= 2)""".stripMargin
+
+  private val bgHeadDuck =
+    """d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+      |       FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z)""".stripMargin
+
   private def pplSpark: String =
-    s"""WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM documents),
-       |bg AS (SELECT doc_id, source, element_at(w, i) AS w1, element_at(w, i + 1) AS w2
-       |       FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
-       |       WHERE size(w) >= 2),
+    s"""WITH $bgHeadSpark,
        |${pplTail(NeutralMath.SparkKernel)}""".stripMargin
 
   private def pplDuck: String =
-    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-       |bg AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
-       |       FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
+    s"""WITH $bgHeadDuck,
        |${pplTail(NeutralMath.OracleKernel)}""".stripMargin
+
+  /** Kneser-Ney smoothed bigram cross-entropy per document (Kneser & Ney,
+    * ICASSP 1995; interpolated form of Chen & Goodman, TR-10-98): the LM
+    * the selection literature actually filters with, next to
+    * [[pplTail]]'s add-1 strawman. With absolute discount D and the
+    * corpus's own bigrams as training (every scored bigram is observed):
+    *
+    *   P(w2|w1) = (c12 − D)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+    *
+    * Choosing D = 3/4 makes every term RATIONAL in integer counts:
+    * multiplying through by 4·c1·B (B = distinct bigram types) gives
+    *
+    *   P = num/den,  num = (4·c12 − 3)·B + 3·nf(w1)·np(w2),
+    *                 den = 4·c1·B
+    *
+    * so the per-type NLL = lnScaled(den, num) rides the engine-neutral
+    * kernel on positive BIGINTs — no engine libm anywhere (the round-7
+    * LN-ulp lesson applied from birth). num/den stay < 2^63 up to ~10⁹
+    * bigram tokens per training shard; beyond that a deployment rescales
+    * counts per shard before merging.
+    *
+    * 100 TB shape: identical to q_text_ppl_bucket — the three count
+    * tables are vocabulary-bounded and map-side combined, the NLL join
+    * back onto the token stream is on gram keys, the single-row B total
+    * broadcasts, and the bucket ntile runs per source over doc-count
+    * rows. One corpus explode, shuffles only on gram keys.
+    */
+  private def knTail(k: NeutralMath.KernelSplice): String =
+    s"""cb AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+       |cu AS (SELECT w1, SUM(c) AS c, COUNT(*) AS nf FROM cb GROUP BY w1),
+       |np AS (SELECT w2, COUNT(*) AS np FROM cb GROUP BY w2),
+       |bt AS (SELECT COUNT(*) AS b FROM cb),
+       |${k.ln("lp",
+          "cb JOIN cu ON cb.w1 = cu.w1 JOIN np ON cb.w2 = np.w2 CROSS JOIN bt",
+          "cb.w1 AS w1, cb.w2 AS w2", "w1, w2",
+          "4 * cu.c * bt.b",
+          "(4 * cb.c - 3) * bt.b + 3 * cu.nf * np.np", "nll", "1.0E6")},
+       |doc AS (SELECT bg.doc_id, bg.source, COUNT(*) AS n_bg,
+       |               CAST(SUM(lp.nll) AS BIGINT) AS nll_sum
+       |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+       |        GROUP BY bg.doc_id, bg.source),
+       |r AS (SELECT doc_id, source, n_bg,
+       |             ROUND(nll_sum / 1000000.0 / n_bg, 4) AS ce_kn,
+       |             ntile(3) OVER (PARTITION BY source
+       |                            ORDER BY CAST(nll_sum AS DOUBLE) / n_bg, doc_id) AS bucket
+       |      FROM doc)
+       |SELECT doc_id, source, CAST(n_bg AS BIGINT) AS n_bg, ce_kn,
+       |       CAST(bucket AS INT) AS bucket
+       |FROM r WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
+
+  private def knSpark: String =
+    s"""WITH $bgHeadSpark,
+       |${knTail(NeutralMath.SparkKernel)}""".stripMargin
+
+  private def knDuck: String =
+    s"""WITH $bgHeadDuck,
+       |${knTail(NeutralMath.OracleKernel)}""".stripMargin
 
   /** DoReMi domain-reweighting step ("DoReMi: Optimizing Data Mixtures
     * Speeds Up Language Model Pretraining", Xie et al., arXiv:2305.10429):
@@ -657,6 +723,7 @@ object DataSelect {
       Some(dsirDuck(clusterPrefixDuck, clusterPoolDuck))),
     "q_select_doremi" -> sql2(doremiSpark, doremiDuck),
     "q_embed_pca_project" -> sql2(pcaSpark, pcaDuck),
-    "q_text_ppl_bucket" -> sql2(pplSpark, pplDuck)
+    "q_text_ppl_bucket" -> sql2(pplSpark, pplDuck),
+    "q_text_kn_ppl" -> sql2(knSpark, knDuck)
   )
 }

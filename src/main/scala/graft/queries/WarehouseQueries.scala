@@ -828,8 +828,108 @@ object WarehouseQueries {
        |            $intDiv GREATEST(n_exact, 1) AS BIGINT) AS err_bp
        |FROM j ORDER BY ta, tb""".stripMargin
 
+  /** Next-event prediction eval — the in-engine model-quality loop: train
+    * a first-order Markov argmax predictor (most frequent successor per
+    * event type) on the chronological FIRST half of the stream, evaluate
+    * top-1 accuracy on the second half. Leakage-safe by construction: the
+    * cut is a single global min/max midpoint, transitions that straddle
+    * the cut are evaluated (current event in test) against a model that
+    * never saw them.
+    *
+    * 100 TB shape: transitions come from ONE (user, time) window
+    * partitioning (the q_events_transitions exchange); the model is a
+    * T²-bounded count table reduced to T argmax rows (broadcast); the
+    * eval join is equi on the current type. Accuracy is integer counts →
+    * one basis-point division at the display edge.
+    */
+  private def nextPredSql(epochUs: String, intDiv: String) =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, $epochUs AS us FROM events),
+       |sp AS (SELECT (MIN(us) + MAX(us)) $intDiv 2 AS cut FROM e),
+       |s AS (SELECT user_id, event_type AS cur, us,
+       |             lead(event_type) OVER (PARTITION BY user_id
+       |                                    ORDER BY us, event_id) AS nxt
+       |      FROM e),
+       |tr AS (SELECT cur, nxt, COUNT(*) AS c
+       |       FROM s CROSS JOIN sp WHERE nxt IS NOT NULL AND us < cut
+       |       GROUP BY cur, nxt),
+       |md AS (SELECT cur, nxt AS pred FROM (
+       |         SELECT cur, nxt,
+       |                row_number() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rn
+       |         FROM tr) x WHERE rn = 1),
+       |te AS (SELECT cur, nxt FROM s CROSS JOIN sp
+       |       WHERE nxt IS NOT NULL AND us >= cut),
+       |a AS (SELECT te.cur, md.pred, COUNT(*) AS n_eval,
+       |             SUM(CASE WHEN te.nxt = md.pred THEN 1 ELSE 0 END) AS n_hit
+       |      FROM te JOIN md ON te.cur = md.cur
+       |      GROUP BY te.cur, md.pred)
+       |SELECT cur, pred, CAST(n_eval AS BIGINT) AS n_eval,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(n_hit * 10000 $intDiv n_eval AS BIGINT) AS acc_bp
+       |FROM a ORDER BY cur""".stripMargin
+
+  /** Two-level distributed quantile estimation — the mergeable-summary
+    * pattern Spark's own RangePartitioner and AQE skew stats rely on:
+    * each shard keeps every 64th order statistic (weight 64, plus its
+    * remainder-weighted closing point), the merged summary re-ranks those
+    * ~N/64 points by cumulative weight, and P50/P90/P99 read off the
+    * first summary point whose cumulative weight reaches the target rank.
+    * The exact quantiles ride along as the accuracy audit (rank error in
+    * basis points) — audit-only, same contract as q_ann_recall_curve's
+    * brute branch.
+    *
+    * 100 TB shape: the per-shard rank window parallelizes over shards and
+    * is the ONLY data-sized pass; the merge runs on N/64 summary rows and
+    * the 3-row target table broadcasts. Rank error is bounded by
+    * shards·64/2 ABSOLUTE rows regardless of the value distribution —
+    * the spec pins that bound. Everything is integer cents / ranks.
+    */
+  private def quantileMergeSql(levels: String, intDiv: String) =
+    s"""WITH v AS (SELECT l_orderkey * 16 + l_linenumber AS id,
+       |                 CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+       |                 l_orderkey % 16 AS shard
+       |          FROM lineitem),
+       |r AS (SELECT shard, cents, id,
+       |             row_number() OVER (PARTITION BY shard ORDER BY cents, id) AS rn,
+       |             COUNT(*) OVER (PARTITION BY shard) AS n
+       |      FROM v),
+       |s AS (SELECT shard, cents, rn,
+       |             CASE WHEN rn % 64 = 0 THEN 64 ELSE n % 64 END AS w
+       |      FROM r WHERE rn % 64 = 0 OR (rn = n AND n % 64 <> 0)),
+       |m AS (SELECT cents,
+       |             SUM(w) OVER (ORDER BY cents, shard, rn
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+       |      FROM s),
+       |nt AS (SELECT COUNT(*) AS n FROM v),
+       |lv AS ($levels),
+       |tgt AS (SELECT lv.q, nt.n, (nt.n * lv.q + 99) $intDiv 100 AS target_rank
+       |        FROM lv CROSS JOIN nt),
+       |est AS (SELECT t.q, t.n, t.target_rank, MIN(m.cents) AS est_cents
+       |        FROM tgt t JOIN m ON m.cw >= t.target_rank
+       |        GROUP BY t.q, t.n, t.target_rank),
+       |gr AS (SELECT e.q, COUNT(*) AS est_rank
+       |       FROM est e JOIN v ON v.cents <= e.est_cents GROUP BY e.q),
+       |ex AS (SELECT t.q, MIN(x.cents) AS exact_cents
+       |       FROM tgt t JOIN (SELECT cents,
+       |                               row_number() OVER (ORDER BY cents, id) AS grn
+       |                        FROM v) x ON x.grn = t.target_rank
+       |       GROUP BY t.q)
+       |SELECT e.q, CAST(e.n AS BIGINT) AS n_total,
+       |       CAST(e.target_rank AS BIGINT) AS target_rank,
+       |       CAST(e.est_cents AS BIGINT) AS est_cents,
+       |       CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+       |       CAST(g.est_rank AS BIGINT) AS est_rank,
+       |       CAST(abs(g.est_rank - e.target_rank) * 10000 $intDiv e.n AS BIGINT) AS rank_err_bp
+       |FROM est e JOIN ex ON e.q = ex.q JOIN gr g ON e.q = g.q
+       |ORDER BY e.q""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_dim_merge_upsert" -> sql(mergeUpsert),
+    "q_events_next_pred" -> sql2(
+      nextPredSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV"),
+      nextPredSql("epoch_us(ts)", "//")),
+    "q_stats_quantile_merge" -> sql2(
+      quantileMergeSql("SELECT explode(array(50, 90, 99)) AS q", "DIV"),
+      quantileMergeSql("SELECT unnest([50, 90, 99]) AS q", "//")),
     "q_dim_pit_join" -> sql(pitJoin),
     "q_ts_seasonal_decompose" -> sql2(
       seasonalSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV")

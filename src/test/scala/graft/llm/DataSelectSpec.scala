@@ -232,4 +232,55 @@ class DataSelectSpec extends AnyFunSuite {
     assert(bySrc.values.forall(_ > 0),
       s"some source has non-positive mean LOO gap: $bySrc")
   }
+
+  test("Kneser-Ney ppl: full Scala replay of the D=3/4 rational form, buckets included") {
+    val s = spark.newSession()
+    val docs = graft.queries.Tables.documents(s, sf)
+      .selectExpr("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bgs = docs.flatMap { case (id, src, t) =>
+      val w = t.split(" ", -1)
+      w.sliding(2).filter(_.length == 2).map(p => (id, src, p(0), p(1)))
+    }
+    val c12 = bgs.groupBy(b => (b._3, b._4)).view.mapValues(_.length.toLong).toMap
+    val c1 = c12.toSeq.groupBy(_._1._1).view
+      .mapValues(xs => (xs.map(_._2).sum, xs.length.toLong)).toMap // (count, nf)
+    val np = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val b = c12.size.toLong
+    val nll = c12.map { case ((w1, w2), c) =>
+      val (cu, nf) = c1(w1)
+      (w1, w2) -> NeutralMath.lnScaledJvm(
+        4L * cu * b, (4L * c - 3L) * b + 3L * nf * np(w2), 1.0e6)
+    }
+    val perDoc = bgs.groupBy(x => (x._1, x._2)).map { case ((id, src), xs) =>
+      (id, src, xs.length.toLong, xs.map(x => nll((x._3, x._4))).sum)
+    }.toSeq
+    // ntile(3) per source on (nll_sum/n_bg, doc_id): first (n mod 3)
+    // tiles hold ceil(n/3) rows — both engines' published rule
+    val buckets = perDoc.groupBy(_._2).flatMap { case (_, xs) =>
+      val sorted = xs.sortBy(x => (x._4.toDouble / x._3, x._1.toDouble))
+      val n = sorted.length; val base = n / 3; val rem = n % 3
+      val sizes = (0 until 3).map(i => base + (if (i < rem) 1 else 0))
+      sorted.zipWithIndex.map { case (x, i) =>
+        val cum = sizes.scanLeft(0)(_ + _)
+        x._1 -> (cum.indexWhere(_ > i))
+      }
+    }
+    val exp = perDoc.filter(_._1 % 10 == 0).sortBy(_._1).map { case (id, src, n, s0) =>
+      (id, src, n,
+        BigDecimal(s0 / 1000000.0 / n).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        buckets(id))
+    }
+    val got = graft.SparkEntry.queries("q_text_kn_ppl")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3)), r.getInt(4)))
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case ((gi, gs, gn, gc, gb), (ei, es, en, ec, eb)) =>
+      assert((gi, gs, gn) == (ei, es, en))
+      // cross-engine EXACTNESS is the oracle hash's job; here a half-ulp
+      // display tolerance (decimal vs double ROUND path)
+      assert((gc - ec).abs <= BigDecimal("0.0001"), s"doc $gi: ce_kn $gc != $ec")
+      assert(gb == eb, s"doc $gi: bucket $gb != $eb")
+    }
+  }
 }

@@ -43,6 +43,8 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_stats_kmv_sketch",    // single-row merged-kth-min x single-row exact-count join
     "q_stats_kmv_intersect", // T-row (event-type domain) pair table x <=T*128-row sketch rows
     "q_events_lateness_audit", // 3-row delay-level table x the shard-windowed stream
+    "q_events_next_pred",    // single-row train/test cut broadcast; model join is equi
+    "q_stats_quantile_merge", // 3-row target-rank table x the N/64 merged summary + audit probe
     "q_dedup_band_tuning",   // single-row truth-count join onto the 3-row config rollup
     "q_embed_probe_train",   // 1-row weight-array broadcast per training round
     "q_graph_pagerank",      // single-row teleport-quantum join; rank x edges is equi (GraphRankSpec pins)
@@ -56,6 +58,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_mix_temperature",     // single-row weight-total join; rate table joins equi on source
     "q_select_doremi",       // single-row vocab/total joins + K-domain-row weight table
     "q_text_ppl_bucket",     // single-row vocabulary-size join onto the bigram TYPE table
+    "q_text_kn_ppl",         // single-row bigram-type-total join onto the bigram TYPE table
     "q_text_ppl_loo",        // same single-row vocabulary-size join, both LM branches
     "q_embed_pca_project",   // iterate-chain joins are d^2-sized, never N (norms are now 8-row windows)
     "q_layout_range_partition", // single-row (k-1)-cut boundary-array broadcast — the RangePartitioner shape

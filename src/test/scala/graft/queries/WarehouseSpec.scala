@@ -492,6 +492,61 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_next_pred: train/eval replay; no leakage across the midpoint cut") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP))")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cut = (ev.map(_._4).min + ev.map(_._4).max) / 2
+    val trans = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      es.sortBy(e => (e._4, e._2)).sliding(2).filter(_.length == 2)
+        .map(p => (p(0)._3, p(1)._3, p(0)._4)).toSeq
+    }
+    val model = trans.filter(_._3 < cut).groupBy(_._1).map { case (cur, xs) =>
+      cur -> xs.groupBy(_._2).map { case (n, ys) => (n, ys.length) }
+        .toSeq.sortBy { case (n, c) => (-c, n) }.head._1
+    }
+    val test = trans.filter(_._3 >= cut).filter(t => model.contains(t._1))
+    val exp = test.groupBy(_._1).map { case (cur, xs) =>
+      val hit = xs.count(_._2 == model(cur)).toLong
+      (cur, model(cur), xs.length.toLong, hit, hit * 10000 / xs.length)
+    }.toSeq.sortBy(_._1)
+    val got = rows("q_events_next_pred")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp)
+    // the eval must be non-vacuous and accuracy must beat the uniform
+    // floor for at least one type (the model learned SOMETHING)
+    assert(got.map(_._3).sum > 0)
+    assert(got.exists(_._5 > 10000 / 5))
+  }
+
+  test("q_stats_quantile_merge: exact quantiles replay; merged rank error within the summary bound") {
+    val vs = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey * 16 + l_linenumber",
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = vs.sortBy(v => (v._2, v._1)).map(_._2)
+    val n = sorted.length.toLong
+    val got = rows("q_stats_quantile_merge")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(_._1).toSeq == Seq(50, 90, 99))
+    got.foreach { case (q, nt, target, est, exact, estRank, errBp) =>
+      assert(nt == n)
+      assert(target == (n * q + 99) / 100)
+      assert(exact == sorted((target - 1).toInt), s"P$q exact mismatch")
+      // summary guarantee: each of the 16 shards can misplace at most one
+      // 64-row block around the cut, so the merged estimate's true rank
+      // sits within 16·64 rows of the target — distribution-free
+      assert(math.abs(estRank - target) <= 16L * 64L,
+        s"P$q: est rank $estRank vs target $target breaches the summary bound")
+      assert(errBp == math.abs(estRank - target) * 10000 / n)
+      // the estimate is a real data value no smaller than the exact cut's
+      // predecessor block allows
+      assert(sorted.contains(est))
+    }
+  }
+
   test("q_dim_merge_upsert: full-outer merge replays; all three MERGE branches exercised") {
     val base = Tables.customer(spark, sf)
       .selectExpr("c_custkey", "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").collect()
