@@ -320,6 +320,53 @@ object DataSelect {
     s"""WITH $bgHeadDuck,
        |${knTail(NeutralMath.OracleKernel)}""".stripMargin
 
+  /** Zipf-law fit per source — the corpus-health diagnostic (a natural
+    * corpus fits ln(freq) ≈ a + s·ln(rank) with s ≈ −1; boilerplate
+    * floods and template spam bend the curve): least-squares slope and R²
+    * over the top-1000 frequency ranks, with BOTH log axes in integer
+    * milli-nats from the engine-neutral kernel (ln of the integer rank
+    * and of the integer count — no engine libm, the q_text_kn_ppl
+    * discipline), so the five regression moments are exact integer folds;
+    * the closed-form slope/R² run on doubles derived from those integers
+    * at the display edge only.
+    *
+    * 100 TB shape: the token explode and the (source, word) count are the
+    * only data-sized passes (map-side combined); the rank window runs per
+    * source over vocabulary-bounded rows and everything after the top-1000
+    * filter is 1000 rows per source. Milli-nat scaling keeps n·Σxy under
+    * 2^48 at any corpus size (x ≤ ln 1000·10³, y ≤ ln c_max·10³).
+    */
+  private def zipfTail(k: NeutralMath.KernelSplice): String =
+    s"""wc AS (SELECT source, wd, COUNT(*) AS c FROM tk GROUP BY source, wd),
+       |rk AS (SELECT source, wd, c,
+       |              row_number() OVER (PARTITION BY source ORDER BY c DESC, wd) AS r
+       |       FROM wc),
+       |top AS (SELECT source, c, r FROM rk WHERE r <= 1000),
+       |${k.ln("lx", "top", "source, c, r", "source, c, r", "r", "1", "x_milli", "1.0E3")},
+       |${k.ln("ly", "lx", "source, c, r, x_milli", "source, x_milli", "c", "1", "y_milli", "1.0E3")},
+       |mo AS (SELECT source, COUNT(*) AS np, SUM(x_milli) AS sx, SUM(y_milli) AS sy,
+       |              SUM(x_milli * y_milli) AS sxy, SUM(x_milli * x_milli) AS sxx,
+       |              SUM(y_milli * y_milli) AS syy
+       |       FROM ly GROUP BY source),
+       |f AS (SELECT source, np,
+       |             CAST(np * sxy - sx * sy AS DOUBLE) AS num,
+       |             CAST(np * sxx - sx * sx AS DOUBLE) AS den,
+       |             CAST(np * syy - sy * sy AS DOUBLE) AS dy
+       |      FROM mo)
+       |SELECT source, CAST(np AS BIGINT) AS n_ranks,
+       |       ROUND(num / den, 4) AS zipf_slope,
+       |       ROUND(CASE WHEN dy > 0 THEN num * num / (den * dy) ELSE 0.0E0 END, 4) AS r2
+       |FROM f ORDER BY source""".stripMargin
+
+  private def zipfSpark: String =
+    s"""WITH tk AS (SELECT source, wd FROM documents
+       |            LATERAL VIEW explode(split(text, ' ')) t AS wd),
+       |${zipfTail(NeutralMath.SparkKernel)}""".stripMargin
+
+  private def zipfDuck: String =
+    s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |${zipfTail(NeutralMath.OracleKernel)}""".stripMargin
+
   /** DoReMi domain-reweighting step ("DoReMi: Optimizing Data Mixtures
     * Speeds Up Language Model Pretraining", Xie et al., arXiv:2305.10429):
     * one multiplicative-weights update over the per-domain EXCESS loss —
@@ -724,6 +771,7 @@ object DataSelect {
     "q_select_doremi" -> sql2(doremiSpark, doremiDuck),
     "q_embed_pca_project" -> sql2(pcaSpark, pcaDuck),
     "q_text_ppl_bucket" -> sql2(pplSpark, pplDuck),
-    "q_text_kn_ppl" -> sql2(knSpark, knDuck)
+    "q_text_kn_ppl" -> sql2(knSpark, knDuck),
+    "q_text_zipf_fit" -> sql2(zipfSpark, zipfDuck)
   )
 }

@@ -745,14 +745,22 @@ object WarehouseQueries {
     * so the single unpartitioned ORDER BY hr window is bounded by the
     * calendar, not the data.
     */
-  private def seasonalSql(epochUs: String, intDiv: String) =
-    s"""WITH e AS (SELECT CAST(FLOOR($epochUs / 3600000000) AS BIGINT) AS hr
+  /** Zero-filled dense hourly event-count series (CTEs e/b/sp/d ending in
+    * d(hr, n)) — the shared head of the seasonal / autocorrelation /
+    * changepoint family. Density comes from a single global min/max spine
+    * row, never a calendar cross join.
+    */
+  private def hourlyDense(epochUs: String) =
+    s"""e AS (SELECT CAST(FLOOR($epochUs / 3600000000) AS BIGINT) AS hr
        |          FROM events),
        |b AS (SELECT hr, COUNT(*) AS n FROM e GROUP BY hr),
        |sp AS (SELECT SPINE_EXPR AS hr
        |       FROM (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM b) z),
        |d AS (SELECT sp.hr, COALESCE(b.n, 0) AS n
-       |      FROM sp LEFT JOIN b ON sp.hr = b.hr),
+       |      FROM sp LEFT JOIN b ON sp.hr = b.hr)""".stripMargin
+
+  private def seasonalSql(epochUs: String, intDiv: String) =
+    s"""WITH ${hourlyDense(epochUs)},
        |w AS (SELECT hr, n,
        |             SUM(n) OVER wnd AS s24, COUNT(*) OVER wnd AS n24
        |      FROM d
@@ -766,6 +774,73 @@ object WarehouseQueries {
        |         AS seasonal_det24,
        |       CAST(mn_det AS BIGINT) AS min_det24, CAST(mx_det AS BIGINT) AS max_det24
        |FROM hod ORDER BY hod""".stripMargin
+
+  /** Sample autocorrelation of the hourly activity series at lags 1, 24
+    * and 168 (hour / day / week) — the diagnostic that VALIDATES
+    * q_ts_seasonal_decompose's 24-hour period choice before a pipeline
+    * commits to it (Box & Jenkins' identification step): a real diurnal
+    * cycle shows r(24) ≫ r(1)'s decay, a weekly one lifts r(168).
+    *
+    * Pearson r over the n−L aligned pairs per lag L, from exact INTEGER
+    * moments (Σx, Σy, Σxy, Σx², Σy² on counts — fold-order exact); the
+    * final r = cov/√(varx·vary) runs on doubles derived from those
+    * integers — identical correctly-rounded op sequence in both engines
+    * (the q_ts_anomaly_zscore discipline).
+    *
+    * 100 TB shape: the lag alignment is an EQUI-join of the dense series
+    * to itself on hr+L (3 lag rows × span-hours rows — calendar-bounded,
+    * tiny); the only data-sized pass is the hourly bin aggregate.
+    */
+  private def autocorrSql(epochUs: String, levels: String) =
+    s"""WITH ${hourlyDense(epochUs)},
+       |lv AS ($levels),
+       |pr AS (SELECT lv.l, a.n AS x, b.n AS y
+       |       FROM lv JOIN d a ON 1 = 1 JOIN d b ON b.hr = a.hr + lv.l),
+       |mo AS (SELECT l, COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+       |              SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+       |       FROM pr GROUP BY l),
+       |r AS (SELECT l, np,
+       |             CAST(np * sxy - sx * sy AS DOUBLE) AS cov,
+       |             CAST(np * sxx - sx * sx AS DOUBLE) AS vx,
+       |             CAST(np * syy - sy * sy AS DOUBLE) AS vy
+       |      FROM mo)
+       |SELECT CAST(l AS INT) AS lag_h, CAST(np AS BIGINT) AS n_pairs,
+       |       CASE WHEN vx > 0 AND vy > 0
+       |            THEN ROUND(cov / SQRT(vx * vy), 4) ELSE CAST(0 AS DOUBLE) END AS acf
+       |FROM r ORDER BY lag_h""".stripMargin
+
+  /** CUSUM changepoint scan over the hourly activity series (Page,
+    * Biometrika 1954; the max-|CUSUM| location estimator of Pettitt
+    * 1979): the candidate changepoint maximizes |n·S_i − i·S_n| — the
+    * integer-scaled deviation of the prefix sum from the no-change line —
+    * and the report carries the before/after segment means so the caller
+    * sees the level shift. Top-5 candidates, ties to the earlier hour.
+    *
+    * Pure integer statistic (n·S_i − i·S_n on BIGINT counts), ranked by
+    * TakeOrdered; segment means quantize to centi-events via the
+    * offset-free positive division (prefix sums and indices are
+    * non-negative). The only data-sized pass is the hourly bin
+    * aggregate; the prefix-sum window runs on the calendar-bounded dense
+    * series.
+    */
+  private def changepointSql(epochUs: String, intDiv: String) =
+    s"""WITH ${hourlyDense(epochUs)},
+       |ix AS (SELECT hr, n,
+       |              row_number() OVER (ORDER BY hr) AS i,
+       |              SUM(n) OVER (ORDER BY hr
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |       FROM d),
+       |tot AS (SELECT COUNT(*) AS nn, SUM(n) AS sn FROM d),
+       |dv AS (SELECT ix.hr, ix.i, ix.s, tot.nn, tot.sn,
+       |              abs(tot.nn * ix.s - ix.i * tot.sn) AS dev
+       |       FROM ix CROSS JOIN tot WHERE ix.i < tot.nn),
+       |sel AS (SELECT hr, i, s, nn, sn, dev FROM dv
+       |        ORDER BY dev DESC, hr LIMIT 5)
+       |SELECT CAST(row_number() OVER (ORDER BY dev DESC, hr) AS INT) AS rk,
+       |       hr, CAST(dev AS BIGINT) AS cusum_dev,
+       |       CAST(s * 100 $intDiv i AS BIGINT) AS mean_before_centi,
+       |       CAST((sn - s) * 100 $intDiv (nn - i) AS BIGINT) AS mean_after_centi
+       |FROM sel ORDER BY rk""".stripMargin
 
   /** KMV set-INTERSECTION estimation between per-event-type distinct-user
     * sets: the audience-overlap question ("how many users both click and
@@ -983,6 +1058,17 @@ object WarehouseQueries {
       anomalySql("unix_micros(CAST(ts AS TIMESTAMP))"),
       anomalySql("epoch_us(ts)")),
     "q_ts_resample_ffill" -> sql2(resampleSpark, resampleDuck),
+    "q_ts_autocorr" -> sql2(
+      autocorrSql("unix_micros(CAST(ts AS TIMESTAMP))",
+        "SELECT explode(array(1, 24, 168)) AS l")
+        .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
+      autocorrSql("epoch_us(ts)", "SELECT unnest([1, 24, 168]) AS l")
+        .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
+    "q_ts_changepoint" -> sql2(
+      changepointSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV")
+        .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
+      changepointSql("epoch_us(ts)", "//")
+        .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
     "q_events_retention" -> sql2(
       retentionSql("unix_micros(CAST(ts AS TIMESTAMP))"),
       retentionSql("epoch_us(ts)"))

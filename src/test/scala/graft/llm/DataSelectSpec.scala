@@ -283,4 +283,45 @@ class DataSelectSpec extends AnyFunSuite {
       assert(gb == eb, s"doc $gi: bucket $gb != $eb")
     }
   }
+
+  test("Zipf fit: slope/R² replay from milli-nat moments; natural-corpus slope is negative") {
+    val s = spark.newSession()
+    val docs = graft.queries.Tables.documents(s, sf)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exp = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val wc = ds.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map { case (w, xs) => (w, xs.length.toLong) }
+      val top = wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(1000)
+      val pts = top.zipWithIndex.map { case ((_, c), i) =>
+        (NeutralMath.lnScaledJvm(i + 1L, 1L, 1.0e3),
+          NeutralMath.lnScaledJvm(c, 1L, 1.0e3))
+      }
+      val np = pts.length.toLong
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val num = (np * sxy - sx * sy).toDouble
+      val den = (np * sxx - sx * sx).toDouble
+      val dy = (np * syy - sy * sy).toDouble
+      def rnd(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (src, np, rnd(num / den), rnd(if (dy > 0) num * num / (den * dy) else 0.0))
+    }
+    val got = graft.SparkEntry.queries("q_text_zipf_fit")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case ((gs, gn, gsl, gr2), (es, en, esl, er2)) =>
+      assert((gs, gn) == (es, en))
+      assert(math.abs(gsl - esl) <= 1e-9, s"$gs: slope $gsl != $esl")
+      assert(math.abs(gr2 - er2) <= 1e-9, s"$gs: r2 $gr2 != $er2")
+      // a word-frequency curve falls with rank; R² is a FINDING, not an
+      // invariant — the synthetic fixture's flat count-1 tail fits the
+      // log-log line poorly (≈0.22 at sf0.001), which is exactly the
+      // un-natural-corpus signal the diagnostic exists to raise
+      assert(gsl < 0, s"$gs: Zipf slope must be negative")
+      assert(gr2 >= 0.0 && gr2 <= 1.0, s"$gs: r2 out of range ($gr2)")
+    }
+  }
 }

@@ -44,6 +44,8 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_stats_kmv_intersect", // T-row (event-type domain) pair table x <=T*128-row sketch rows
     "q_events_lateness_audit", // 3-row delay-level table x the shard-windowed stream
     "q_events_next_pred",    // single-row train/test cut broadcast; model join is equi
+    "q_ts_autocorr",         // 3-row lag table x the calendar-bounded dense hourly series
+    "q_ts_changepoint",      // single-row series-total join onto the dense hourly series
     "q_stats_quantile_merge", // 3-row target-rank table x the N/64 merged summary + audit probe
     "q_dedup_band_tuning",   // single-row truth-count join onto the 3-row config rollup
     "q_embed_probe_train",   // 1-row weight-array broadcast per training round

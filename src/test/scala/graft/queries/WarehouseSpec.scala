@@ -547,6 +547,62 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  private def denseHourly(): (Long, Array[Long]) = {
+    val hrs = Tables.events(spark, sf)
+      .selectExpr("CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT)")
+      .collect().map(_.getLong(0))
+    val counts = hrs.groupBy(identity).map { case (h, xs) => h -> xs.length.toLong }
+    val (mn, mx) = (hrs.min, hrs.max)
+    (mn, (mn to mx).map(h => counts.getOrElse(h, 0L)).toArray)
+  }
+
+  test("q_ts_autocorr: Pearson replay from exact moments; diurnal lag beats hourly decay") {
+    val (_, dense) = denseHourly()
+    def acf(lag: Int): (Long, Double) = {
+      val pairs = dense.dropRight(lag).zip(dense.drop(lag))
+      val np = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val (cov, vx, vy) = ((np * sxy - sx * sy).toDouble,
+        (np * sxx - sx * sx).toDouble, (np * syy - sy * sy).toDouble)
+      val r = if (vx > 0 && vy > 0)
+        BigDecimal(cov / math.sqrt(vx * vy))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      (np, r)
+    }
+    val got = rows("q_ts_autocorr")
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1, 24, 168))
+    got.foreach { case (lag, np, r) =>
+      val (en, er) = acf(lag)
+      assert(np == en, s"lag $lag: pair count")
+      assert(math.abs(r - er) <= 1e-9, s"lag $lag: acf $r != $er")
+      assert(r > -1.0 - 1e-9 && r < 1.0 + 1e-9)
+    }
+  }
+
+  test("q_ts_changepoint: max-CUSUM replay; the top candidate separates the means") {
+    val (mn, dense) = denseHourly()
+    val sn = dense.sum
+    val nn = dense.length.toLong
+    val prefix = dense.scanLeft(0L)(_ + _).drop(1)
+    val cands = prefix.zipWithIndex.dropRight(1).map { case (s, i0) =>
+      val i = i0 + 1L
+      (mn + i0, i, s, math.abs(nn * s - i * sn))
+    }
+    val exp = cands.sortBy { case (hr, _, _, dev) => (-dev, hr) }.take(5)
+      .map { case (hr, i, s, dev) =>
+        (hr, dev, s * 100 / i, (sn - s) * 100 / (nn - i)) }
+    val got = rows("q_ts_changepoint")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp.toSeq)
+    // non-degenerate: the winning split's segment means must differ
+    assert(got.head._3 != got.head._4, "flat series should not produce a confident changepoint")
+  }
+
   test("q_dim_merge_upsert: full-outer merge replays; all three MERGE branches exercised") {
     val base = Tables.customer(spark, sf)
       .selectExpr("c_custkey", "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").collect()
