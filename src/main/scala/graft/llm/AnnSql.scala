@@ -557,7 +557,7 @@ object AnnSql {
        |idcg AS (SELECT CAST(SUM((11 - r) * 693147000000 $intDiv ln_micro) AS BIGINT) AS idcg_u
        |         FROM lnr)
        |SELECT q.qid AS qid, CAST(COALESCE(d.n_hits, 0) AS BIGINT) AS n_hits,
-       |       ROUND(CAST(COALESCE(d.dcg_u, 0) AS DOUBLE) / (SELECT idcg_u FROM idcg), 4) AS ndcg
+       |       CAST(COALESCE(d.dcg_u, 0) AS DOUBLE) / (SELECT idcg_u FROM idcg) AS ndcg
        |FROM q LEFT JOIN dcg d ON q.qid = d.qid
        |ORDER BY q.qid""".stripMargin
 
@@ -698,7 +698,7 @@ object AnnSql {
        |           ORDER BY ${cosFn("q.v", "a.cv")} DESC, a.cent_id) AS rn
        |  FROM v1 q JOIN a21 a ON q.c1_id = a.c1_id
        |  WHERE q.vec_id = $qid) t WHERE rn <= $nprobe),
-       |vs AS (SELECT a.vec_id AS doc_id, ROUND(${cosFn("qp.qe", "a.v")}, 6) AS csim
+       |vs AS (SELECT a.vec_id AS doc_id, FLOOR(${cosFn("qp.qe", "a.v")} * 1.0E6 + 0.5E0) / 1.0E6 AS csim
        |       FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != $qid)""".stripMargin
 
   /** Spark dialect (codegen'd graft_cosine) and DuckDB mirror. */
@@ -773,7 +773,7 @@ object AnnSql {
        |           ORDER BY ${cosFn("q.v", "a.cv")} DESC, a.cent_id) AS rn
        |  FROM v1 q JOIN a21 a ON q.c1_id = a.c1_id
        |  WHERE $qFilter) t WHERE rn <= $nprobe),
-       |vs AS (SELECT qp.qid, a.vec_id AS doc_id, ROUND(${cosFn("qp.qe", "a.v")}, 6) AS csim
+       |vs AS (SELECT qp.qid, a.vec_id AS doc_id, FLOOR(${cosFn("qp.qe", "a.v")} * 1.0E6 + 0.5E0) / 1.0E6 AS csim
        |       FROM qp JOIN asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid)""".stripMargin
 
   /** Batch probe over the STAGED views (`hier_c1`/`hier_a21`/`hier_asn`) —
@@ -794,7 +794,7 @@ object AnnSql {
        |         row_number() OVER (PARTITION BY qc.qid
        |           ORDER BY graft_cosine(qc.qe, a.cv) DESC, a.cent_id) AS rn
        |  FROM qc JOIN hier_a21 a ON qc.c1_id = a.c1_id) t WHERE rn <= $nprobe),
-       |vs AS (SELECT qp.qid, a.vec_id AS doc_id, ROUND(graft_cosine(qp.qe, a.v), 6) AS csim
+       |vs AS (SELECT qp.qid, a.vec_id AS doc_id, FLOOR(graft_cosine(qp.qe, a.v) * 1.0E6 + 0.5E0) / 1.0E6 AS csim
        |       FROM qp JOIN hier_asn a ON a.cent_id = qp.cent_id AND a.vec_id != qp.qid)""".stripMargin
 
   /** Single-query probe chain over the STAGED index views — emits the same
@@ -817,7 +817,7 @@ object AnnSql {
        |         row_number() OVER (PARTITION BY qc.qid
        |           ORDER BY graft_cosine(qc.qe, a.cv) DESC, a.cent_id) AS rn
        |  FROM qc JOIN hier_a21 a ON qc.c1_id = a.c1_id) t WHERE rn <= $nprobe),
-       |vs AS (SELECT a.vec_id AS doc_id, ROUND(graft_cosine(qp.qe, a.v), 6) AS csim
+       |vs AS (SELECT a.vec_id AS doc_id, FLOOR(graft_cosine(qp.qe, a.v) * 1.0E6 + 0.5E0) / 1.0E6 AS csim
        |       FROM qp JOIN hier_asn a ON a.cent_id = qp.cent_id AND a.vec_id != $qid)""".stripMargin
 
   /** Matryoshka truncation evaluation (Kusupati et al., "Matryoshka
@@ -839,7 +839,7 @@ object AnnSql {
       s"""$name AS (SELECT qid, cid FROM (
          |  SELECT q.qid, c.vec_id AS cid,
          |         row_number() OVER (PARTITION BY q.qid
-         |           ORDER BY ROUND($cos, 6) DESC, c.vec_id) AS r
+         |           ORDER BY FLOOR($cos * 1.0E6 + 0.5E0) DESC, c.vec_id) AS r
          |  FROM q JOIN embeddings c ON c.vec_id != q.qid) z WHERE r <= 10)""".stripMargin
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |           WHERE vec_id % 50 = 0 AND vec_id < 500),

@@ -25,7 +25,14 @@ import graft.queries.QuerySpec.sql2
   * All three follow the repo's determinism contract: log values are
   * rounded to integer micro-nats BEFORE any aggregation (integer sums are
   * exact in every fold order), rankings always tie-break on doc_id, and
-  * displayed doubles are ROUNDed identically in both dialects.
+  * displayed doubles are FULL-PRECISION quotients of exact integers —
+  * never `ROUND(x / y, n)`. The round-8 driver proved why: DuckDB types
+  * `w_int / 1000000.0` as DOUBLE division + double ROUND
+  * (engine/version-dependent half-way behavior) while Spark parses the
+  * same text as DECIMAL division + exact HALF_UP, so micro values landing
+  * on a half boundary flip between engines. A bare IEEE division
+  * `CAST(x AS DOUBLE) / 1.0E6` is one correctly-rounded op on identical
+  * inputs — bit-identical in both engines — and needs no display ROUND.
   */
 object DataSelect {
 
@@ -50,6 +57,17 @@ object DataSelect {
     * Docs with fewer than 2 tokens carry no bigram features and drop out
     * of the pool (a 1-token doc has no usable LM signal to select on).
     *
+    * Round-9 staging note: the round-8 driver measured the feature-count
+    * pass running FIVE times, not once — the bigram CTE `g` had five SQL
+    * consumers (tc/rc/nt/nr/wdoc) and Catalyst re-inlines a SQL-text CTE
+    * per consumer (the same hazard already staged away for BPE's wtCache
+    * and BM25's bm25Cache). The per-(bucket, is-target) count table is
+    * now materialized ONCE per (session, dir, pool) via [[dsirBcCache]]
+    * (a <= 2·B-row localCheckpoint) and tc/rc/nt/nr all derive from it,
+    * leaving the scoring pass (`wdoc`) as the single remaining corpus
+    * consumer — DsirPlanSpec pins exactly one documents scan in the
+    * query plan.
+    *
     * Determinism: bucket log-ratios are FLOORed to integer micro-nats
     * before the per-doc SUM (exact in any fold order); the Gumbel noise
     * g = -ln(-ln(u)) draws u from a 24-bit md5 slice of doc_id — the
@@ -68,11 +86,12 @@ object DataSelect {
     *
     * `md5doc` is the dialect's 24-bit md5 slice of doc_id (the Gumbel u).
     */
-  private def dsirTail(md5doc: String, k: NeutralMath.KernelSplice): String =
-    s"""tc AS (SELECT b, COUNT(*) AS c FROM g WHERE source IN $targetSrc GROUP BY b),
-       |rc AS (SELECT b, COUNT(*) AS c FROM g WHERE source NOT IN $targetSrc GROUP BY b),
-       |nt AS (SELECT COUNT(*) AS n FROM g WHERE source IN $targetSrc),
-       |nr AS (SELECT COUNT(*) AS n FROM g WHERE source NOT IN $targetSrc),
+  private def dsirTail(bcRel: String, md5doc: String,
+      k: NeutralMath.KernelSplice): String =
+    s"""tc AS (SELECT b, c FROM $bcRel WHERE t = 1),
+       |rc AS (SELECT b, c FROM $bcRel WHERE t = 0),
+       |nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM $bcRel WHERE t = 1),
+       |nr AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM $bcRel WHERE t = 0),
        |s0 AS (SELECT bs.b AS b,
        |              CAST((COALESCE(tc.c, 0) + 1) * (nr.n + $B) AS BIGINT) AS num,
        |              CAST((COALESCE(rc.c, 0) + 1) * (nt.n + $B) AS BIGINT) AS den
@@ -91,24 +110,56 @@ object DataSelect {
        |key AS (SELECT doc_id, n_feats, w_int, w_int + gkey AS k FROM k2),
        |sel AS (SELECT doc_id, n_feats, w_int, k FROM key ORDER BY k DESC, doc_id LIMIT 25)
        |SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk,
-       |       doc_id, n_feats, ROUND(w_int / 1000000.0, 4) AS logw,
-       |       ROUND(k / 1000000.0, 4) AS gumbel_key
+       |       doc_id, n_feats, CAST(w_int AS DOUBLE) / 1.0E6 AS logw,
+       |       CAST(k AS DOUBLE) / 1.0E6 AS gumbel_key
        |FROM sel ORDER BY rk""".stripMargin
+
+  /** Spark text of the bigram-feature stream over a pool — shared by the
+    * staging aggregate and the scoring pass so both passes hash
+    * identically.
+    */
+  private def gHeadSpark(pool: String): String =
+    s"""d AS (SELECT doc_id, source, split(text, ' ') AS w FROM $pool),
+       |g AS (SELECT doc_id, source,
+       |             CAST(conv(substr(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 8), 16, 10) AS BIGINT) % $B AS b
+       |      FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+       |      WHERE size(w) >= 2)""".stripMargin
+
+  /** Per-(session, dir, pool-tag) staged bucket-count table: the ONE
+    * feature-count pass over the corpus, localCheckpointed at <= 2·B rows
+    * and registered as a temp view for tc/rc/nt/nr to read (4 reads of
+    * 256 checkpointed rows instead of 4 re-inlined corpus explodes).
+    */
+  private val dsirBcCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String, String),
+    org.apache.spark.sql.DataFrame](8)
+
+  private[llm] def stageDsirBc(s: org.apache.spark.sql.SparkSession, d: String,
+      pool: String, viewName: String): Unit = {
+    val bc = dsirBcCache.getOrElseUpdate((s, d, viewName)) {
+      s.sql(
+        s"""WITH ${gHeadSpark(pool)}
+           |SELECT b, CASE WHEN source IN $targetSrc THEN 1 ELSE 0 END AS t,
+           |       CAST(COUNT(*) AS BIGINT) AS c
+           |FROM g GROUP BY b, CASE WHEN source IN $targetSrc THEN 1 ELSE 0 END""".stripMargin)
+        .localCheckpoint(true)
+    }
+    bc.createOrReplaceTempView(viewName)
+  }
 
   /** DSIR Spark text over an arbitrary document pool (a table or temp-view
     * name exposing doc_id/source/text). The pool parameter is what lets the
     * cluster-aware variant run the IDENTICAL scoring/selection plan over
     * the deduplicated pool — the operator composition happens in the pool
-    * definition, not in a forked copy of the scoring SQL.
+    * definition, not in a forked copy of the scoring SQL. `bcView` is the
+    * staged bucket-count view [[stageDsirBc]] registered for this pool.
     */
-  private def dsirSpark(pool: String = "documents"): String =
-    s"""WITH d AS (SELECT doc_id, source, split(text, ' ') AS w FROM $pool),
-       |g AS (SELECT doc_id, source,
-       |             CAST(conv(substr(md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 8), 16, 10) AS BIGINT) % $B AS b
-       |      FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
-       |      WHERE size(w) >= 2),
+  private def dsirSpark(pool: String = "documents",
+      bcView: String = "dsir_bc"): String =
+    s"""WITH ${gHeadSpark(pool)},
        |bs AS (SELECT explode(sequence(0, ${B - 1})) AS b),
-       |${dsirTail("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)",
+       |${dsirTail(bcView,
+                     "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)",
                      NeutralMath.SparkKernel)}""".stripMargin
 
   /** DuckDB twin, with an optional CTE prefix (e.g. the recursive-CTE
@@ -120,8 +171,12 @@ object DataSelect {
        |g AS (SELECT doc_id, source,
        |             ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT % $B AS b
        |      FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
+       |bc AS (SELECT b, CASE WHEN source IN $targetSrc THEN 1 ELSE 0 END AS t,
+       |              CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM g GROUP BY 1, 2),
        |bs AS (SELECT unnest(range(0, $B)) AS b),
-       |${dsirTail("('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT",
+       |${dsirTail("bc",
+                     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT",
                      NeutralMath.OracleKernel)}""".stripMargin
 
   /** Power-iteration CTE chain shared verbatim by both dialects: the
@@ -234,7 +289,7 @@ object DataSelect {
        |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
        |        GROUP BY bg.doc_id, bg.source),
        |r AS (SELECT doc_id, source, n_bg,
-       |             ROUND(nll_sum / 1000000.0 / n_bg, 4) AS ce,
+       |             CAST(nll_sum AS DOUBLE) / 1.0E6 / n_bg AS ce,
        |             ntile(3) OVER (PARTITION BY source
        |                            ORDER BY CAST(nll_sum AS DOUBLE) / n_bg, doc_id) AS bucket
        |      FROM doc)
@@ -304,7 +359,7 @@ object DataSelect {
        |        FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
        |        GROUP BY bg.doc_id, bg.source),
        |r AS (SELECT doc_id, source, n_bg,
-       |             ROUND(nll_sum / 1000000.0 / n_bg, 4) AS ce_kn,
+       |             CAST(nll_sum AS DOUBLE) / 1.0E6 / n_bg AS ce_kn,
        |             ntile(3) OVER (PARTITION BY source
        |                            ORDER BY CAST(nll_sum AS DOUBLE) / n_bg, doc_id) AS bucket
        |      FROM doc)
@@ -354,8 +409,8 @@ object DataSelect {
        |             CAST(np * syy - sy * sy AS DOUBLE) AS dy
        |      FROM mo)
        |SELECT source, CAST(np AS BIGINT) AS n_ranks,
-       |       ROUND(num / den, 4) AS zipf_slope,
-       |       ROUND(CASE WHEN dy > 0 THEN num * num / (den * dy) ELSE 0.0E0 END, 4) AS r2
+       |       num / den AS zipf_slope,
+       |       CASE WHEN dy > 0 THEN num * num / (den * dy) ELSE 0.0E0 END AS r2
        |FROM f ORDER BY source""".stripMargin
 
   private def zipfSpark: String =
@@ -421,7 +476,7 @@ object DataSelect {
        |${k.exp("a", "mw", "source, n, ex", "source, n, ex", "ex", "a_int")},
        |t2 AS (SELECT CAST(SUM(a_int) AS BIGINT) AS tot_a, COUNT(*) AS k FROM a)
        |SELECT a.source, CAST(a.n AS BIGINT) AS n_tokens,
-       |       ROUND(a.ex / 1000000.0, 4) AS excess_nats,
+       |       CAST(a.ex AS DOUBLE) / 1.0E6 AS excess_nats,
        |       CAST(FLOOR((8000.0 * a.a_int) / t2.tot_a + 2000.0 / t2.k + 0.5) AS INT) AS weight_bp
        |FROM a CROSS JOIN t2 ORDER BY source""".stripMargin
 
@@ -680,7 +735,7 @@ object DataSelect {
        |        WHERE rkd.rk <= al.alloc
        |        GROUP BY rkd.source)
        |SELECT al.source, CAST(al.nh AS BIGINT) AS n_docs,
-       |       ROUND(al.wq / 100.0, 2) AS neyman_weight,
+       |       CAST(al.wq AS DOUBLE) / 1.0E2 AS neyman_weight,
        |       CAST(al.alloc AS BIGINT) AS alloc,
        |       CAST(COALESCE(sel.n_sampled, 0) AS BIGINT) AS n_sampled,
        |       COALESCE(sel.chars_sampled, CAST(0 AS BIGINT)) AS chars_sampled
@@ -735,8 +790,8 @@ object DataSelect {
        |                JOIN lpl ON bg.source = lpl.source AND bg.w1 = lpl.w1 AND bg.w2 = lpl.w2
        |        GROUP BY bg.doc_id, bg.source)
        |SELECT doc_id, source, CAST(n_bg AS BIGINT) AS n_bg,
-       |       ROUND(self_sum / 1000000.0 / n_bg, 4) AS ce_self,
-       |       ROUND(loo_sum / 1000000.0 / n_bg, 4) AS ce_loo,
+       |       CAST(self_sum AS DOUBLE) / 1.0E6 / n_bg AS ce_self,
+       |       CAST(loo_sum AS DOUBLE) / 1.0E6 / n_bg AS ce_loo,
        |       CAST(FLOOR(CAST(loo_sum - self_sum AS DOUBLE) / n_bg + 0.5E0) AS BIGINT) AS gap_micro
        |FROM doc WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
@@ -759,13 +814,20 @@ object DataSelect {
     "q_mix_curriculum" -> sql2(currSpark, currDuck),
     "q_sample_weighted" -> sql2(weightedSampleSpark, weightedSampleDuck),
     "q_mix_unimax" -> sql2(unimaxSpark, unimaxDuck),
-    "q_select_dsir" -> sql2(dsirSpark(), dsirDuck()),
+    "q_select_dsir" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stageDsirBc(s, d, "documents", "dsir_bc")
+        s.sql(dsirSpark())
+      },
+      Some(dsirDuck())),
     "q_select_dsir_cluster" -> QuerySpec(
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)
         DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, d, 0.95))
           .createOrReplaceTempView("dsir_cl")
-        s.sql(dsirSpark(clusterPoolSpark))
+        stageDsirBc(s, d, clusterPoolSpark, "dsir_bc_cl")
+        s.sql(dsirSpark(clusterPoolSpark, "dsir_bc_cl"))
       },
       Some(dsirDuck(clusterPrefixDuck, clusterPoolDuck))),
     "q_select_doremi" -> sql2(doremiSpark, doremiDuck),

@@ -141,7 +141,7 @@ object GraphRank {
        |        ORDER BY aa_pico DESC, id1, id2 LIMIT 20)
        |SELECT CAST(row_number() OVER (ORDER BY aa_pico DESC, id1, id2) AS INT) AS rk,
        |       id1, id2, CAST(n_common AS BIGINT) AS n_common,
-       |       ROUND(aa_pico / 1.0E12, 4) AS aa_score
+       |       CAST(aa_pico AS DOUBLE) / 1.0E12 AS aa_score
        |FROM sel ORDER BY rk""".stripMargin
 
   /** Mutual-edge derivation shared by both dialects: the same text as
@@ -179,8 +179,9 @@ object GraphRank {
     * candidate-generation discipline PlanAuditSpec pins for the dedup
     * family; production systems orient by degree for skewed graphs, which
     * this composes with). Arithmetic is pure integer (counts) plus ONE
-    * correctly-rounded division inside the final ROUND — bit-identical
-    * across engines by construction, no neutral-log kernel needed.
+    * correctly-rounded division emitted at FULL precision (never a
+    * display ROUND of a quotient — the round-8 half-way-flip lesson) —
+    * bit-identical across engines by construction, no log kernel needed.
     */
   private def trianglesTail: String =
     s"""tri AS (SELECT e1.id1 AS a, e1.id2 AS b, e2.id2 AS c
@@ -200,7 +201,7 @@ object GraphRank {
        |SELECT CAST(row_number() OVER (ORDER BY tri DESC, node) AS INT) AS rk,
        |       node, CAST(deg AS BIGINT) AS deg, CAST(tri AS BIGINT) AS tri_cnt,
        |       CASE WHEN deg < 2 THEN CAST(0 AS DOUBLE)
-       |            ELSE ROUND(CAST(2 * tri AS DOUBLE) / CAST(deg * (deg - 1) AS BIGINT), 4)
+       |            ELSE CAST(2 * tri AS DOUBLE) / CAST(deg * (deg - 1) AS BIGINT)
        |       END AS clust_coef,
        |       CAST((SELECT n_tri FROM tt) AS BIGINT) AS n_tri_total
        |FROM selt ORDER BY rk""".stripMargin

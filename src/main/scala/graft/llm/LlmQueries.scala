@@ -176,7 +176,7 @@ object LlmQueries {
        |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
        |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
        |      GROUP BY a.doc_id, b.doc_id)
-       |SELECT id1, id2, ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+       |SELECT id1, id2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
        |FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
        |WHERE c >= $threshold * (s1.n + s2.n - c)
        |ORDER BY id1, id2""".stripMargin
@@ -214,7 +214,7 @@ object LlmQueries {
        |adm AS (SELECT d.source, size(split(d.text, ' ')) AS n
        |        FROM $table d JOIN rate r ON d.source = r.source
        |        WHERE CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10000 < r.rate_bp)
-       |SELECT r.source, r.n_docs, ROUND(r.w_int / 1000000.0, 4) AS weight,
+       |SELECT r.source, r.n_docs, CAST(r.w_int AS DOUBLE) / 1.0E6 AS weight,
        |       CAST(r.rate_bp AS BIGINT) AS rate_bp,
        |       COUNT(adm.n) AS n_sampled,
        |       CAST(COALESCE(SUM(adm.n), 0) AS BIGINT) AS toks_sampled
@@ -289,7 +289,7 @@ object LlmQueries {
        |${k.ln("idfc", "idf0", "word, inum, iden", "word",
           "inum", "iden", "idf_u", "1.0E6")},
        |s AS (SELECT tf.doc_id, tf.word,
-       |             ROUND(CAST(tf.tf * idfc.idf_u AS DOUBLE) / 1.0E6, 6) AS tfidf
+       |             CAST(tf.tf * idfc.idf_u AS DOUBLE) / 1.0E6 AS tfidf
        |      FROM tf JOIN idfc ON tf.word = idfc.word)
        |SELECT doc_id, CAST(rk AS INT) AS rk, word, tfidf FROM (
        |  SELECT doc_id, word, tfidf,
@@ -309,7 +309,7 @@ object LlmQueries {
        |        FROM freq),
        |${k.ln("lf", "lf0", "word, lnum, lden", "word",
           "lnum", "lden", "lp_u", "1.0E6")}
-       |SELECT doc_id, ROUND(CAST(SUM(lp_u) AS DOUBLE) / 1.0E6 / COUNT(*), 4) AS avg_logp,
+       |SELECT doc_id, CAST(SUM(lp_u) AS DOUBLE) / 1.0E6 / COUNT(*) AS avg_logp,
        |       COUNT(*) AS n_tokens
        |FROM w JOIN lf USING (word)
        |WHERE doc_id % 10 = 0
@@ -451,7 +451,7 @@ object LlmQueries {
         |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
         |      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
         |      GROUP BY a.doc_id, b.doc_id),
-        |p AS (SELECT id1, id2, ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 4) AS jaccard
+        |p AS (SELECT id1, id2, CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
         |      FROM c JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
         |      WHERE c >= 0.95 * (s1.n + s2.n - c)),
         |v AS (SELECT p.id1, p.id2, p.jaccard, levenshtein(a.text, b.text) AS lev,
@@ -1120,7 +1120,7 @@ object LlmQueries {
         |adm AS (SELECT d.source, len(string_split(d.text, ' ')) AS n
         |        FROM documents d JOIN rate r ON d.source = r.source
         |        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < r.rate_bp)
-        |SELECT r.source, r.n_docs, ROUND(r.w_int / 1000000.0, 4) AS weight,
+        |SELECT r.source, r.n_docs, CAST(r.w_int AS DOUBLE) / 1.0E6 AS weight,
         |       CAST(r.rate_bp AS BIGINT) AS rate_bp,
         |       COUNT(adm.n) AS n_sampled,
         |       CAST(COALESCE(SUM(adm.n), 0) AS BIGINT) AS toks_sampled
@@ -1404,16 +1404,16 @@ object LlmQueries {
         |f AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
         |a AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS topc, COUNT(*) AS nd FROM f GROUP BY doc_id)
         |SELECT doc_id, n AS n_words,
-        |ROUND(CAST(topc AS DOUBLE) / n, 4) AS top_ratio,
-        |ROUND(CAST(nd AS DOUBLE) / n, 4) AS distinct_ratio
+        |CAST(topc AS DOUBLE) / n AS top_ratio,
+        |CAST(nd AS DOUBLE) / n AS distinct_ratio
         |FROM a ORDER BY doc_id""".stripMargin,
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
         |           WHERE doc_id % 25 = 0),
         |f AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word),
         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS topc, COUNT(*) AS nd FROM f GROUP BY doc_id)
         |SELECT doc_id, n AS n_words,
-        |ROUND(CAST(topc AS DOUBLE) / n, 4) AS top_ratio,
-        |ROUND(CAST(nd AS DOUBLE) / n, 4) AS distinct_ratio
+        |CAST(topc AS DOUBLE) / n AS top_ratio,
+        |CAST(nd AS DOUBLE) / n AS distinct_ratio
         |FROM a ORDER BY doc_id""".stripMargin),
 
     // N-gram NOVELTY scoring — the marginal-contribution metric data
@@ -1727,9 +1727,9 @@ object LlmQueries {
         |      CASE WHEN topc * 100 <= 12 * n THEN 1 ELSE 0 END AS r_rep
         |      FROM base JOIN top ON base.doc_id = top.doc_id)
         |SELECT doc_id, CAST(n AS INT) AS n_words,
-        |       ROUND(sumlen / CAST(n AS DOUBLE), 4) AS mwl,
+        |       sumlen / CAST(n AS DOUBLE) AS mwl,
         |       CAST(sw AS INT) AS stop_hits,
-        |       ROUND(topc / CAST(n AS DOUBLE), 4) AS top_frac,
+        |       topc / CAST(n AS DOUBLE) AS top_frac,
         |       CAST(r_wc AS INT) AS r_wc, CAST(r_mwl AS INT) AS r_mwl,
         |       CAST(r_alpha AS INT) AS r_alpha, CAST(r_sym AS INT) AS r_sym,
         |       CAST(r_stop AS INT) AS r_stop, CAST(r_rep AS INT) AS r_rep,
@@ -1760,9 +1760,9 @@ object LlmQueries {
         |      CASE WHEN topc * 100 <= 12 * n THEN 1 ELSE 0 END AS r_rep
         |      FROM base JOIN top ON base.doc_id = top.doc_id)
         |SELECT doc_id, CAST(n AS INT) AS n_words,
-        |       ROUND(sumlen / CAST(n AS DOUBLE), 4) AS mwl,
+        |       sumlen / CAST(n AS DOUBLE) AS mwl,
         |       CAST(sw AS INT) AS stop_hits,
-        |       ROUND(topc / CAST(n AS DOUBLE), 4) AS top_frac,
+        |       topc / CAST(n AS DOUBLE) AS top_frac,
         |       CAST(r_wc AS INT) AS r_wc, CAST(r_mwl AS INT) AS r_mwl,
         |       CAST(r_alpha AS INT) AS r_alpha, CAST(r_sym AS INT) AS r_sym,
         |       CAST(r_stop AS INT) AS r_stop, CAST(r_rep AS INT) AS r_rep,
@@ -1786,7 +1786,7 @@ object LlmQueries {
     // skew-join splitting doesn't apply to window partitions.
     "q_text_source_cap" -> sql2(
       """WITH q AS (SELECT doc_id, source,
-        |           ROUND(size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE), 4) AS ttr
+        |           size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE) AS ttr
         |           FROM documents),
         |l AS (SELECT doc_id, source, ttr FROM (
         |  SELECT doc_id, source, ttr,
@@ -1798,7 +1798,7 @@ object LlmQueries {
         |SELECT source, CAST(rk AS INT) AS rk, doc_id, ttr
         |FROM r WHERE rk <= 40 ORDER BY source, rk""".stripMargin,
       """WITH q AS (SELECT doc_id, source,
-        |           ROUND(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS ttr
+        |           len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
         |           FROM documents),
         |l AS (SELECT doc_id, source, ttr FROM (
         |  SELECT doc_id, source, ttr,
@@ -1918,7 +1918,7 @@ object LlmQueries {
         |        ORDER BY z2_milli DESC, vec_id LIMIT 20)
         |SELECT CAST(row_number() OVER (ORDER BY z2_milli DESC, vec_id) AS INT) AS rk,
         |       vec_id, label, z2_milli,
-        |       ROUND(CAST(z2_milli AS DOUBLE) / CAST(d * 1000 AS BIGINT), 4) AS z2_per_dim
+        |       CAST(z2_milli AS DOUBLE) / CAST(d * 1000 AS BIGINT) AS z2_per_dim
         |FROM sel ORDER BY rk""".stripMargin,
       """WITH x AS (SELECT vec_id, label, i,
         |                  CAST(FLOOR(CAST(v[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xi
@@ -1939,7 +1939,7 @@ object LlmQueries {
         |        ORDER BY z2_milli DESC, vec_id LIMIT 20)
         |SELECT CAST(row_number() OVER (ORDER BY z2_milli DESC, vec_id) AS INT) AS rk,
         |       vec_id, label, z2_milli,
-        |       ROUND(CAST(z2_milli AS DOUBLE) / CAST(d * 1000 AS BIGINT), 4) AS z2_per_dim
+        |       CAST(z2_milli AS DOUBLE) / CAST(d * 1000 AS BIGINT) AS z2_per_dim
         |FROM sel ORDER BY rk""".stripMargin),
 
     // Embedding drift between corpus snapshots — the monitoring operator a

@@ -241,7 +241,7 @@ object MinHashDedup {
         size(col("wa.words")).as("n1"), size(col("wb.words")).as("n2"))
       .filter(col("c") >= lit(threshold) * (col("n1") + col("n2") - col("c")))
       .select(col("id1"), col("id2"),
-        round(col("c") / (col("n1") + col("n2") - col("c")), 4).as("jaccard"))
+        (col("c") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
     // Deliberately UNSORTED: this is a shared intermediate (pair query sorts
     // for output determinism; clustering doesn't care), and a range sort
     // here would sample-execute the whole verify pipeline a second time

@@ -72,7 +72,7 @@ object PrefixJaccard {
         size(col("ws1")).as("n1"), size(col("ws2")).as("n2"))
       .filter(col("c") >= t * (col("n1") + col("n2") - col("c")))
       .select(col("id1"), col("id2"),
-        round(col("c").cast("double") / (col("n1") + col("n2") - col("c")), 4).as("jaccard"))
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
       // materialize the (small) verified set before the presentation sort —
       // the range partitioner's sampling pass would otherwise recompute the
       // whole candidate+verify subtree a second time

@@ -203,7 +203,7 @@ object SearchRank {
        |      FROM f GROUP BY doc_id)
        |SELECT t.doc_id, CAST(GREATEST(size(w) - 7, 0) AS BIGINT) AS n_grams,
        |       COALESCE(n_fps, 0) AS n_fps,
-       |       ROUND(COALESCE(n_fps, 0) / CAST(GREATEST(size(w) - 7, 1) AS DOUBLE), 4) AS density,
+       |       COALESCE(n_fps, 0) / CAST(GREATEST(size(w) - 7, 1) AS DOUBLE) AS density,
        |       COALESCE(fp_digest, '') AS fp_digest
        |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
        |WHERE t.doc_id % 10 = 0 ORDER BY t.doc_id""".stripMargin
@@ -232,7 +232,7 @@ object SearchRank {
       |      FROM f GROUP BY doc_id)
       |SELECT t.doc_id, CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_grams,
       |       COALESCE(n_fps, 0) AS n_fps,
-      |       ROUND(COALESCE(n_fps, 0) / CAST(GREATEST(len(w) - 7, 1) AS DOUBLE), 4) AS density,
+      |       COALESCE(n_fps, 0) / CAST(GREATEST(len(w) - 7, 1) AS DOUBLE) AS density,
       |       COALESCE(fp_digest, '') AS fp_digest
       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
       |WHERE t.doc_id % 10 = 0 ORDER BY t.doc_id""".stripMargin
@@ -351,8 +351,8 @@ object SearchRank {
     */
   private def rrfF: String =
     """f AS (SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
-      |             ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + b.r), 0)
-      |                   + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0), 6) AS rrf,
+      |             COALESCE(CAST(1 AS DOUBLE) / (60 + b.r), 0)
+      |             + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0) AS rrf,
       |             COALESCE(b.r, -1) AS bm25_rank, COALESCE(v.r, -1) AS vec_rank
       |      FROM (SELECT * FROM br WHERE r <= 50) b
       |      FULL JOIN (SELECT * FROM vr WHERE r <= 50) v ON b.doc_id = v.doc_id)""".stripMargin
@@ -384,7 +384,7 @@ object SearchRank {
        |${bm25ScoreTail(NeutralMath.SparkKernel)},
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (SELECT c.vec_id AS doc_id,
-       |              ROUND(${AnnSql.sparkCos("qv.qe", "c.embedding")}, 6) AS csim
+       |              FLOOR(${AnnSql.sparkCos("qv.qe", "c.embedding")} * 1.0E6 + 0.5E0) / 1.0E6 AS csim
        |       FROM qv JOIN embeddings c ON c.vec_id != 0),
        |$rankCte,
        |$rrfFuse""".stripMargin
@@ -394,7 +394,7 @@ object SearchRank {
        |${bm25ScoreTail(NeutralMath.OracleKernel)},
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (SELECT c.vec_id AS doc_id,
-       |              ROUND(${AnnSql.duckCos("qv.qe", "c.embedding")}, 6) AS csim
+       |              FLOOR(${AnnSql.duckCos("qv.qe", "c.embedding")} * 1.0E6 + 0.5E0) / 1.0E6 AS csim
        |       FROM qv JOIN embeddings c ON c.vec_id != 0),
        |$rankCte,
        |$rrfFuse""".stripMargin
@@ -533,7 +533,7 @@ object SearchRank {
        |${bm25ScoreTail(NeutralMath.SparkKernel)},
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (SELECT c.vec_id AS doc_id,
-       |              ROUND(${AnnSql.sparkCos("qv.qe", "c.embedding")}, 6) AS csim
+       |              FLOOR(${AnnSql.sparkCos("qv.qe", "c.embedding")} * 1.0E6 + 0.5E0) / 1.0E6 AS csim
        |       FROM qv JOIN embeddings c ON c.vec_id != 0),
        |$rankCte,
        |$rrfF,
@@ -548,7 +548,7 @@ object SearchRank {
        |${bm25ScoreTail(NeutralMath.OracleKernel)},
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |vs AS (SELECT c.vec_id AS doc_id,
-       |              ROUND(${AnnSql.duckCos("qv.qe", "c.embedding")}, 6) AS csim
+       |              FLOOR(${AnnSql.duckCos("qv.qe", "c.embedding")} * 1.0E6 + 0.5E0) / 1.0E6 AS csim
        |       FROM qv JOIN embeddings c ON c.vec_id != 0),
        |$rankCte,
        |$rrfF,
@@ -608,8 +608,8 @@ object SearchRank {
        |              CAST(row_number() OVER (PARTITION BY qid ORDER BY csim DESC, doc_id) AS INT) AS r
        |       FROM vs),
        |f AS (SELECT COALESCE(b.qid, v.qid) AS qid, COALESCE(b.doc_id, v.doc_id) AS doc_id,
-       |             ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + b.r), 0)
-       |                   + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0), 6) AS rrf,
+       |             COALESCE(CAST(1 AS DOUBLE) / (60 + b.r), 0)
+       |             + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0) AS rrf,
        |             COALESCE(b.r, -1) AS bm25_rank, COALESCE(v.r, -1) AS vec_rank
        |      FROM (SELECT * FROM br WHERE r <= 50) b
        |      FULL JOIN (SELECT * FROM vr WHERE r <= 50) v

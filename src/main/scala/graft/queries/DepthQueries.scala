@@ -75,7 +75,7 @@ object DepthQueries {
        |       CAST(SUM(pass) AS BIGINT) AS n_pass_bloom,
        |       CAST(SUM(m) AS BIGINT) AS n_match_exact,
        |       CAST(SUM(pass) - SUM(m) AS BIGINT) AS n_false_pos,
-       |       ROUND(CAST(SUM(pass) - SUM(m) AS DOUBLE) / CAST(COUNT(*) - SUM(m) AS BIGINT), 4) AS fp_rate,
+       |       CAST(SUM(pass) - SUM(m) AS DOUBLE) / CAST(COUNT(*) - SUM(m) AS BIGINT) AS fp_rate,
        |       CAST(MIN(CASE WHEN m = 1 THEN pass ELSE 1 END) AS INT) AS nfn_ok
        |FROM fe""".stripMargin
 
@@ -129,8 +129,8 @@ object DepthQueries {
         |  WHERE p_type = 'PROMO'
         |  GROUP BY CAST(EXTRACT(year FROM o_orderdate) AS INT), n_name)
         |SELECT yr,
-        |       ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_12' THEN r ELSE 0 END) AS DOUBLE)
-        |             / CAST(SUM(r) AS DOUBLE), 6) AS mkt_share,
+        |       CAST(SUM(CASE WHEN n_name = 'NATION_12' THEN r ELSE 0 END) AS DOUBLE)
+        |       / CAST(SUM(r) AS DOUBLE) AS mkt_share,
         |       CAST(SUM(r) AS DOUBLE) AS total_rev
         |FROM rev GROUP BY yr ORDER BY yr""".stripMargin),
 
@@ -237,7 +237,7 @@ object DepthQueries {
         |ROUND(SIN(CAST(o_orderkey % 7 AS DOUBLE)), 4) AS sn,
         |ROUND(COS(CAST(o_orderkey % 7 AS DOUBLE)), 4) AS cs,
         |ROUND(ATAN(CAST(o_orderkey % 5 AS DOUBLE)), 4) AS at,
-        |ROUND(ASIN((o_orderkey % 100) / 100.0), 4) AS asn,
+        |ROUND(ASIN((o_orderkey % 100) / 1.0E2), 4) AS asn,
         |CAST(isnan(CAST('NaN' AS DOUBLE)) AS INT) AS nan_flag,
         |ROUND(RADIANS(180.0), 6) AS rad
         |FROM orders WHERE o_orderkey % 89 = 0 ORDER BY o_orderkey""".stripMargin),

@@ -84,10 +84,10 @@ object RelationalQueries {
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |      / COUNT(l_quantity), 4) AS avg_qty,
-        |ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-        |      / COUNT(l_discount), 4) AS avg_disc,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |/ COUNT(l_quantity) AS avg_qty,
+        |CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |/ COUNT(l_discount) AS avg_disc,
         |COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus

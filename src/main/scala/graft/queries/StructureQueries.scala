@@ -28,7 +28,10 @@ object StructureQueries {
         |SELECT n, f FROM r ORDER BY n""".stripMargin),
 
     "q_subquery_scalar" -> sql(
-      """SELECT o_orderkey, ROUND(o_totalprice / (SELECT AVG(o_totalprice) FROM orders), 6) AS ratio
+      """SELECT o_orderkey,
+        |       CAST(CAST(FLOOR(o_totalprice * 1.0E2 + 0.5E0) AS BIGINT) AS DOUBLE)
+        |       * (SELECT COUNT(*) FROM orders)
+        |       / (SELECT SUM(CAST(FLOOR(o_totalprice * 1.0E2 + 0.5E0) AS BIGINT)) FROM orders) AS ratio
         |FROM orders WHERE o_orderkey % 173 = 0 ORDER BY o_orderkey""".stripMargin),
 
     "q_subquery_correlated" -> sql(

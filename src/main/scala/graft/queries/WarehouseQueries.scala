@@ -806,7 +806,7 @@ object WarehouseQueries {
        |      FROM mo)
        |SELECT CAST(l AS INT) AS lag_h, CAST(np AS BIGINT) AS n_pairs,
        |       CASE WHEN vx > 0 AND vy > 0
-       |            THEN ROUND(cov / SQRT(vx * vy), 4) ELSE CAST(0 AS DOUBLE) END AS acf
+       |            THEN cov / SQRT(vx * vy) ELSE CAST(0 AS DOUBLE) END AS acf
        |FROM r ORDER BY lag_h""".stripMargin
 
   /** CUSUM changepoint scan over the hourly activity series (Page,

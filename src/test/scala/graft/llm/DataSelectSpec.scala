@@ -217,14 +217,14 @@ class DataSelectSpec extends AnyFunSuite {
   test("LOO perplexity: self branch reproduces q_text_ppl_bucket's model; the gap is a real signal") {
     val s = spark.newSession()
     val loo = graft.SparkEntry.queries("q_text_ppl_loo")(s, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDecimal(3), r.getDecimal(4), r.getLong(5)))
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getDouble(4), r.getLong(5)))
     assert(loo.nonEmpty)
     // ce_self is the SAME model + kernel as q_text_ppl_bucket's ce — must
     // match digit for digit on the shared doc slice
     val bucket = graft.SparkEntry.queries("q_text_ppl_bucket")(s, sf).collect()
-      .map(r => r.getLong(0) -> r.getDecimal(3)).toMap
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     for ((id, _, ceSelf, _, _) <- loo)
-      assert(ceSelf.compareTo(bucket(id)) == 0,
+      assert(ceSelf == bucket(id),
         s"doc $id: ce_self $ceSelf != ppl_bucket ce ${bucket(id)}")
     // idiosyncrasy signal: on this fixture every source's documents are
     // harder for the leave-one-out model on average
@@ -267,19 +267,17 @@ class DataSelectSpec extends AnyFunSuite {
       }
     }
     val exp = perDoc.filter(_._1 % 10 == 0).sortBy(_._1).map { case (id, src, n, s0) =>
-      (id, src, n,
-        BigDecimal(s0 / 1000000.0 / n).setScale(4, BigDecimal.RoundingMode.HALF_UP),
-        buckets(id))
+      // same IEEE op chain as the query's CAST(x AS DOUBLE)/1.0E6/n —
+      // bit-identical, so the replay compares exactly
+      (id, src, n, s0 / 1000000.0 / n, buckets(id))
     }
     val got = graft.SparkEntry.queries("q_text_kn_ppl")(s, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        BigDecimal(r.getDecimal(3)), r.getInt(4)))
+        r.getDouble(3), r.getInt(4)))
     assert(got.length == exp.length && got.nonEmpty)
     got.zip(exp).foreach { case ((gi, gs, gn, gc, gb), (ei, es, en, ec, eb)) =>
       assert((gi, gs, gn) == (ei, es, en))
-      // cross-engine EXACTNESS is the oracle hash's job; here a half-ulp
-      // display tolerance (decimal vs double ROUND path)
-      assert((gc - ec).abs <= BigDecimal("0.0001"), s"doc $gi: ce_kn $gc != $ec")
+      assert(gc == ec, s"doc $gi: ce_kn $gc != $ec")
       assert(gb == eb, s"doc $gi: bucket $gb != $eb")
     }
   }
@@ -305,9 +303,9 @@ class DataSelectSpec extends AnyFunSuite {
       val num = (np * sxy - sx * sy).toDouble
       val den = (np * sxx - sx * sx).toDouble
       val dy = (np * syy - sy * sy).toDouble
-      def rnd(x: Double) =
-        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (src, np, rnd(num / den), rnd(if (dy > 0) num * num / (den * dy) else 0.0))
+      // full-precision quotients (round-9: display ROUND of a quotient is
+      // banned; the query emits the bare IEEE division)
+      (src, np, num / den, if (dy > 0) num * num / (den * dy) else 0.0)
     }
     val got = graft.SparkEntry.queries("q_text_zipf_fit")(s, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -135,9 +135,8 @@ class GraphRankSpec extends AnyFunSuite {
       assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (n, dg, t))
       val expCoef =
         if (dg < 2) 0.0
-        else BigDecimal(2.0 * t / (dg * (dg - 1)))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(math.abs(r.getDouble(4) - expCoef) < 1e-9)
+        else (2 * t).toDouble / (dg * (dg - 1))
+      assert(r.getDouble(4) == expCoef)
       assert(r.getLong(5) == tris.length.toLong)
     }
   }

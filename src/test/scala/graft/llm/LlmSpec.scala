@@ -352,8 +352,7 @@ class LlmSpec extends AnyFunSuite {
         case (id, i) if gtRank.contains(id) => (i + 1, gtRank(id))
       }
       val dcgU = hits.map { case (rn, g) => (11 - g).toLong * 693147000000L / lnm(rn + 1) }.sum
-      val ndcg = BigDecimal(dcgU.toDouble / idcgU)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ndcg = dcgU.toDouble / idcgU
       (qid, hits.size.toLong, ndcg)
     }
     val got = graft.SparkEntry.queries("q_search_ndcg")(s, sf).collect()

@@ -41,6 +41,99 @@ class FloatDisciplineSpec extends AnyFunSuite {
     "q_udaf_geomean" -> "JVM UDAF under test; EXP(AVG(LN)) oracle mirror (see Scaladoc)"
   )
 
+  /** Round-9 pin (round-8 verdict root cause): NO oracle SQL may ROUND a
+    * quotient. DuckDB types `x / 1000000.0` as DOUBLE division followed
+    * by double ROUND (half-way behavior engine/version-dependent), while
+    * Spark parses the identical text as DECIMAL division + exact decimal
+    * HALF_UP — two arithmetic domains meeting at the display edge flipped
+    * whole values on 7 driver rows. The repo discipline is to emit
+    * full-precision quotients of exact integers (one correctly-rounded
+    * IEEE op — bit-identical across engines) or integer units, never a
+    * rounded quotient.
+    *
+    * Additional allowlist entry: q_fn_math2's trig family (SIN/COS/ATAN/
+    * ASIN/CBRT are the operators under test; libm ulp exposure is the
+    * same constant-input argument as q_fn_math, green since round 2).
+    */
+  private val roundDivAllow: Set[String] =
+    allowlist.keySet + "q_fn_math2"
+
+  /** Bodies of every ROUND(...) call in `sql`, paren-balanced. */
+  private def roundBodies(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val m = raw"(?i)\bROUND\s*\(".r
+    for (h <- m.findAllMatchIn(sql)) {
+      var depth = 1
+      var j = h.end
+      while (j < sql.length && depth > 0) {
+        sql.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      out += sql.substring(h.end, j - 1)
+    }
+    out.result()
+  }
+
+  test("no oracle SQL contains a division inside ROUND(...)") {
+    val offenders = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) if !roundDivAllow.contains(name) =>
+        val bad = roundBodies(sql).filter(_.contains("/"))
+        if (bad.nonEmpty)
+          Some(s"$name: ROUND(${bad.head.linesIterator.mkString(" ").take(90)}...)")
+        else None
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      "ROUND-of-quotient (round-8 red-row class) outside the allowlist:\n" +
+        offenders.mkString("\n"))
+  }
+
+  /** Bare (non-E-notation) decimal literals as division operands put
+    * Spark in the DECIMAL domain and DuckDB in the DOUBLE domain — legal
+    * ONLY inside a FLOOR/CEIL integer quantization, where both domains
+    * provably agree (the quantization targets are ≥ 1/(2·den) away from
+    * the boundary, far beyond either domain's rounding error; the
+    * repo-wide `FLOOR(x * 10000.0 / n + 0.5)` basis-point idiom).
+    */
+  test("bare decimal-literal division only inside FLOOR/CEIL quantization") {
+    val div = raw"/\s*[0-9]+\.[0-9]+(?![0-9eE])".r
+    val offenders = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) if !roundDivAllow.contains(name) =>
+        div.findAllMatchIn(sql).flatMap { m =>
+          // inside FLOOR( or CEIL( iff an unmatched opener of that name
+          // precedes the match position
+          val prefix = sql.substring(0, m.start)
+          val opens = raw"(?i)\b(FLOOR|CEIL|CEILING)\s*\(".r
+            .findAllMatchIn(prefix).map(_.end - 1).toList
+          val inQuant = opens.exists { p =>
+            var depth = 0
+            var j = p
+            var open = false
+            while (j < m.start && depth >= 0) {
+              sql.charAt(j) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case _ =>
+              }
+              j += 1
+            }
+            open = depth > 0
+            open
+          }
+          if (inQuant) None
+          else Some(s"$name: ...${sql.substring(Math.max(0, m.start - 40), Math.min(sql.length, m.end + 10)).linesIterator.mkString(" ")}...")
+        }.take(1)
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      "bare decimal-literal division outside FLOOR/CEIL quantization " +
+        "(Spark DECIMAL vs DuckDB DOUBLE domain split):\n" + offenders.mkString("\n"))
+  }
+
   test("every oracle SQL is engine-native-transcendental-free (allowlist excepted)") {
     val offenders = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (name, sql) if !allowlist.contains(name) =>

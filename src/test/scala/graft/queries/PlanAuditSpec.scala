@@ -565,4 +565,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val pIvf = plan("q_search_hybrid_ivf")
     assert(!pIvf.contains("SortMergeJoin") || pIvf.contains("BroadcastHashJoin"), pIvf.take(1500))
   }
+
+  test("DSIR consumes the corpus exactly once per query (staged bucket counts, round 9)") {
+    // Round-8 driver: the bigram CTE `g` had 5 SQL consumers and Catalyst
+    // re-inlines per consumer — the corpus tokenize+explode ran 5x
+    // (isolated 4.55 s vs 1.42 s the round before). The per-bucket count
+    // table is now staged via stageDsirBc, so the only remaining corpus
+    // consumer is the scoring pass: exactly ONE FileScan in the plan
+    // (the bucket counts and cluster labels read back from checkpoints).
+    for (q <- Seq("q_select_dsir", "q_select_dsir_cluster")) {
+      val p = plan(q)
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans == 1, s"$q plans $scans file scans (want 1): ${p.take(1500)}")
+    }
+  }
 }

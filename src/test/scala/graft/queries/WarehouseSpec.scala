@@ -567,10 +567,7 @@ class WarehouseSpec extends AnyFunSuite {
       val syy = pairs.map(p => p._2 * p._2).sum
       val (cov, vx, vy) = ((np * sxy - sx * sy).toDouble,
         (np * sxx - sx * sx).toDouble, (np * syy - sy * sy).toDouble)
-      val r = if (vx > 0 && vy > 0)
-        BigDecimal(cov / math.sqrt(vx * vy))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      else 0.0
+      val r = if (vx > 0 && vy > 0) cov / math.sqrt(vx * vy) else 0.0
       (np, r)
     }
     val got = rows("q_ts_autocorr")
