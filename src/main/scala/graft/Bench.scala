@@ -14,12 +14,17 @@ import org.apache.spark.sql.SparkSession
   * recorded per-query (`null` timing + name in `errors`) and exit nonzero —
   * a broken query can never read as a fast query.
   *
-  * Noise self-diagnosis: any query regressing >1.5x vs the previous-round
-  * record is re-timed ALONE in a fresh JVM; entries whose isolated time is
-  * within 1.3x of prev move to `noise_suppressed` (with both numbers),
-  * the rest stay in `regressions_vs_prev` with their `isolated` datum —
-  * after two rounds of cluster-shaped measurement noise, the report
-  * carries its own matrix-order-vs-real verdict.
+  * Noise self-diagnosis: any query regressing >1.5x vs the
+  * CALIB-ADJUSTED previous-round record (prev · calibNow/calibPrev —
+  * uniform machine drift between boots must not flag every query) is
+  * re-timed in one fresh flags-only child JVM; entries whose isolated
+  * time is within 1.3x of adjusted prev move to `noise_suppressed` (with
+  * both numbers), the rest stay in `regressions_vs_prev` with their
+  * `isolated` datum. Round-9: EVERY flagged entry gets the isolation
+  * datum (one batched child, not a top-8 budget — the round-8 record
+  * left 46 flags unadjudicated and the harness could no longer
+  * adjudicate itself); `n_flagged`/`n_isolated` in the JSON prove the
+  * coverage.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -146,8 +151,8 @@ object Bench {
     // round's JSON carries its own regression report (a total-only gate
     // let a 10-query 2-6x cluster hide inside an improved total in r4).
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_PREV.json")
-    val prev: Map[String, Double] =
-      if (!Files.exists(Paths.get(prevPath))) Map.empty
+    val (prev: Map[String, Double], prevCalib: Double) =
+      if (!Files.exists(Paths.get(prevPath))) (Map.empty[String, Double], -1.0)
       else try {
         val txt = Files.readString(Paths.get(prevPath))
         // parse ONLY the "queries" object — the record also carries
@@ -158,25 +163,43 @@ object Bench {
           case i => txt.substring(i + 11, txt.indexOf('}', i))
         }
         val entry = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
-        entry.findAllMatchIn(qObj).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+        val cal = """"calib_sec":([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+        (entry.findAllMatchIn(qObj).map(m => m.group(1) -> m.group(2).toDouble).toMap, cal)
+      } catch { case _: Throwable => (Map.empty[String, Double], -1.0) }
+    // Machine-drift normalization (r8 verdict #3): two boots of "the same"
+    // box have timed the identical code 1.5x apart uniformly. When both
+    // rounds carry a calibration time, ratios are judged against the
+    // calib-adjusted prev (prev · calibNow/calibPrev); the raw ratio
+    // stays in the report so nothing is hidden.
+    val calibFactor =
+      if (calibSec > 0 && prevCalib > 0) calibSec / prevCalib else 1.0
     // 0.3 s absolute floor: sub-second blips on a shared box are
     // measurement noise, not regressions (see the r4 cluster diagnosis)
     val candidates = results.collect {
-      case (n, v, true, _) if prev.get(n).exists(p => p > 0 && v / p > 1.5 && v - p > 0.3) =>
+      case (n, v, true, _) if prev.get(n).exists(p =>
+        p > 0 && v / (p * calibFactor) > 1.5 && v - p * calibFactor > 0.3) =>
         (n, v)
     }
 
-    /** Isolation protocol (the r4/r5 noise lesson made executable): every
-      * in-matrix "regression" is re-timed ALONE in a FRESH JVM — same
-      * classpath, module flags and heap as this (forked) process — so the
-      * report itself distinguishes a real slowdown from matrix-order
-      * context (GC pressure, state-store maintenance, catalog growth) and
-      * shared-box scheduling noise. Child output goes to a temp file, so
-      * the parent's stdout stays the driver's single JSON line.
+    /** Isolation protocol (the r4/r5 noise lesson made executable; r8
+      * verdict #3 made it TOTAL): EVERY in-matrix "regression" is re-timed
+      * in ONE fresh child JVM — same classpath, module flags and heap as
+      * this (forked) process — whose matrix is the flagged set only, each
+      * target warmed untimed before timing. That distinguishes a real
+      * slowdown from 289-matrix context (GC pressure, state-store
+      * maintenance, catalog growth, staged-artifact memory) and
+      * shared-box scheduling noise, for ALL flags instead of a top-8
+      * budget — the round-8 record left 46 flags unadjudicated and lost
+      * its evidentiary value. One batched child costs one ~30 s JVM setup
+      * regardless of flag count; per-query cross-talk inside the small
+      * flags-only matrix is second-order next to what it removes. Child
+      * output goes to a temp file, so the parent's stdout stays the
+      * driver's single JSON line.
       */
-    def isolatedTime(name: String): Option[Double] =
-      try {
+    def isolatedTimes(names: Seq[String]): Map[String, Double] =
+      if (names.isEmpty) Map.empty
+      else try {
         val tmp = Files.createTempFile("bench_iso_", ".json")
         val log = Files.createTempFile("bench_iso_", ".log")
         val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
@@ -187,7 +210,7 @@ object Bench {
         cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
         cmd.add("graft.Bench")
         val pb = new ProcessBuilder(cmd)
-        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.environment().put("SPARK_GRAFT_BENCH_PREV", "/nonexistent")
@@ -195,42 +218,43 @@ object Bench {
         pb.redirectOutput(log.toFile)
         pb.redirectErrorStream(true)
         val p = pb.start()
-        val done = p.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) { p.destroyForcibly(); None }
-        else if (p.exitValue() != 0) None
+        // generous: warm+time two passes over the flagged set
+        val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); Map.empty }
         else {
+          // parse whatever the child recorded even on nonzero exit (a
+          // single failing query must not discard the other adjudications)
           val childJson = Files.readString(tmp)
-          val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
           val qObj = childJson.indexOf("\"queries\":{") match {
             case -1 => ""
             case i => childJson.substring(i + 11, childJson.indexOf('}', i))
           }
-          re.findFirstMatchIn(qObj).map(_.group(1).toDouble)
+          val entry = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+          entry.findAllMatchIn(qObj).map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
-    // Cap the fresh-JVM re-runs: each costs ~30 s of setup; past the cap
-    // the entries stay in the report marked unisolated rather than
-    // silently dropped. Spend the budget on the LARGEST absolute deltas
-    // first — on a noisy boot the candidate list can be 20+ entries, and
-    // isolating alphabetical sub-second blips while multi-second suspects
-    // go unisolated (observed r7) answers the wrong question. A restricted
-    // (BENCH_ONLY) run never isolates — it IS the isolation child.
+    // A restricted (BENCH_ONLY) run never isolates — it IS the isolation
+    // child.
     val isolated: Map[String, Option[Double]] =
       if (only.nonEmpty) Map.empty
-      else candidates.sortBy { case (n, v) => -(v - prev(n)) }
-        .take(8).map { case (n, _) => n -> isolatedTime(n) }.toMap
+      else {
+        val times = isolatedTimes(candidates.map(_._1).sorted)
+        candidates.map { case (n, _) => n -> times.get(n) }.toMap
+      }
 
     def entryJson(n: String, v: Double): String = {
       val iso = isolated.get(n).flatten
       val isoTxt = iso.map(d => f"$d%.3f").getOrElse("null")
-      f""""$n":{"prev":${prev(n)}%.3f,"now":$v%.3f,"ratio":${v / prev(n)}%.2f,"isolated":$isoTxt}"""
+      f""""$n":{"prev":${prev(n)}%.3f,"now":$v%.3f,"ratio":${v / prev(n)}%.2f,"adj_ratio":${v / (prev(n) * calibFactor)}%.2f,"isolated":$isoTxt}"""
     }
-    // confirmed = still >1.3x prev when timed alone in a fresh JVM (or no
-    // isolation datum); within 1.3x isolated = matrix/noise, suppressed
-    // into its own object so the evidence stays in the record
+    // confirmed = still >1.3x calib-adjusted prev when re-timed in the
+    // fresh flags-only JVM (or no isolation datum); within 1.3x isolated
+    // = matrix/noise, suppressed into its own object so the evidence
+    // stays in the record
     val (noise, confirmed) = candidates.partition { case (n, _) =>
-      isolated.get(n).flatten.exists(iso => prev.get(n).exists(p => iso / p <= 1.3))
+      isolated.get(n).flatten.exists(iso =>
+        prev.get(n).exists(p => iso / (p * calibFactor) <= 1.3))
     }
     val regressions = confirmed.map { case (n, v) => entryJson(n, v) }.mkString("{", ",", "}")
     val suppressed = noise.map { case (n, v) => entryJson(n, v) }.mkString("{", ",", "}")
@@ -250,7 +274,7 @@ object Bench {
       "(r1 used count(), which let Catalyst drop sorts/projections); " +
       "r1_queries_total covers the original 33-query matrix under the new harness"
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"regressions_vs_prev":$regressions,"noise_suppressed":$suppressed,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"calib_sec":${f"$calibSec%.3f"},"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"regressions_vs_prev":$regressions,"noise_suppressed":$suppressed,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"calib_sec":${f"$calibSec%.3f"},"prev_calib_sec":${f"$prevCalib%.3f"},"calib_factor":${f"$calibFactor%.3f"},"n_flagged":${candidates.size},"n_isolated":${isolated.count(_._2.nonEmpty)},"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
     println(json)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")

@@ -629,16 +629,33 @@ object WarehouseQueries {
     * one BIGINT division), so both engines agree exactly; the accuracy
     * check against the exact distinct count is part of the output
     * (err_bp = |est − exact|·10⁴/exact).
+    *
+    * Round-9 two-phase top-k (round-8 verdict #4): a single
+    * `PARTITION BY grp` window funnels EVERY distinct (grp, key) row into
+    * one reducer per group — a skew-killer when the group domain is tiny
+    * (T≈5 here). Phase 1 ranks within (grp, h % 16) shards — 16 parallel
+    * reducers per group, each keeping its local top-128 — and phase 2
+    * merges the ≤ 16·128 shard minima per group. Lossless: any global
+    * top-128 row is in its shard's top-128. The distinct count moves to a
+    * map-side-combined GROUP BY (it was the same one-reducer window).
     */
   private def kmvSketchSql(hash: String, intDiv: String): String =
     s"""WITH dv AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS v FROM orders),
        |hx AS (SELECT grp, v, $hash AS h FROM dv),
-       |rk AS (SELECT grp, h,
-       |              row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rn,
-       |              COUNT(*) OVER (PARTITION BY grp) AS nd
+       |cnt AS (SELECT grp, COUNT(*) AS nd FROM hx GROUP BY grp),
+       |r1 AS (SELECT grp, h, v,
+       |              row_number() OVER (PARTITION BY grp, h % 16
+       |                                 ORDER BY h, v) AS srn
        |       FROM hx),
-       |kth AS (SELECT grp, MAX(CASE WHEN rn = 128 THEN h ELSE 0 END) AS hk, MAX(nd) AS nd
-       |        FROM rk WHERE rn <= 128 GROUP BY grp),
+       |t1 AS (SELECT grp, h, v FROM r1 WHERE srn <= 128),
+       |rk AS (SELECT grp, h,
+       |              row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rn
+       |       FROM t1),
+       |kth AS (SELECT rk.grp AS grp,
+       |               MAX(CASE WHEN rn = 128 THEN h ELSE 0 END) AS hk,
+       |               MAX(cnt.nd) AS nd
+       |        FROM rk JOIN cnt ON rk.grp = cnt.grp
+       |        WHERE rn <= 128 GROUP BY rk.grp),
        |est AS (SELECT grp, nd,
        |               CASE WHEN nd < 128 THEN nd
        |                    ELSE 127 * 281474976710656 $intDiv hk END AS kmv_nd
@@ -674,12 +691,19 @@ object WarehouseQueries {
     * driver loop. Money rides integer cents quantized per row BEFORE the
     * sum, so the fold is exact in any order; the `% 13` slice only bounds
     * the dumped output.
+    *
+    * The synthetic NOT-MATCHED keys shift by MAX(c_custkey)+1 DERIVED
+    * FROM THE DATA (round-8 advice: a fixed +1000012 shift silently
+    * collides with real customers once the fixture outgrows ~sf7, turning
+    * intended INSERTs into wrong-row UPDATEs). The scalar-subquery max is
+    * a one-row broadcast — free at any scale.
     */
   private val mergeUpsert =
     """WITH base AS (SELECT c_custkey AS k,
       |                    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
       |             FROM customer),
-      |delta AS (SELECT CASE WHEN o_custkey % 11 = 5 THEN o_custkey + 1000012
+      |delta AS (SELECT CASE WHEN o_custkey % 11 = 5
+      |                      THEN o_custkey + (SELECT MAX(c_custkey) + 1 FROM customer)
       |                      ELSE o_custkey END AS k,
       |                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS d_c,
       |                 COUNT(*) AS n_ch
@@ -854,8 +878,10 @@ object WarehouseQueries {
     * audit (err_bp vs max(exact, 1)).
     *
     * 100 TB shape: the only data-sized passes are the distinct
-    * (type, user) projection and the per-type ranked top-128 (map-side
-    * combined / window over the type partition); everything pairwise runs
+    * (type, user) projection and the sharded two-phase top-128 (phase 1
+    * ranks within (type, h % 16) — 16-way parallel per type — phase 2
+    * merges the ≤ 16·128 shard minima; see q_stats_kmv_sketch's
+    * two-phase note); everything pairwise runs
     * on ≤ T·128 sketch rows (T = event-type domain, 5 here) — the T×T
     * pair table is a constant-bounded broadcast. The exact-overlap audit
     * joins dv to itself on the USER key (fan-out ≤ T per user), never
@@ -864,10 +890,16 @@ object WarehouseQueries {
   private def kmvIntersectSql(hash: String, intDiv: String): String =
     s"""WITH dv AS (SELECT DISTINCT event_type AS t, user_id AS v FROM events),
        |hx AS (SELECT t, v, $hash AS h FROM dv),
-       |rk AS (SELECT t, h,
-       |              row_number() OVER (PARTITION BY t ORDER BY h, v) AS rn,
-       |              COUNT(*) OVER (PARTITION BY t) AS nd
+       |cnt AS (SELECT t, COUNT(*) AS nd FROM hx GROUP BY t),
+       |r1 AS (SELECT t, h, v,
+       |              row_number() OVER (PARTITION BY t, h % 16
+       |                                 ORDER BY h, v) AS srn
        |       FROM hx),
+       |t1 AS (SELECT t, h, v FROM r1 WHERE srn <= 128),
+       |rk AS (SELECT t1.t AS t, h,
+       |              row_number() OVER (PARTITION BY t1.t ORDER BY h, v) AS rn,
+       |              cnt.nd AS nd
+       |       FROM t1 JOIN cnt ON t1.t = cnt.t),
        |sk AS (SELECT t, h, rn, nd FROM rk WHERE rn <= 128),
        |est AS (SELECT t, MAX(nd) AS nd,
        |               CASE WHEN MAX(nd) < 128 THEN MAX(nd)
@@ -906,10 +938,14 @@ object WarehouseQueries {
   /** Next-event prediction eval — the in-engine model-quality loop: train
     * a first-order Markov argmax predictor (most frequent successor per
     * event type) on the chronological FIRST half of the stream, evaluate
-    * top-1 accuracy on the second half. Leakage-safe by construction: the
-    * cut is a single global min/max midpoint, transitions that straddle
-    * the cut are evaluated (current event in test) against a model that
-    * never saw them.
+    * top-1 accuracy on the second half. The split keys on the CURRENT
+    * event's timestamp (the standard protocol): a transition whose
+    * current event precedes the cut trains the model even when its
+    * successor lands after the cut, and one whose current event is at or
+    * past the cut is evaluated. (Round-8 advice: an earlier version of
+    * this doc claimed straddling transitions were held out — they are
+    * not; strict isolation would additionally require the successor's
+    * timestamp < cut in the training filter.)
     *
     * 100 TB shape: transitions come from ONE (user, time) window
     * partitioning (the q_events_transitions exchange); the model is a
@@ -957,6 +993,18 @@ object WarehouseQueries {
     * the 3-row target table broadcasts. Rank error is bounded by
     * shards·64/2 ABSOLUTE rows regardless of the value distribution —
     * the spec pins that bound. Everything is integer cents / ranks.
+    *
+    * Round-9 (round-8 verdict #5): the audit branch previously ran a
+    * GLOBAL unpartitioned row_number over all of lineitem (one task) and
+    * a theta-join rescan. Both now ride value-binned hierarchical ranks:
+    * cents DIV 65536 buckets the FIXED price domain into ~170 bins
+    * (domain-bounded — does not grow with N), per-bin counts/offsets come
+    * from a map-side-combined GROUP BY plus a tiny bin-table self-join,
+    * and every rank window is PARTITION BY bin (or shard). Global rank =
+    * bin offset + within-bin rank — identical total order (bin is a
+    * prefix of the cents sort key), so the output hash is unchanged; the
+    * est_rank probe is an equi-join on the estimate's bin. PlanAuditSpec
+    * pins zero unpartitioned WindowExec in this plan.
     */
   private def quantileMergeSql(levels: String, intDiv: String) =
     s"""WITH v AS (SELECT l_orderkey * 16 + l_linenumber AS id,
@@ -970,10 +1018,15 @@ object WarehouseQueries {
        |s AS (SELECT shard, cents, rn,
        |             CASE WHEN rn % 64 = 0 THEN 64 ELSE n % 64 END AS w
        |      FROM r WHERE rn % 64 = 0 OR (rn = n AND n % 64 <> 0)),
-       |m AS (SELECT cents,
-       |             SUM(w) OVER (ORDER BY cents, shard, rn
-       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
-       |      FROM s),
+       |sb AS (SELECT shard, cents, rn, w, cents $intDiv 65536 AS bin FROM s),
+       |swb AS (SELECT bin, CAST(SUM(w) AS BIGINT) AS bw FROM sb GROUP BY bin),
+       |sboff AS (SELECT a.bin, CAST(COALESCE(SUM(b.bw), 0) AS BIGINT) AS off
+       |          FROM swb a LEFT JOIN swb b ON b.bin < a.bin GROUP BY a.bin),
+       |m AS (SELECT sb.cents,
+       |             so.off + SUM(sb.w) OVER (PARTITION BY sb.bin
+       |                                      ORDER BY sb.cents, sb.shard, sb.rn
+       |                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+       |      FROM sb JOIN sboff so ON sb.bin = so.bin),
        |nt AS (SELECT COUNT(*) AS n FROM v),
        |lv AS ($levels),
        |tgt AS (SELECT lv.q, nt.n, (nt.n * lv.q + 99) $intDiv 100 AS target_rank
@@ -981,13 +1034,25 @@ object WarehouseQueries {
        |est AS (SELECT t.q, t.n, t.target_rank, MIN(m.cents) AS est_cents
        |        FROM tgt t JOIN m ON m.cw >= t.target_rank
        |        GROUP BY t.q, t.n, t.target_rank),
-       |gr AS (SELECT e.q, COUNT(*) AS est_rank
-       |       FROM est e JOIN v ON v.cents <= e.est_cents GROUP BY e.q),
+       |vb AS (SELECT cents, id, cents $intDiv 65536 AS bin FROM v),
+       |bcnt AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM vb GROUP BY bin),
+       |boff AS (SELECT a.bin, CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS off
+       |         FROM bcnt a LEFT JOIN bcnt b ON b.bin < a.bin GROUP BY a.bin),
+       |vr AS (SELECT vb.cents,
+       |              bo.off + row_number() OVER (PARTITION BY vb.bin
+       |                                          ORDER BY vb.cents, vb.id) AS grn
+       |       FROM vb JOIN boff bo ON vb.bin = bo.bin),
        |ex AS (SELECT t.q, MIN(x.cents) AS exact_cents
-       |       FROM tgt t JOIN (SELECT cents,
-       |                               row_number() OVER (ORDER BY cents, id) AS grn
-       |                        FROM v) x ON x.grn = t.target_rank
-       |       GROUP BY t.q)
+       |       FROM tgt t JOIN vr x ON x.grn = t.target_rank
+       |       GROUP BY t.q),
+       |gr0 AS (SELECT e.q, bo.off
+       |        FROM est e JOIN boff bo ON bo.bin = e.est_cents $intDiv 65536),
+       |grc AS (SELECT e.q, CAST(COUNT(*) AS BIGINT) AS inbin
+       |        FROM est e JOIN vb ON vb.bin = e.est_cents $intDiv 65536
+       |                          AND vb.cents <= e.est_cents
+       |        GROUP BY e.q),
+       |gr AS (SELECT g0.q, g0.off + COALESCE(gc.inbin, 0) AS est_rank
+       |       FROM gr0 g0 LEFT JOIN grc gc ON g0.q = gc.q)
        |SELECT e.q, CAST(e.n AS BIGINT) AS n_total,
        |       CAST(e.target_rank AS BIGINT) AS target_rank,
        |       CAST(e.est_cents AS BIGINT) AS est_cents,

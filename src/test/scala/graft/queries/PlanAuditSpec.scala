@@ -579,4 +579,33 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(scans == 1, s"$q plans $scans file scans (want 1): ${p.take(1500)}")
     }
   }
+
+  private def windowExecs(name: String) =
+    SparkEntry.queries(name)(spark, sf)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+
+  test("quantile merge ranks hierarchically: zero unpartitioned windows (round 9)") {
+    // Round-8 verdict #5: the exact-rank audit ran a GLOBAL row_number
+    // over all of lineitem (one task). Ranks now compose a bounded
+    // bin-offset join with PARTITION BY bin / shard windows only.
+    val wins = windowExecs("q_stats_quantile_merge")
+    assert(wins.nonEmpty, "expected windowed ranks in the plan")
+    for (w <- wins)
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned WindowExec:\n$w")
+  }
+
+  test("KMV top-128 is two-phase: data-sized windows shard beyond the group key (round 9)") {
+    // Round-8 verdict #4: PARTITION BY grp alone funnels every distinct
+    // key into one reducer per group (T≈5). Phase 1 must partition by
+    // (group, hash shard); the only single-group windows left run on
+    // sketch-sized inputs (<= groups·128 rows).
+    for (q <- Seq("q_stats_kmv_sketch", "q_stats_kmv_intersect")) {
+      val wins = windowExecs(q)
+      assert(wins.exists(_.partitionSpec.size >= 2),
+        s"$q: no sharded phase-1 window found")
+    }
+  }
 }

@@ -482,6 +482,32 @@ class WarehouseSpec extends AnyFunSuite {
     val got = rows("q_stats_kmv_intersect")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.map(g => (g._1, g._2, g._3)).toSeq == expPairs)
+
+    // full estimate replay (round-8 advice): the per-type and pair-union
+    // KMV estimates must reproduce from an independent JVM sketch build
+    // bit-for-bit — this confirms the inclusion-exclusion FORMULA, not
+    // just cross-engine agreement
+    def h48(v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val sketch = dv.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(x => h48(x._2)).toSeq.sorted.take(128)
+    }
+    def estOf(t: String): Long = {
+      val nd = byType(t).size.toLong
+      if (nd < 128) nd else 127L * 281474976710656L / sketch(t).apply(127)
+    }
+    val expEst = got.map { case (ta, tb, exact, _, _) =>
+      val mins = (sketch(ta) ++ sketch(tb)).distinct.sorted
+      val eu = if (mins.size < 128) mins.size.toLong
+               else 127L * 281474976710656L / mins(127)
+      math.max(estOf(ta) + estOf(tb) - eu, 0L)
+    }
+    assert(got.map(_._4).toSeq == expEst.toSeq,
+      "KMV inclusion-exclusion estimates diverge from the JVM replay")
+
     got.foreach { case (ta, tb, exact, est, errBp) =>
       assert(est >= 0, s"($ta,$tb): clamped estimate must be non-negative")
       // k=128 KMV: each of the three estimates carries ~1/sqrt(k) relative
@@ -604,11 +630,14 @@ class WarehouseSpec extends AnyFunSuite {
     val base = Tables.customer(spark, sf)
       .selectExpr("c_custkey", "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the NOT-MATCHED shift is MAX(c_custkey)+1, derived from the data
+    // (round-8 advice: a fixed constant collides past ~sf7)
+    val shift = base.keySet.max + 1
     val delta = Tables.orders(spark, sf)
       .selectExpr("o_custkey", "o_orderpriority",
         "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").collect()
       .filter(_.getString(1) == "1-URGENT")
-      .map(r => (if (r.getLong(0) % 11 == 5) r.getLong(0) + 1000012L else r.getLong(0),
+      .map(r => (if (r.getLong(0) % 11 == 5) r.getLong(0) + shift else r.getLong(0),
         r.getLong(2)))
       .groupBy(_._1).map { case (k, xs) => k -> (xs.map(_._2).sum, xs.length.toLong) }
     val exp = (base.keySet ++ delta.keySet).toSeq.sorted.collect {
@@ -626,7 +655,7 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.map(_._2).toSet == Set("INSERT", "KEEP", "UPDATE"))
     // INSERT rows carry no base balance: their balance is purely the delta
     got.filter(_._2 == "INSERT").foreach { case (k, _, bal, n) =>
-      assert(k > 1000000L && n > 0 && bal == delta(k)._1)
+      assert(k >= shift && n > 0 && bal == delta(k)._1)
     }
   }
 
