@@ -99,6 +99,75 @@ class FloatDisciplineSpec extends AnyFunSuite {
     * the boundary, far beyond either domain's rounding error; the
     * repo-wide `FLOOR(x * 10000.0 / n + 0.5)` basis-point idiom).
     */
+  /** Round-9 classification pin (round-8 verdict #7): EVERY oracle SQL
+    * that still uses ROUND is enumerated here with the argument for why
+    * its rounding is engine-safe. Categories (full table in SCALE.md):
+    *
+    *  - per-row-ieee: the ROUND input is a chain of correctly-rounded
+    *    IEEE ops on identical per-row inputs (or an exact MIN/MAX /
+    *    frame-ordered fold of such values) — bit-identical in both
+    *    engines before rounding. Residual exposure: the two engines'
+    *    double-ROUND half-way semantics differ, which matters only when
+    *    the value's shortest decimal representation lands exactly on a
+    *    …5 at the rounded digit — probability ~1e-8 per row, green for
+    *    9 driver rounds.
+    *  - int-exact-agg: ROUND of AVG over integers — both engines divide
+    *    an exact integer sum by an exact count, one correctly-rounded
+    *    division, bit-identical.
+    *  - order-stat-display: median/percentile interpolation between two
+    *    order statistics — same closed formula in both engines on exact
+    *    ints.
+    *  - double-agg-display: the pre-round value is a multi-row double
+    *    fold whose low bits CAN differ across engines (fold order);
+    *    ROUND is load-bearing noise suppression. Kept only where the
+    *    engine-native statistical function is the operator under test
+    *    (q_agg_stats) or the values sit ~9 orders of magnitude above
+    *    the rounding quantum (q_cte's >9e5 spend at 2 decimals).
+    *  - native-fn-family: q_fn_math/q_fn_math2/q_udaf_geomean — the
+    *    libm function is the operator under test; ROUND bounds the ulp
+    *    exposure.
+    *
+    * A NEW query adding ROUND must be classified here (and in SCALE.md)
+    * or the pin fails — display rounding never again ships unexamined.
+    */
+  private val roundClassified: Map[String, String] = {
+    val perRow = Seq("q_agg_arg_minmax", "q_agg_ungrouped", "q_ann_graph_search",
+      "q_ann_hard_negatives", "q_ann_hnsw_search", "q_ann_ivf", "q_ann_ivf_hier",
+      "q_ann_knn_graph", "q_ann_lsh", "q_ann_topk", "q_ann_topk_native",
+      "q_dedup_embedding", "q_dedup_semantic", "q_embed_project",
+      "q_embed_quantize", "q_fn_array", "q_fn_conditional", "q_fn_struct",
+      "q_join_lateral", "q_sample_coreset", "q_scan_project",
+      "q_search_hybrid_batch", "q_search_hybrid_ivf", "q_search_hybrid_rrf",
+      "q_search_rag_pack", "q_search_rerank_probe", "q_src_orc_roundtrip",
+      "q_text_bm25", "q_text_quality", "q_win_lag", "q_win_nth",
+      "q_win_percent", "q_win_range_frame", "q_win_rows_frame")
+    (perRow.map(_ -> "per-row-ieee") ++ Seq(
+      "q_text_stats" -> "int-exact-agg",
+      "q_text_train_split" -> "int-exact-agg",
+      "q_text_quality_calibrate" -> "int-exact-agg",
+      "q_agg_median" -> "order-stat-display",
+      "q_agg_percentile_within" -> "order-stat-display",
+      "q_agg_stats" -> "double-agg-display",
+      "q_cte" -> "double-agg-display",
+      "q_fn_math" -> "native-fn-family",
+      "q_fn_math2" -> "native-fn-family",
+      "q_udaf_geomean" -> "native-fn-family")).toMap
+  }
+
+  test("every ROUND-bearing oracle SQL is classified (and only those)") {
+    val re = raw"(?i)\bROUND\s*\(".r
+    val actual = graft.SparkEntry.oracleSql.collect {
+      case (n, sql) if re.findFirstIn(sql).isDefined => n
+    }.toSet
+    val classified = roundClassified.keySet
+    val unclassified = actual -- classified
+    val stale = classified -- actual
+    assert(unclassified.isEmpty,
+      s"ROUND used without a float-discipline classification: ${unclassified.toSeq.sorted}")
+    assert(stale.isEmpty,
+      s"classified queries no longer use ROUND — drop them: ${stale.toSeq.sorted}")
+  }
+
   test("bare decimal-literal division only inside FLOOR/CEIL quantization") {
     val div = raw"/\s*[0-9]+\.[0-9]+(?![0-9eE])".r
     val offenders = graft.SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
