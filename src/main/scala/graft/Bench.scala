@@ -74,7 +74,7 @@ object Bench {
     // edge BUILD cost stays measured by q_ann_knn_graph itself)
     try graft.llm.LlmQueries.knnEdgesCached(spark, sfDir)
     catch { case _: Throwable => () }
-    try graft.llm.HnswSearch.stageEdges(spark, sfDir)
+    try graft.llm.HnswSearch.stageEdgesL2(spark, sfDir) // also stages layer 1
     catch { case _: Throwable => () }
     try graft.llm.SearchRank.stageProbeWeights(spark, sfDir)
     catch { case _: Throwable => () }

@@ -268,6 +268,71 @@ object GraphRank {
        |${mutualCte("tk")},
        |$lpaTail""".stripMargin
 
+  /** k-core decomposition (onion peeling; Seidman, Social Networks 1983;
+    * distributed peeling as in Montresor et al., "Distributed k-core
+    * decomposition", IEEE TPDS 2013) over the mutual kNN graph — the
+    * density-stratification pass a curation pipeline runs to separate
+    * tight semantic clusters (high core) from loosely-attached periphery
+    * (peeled early): repeatedly delete every node of degree < k until a
+    * fixpoint; the round a node is peeled in is its onion layer and the
+    * survivors form the k-core.
+    *
+    * Six synchronous peel rounds, unrolled, k = 2 (the 2-core: tendrils
+    * and trees peel, cycles survive — at the mutual-kNN degree cap of
+    * this graph the 3-core is empty, so 2 is the level that actually
+    * stratifies; a production sweep runs the peel per k or uses the
+    * bucket algorithm for full coreness). Each round is ONE
+    * map-side-combined degree count over the surviving edge list plus two
+    * semi equi-joins filtering edges to surviving endpoints — the same
+    * per-round cost as a PageRank iteration, with a monotonically
+    * SHRINKING frontier (deleted nodes never return, so round cost only
+    * falls). A production run loops to the fixpoint with a convergence
+    * probe (COUNT of peeled nodes = 0 — one more map-side SUM), exactly
+    * the q_graph_pagerank iteration contract; 6 rounds is the unrolled
+    * oracle-checkable form. Output is the per-layer census (count,
+    * min/max, node-sum checksum — a membership pin in 5 integers per
+    * layer), bounded at rounds+1 rows. Pure integer arithmetic
+    * throughout; both dialects share the text.
+    */
+  private def kcoreTail: String = {
+    val k = 2
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS (SELECT node, COUNT(*) AS deg FROM e${i - 1} GROUP BY node),
+         |n$i AS (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS (SELECT e.node, e.nbr FROM e${i - 1} e
+         |        JOIN n$i a ON e.node = a.node
+         |        JOIN n$i b ON e.nbr = b.node)""".stripMargin
+    }.mkString(",\n")
+    val whenClauses = (1 to 6)
+      .map(i => s"WHEN s$i.node IS NULL THEN $i").mkString(" ")
+    val leftJoins = (1 to 6)
+      .map(i => s"LEFT JOIN n$i s$i ON a.node = s$i.node").mkString("\n       |        ")
+    s"""e0 AS (SELECT id1 AS node, id2 AS nbr FROM me
+       |       UNION ALL
+       |       SELECT id2 AS node, id1 AS nbr FROM me),
+       |$rounds,
+       |all0 AS (SELECT DISTINCT node FROM e0),
+       |lab AS (SELECT a.node,
+       |               CASE $whenClauses ELSE 7 END AS peel_round
+       |        FROM all0 a
+       |        $leftJoins)
+       |SELECT CAST(peel_round AS INT) AS peel_round,
+       |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |       MIN(node) AS min_node, MAX(node) AS max_node,
+       |       CAST(SUM(node) AS BIGINT) AS node_sum
+       |FROM lab GROUP BY peel_round ORDER BY peel_round""".stripMargin
+  }
+
+  private def kcoreSpark(s: SparkSession, d: String): DataFrame = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    s.sql(s"WITH ${mutualCte("g_edges")},\n$kcoreTail")
+  }
+
+  private def kcoreDuck: String =
+    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+       |${mutualCte("tk")},
+       |$kcoreTail""".stripMargin
+
   private def trianglesSpark(s: SparkSession, d: String): DataFrame = {
     LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
     s.sql(s"WITH ${mutualCte("g_edges")},\n$trianglesTail")
@@ -294,6 +359,7 @@ object GraphRank {
       "q_graph_adamic_adar" -> QuerySpec.df(adamicSpark, adamicDuck),
       "q_graph_label_prop" -> QuerySpec.df(lpaSpark, lpaDuck),
       "q_graph_triangles" -> QuerySpec.df(trianglesSpark, trianglesDuck),
+      "q_graph_kcore" -> QuerySpec.df(kcoreSpark, kcoreDuck),
       "q_graph_pagerank" -> QuerySpec.df(
         pagerankSpark,
         s"""WITH nodes AS (SELECT doc_id AS id FROM documents),

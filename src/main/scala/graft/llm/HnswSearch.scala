@@ -124,6 +124,106 @@ object HnswSearch {
        |${walkCtes(AnnSql.duckCos)}
        |$out""".stripMargin
 
+  // ---- Round 9: full three-layer descent (the paper's O(log N) path) ----
+
+  /** Layer-2 edge artifact: the SAME blocked directed-kNN construction,
+    * restricted to level ≥ 2 nodes — an expected N/16-node graph — plus
+    * universal self-loops (the frontier-keep trick, as layer 1). Staged
+    * once per (session, dir) and checkpointed: at 100 TB each layer is a
+    * persisted index table 1/4 the size of the one below, so the whole
+    * hierarchy costs ~N/3 extra edge rows over the base graph.
+    */
+  private val l2Cache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame](8)
+
+  private[graft] def stageEdgesL2(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    stageEdges(s, d)
+    l2Cache.getOrElseUpdate((s, d)) {
+      s.sql(AnnSql.knnDirectedSparkOver(3, s"${AnnSql.hnswLevelSpark} >= 2"))
+        .unionByName(Tables.embeddings(s, d)
+          .selectExpr("vec_id AS src", "vec_id AS dst", "CAST(1.0 AS DOUBLE) AS cos"))
+        .localCheckpoint(true)
+    }.createOrReplaceTempView("hnsw_l2")
+  }
+
+  private val w2 = 2 // layer-2 beam width
+  private val w1mid = 3 // layer-1 beam width in the 3-layer descent
+  private val hops2 = 2
+  private val hops0short = 3 // matches the 2-layer descent's base walk
+
+  /** Three-layer descent: greedy beam over the N/16-node layer 2 finds
+    * entries for the N/4-node layer 1 (walked at beam 3 — widening a
+    * SPARSE layer's beam costs 1/4 the candidates of the layer below,
+    * the cheap recall lever), whose exits seed the 3-hop base walk. Each
+    * added layer cuts the entry distance geometrically at 1/4 the node
+    * cost of the layer below — the paper's O(log N) descent; at corpus
+    * scale the hierarchy bounds base-layer hops as N grows, which a flat
+    * walk cannot (its entry distance grows with N). Entry: per label,
+    * the lowest-id level ≥ 2 node, falling back to level ≥ 1 then any
+    * (a label with no upper-layer member just starts its descent lower —
+    * the paper's behavior when the level draw leaves a region flat).
+    */
+  private def walk3Ctes(cosFn: (String, String) => String): String = {
+    def hop(layer: String, prev: String, cur: String, w: Int): String =
+      s"""${cur}h AS (SELECT DISTINCT g.dst AS vec_id
+         |        FROM $prev JOIN $layer g ON g.src = $prev.vec_id),
+         |${cur}s AS (SELECT h.vec_id, e.label, ${cosFn("e.embedding", "q.qe")} AS cos
+         |        FROM ${cur}h h JOIN embeddings e ON h.vec_id = e.vec_id CROSS JOIN q
+         |        WHERE h.vec_id != $qid),
+         |$cur AS (SELECT vec_id, cos FROM (
+         |  SELECT vec_id, cos,
+         |         row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rn
+         |  FROM ${cur}s) z WHERE rn <= $w)""".stripMargin
+    val top = (1 to hops2).map(r => hop("hnsw_l2", s"t${r - 1}", s"t$r", w2))
+    val mid = (1 to hops1).map(r =>
+      hop("hnsw_l1", if (r == 1) s"t$hops2" else s"m${r - 1}", s"m$r", w1mid))
+    val base = (1 to hops0short).map(r =>
+      hop("g_edges", if (r == 1) s"m$hops1" else s"b${r - 1}", s"b$r", w0))
+    s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $qid),
+       |ent AS (SELECT COALESCE(MIN(CASE WHEN lvl >= 2 THEN vec_id END),
+       |                        MIN(CASE WHEN lvl >= 1 THEN vec_id END),
+       |                        MIN(vec_id)) AS vec_id
+       |        FROM lv GROUP BY label),
+       |t0s AS (SELECT ent.vec_id, e.label, ${cosFn("e.embedding", "q.qe")} AS cos
+       |       FROM ent JOIN embeddings e ON ent.vec_id = e.vec_id CROSS JOIN q
+       |       WHERE ent.vec_id != $qid),
+       |t0 AS (SELECT vec_id, cos FROM (
+       |  SELECT vec_id, cos,
+       |         row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rn
+       |  FROM t0s) z WHERE rn <= $w2),
+       |${(top ++ mid ++ base).mkString(",\n")}""".stripMargin
+  }
+
+  /** Output edge rides the round-9 engine-neutral quantization (never a
+    * native double ROUND — see FloatDisciplineSpec).
+    */
+  private val out3 =
+    s"""SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rk,
+       |       vec_id AS doc_id, FLOOR(cos * 1.0E6 + 0.5E0) / 1.0E6 AS csim
+       |FROM b$hops0short ORDER BY rk LIMIT 3""".stripMargin
+
+  private def sparkSqlL2: String =
+    s"""WITH lv AS (SELECT vec_id, label, ${AnnSql.hnswLevelSpark} AS lvl FROM embeddings),
+       |${walk3Ctes((a, b) => s"graft_cosine($a, $b)")}
+       |$out3""".stripMargin
+
+  private def duckSqlL2: String =
+    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+       |g_edges AS (SELECT src, dst FROM tk
+       |            UNION ALL
+       |            SELECT vec_id AS src, vec_id AS dst FROM embeddings),
+       |${AnnSql.knnDirectedDuckCtesOver(3, s"${AnnSql.hnswLevelDuck} >= 1", "l1")},
+       |hnsw_l1 AS (SELECT src, dst FROM l1tk
+       |            UNION ALL
+       |            SELECT vec_id AS src, vec_id AS dst FROM embeddings),
+       |${AnnSql.knnDirectedDuckCtesOver(3, s"${AnnSql.hnswLevelDuck} >= 2", "l2")},
+       |hnsw_l2 AS (SELECT src, dst FROM l2tk
+       |            UNION ALL
+       |            SELECT vec_id AS src, vec_id AS dst FROM embeddings),
+       |lv AS (SELECT vec_id, label, ${AnnSql.hnswLevelDuck} AS lvl FROM embeddings),
+       |${walk3Ctes(AnnSql.duckCos)}
+       |$out3""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_ann_hnsw_search" -> QuerySpec(
       (s, d) => {
@@ -131,6 +231,13 @@ object HnswSearch {
         stageEdges(s, d)
         s.sql(sparkSql)
       },
-      Some(duckSql))
+      Some(duckSql)),
+    "q_ann_hnsw_l2" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        stageEdgesL2(s, d)
+        s.sql(sparkSqlL2)
+      },
+      Some(duckSqlL2))
   )
 }

@@ -141,6 +141,39 @@ class GraphRankSpec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_kcore: JVM peeling replay; layers partition the node set") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    val pairs = graft.SparkEntry.queries("q_ann_knn_graph")(sess, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // undirected peeling, k = 2, 6 synchronous rounds — mirrors kcoreTail
+    var edges = (pairs ++ pairs.map(_.swap)).toSet
+    val all = edges.map(_._1)
+    val peel = scala.collection.mutable.Map.empty[Long, Int]
+    var alive = all
+    for (round <- 1 to 6) {
+      val deg = edges.toSeq.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val survivors = alive.filter(n => deg.getOrElse(n, 0) >= 2)
+      for (n <- alive -- survivors) peel(n) = round
+      edges = edges.filter { case (a, b) => survivors(a) && survivors(b) }
+      alive = survivors
+    }
+    for (n <- alive) peel(n) = 7
+    val exp = peel.groupBy(_._2).map { case (r, m) =>
+      val ns = m.keys.toSeq
+      (r, ns.size.toLong, ns.min, ns.max, ns.sum)
+    }.toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_graph_kcore")(sess, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp, s"census mismatch: got ${got.toSeq} exp $exp")
+    // the decomposition is non-vacuous on this fixture: something is
+    // peeled AND a 3-core survives
+    assert(exp.exists(_._1 < 7) && exp.exists(_._1 == 7),
+      s"peeling is vacuous: $exp")
+    // layers partition all nodes
+    assert(exp.map(_._2).sum == all.size.toLong)
+  }
+
   test("q_graph_label_prop: independent Scala replay of 3 synchronous rounds") {
     val sf = "/root/testdata/sf0.001"
     val sess = spark.newSession()

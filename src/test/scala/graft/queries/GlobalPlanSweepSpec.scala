@@ -65,7 +65,8 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_embed_pca_project",   // iterate-chain joins are d^2-sized, never N (norms are now 8-row windows)
     "q_layout_range_partition", // single-row (k-1)-cut boundary-array broadcast — the RangePartitioner shape
     "q_ann_graph_search",    // single-row query-vector broadcast; hops are frontier-edge equi-joins
-    "q_ann_hnsw_search"      // single-row query-vector broadcast; both layers' hops are frontier-edge equi-joins
+    "q_ann_hnsw_search",     // single-row query-vector broadcast; both layers' hops are frontier-edge equi-joins
+    "q_ann_hnsw_l2"          // single-row query-vector broadcast; all three layers' hops are frontier-edge equi-joins
   )
 
   test("no cartesian anywhere; nested-loop joins only with constant-bounded broadcast sides") {
