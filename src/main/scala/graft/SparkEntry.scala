@@ -49,6 +49,9 @@ object SparkEntry {
       graft.llm.SearchRank.specs ++
       graft.llm.DataSelect.specs ++
       graft.llm.TextIndex.specs ++
+      graft.llm.TextClassify.specs ++
+      graft.llm.TextMining.specs ++
+      graft.llm.MmrSelect.specs ++
       graft.llm.GraphSearch.specs ++
       graft.llm.HnswSearch.specs ++
       graft.streaming.EventStream.specs

@@ -75,6 +75,120 @@ object GraphRank {
     ranks
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6 "personalized" teleport;
+    * the seed-set-expansion workhorse of Andersen-Chung-Lang, FOCS 2006):
+    * identical damped iteration to [[pagerank]], but ALL teleport mass
+    * returns to a seed set instead of spreading uniformly — so rank
+    * concentrates in the seeds' graph neighborhood and the top non-seed
+    * nodes are the expansion candidates. This is how a curation pipeline
+    * grows a small trusted corpus along the link graph (seed-crawl
+    * prioritization / "find more pages like these") without any content
+    * model.
+    *
+    * Same exact scaled-integer arithmetic as [[pagerank]] (BIGINT
+    * trillionths, truncation only removes mass): r0 = tele·1_seed with
+    * tele = SCALE div |S|; r' = (15·tele·1_seed + 85·Σ contrib) div 100.
+    * All operands non-negative, so Spark's truncating DIV and DuckDB's
+    * flooring // agree. Same shuffle shape per iteration too — edges laid
+    * out by src once, only the rank table moves; the seed flag joins as
+    * one more equi-join on id (at scale the seed table is tiny and
+    * broadcasts).
+    */
+  def personalizedPagerank(nodes: DataFrame, edges: DataFrame,
+      seeds: DataFrame, iters: Int): DataFrame = {
+    val teleDf = broadcast(
+      seeds.agg(expr(s"CAST(${Scale}L DIV COUNT(*) AS BIGINT)").as("tele")))
+    val sflag = broadcast(seeds.select(col("id").as("sid")))
+
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long")).distinct()
+    val eo = e0
+      .join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
+
+    var ranks = nodes
+      .join(sflag, nodes("id") === sflag("sid"), "left")
+      .crossJoin(teleDf)
+      .select(col("id"),
+        expr("CASE WHEN sid IS NULL THEN 0L ELSE tele END").as("rank"))
+    for (_ <- 1 to iters) {
+      val inflow = eo
+        .join(ranks, eo("src") === ranks("id"))
+        .select(col("dst"), expr("rank DIV outdeg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("inflow"))
+      ranks = nodes
+        .join(inflow, nodes("id") === inflow("dst"), "left")
+        .join(sflag, nodes("id") === sflag("sid"), "left")
+        .crossJoin(teleDf)
+        .select(
+          nodes("id"),
+          expr("""(15 * CASE WHEN sid IS NULL THEN 0L ELSE tele END
+                 | + 85 * COALESCE(inflow, 0L)) DIV 100""".stripMargin).as("rank"))
+    }
+    ranks
+  }
+
+  /** q_graph_ppr: expand the deterministic seed slice doc_id % 29 = 0
+    * over the same synthetic citation graph as q_graph_pagerank and emit
+    * the top-15 NON-seed nodes — the documents the walk recommends adding
+    * to the trusted set. Exact BIGINT ranks, doc_id tie-break.
+    */
+  private def pprSpark(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
+    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
+    val edges = docs
+      .crossJoin(nDf)
+      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
+      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+    val seeds = docs.filter(expr("id % 29 = 0"))
+    val ranks = personalizedPagerank(docs, edges, seeds, iters = 5)
+    val top = ranks
+      .join(seeds.select(col("id").as("sid")), ranks("id") === col("sid"), "left_anti")
+      .orderBy(col("rank").desc, col("id")).limit(15)
+    top
+      .select(
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rank").desc, col("id"))).as("rk"),
+        col("id").as("doc_id"),
+        col("rank").as("rank_scaled"))
+      .orderBy("rk")
+  }
+
+  private def pprDuck: String = {
+    val iterCtes = (1 to 5).map { i =>
+      s"""r$i AS (SELECT nodes.id,
+         |  CAST((15 * CASE WHEN sd.id IS NULL THEN 0 ELSE (SELECT tele FROM t) END
+         |        + 85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes LEFT JOIN sd ON nodes.id = sd.id
+         |  LEFT JOIN (
+         |    SELECT e.dst, SUM(r.rank // e.outdeg) AS inflow
+         |    FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst) f
+         |  ON nodes.id = f.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |sd AS (SELECT id FROM nodes WHERE id % 29 = 0),
+       |t AS (SELECT ${Scale} // COUNT(*) AS tele FROM sd),
+       |e0 AS (SELECT id AS src,
+       |              (id * id * 31 + (2 * j + 1) * 97) % (SELECT n FROM n) AS dst
+       |       FROM (SELECT id, unnest(range(0, 3)) AS j FROM nodes) z),
+       |ed AS (SELECT DISTINCT src, dst FROM e0),
+       |e AS (SELECT ed.src, ed.dst, od.outdeg
+       |      FROM ed JOIN (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src) od
+       |      ON ed.src = od.src),
+       |r0 AS (SELECT nodes.id,
+       |              CASE WHEN sd.id IS NULL THEN 0
+       |                   ELSE (SELECT tele FROM t) END AS rank
+       |       FROM nodes LEFT JOIN sd ON nodes.id = sd.id),
+       |$iterCtes
+       |SELECT CAST(rk AS INT) AS rk, id AS doc_id, rank AS rank_scaled FROM (
+       |  SELECT r5.id, r5.rank, row_number() OVER (ORDER BY r5.rank DESC, r5.id) AS rk
+       |  FROM r5 LEFT JOIN sd ON r5.id = sd.id WHERE sd.id IS NULL) z
+       |WHERE rk <= 15 ORDER BY rk""".stripMargin
+  }
+
   /** q_graph_pagerank: rank the documents corpus over a deterministic
     * synthetic citation graph (3 outlinks per doc via a quadratic hash —
     * the fixture stands in for a real link table; the operator itself takes
@@ -277,29 +391,63 @@ object GraphRank {
     * fixpoint; the round a node is peeled in is its onion layer and the
     * survivors form the k-core.
     *
-    * Six synchronous peel rounds, unrolled, k = 2 (the 2-core: tendrils
-    * and trees peel, cycles survive — at the mutual-kNN degree cap of
-    * this graph the 3-core is empty, so 2 is the level that actually
-    * stratifies; a production sweep runs the peel per k or uses the
-    * bucket algorithm for full coreness). Each round is ONE
-    * map-side-combined degree count over the surviving edge list plus two
-    * semi equi-joins filtering edges to surviving endpoints — the same
-    * per-round cost as a PageRank iteration, with a monotonically
-    * SHRINKING frontier (deleted nodes never return, so round cost only
-    * falls). A production run loops to the fixpoint with a convergence
-    * probe (COUNT of peeled nodes = 0 — one more map-side SUM), exactly
-    * the q_graph_pagerank iteration contract; 6 rounds is the unrolled
-    * oracle-checkable form. Output is the per-layer census (count,
-    * min/max, node-sum checksum — a membership pin in 5 integers per
-    * layer), bounded at rounds+1 rows. Pure integer arithmetic
-    * throughout; both dialects share the text.
+    * Six synchronous peel rounds, k = 2 (the 2-core: tendrils and trees
+    * peel, cycles survive — at the mutual-kNN degree cap of this graph
+    * the 3-core is empty, so 2 is the level that actually stratifies; a
+    * production sweep runs the peel per k or uses the bucket algorithm
+    * for full coreness). The Spark side runs the peel as an ITERATIVE
+    * DataFrame program with the shrinking edge list materialized per
+    * round (localCheckpoint — the q_graph_pagerank staged-iteration
+    * contract): each round is ONE map-side-combined degree count plus two
+    * survivor semi equi-joins, and because survivors/edges are staged,
+    * each round's work is referenced once — a single-SQL-text form of
+    * this peel is EXPONENTIAL in rounds under CTE re-inlining (n_i has 3
+    * consumers, e_i has 2 → 3^rounds subtree copies; the sf0.1 DuckDB
+    * oracle OOM'd exactly this way), which is why the oracle marks every
+    * multi-consumer peel CTE MATERIALIZED. Deleted nodes never return,
+    * so round cost only falls; a production run loops to the fixpoint
+    * with a convergence probe (COUNT of peeled = 0 — one more map-side
+    * SUM). Output is the per-layer census (count, min/max, node-sum
+    * checksum — a membership pin in 5 integers per layer), bounded at
+    * rounds+1 rows. Pure integer arithmetic throughout.
     */
-  private def kcoreTail: String = {
+  private def kcoreSpark(s: SparkSession, d: String): DataFrame = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    val me = s.sql(s"WITH ${mutualCte("g_edges")} SELECT id1, id2 FROM me")
+    var e = me.selectExpr("id1 AS node", "id2 AS nbr")
+      .unionByName(me.selectExpr("id2 AS node", "id1 AS nbr"))
+      .localCheckpoint(true)
+    var alive = e.select("node").distinct().localCheckpoint(true)
+    var labels: DataFrame = null
+    for (i <- 1 to 6) {
+      val surv = e.groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select("node").localCheckpoint(true)
+      val peeled = alive.join(surv, Seq("node"), "left_anti")
+        .select(col("node"), lit(i).as("peel_round"))
+      labels = if (labels == null) peeled else labels.unionByName(peeled)
+      e = e.join(surv.withColumnRenamed("node", "n1"), col("node") === col("n1"))
+        .drop("n1")
+        .join(surv.withColumnRenamed("node", "n2"), col("nbr") === col("n2"))
+        .drop("n2")
+        .localCheckpoint(true)
+      alive = surv
+    }
+    labels = labels.unionByName(alive.select(col("node"), lit(7).as("peel_round")))
+    labels.groupBy("peel_round")
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        min("node").as("min_node"), max("node").as("max_node"),
+        sum("node").cast("long").as("node_sum"))
+      .select(col("peel_round").cast("int").as("peel_round"),
+        col("n_nodes"), col("min_node"), col("max_node"), col("node_sum"))
+      .orderBy("peel_round")
+  }
+
+  private def kcoreDuck: String = {
     val k = 2
     val rounds = (1 to 6).map { i =>
-      s"""d$i AS (SELECT node, COUNT(*) AS deg FROM e${i - 1} GROUP BY node),
-         |n$i AS (SELECT node FROM d$i WHERE deg >= $k),
-         |e$i AS (SELECT e.node, e.nbr FROM e${i - 1} e
+      s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM e${i - 1} GROUP BY node),
+         |n$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT e.node, e.nbr FROM e${i - 1} e
          |        JOIN n$i a ON e.node = a.node
          |        JOIN n$i b ON e.nbr = b.node)""".stripMargin
     }.mkString(",\n")
@@ -307,7 +455,9 @@ object GraphRank {
       .map(i => s"WHEN s$i.node IS NULL THEN $i").mkString(" ")
     val leftJoins = (1 to 6)
       .map(i => s"LEFT JOIN n$i s$i ON a.node = s$i.node").mkString("\n       |        ")
-    s"""e0 AS (SELECT id1 AS node, id2 AS nbr FROM me
+    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+       |${mutualCte("tk")},
+       |e0 AS MATERIALIZED (SELECT id1 AS node, id2 AS nbr FROM me
        |       UNION ALL
        |       SELECT id2 AS node, id1 AS nbr FROM me),
        |$rounds,
@@ -322,16 +472,6 @@ object GraphRank {
        |       CAST(SUM(node) AS BIGINT) AS node_sum
        |FROM lab GROUP BY peel_round ORDER BY peel_round""".stripMargin
   }
-
-  private def kcoreSpark(s: SparkSession, d: String): DataFrame = {
-    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
-    s.sql(s"WITH ${mutualCte("g_edges")},\n$kcoreTail")
-  }
-
-  private def kcoreDuck: String =
-    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
-       |${mutualCte("tk")},
-       |$kcoreTail""".stripMargin
 
   private def trianglesSpark(s: SparkSession, d: String): DataFrame = {
     LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
@@ -360,6 +500,7 @@ object GraphRank {
       "q_graph_label_prop" -> QuerySpec.df(lpaSpark, lpaDuck),
       "q_graph_triangles" -> QuerySpec.df(trianglesSpark, trianglesDuck),
       "q_graph_kcore" -> QuerySpec.df(kcoreSpark, kcoreDuck),
+      "q_graph_ppr" -> QuerySpec.df(pprSpark, pprDuck),
       "q_graph_pagerank" -> QuerySpec.df(
         pagerankSpark,
         s"""WITH nodes AS (SELECT doc_id AS id FROM documents),

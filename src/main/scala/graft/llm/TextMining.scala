@@ -1,0 +1,75 @@
+package graft.llm
+
+import graft.queries.QuerySpec
+
+/** Statistical phrase mining — PMI collocation extraction (Church &
+  * Hanks, "Word association norms, mutual information, and lexicography",
+  * Computational Linguistics 1990): score every adjacent word pair by
+  * pointwise mutual information over the corpus bigram stream,
+  *
+  *   PMI(a,b) = ln( c(ab)·N / (c₁(a)·c₂(b)) )
+  *
+  * with c₁/c₂ the left/right bigram margins and N the total bigram count.
+  * This is the pass that discovers multiword expressions ("new york",
+  * "machine learning") for tokenizer seeding, phrase-aware dedup
+  * shingles, or index phrase dictionaries — the classical complement to
+  * frequency-only q_text_trigram_mining (frequency finds COMMON pairs;
+  * PMI finds pairs that co-occur far above chance even when rare, hence
+  * the min-support gate below against PMI's low-count instability).
+  *
+  * Determinism: PMI quantizes to integer micro-nats through ONE
+  * neutral-log call per bigram TYPE on the exact integer ratio
+  * c(ab)·N / (c₁·c₂) (both products ≤ (total tokens)² — inside BIGINT
+  * until ~3·10⁹ train tokens, the q_text_nb_quality bound); ranking ties
+  * break on (w1, w2).
+  *
+  * 100 TB shape: ONE corpus scan — the bigram explode map-side combines
+  * to the vocabulary²-bounded type table, and BOTH margins plus the
+  * grand total ride three windows over that bounded table (PARTITION BY
+  * w1 / w2 / global — never a second corpus pass, and the window chain
+  * is single-consumer so SQL-text CTE re-inlining cannot multiply scans:
+  * the kcore/DSIR lesson). PlanAuditSpec pins the single scan. At web
+  * scale the margins' windows run over the hashed-capped vocabulary
+  * (the fastText trick), keeping the type table broadcastable.
+  */
+object TextMining {
+
+  private val minSupport = 5
+  private val topK = 20
+
+  /** Dialect-shared tail over a bigram CTE `g(w1, w2)`. */
+  private def pmiTail(k: NeutralMath.KernelSplice): String =
+    s"""bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY w1, w2),
+       |bgw AS (SELECT w1, w2, c,
+       |               SUM(c) OVER (PARTITION BY w1) AS c1,
+       |               SUM(c) OVER (PARTITION BY w2) AS c2,
+       |               SUM(c) OVER () AS n
+       |        FROM bg),
+       |l0 AS (SELECT w1, w2, c, CAST(c * n AS BIGINT) AS num,
+       |              CAST(c1 * c2 AS BIGINT) AS den
+       |       FROM bgw WHERE c >= $minSupport),
+       |${k.ln("pmi", "l0", "w1, w2, c, num, den", "w1, w2, c",
+               "num", "den", "pmi_u", "1.0E6")},
+       |sel AS (SELECT w1, w2, c, pmi_u FROM pmi
+       |        ORDER BY pmi_u DESC, w1, w2 LIMIT $topK)
+       |SELECT CAST(row_number() OVER (ORDER BY pmi_u DESC, w1, w2) AS INT) AS rk,
+       |       w1, w2, CAST(c AS BIGINT) AS n_pair, CAST(pmi_u AS BIGINT) AS pmi_u
+       |FROM sel ORDER BY rk""".stripMargin
+
+  private def pmiSpark: String =
+    s"""WITH d AS (SELECT split(text, ' ') AS w FROM documents),
+       |g AS (SELECT element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+       |      FROM d LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+       |      WHERE size(w) >= 2),
+       |${pmiTail(NeutralMath.SparkKernel)}""".stripMargin
+
+  private def pmiDuck: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT w[i] AS w1, w[i + 1] AS w2
+       |      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
+       |${pmiTail(NeutralMath.OracleKernel)}""".stripMargin
+
+  val specs: Map[String, QuerySpec] = Map(
+    "q_text_pmi_collocations" -> QuerySpec.sql2(pmiSpark, pmiDuck)
+  )
+}

@@ -1062,7 +1062,58 @@ object WarehouseQueries {
        |FROM est e JOIN ex ON e.q = ex.q JOIN gr g ON e.q = g.q
        |ORDER BY e.q""".stripMargin
 
+  /** Exponentially-weighted moving average + one-step-ahead forecast
+    * residual over the hourly activity series — the streaming-adjacent
+    * smoother a monitoring pipeline runs next to the windowed z-score
+    * (q_ts_anomaly_zscore): EWMA reacts geometrically (half-life 1 bin at
+    * α = 1/2) where the flat 24-bin window reacts linearly, so level
+    * shifts surface bins earlier.
+    *
+    * Arithmetic is EXACT by dyadic construction: α = 1/2 makes every EWMA
+    * weight a power of two, and truncating at 20 taps bounds the dropped
+    * tail below 2⁻²⁰ of the max count — so the smoothed level is carried
+    * as the INTEGER lsc(t) = Σ_{i=0..19} n(t−i)·2^(19−i) (2²⁰ × EWMA, no
+    * division anywhere — the value ships scaled and documented rather
+    * than ROUNDed, the round-8 display-quotient lesson) and the forecast
+    * residual n(t)·2²⁰ − lsc(t−1) is a BIGINT difference. Both engines
+    * share every op.
+    *
+    * 100 TB shape: one data-sized pass (the hourly bin aggregate,
+    * map-side combined); the 20-tap weighting is a 20-row lag-table
+    * equi-join against the calendar-bounded dense series (the
+    * q_ts_autocorr shape) and the top-20 anomaly pick is TakeOrdered.
+    */
+  private def ewmaSql(epochUs: String) =
+    s"""WITH ${hourlyDense(epochUs)},
+       |lg AS (LAG_SPINE),
+       |ew AS (SELECT a.hr, CAST(SUM(b.n * lg.w) AS BIGINT) AS lsc,
+       |              COUNT(*) AS ntaps
+       |       FROM d a JOIN lg ON 1 = 1 JOIN d b ON b.hr = a.hr - lg.l
+       |       GROUP BY a.hr),
+       |r AS (SELECT cur.hr, cur.n,
+       |             prev.lsc,
+       |             CAST(cur.n * 1048576 - prev.lsc AS BIGINT) AS resid_sc
+       |      FROM d cur JOIN ew prev ON prev.hr = cur.hr - 1
+       |      WHERE prev.ntaps = 20),
+       |sel AS (SELECT hr, n, lsc, resid_sc FROM r
+       |        ORDER BY abs(resid_sc) DESC, hr LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY abs(resid_sc) DESC, hr) AS INT) AS rk,
+       |       CAST(hr AS BIGINT) AS hr, CAST(n AS BIGINT) AS n,
+       |       CAST(lsc AS BIGINT) AS ewma_sc, resid_sc
+       |FROM sel ORDER BY rk""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_ts_ewma" -> sql2(
+      ewmaSql("unix_micros(CAST(ts AS TIMESTAMP))")
+        .replace("LAG_SPINE",
+          "SELECT l, CAST(shiftleft(1L, 19 - CAST(l AS INT)) AS BIGINT) AS w " +
+            "FROM (SELECT explode(sequence(0, 19)) AS l)")
+        .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
+      ewmaSql("epoch_us(ts)")
+        .replace("LAG_SPINE",
+          "SELECT l, CAST(1::BIGINT << (19 - l) AS BIGINT) AS w " +
+            "FROM (SELECT unnest(range(0, 20)) AS l) z")
+        .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
     "q_dim_merge_upsert" -> sql(mergeUpsert),
     "q_events_next_pred" -> sql2(
       nextPredSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV"),

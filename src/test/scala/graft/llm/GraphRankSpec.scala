@@ -141,6 +141,36 @@ class GraphRankSpec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_ppr: JVM replay of the seeded integer recurrence; output excludes seeds") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    val ids = graft.queries.Tables.documents(sess, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = ids.length.toLong
+    val edges = ids.flatMap(id => (0 to 2).map(j =>
+      id -> ((id * id * 31 + (2 * j + 1) * 97) % n))).distinct
+    val seeds = ids.filter(_ % 29 == 0).toSet
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val tele = GraphRank.Scale / seeds.size
+    var rank = ids.map(i => i -> (if (seeds(i)) tele else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) inflow(d) += rank(s) / outdeg(s)
+      rank = ids.map(i => i ->
+        ((15 * (if (seeds(i)) tele else 0L) + 85 * inflow(i)) / 100)).toMap
+    }
+    val exp = ids.filterNot(seeds).map(i => (i, rank(i)))
+      .sortBy { case (i, r) => (-r, i) }.take(15)
+      .zipWithIndex.map { case ((i, r), k) => (k + 1, i, r) }
+    val got = graft.SparkEntry.queries("q_graph_ppr")(sess, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exp.toSeq, s"got ${got.toSeq}\nexp ${exp.toSeq}")
+    // personalization is non-vacuous: rank reached beyond the seed set
+    assert(exp.head._3 > 0, "no rank mass escaped the seeds")
+    // mass conservation: the walk never mints mass
+    assert(rank.values.sum <= GraphRank.Scale)
+  }
+
   test("q_graph_kcore: JVM peeling replay; layers partition the node set") {
     val sf = "/root/testdata/sf0.001"
     val sess = spark.newSession()

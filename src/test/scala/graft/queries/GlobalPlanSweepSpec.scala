@@ -45,6 +45,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_events_lateness_audit", // 3-row delay-level table x the shard-windowed stream
     "q_events_next_pred",    // single-row train/test cut broadcast; model join is equi
     "q_ts_autocorr",         // 3-row lag table x the calendar-bounded dense hourly series
+    "q_ts_ewma",             // 20-row dyadic-weight lag table x the calendar-bounded dense hourly series
     "q_ts_changepoint",      // single-row series-total join onto the dense hourly series
     "q_stats_quantile_merge", // 3-row target-rank table x the N/64 merged summary + audit probe
     "q_dedup_band_tuning",   // single-row truth-count join onto the 3-row config rollup
@@ -66,7 +67,9 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_layout_range_partition", // single-row (k-1)-cut boundary-array broadcast — the RangePartitioner shape
     "q_ann_graph_search",    // single-row query-vector broadcast; hops are frontier-edge equi-joins
     "q_ann_hnsw_search",     // single-row query-vector broadcast; both layers' hops are frontier-edge equi-joins
-    "q_ann_hnsw_l2"          // single-row query-vector broadcast; all three layers' hops are frontier-edge equi-joins
+    "q_ann_hnsw_l2",         // single-row query-vector broadcast; all three layers' hops are frontier-edge equi-joins
+    "q_graph_ppr",           // single-row teleport-quantum join (pagerank shape); seed flag joins equi on id
+    "q_search_mmr"           // 12-row staged candidate table self-pairs; zero corpus scans in-plan (PlanAuditSpec)
   )
 
   test("no cartesian anywhere; nested-loop joins only with constant-bounded broadcast sides") {

@@ -566,6 +566,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!pIvf.contains("SortMergeJoin") || pIvf.contains("BroadcastHashJoin"), pIvf.take(1500))
   }
 
+  test("NB quality classifier reads the corpus exactly twice") {
+    // tok has exactly two consumers — the train-count pass and the eval
+    // scoring pass (the intended two corpus reads). A third scan means
+    // the linear model-derivation chain (counts -> window totals -> log
+    // kernel) picked up a second consumer somewhere (the DSIR x5
+    // re-inline hazard).
+    val p = plan("q_text_nb_quality")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"q_text_nb_quality plans $scans corpus scans (want 2):\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PMI collocations mine the corpus in ONE scan (margins ride windows)") {
+    // both bigram margins and the grand total come from windows over the
+    // vocabulary^2-bounded type table — a second Scan parquet means a
+    // margin got re-derived from the corpus
+    val p = plan("q_text_pmi_collocations")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"q_text_pmi_collocations plans $scans corpus scans (want 1):\n${p.take(1500)}")
+  }
+
+  test("MMR greedy rounds replay the staged 12-row candidate table, never the corpus") {
+    // candidate retrieval is staged (localCheckpoint) before the query
+    // plan is built; the unrolled greedy CTEs re-inline, so any corpus
+    // scan here would multiply by the consumer count
+    val p = plan("q_search_mmr")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q_search_mmr plans $scans corpus scans (want 0):\n${p.take(1500)}")
+  }
+
   test("DSIR consumes the corpus exactly once per query (staged bucket counts, round 9)") {
     // Round-8 driver: the bigram CTE `g` had 5 SQL consumers and Catalyst
     // re-inlines per consumer — the corpus tokenize+explode ran 5x

@@ -607,6 +607,30 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ts_ewma: dyadic smoother replay; residuals are exact scaled integers") {
+    val (mn, dense) = denseHourly()
+    // lsc(t) = sum_{i=0..19} n(t-i) * 2^(19-i), defined where all 20 taps exist
+    val lsc = dense.indices.collect { case t if t >= 19 =>
+      (mn + t, (0 to 19).map(i => dense(t - i) * (1L << (19 - i))).sum)
+    }.toMap
+    val exp = dense.indices.collect {
+      case t if lsc.contains(mn + t - 1) =>
+        (mn + t, dense(t), lsc(mn + t - 1),
+          dense(t) * 1048576L - lsc(mn + t - 1))
+    }.sortBy { case (hr, _, _, r) => (-math.abs(r), hr) }.take(20)
+      .zipWithIndex.map { case ((hr, n, l, r), i) => (i + 1, hr, n, l, r) }
+    val got = rows("q_ts_ewma")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp.toSeq, s"got ${got.toSeq.take(3)}...\nexp ${exp.take(3)}...")
+    // smoother sanity: the EWMA level sits inside the 20-tap min/max hull
+    for ((_, hr, _, l, _) <- got.toSeq) {
+      val t = (hr - mn).toInt - 1
+      val window = (0 to 19).map(i => dense(t - i))
+      assert(l >= window.min * 1048575L && l <= window.max * 1048576L,
+        s"ewma at $hr outside hull")
+    }
+  }
+
   test("q_ts_changepoint: max-CUSUM replay; the top candidate separates the means") {
     val (mn, dense) = denseHourly()
     val sn = dense.sum
