@@ -69,7 +69,8 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_hnsw_search",     // single-row query-vector broadcast; both layers' hops are frontier-edge equi-joins
     "q_ann_hnsw_l2",         // single-row query-vector broadcast; all three layers' hops are frontier-edge equi-joins
     "q_graph_ppr",           // single-row teleport-quantum join (pagerank shape); seed flag joins equi on id
-    "q_search_mmr"           // 12-row staged candidate table self-pairs; zero corpus scans in-plan (PlanAuditSpec)
+    "q_search_mmr",          // 12-row staged candidate table self-pairs; zero corpus scans in-plan (PlanAuditSpec)
+    "q_embed_quant_ablation" // 4-row precision-level table x corpus + 1-row query broadcast (recall-curve shape)
   )
 
   test("no cartesian anywhere; nested-loop joins only with constant-bounded broadcast sides") {
