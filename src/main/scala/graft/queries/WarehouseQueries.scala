@@ -1102,7 +1102,88 @@ object WarehouseQueries {
        |       CAST(lsc AS BIGINT) AS ewma_sc, resid_sc
        |FROM sel ORDER BY rk""".stripMargin
 
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013) — the standard trick that makes A/B tests decisive on a
+    * fraction of the traffic: adjust each unit's metric by its own
+    * PRE-EXPERIMENT covariate, Y' = Y − θ·(X − E[X]) with
+    * θ = cov(X,Y)/var(X), which strips the variance the user's baseline
+    * behavior explains while leaving every arm's mean effect unbiased.
+    * Units are users; the metric is post-period purchase cents, the
+    * covariate pre-period purchase cents (split at the stream's midpoint
+    * cut, the q_events_next_pred protocol); arms assign by md5 parity of
+    * user_id (hash-based assignment, the production convention).
+    *
+    * Determinism: every moment (n, Σx, Σy, Σx², Σy², Σxy) is an exact
+    * integer on cents (fold-order exact); θ, the adjusted means and the
+    * per-arm variance-reduction ratio var(Y')/var(Y) =
+    * 1 − (V − 2θC + θ²X)/V (V, C, X the n-scaled per-arm central
+    * moments) are doubles derived from those integers by an identical
+    * correctly-rounded op sequence in both engines (the q_ts_autocorr
+    * discipline), displayed FLOOR-quantized. Σx² stays in BIGINT while
+    * per-user cents < ~3·10⁶ at a billion users.
+    *
+    * 100 TB shape: one pruned scan of purchase events (filter pushed),
+    * one per-user aggregate (map-side combined, shuffles on user_id),
+    * then a 2-row arm table; pooled moments ride windows over those 2
+    * rows (single-consumer chain — no re-inlined re-scan). The 1-row
+    * midpoint cut broadcasts (allowlisted, next_pred shape).
+    *
+    * Fixture note: event values are drawn iid, so the pre-period
+    * covariate is intentionally weak here (r ≈ 0.03 at sf0.01+) and
+    * per-arm reduction can dip a few hundred bp negative — the POOLED
+    * reduction, which equals r²(X, Y) and can never be negative, is what
+    * WarehouseSpec pins; on real traffic (where users have stable
+    * baselines, r commonly 0.5+) the same query is the decisive readout.
+    */
+  private def cupedSql(epochUs: String, intDiv: String, md5user: String) =
+    s"""WITH e AS (SELECT user_id, $epochUs AS us,
+       |                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+       |          FROM events WHERE event_type = 'purchase'),
+       |sp AS (SELECT (MIN(us) + MAX(us)) $intDiv 2 AS cut FROM e),
+       |u AS (SELECT user_id,
+       |             CAST(SUM(CASE WHEN us < cut THEN cents ELSE 0 END) AS BIGINT) AS x,
+       |             CAST(SUM(CASE WHEN us >= cut THEN cents ELSE 0 END) AS BIGINT) AS y
+       |      FROM e CROSS JOIN sp GROUP BY user_id),
+       |ua AS (SELECT user_id, x, y, ($md5user) % 2 AS arm FROM u),
+       |m AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+       |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |             CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |             CAST(SUM(y * y) AS BIGINT) AS syy,
+       |             CAST(SUM(x * y) AS BIGINT) AS sxy
+       |      FROM ua GROUP BY arm),
+       |g AS (SELECT arm, n, sx, sy, sxx, syy, sxy,
+       |             SUM(n) OVER () AS gn, SUM(sx) OVER () AS gsx,
+       |             SUM(sy) OVER () AS gsy, SUM(sxx) OVER () AS gsxx,
+       |             SUM(sxy) OVER () AS gsxy
+       |      FROM m),
+       |t AS (SELECT arm, n, sx, sy, sxx, syy, sxy,
+       |             CASE WHEN gn * gsxx - gsx * gsx > 0
+       |                  THEN CAST(gn * gsxy - gsx * gsy AS DOUBLE)
+       |                       / CAST(gn * gsxx - gsx * gsx AS DOUBLE)
+       |                  ELSE 0.0E0 END AS theta,
+       |             CAST(gsx AS DOUBLE) / gn AS mx
+       |      FROM g)
+       |SELECT CAST(arm AS INT) AS arm, n AS n_users,
+       |       CAST(sy AS BIGINT) AS sum_y_cents,
+       |       CAST(FLOOR(CAST(sy AS DOUBLE) / n + 0.5E0) AS BIGINT) AS mean_y_cents,
+       |       CAST(FLOOR(CAST(sy AS DOUBLE) / n
+       |                  - theta * (CAST(sx AS DOUBLE) / n - mx) + 0.5E0) AS BIGINT)
+       |         AS mean_yadj_cents,
+       |       CASE WHEN n * syy - sy * sy > 0
+       |            THEN CAST(FLOOR((1.0E0
+       |                 - (CAST(n * syy - sy * sy AS DOUBLE)
+       |                    - 2.0E0 * theta * CAST(n * sxy - sx * sy AS DOUBLE)
+       |                    + theta * theta * CAST(n * sxx - sx * sx AS DOUBLE))
+       |                   / CAST(n * syy - sy * sy AS DOUBLE)) * 10000 + 0.5E0) AS BIGINT)
+       |            END AS var_red_bp
+       |FROM t ORDER BY arm""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_events_cuped" -> sql2(
+      cupedSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV",
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"),
+      cupedSql("epoch_us(ts)", "//",
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT")),
     "q_ts_ewma" -> sql2(
       ewmaSql("unix_micros(CAST(ts AS TIMESTAMP))")
         .replace("LAG_SPINE",

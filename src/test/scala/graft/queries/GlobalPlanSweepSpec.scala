@@ -44,6 +44,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_stats_kmv_intersect", // T-row (event-type domain) pair table x <=T*128-row sketch rows
     "q_events_lateness_audit", // 3-row delay-level table x the shard-windowed stream
     "q_events_next_pred",    // single-row train/test cut broadcast; model join is equi
+    "q_events_cuped",        // single-row midpoint-cut broadcast (next_pred shape); moments chain is 2-row windows
     "q_ts_autocorr",         // 3-row lag table x the calendar-bounded dense hourly series
     "q_ts_ewma",             // 20-row dyadic-weight lag table x the calendar-bounded dense hourly series
     "q_ts_changepoint",      // single-row series-total join onto the dense hourly series
