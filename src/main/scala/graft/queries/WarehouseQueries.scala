@@ -978,6 +978,84 @@ object WarehouseQueries {
        |       CAST(n_hit * 10000 $intDiv n_eval AS BIGINT) AS acc_bp
        |FROM a ORDER BY cur""".stripMargin
 
+  /** Second-order Markov next-event eval with first-order backoff — the
+    * model-depth question asked of q_events_next_pred: does conditioning
+    * on the PREVIOUS event too lift top-1 accuracy? Train both models on
+    * the chronological first half (split keyed on the current event's
+    * timestamp, the next_pred protocol); at eval, predict from the
+    * (prev, cur) table when that context was seen in training, else back
+    * off to the (cur) table (the katz-backoff shape q_text_kn_ppl applies
+    * to language bigrams, here on event streams). Output rolls up per
+    * current type with the backoff rate — the diagnostic that says
+    * whether the second order is earning its T² state.
+    *
+    * 100 TB shape: transitions from ONE (user, time) window partitioning;
+    * both models are ≤ T²/T³-bounded count tables reduced to argmax rows
+    * (broadcast); eval joins are equi on the context columns. Integer
+    * counts; one basis-point integer division at the display edge.
+    */
+  private def nextPred2Sql(epochUs: String, intDiv: String) =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, $epochUs AS us FROM events),
+       |sp AS (SELECT (MIN(us) + MAX(us)) $intDiv 2 AS cut FROM e),
+       |s AS (SELECT user_id, event_type AS cur, us,
+       |             lag(event_type) OVER (PARTITION BY user_id
+       |                                   ORDER BY us, event_id) AS prv,
+       |             lead(event_type) OVER (PARTITION BY user_id
+       |                                    ORDER BY us, event_id) AS nxt
+       |      FROM e),
+       |tr2 AS (SELECT prv, cur, nxt, COUNT(*) AS c
+       |        FROM s CROSS JOIN sp
+       |        WHERE nxt IS NOT NULL AND prv IS NOT NULL AND us < cut
+       |        GROUP BY prv, cur, nxt),
+       |md2 AS (SELECT prv, cur, nxt AS pred FROM (
+       |          SELECT prv, cur, nxt,
+       |                 row_number() OVER (PARTITION BY prv, cur
+       |                                    ORDER BY c DESC, nxt) AS rn
+       |          FROM tr2) x WHERE rn = 1),
+       |tr1 AS (SELECT cur, nxt, COUNT(*) AS c
+       |        FROM s CROSS JOIN sp WHERE nxt IS NOT NULL AND us < cut
+       |        GROUP BY cur, nxt),
+       |md1 AS (SELECT cur, nxt AS pred FROM (
+       |          SELECT cur, nxt,
+       |                 row_number() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS rn
+       |          FROM tr1) x WHERE rn = 1),
+       |te AS (SELECT prv, cur, nxt FROM s CROSS JOIN sp
+       |       WHERE nxt IS NOT NULL AND us >= cut),
+       |pr AS (SELECT te.cur, te.nxt,
+       |              COALESCE(m2.pred, m1.pred) AS pred,
+       |              CASE WHEN m2.pred IS NULL THEN 1 ELSE 0 END AS backoff
+       |       FROM te LEFT JOIN md2 m2 ON te.prv = m2.prv AND te.cur = m2.cur
+       |               LEFT JOIN md1 m1 ON te.cur = m1.cur),
+       |a AS (SELECT cur, COUNT(*) AS n_eval,
+       |             CAST(SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |             CAST(SUM(backoff) AS BIGINT) AS n_backoff
+       |      FROM pr GROUP BY cur)
+       |SELECT cur, CAST(n_eval AS BIGINT) AS n_eval, n_hit, n_backoff,
+       |       CAST(n_hit * 10000 $intDiv n_eval AS BIGINT) AS acc_bp,
+       |       CAST(n_backoff * 10000 $intDiv n_eval AS BIGINT) AS backoff_bp
+       |FROM a ORDER BY cur""".stripMargin
+
+  /** Sample-ratio-mismatch check — the FIRST gate of any experiment
+    * readout (a biased assignment invalidates q_events_cuped's means
+    * before any variance math): under 50/50 hash assignment the arm
+    * counts are binomial, and χ² = (n₀−n₁)²/(n₀+n₁) against 1 dof flags
+    * at 3.84 (95%). Hash-parity assignment over distinct users, one
+    * pruned scan + two-phase distinct, exact integer counts, one
+    * identical-op-sequence double division at the display edge.
+    */
+  private def srmSql(md5user: String) =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |a AS (SELECT ($md5user) % 2 AS arm FROM u),
+       |c AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |      FROM a)
+       |SELECT n0, n1,
+       |       CAST(FLOOR(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+       |                  / (n0 + n1) * 100 + 0.5E0) AS BIGINT) AS chi2_centi,
+       |       CAST(CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)
+       |                      > 3.841E0 THEN 1 ELSE 0 END AS INT) AS srm_flag
+       |FROM c""".stripMargin
+
   /** Two-level distributed quantile estimation — the mergeable-summary
     * pattern Spark's own RangePartitioner and AQE skew stats rely on:
     * each shard keeps every 64th order statistic (weight 64, plus its
@@ -1179,6 +1257,12 @@ object WarehouseQueries {
        |FROM t ORDER BY arm""".stripMargin
 
   val specs: Map[String, QuerySpec] = Map(
+    "q_events_next_pred2" -> sql2(
+      nextPred2Sql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV"),
+      nextPred2Sql("epoch_us(ts)", "//")),
+    "q_events_srm" -> sql2(
+      srmSql("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"),
+      srmSql("('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT")),
     "q_events_cuped" -> sql2(
       cupedSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV",
         "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"),

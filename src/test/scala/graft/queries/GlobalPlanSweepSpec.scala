@@ -45,6 +45,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_events_lateness_audit", // 3-row delay-level table x the shard-windowed stream
     "q_events_next_pred",    // single-row train/test cut broadcast; model join is equi
     "q_events_cuped",        // single-row midpoint-cut broadcast (next_pred shape); moments chain is 2-row windows
+    "q_events_next_pred2",   // single-row train/test cut broadcast; both model joins are equi on context
     "q_ts_autocorr",         // 3-row lag table x the calendar-bounded dense hourly series
     "q_ts_ewma",             // 20-row dyadic-weight lag table x the calendar-bounded dense hourly series
     "q_ts_changepoint",      // single-row series-total join onto the dense hourly series

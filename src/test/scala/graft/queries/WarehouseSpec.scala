@@ -607,6 +607,67 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_next_pred2: JVM replay of both models and the backoff; acc within [0, 10000]") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cut = (ev.map(_._4).min + ev.map(_._4).max) / 2
+    // per-user chronological chains with (prv, cur, nxt)
+    val trips = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._4, e._2))
+      s.indices.map { i =>
+        val prv = if (i > 0) Some(s(i - 1)._3) else None
+        val nxt = if (i < s.length - 1) Some(s(i + 1)._3) else None
+        (prv, s(i)._3, nxt, s(i)._4)
+      }
+    }
+    def argmax[K](m: Map[K, Map[String, Int]]): Map[K, String] =
+      m.map { case (k, cs) => k -> cs.toSeq.minBy { case (n, c) => (-c, n) }._1 }
+    val md2 = argmax(trips.collect {
+      case (Some(p), c, Some(n), us) if us < cut => ((p, c), n)
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.groupBy(_._2).map { case (n, g) => n -> g.size } })
+    val md1 = argmax(trips.collect {
+      case (_, c, Some(n), us) if us < cut => (c, n)
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.groupBy(_._2).map { case (n, g) => n -> g.size } })
+    val evalRows = trips.collect { case (p, c, Some(n), us) if us >= cut => (p, c, n) }
+    val exp = evalRows.groupBy(_._2).toSeq.sortBy(_._1).map { case (cur, rows) =>
+      val preds = rows.map { case (p, c, n) =>
+        val m2 = p.flatMap(pp => md2.get((pp, c)))
+        (m2.getOrElse(md1(c)), m2.isEmpty, n)
+      }
+      val (ne, nh, nb) = (rows.size.toLong,
+        preds.count(x => x._1 == x._3).toLong, preds.count(_._2).toLong)
+      (cur, ne, nh, nb, nh * 10000 / ne, nb * 10000 / ne)
+    }
+    val got = rows("q_events_next_pred2").map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+    got.foreach { case (c, _, _, _, acc, bo) =>
+      assert(acc >= 0 && acc <= 10000 && bo >= 0 && bo <= 10000, c) }
+  }
+
+  test("q_events_srm: exact arm recount; balanced hash assignment does not flag") {
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(u: Long): Long = {
+      val hex = md.digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % 2
+    }
+    val n0 = users.count(arm(_) == 0L).toLong
+    val n1 = users.length - n0
+    val chi = (n0 - n1).toDouble * (n0 - n1) / (n0 + n1)
+    val got = rows("q_events_srm").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).head
+    assert(got == ((n0, n1, math.floor(chi * 100 + 0.5).toLong,
+      if (chi > 3.841) 1 else 0)))
+    // md5 parity over the fixture population is balanced — no mismatch
+    assert(got._4 == 0, s"SRM flagged on unbiased assignment: $got")
+  }
+
   test("q_events_cuped: JVM replay of moments, theta and adjusted means; CUPED never inflates variance") {
     val ev = Tables.events(spark, sf)
       .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
