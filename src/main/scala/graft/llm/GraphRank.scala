@@ -483,6 +483,100 @@ object GraphRank {
        |${mutualCte("tk")},
        |$trianglesTail""".stripMargin
 
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999): alternate a ← Aᵀh, h ← A·a
+    * over the directed link graph. In a crawl-curation pipeline the
+    * authority score finds the reference pages worth up-weighting and the
+    * hub score finds the directory/aggregator pages worth crawling OUT of
+    * — the two roles PageRank's single score conflates.
+    *
+    * Arithmetic is EXACT integer: h₀ = 1000 everywhere and each half-step
+    * is an order-independent BIGINT sum over in/out-neighbors — no
+    * normalization inside the loop, so every CTE has ONE consumer (the
+    * kcore/DSIR re-inline lesson) and both engines agree bit-for-bit.
+    * Unnormalized mass grows like (mean degree)^(2·iters); with 3 rounds
+    * the BIGINT bound holds to mean degree ~450 — a production run at
+    * higher fan-out inserts the pagerank-style integer max-divide
+    * normalization per round (one extra single-row aggregate join; the
+    * RANKING is scale-invariant either way, which is all HITS promises).
+    *
+    * Shuffle shape per half-step = pagerank's: edges laid out by the join
+    * side once (localCheckpoint), scores equi-join + map-side-combined
+    * SUM groupBy. Per-round localCheckpoint truncates the alternating
+    * lineage (the standard iterative-graph checkpoint cadence).
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    var hub = nodes.select(col("id"), lit(1000L).as("h"))
+    var auth = nodes.select(col("id"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val aIn = e.join(hub, e("src") === hub("id"))
+        .groupBy("dst").agg(sum("h").as("a0"))
+      auth = nodes.join(aIn, nodes("id") === aIn("dst"), "left")
+        .select(nodes("id"), coalesce(col("a0"), lit(0L)).as("a"))
+        .localCheckpoint(true)
+      val hIn = e.join(auth, e("dst") === auth("id"))
+        .groupBy("src").agg(sum("a").as("h0"))
+      hub = nodes.join(hIn, nodes("id") === hIn("src"), "left")
+        .select(nodes("id"), coalesce(col("h0"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+    }
+    auth.join(hub, "id")
+  }
+
+  /** q_graph_hits: 3 HITS rounds over the same synthetic citation graph as
+    * q_graph_pagerank; top-15 by authority mass, doc_id tie-break, hub
+    * mass carried alongside.
+    */
+  private def hitsSpark(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
+    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
+    val edges = docs
+      .crossJoin(nDf)
+      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
+      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+    val top = hits(docs, edges, iters = 3)
+      .orderBy(col("a").desc, col("id")).limit(15)
+    top
+      .select(
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("a").desc, col("id"))).as("rk"),
+        col("id").as("doc_id"),
+        col("a").as("auth_mass"),
+        col("h").as("hub_mass"))
+      .orderBy("rk")
+  }
+
+  private def hitsDuck: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""a$i AS (SELECT nodes.id, CAST(COALESCE(f.a, 0) AS BIGINT) AS a
+         |  FROM nodes LEFT JOIN (
+         |    SELECT ed.dst, SUM(h.h) AS a
+         |    FROM ed JOIN h${i - 1} h ON ed.src = h.id GROUP BY ed.dst) f
+         |  ON nodes.id = f.dst),
+         |h$i AS (SELECT nodes.id, CAST(COALESCE(f.h, 0) AS BIGINT) AS h
+         |  FROM nodes LEFT JOIN (
+         |    SELECT ed.src, SUM(a.a) AS h
+         |    FROM ed JOIN a$i a ON ed.dst = a.id GROUP BY ed.src) f
+         |  ON nodes.id = f.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |e0 AS (SELECT id AS src,
+       |              (id * id * 31 + (2 * j + 1) * 97) % (SELECT n FROM n) AS dst
+       |       FROM (SELECT id, unnest(range(0, 3)) AS j FROM nodes) z),
+       |ed AS (SELECT DISTINCT src, dst FROM e0),
+       |h0 AS (SELECT id, CAST(1000 AS BIGINT) AS h FROM nodes),
+       |$rounds
+       |SELECT CAST(rk AS INT) AS rk, id AS doc_id, auth_mass, hub_mass FROM (
+       |  SELECT a3.id, a3.a AS auth_mass, h3.h AS hub_mass,
+       |         row_number() OVER (ORDER BY a3.a DESC, a3.id) AS rk
+       |  FROM a3 JOIN h3 ON a3.id = h3.id) z
+       |WHERE rk <= 15 ORDER BY rk""".stripMargin
+  }
+
   /** Unrolled 5-iteration DuckDB oracle: identical scaled-integer
     * arithmetic, so the hash comparison is exact — no rounding anywhere.
     */
@@ -501,6 +595,7 @@ object GraphRank {
       "q_graph_triangles" -> QuerySpec.df(trianglesSpark, trianglesDuck),
       "q_graph_kcore" -> QuerySpec.df(kcoreSpark, kcoreDuck),
       "q_graph_ppr" -> QuerySpec.df(pprSpark, pprDuck),
+      "q_graph_hits" -> QuerySpec.df(hitsSpark, hitsDuck),
       "q_graph_pagerank" -> QuerySpec.df(
         pagerankSpark,
         s"""WITH nodes AS (SELECT doc_id AS id FROM documents),

@@ -55,8 +55,13 @@ object TextClassify {
 
   private val posSrc = "('src0', 'src1', 'src2', 'src3')"
 
-  /** Dialect-shared tail over a token CTE `tok(doc_id, source, word)`. */
-  private def nbTail(k: NeutralMath.KernelSplice): String =
+  /** Dialect-shared NB score chain over a token CTE `tok(doc_id, source,
+    * word)`: train counts → vocabulary-bounded totals → neutral-log LLR
+    * table → per-held-out-doc integer score. Ends at `sc(doc_id, source,
+    * score_u, n_tok)` so the rollup, the AUC, and the reliability tails
+    * all consume the IDENTICAL model + scoring text.
+    */
+  private def nbScoreCtes(k: NeutralMath.KernelSplice): String =
     s"""bc AS (SELECT word,
        |              CAST(SUM(CASE WHEN source IN $posSrc THEN 1 ELSE 0 END) AS BIGINT) AS cp,
        |              CAST(SUM(CASE WHEN source IN $posSrc THEN 0 ELSE 1 END) AS BIGINT) AS cn
@@ -74,7 +79,11 @@ object TextClassify {
        |              CAST(COUNT(*) AS BIGINT) AS n_tok
        |       FROM tok JOIN llr ON tok.word = llr.word
        |       WHERE tok.doc_id % 3 = 0
-       |       GROUP BY tok.doc_id, tok.source)
+       |       GROUP BY tok.doc_id, tok.source)""".stripMargin
+
+  /** Dialect-shared tail over a token CTE `tok(doc_id, source, word)`. */
+  private def nbTail(k: NeutralMath.KernelSplice): String =
+    s"""${nbScoreCtes(k)}
        |SELECT source,
        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
        |       CAST(SUM(CASE WHEN score_u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_hi,
@@ -95,7 +104,137 @@ object TextClassify {
        |             FROM documents),
        |${nbTail(NeutralMath.OracleKernel)}""".stripMargin
 
+  /** Per-(session, dir) staged NB score table: the [[nbScoreCtes]] chain
+    * materialized ONCE (localCheckpoint, one row per held-out doc) and
+    * registered as `nb_sc` for the AUC and reliability tails — both of
+    * which need the score extremes BEFORE binning, i.e. two consumers of
+    * the score table, which under Catalyst's SQL-text CTE re-inlining
+    * would otherwise re-run the whole corpus-scoring chain per consumer
+    * (the DSIR ×5 lesson). Materializing per-doc scores is what a real
+    * pipeline does anyway — the scored corpus IS the product; the eval
+    * reads the artifact, not the corpus.
+    */
+  private val nbScCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame](8)
+
+  private def stageNbSc(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val sc = nbScCache.getOrElseUpdate((s, d)) {
+      s.sql(
+        s"""WITH tok AS (SELECT doc_id, source, word
+           |             FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word),
+           |${nbScoreCtes(NeutralMath.SparkKernel)}
+           |SELECT doc_id, source, score_u, n_tok FROM sc""".stripMargin)
+        .localCheckpoint(true)
+    }
+    sc.createOrReplaceTempView("nb_sc")
+  }
+
+  /** Exact banded Mann-Whitney AUC of the NB scores on the held-out slice
+    * — the eval a filter ships with (fastText/CCNet quality filters are
+    * reported BY their val AUC; without it a pipeline can't compare two
+    * candidate filters). Scores land in 256 equal-width integer bins and
+    * the U statistic folds over the ≤256-row histogram:
+    *
+    *   2·U = Σ_b np_b · (2·cumneg_{<b} + nn_b)      (same-bin pairs = ½)
+    *
+    * so AUC = 2U / (2·P·N) is the EXACT tie-corrected AUC of the binned
+    * scores — a deterministic statistic of integer counts, no ranks over
+    * the corpus. (The bin width, not engine arithmetic, defines the tie
+    * radius; with 256 bins the binned AUC differs from the raw-rank AUC
+    * by < 1/256 of the band mass — the standard histogram-AUC trade
+    * every streaming eval makes.)
+    *
+    * 100 TB shape: the Spark side scores through the STAGED [[stageNbSc]]
+    * artifact (two corpus passes total across the whole NB eval family);
+    * everything after is one map-side-combined GROUP BY over 256 bin
+    * values, a window over the ≤256-row histogram, and single-row
+    * extreme/total joins. 1e6·2U stays inside BIGINT while
+    * P·N < ~4.6e12 — i.e. held-out slices to ~2M docs per class; a larger
+    * eval run samples the slice (the q_embed_probe_train bound pattern).
+    * All DIV operands are non-negative, so Spark's truncating DIV and
+    * DuckDB's flooring // agree.
+    */
+  private def aucTail(intDiv: String, scRel: String): String =
+    s"""lab AS (SELECT CASE WHEN source IN $posSrc THEN 1 ELSE 0 END AS y, score_u FROM $scRel),
+       |ext AS (SELECT CAST(MIN(score_u) AS BIGINT) AS lo, CAST(MAX(score_u) AS BIGINT) AS hi FROM lab),
+       |bin AS (SELECT y,
+       |               CAST(LEAST(255, ((score_u - lo) * 256) $intDiv GREATEST(1, hi - lo + 1)) AS BIGINT) AS b
+       |        FROM lab CROSS JOIN ext),
+       |hb AS (SELECT b, CAST(SUM(y) AS BIGINT) AS np, CAST(SUM(1 - y) AS BIGINT) AS nn
+       |       FROM bin GROUP BY b),
+       |cw AS (SELECT b, np, nn,
+       |              CAST(COALESCE(SUM(nn) OVER (ORDER BY b
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+       |       FROM hb),
+       |u AS (SELECT CAST(SUM(np * (2 * below + nn)) AS BIGINT) AS u2,
+       |             CAST(SUM(np) AS BIGINT) AS p, CAST(SUM(nn) AS BIGINT) AS n
+       |      FROM cw)
+       |SELECT p AS n_pos, n AS n_neg,
+       |       CAST((1000000 * u2) $intDiv (2 * p * n) AS BIGINT) AS auc_micro,
+       |       CAST((1000000 * u2) $intDiv (p * n) - 1000000 AS BIGINT) AS gini_micro
+       |FROM u""".stripMargin
+
+  private def aucSpark: String =
+    s"""WITH ${aucTail("DIV", "nb_sc")}""".stripMargin
+
+  private def aucDuck: String =
+    s"""WITH tok AS (SELECT doc_id, source,
+       |                    unnest(string_split(text, ' ')) AS word
+       |             FROM documents),
+       |${nbScoreCtes(NeutralMath.OracleKernel)},
+       |${aucTail("//", "sc")}""".stripMargin
+
+  /** Reliability (calibration) table of the NB scores: 10 equal-width
+    * score bins on the held-out slice, each with its document count and
+    * empirical positive rate — the curve a pipeline reads before trusting
+    * the score as a probability (a monotone but flat curve means the
+    * filter ranks well yet needs recalibration before thresholding; the
+    * Platt/isotonic step fits ON this table, K rows, driver-side).
+    * Positive rate in exact basis points via integer division.
+    *
+    * 100 TB shape: identical to [[aucTail]] — staged score artifact + one
+    * GROUP BY over 10 bin values + single-row extremes; nothing rank-based.
+    */
+  private def reliabilityTail(intDiv: String, scRel: String): String =
+    s"""lab AS (SELECT CASE WHEN source IN $posSrc THEN 1 ELSE 0 END AS y, score_u FROM $scRel),
+       |ext AS (SELECT CAST(MIN(score_u) AS BIGINT) AS lo, CAST(MAX(score_u) AS BIGINT) AS hi FROM lab),
+       |bin AS (SELECT y, score_u,
+       |               CAST(LEAST(9, ((score_u - lo) * 10) $intDiv GREATEST(1, hi - lo + 1)) AS BIGINT) AS b
+       |        FROM lab CROSS JOIN ext)
+       |SELECT CAST(b AS INT) AS bin,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(y) AS BIGINT) AS n_pos,
+       |       CAST((10000 * CAST(SUM(y) AS BIGINT)) $intDiv COUNT(*) AS BIGINT) AS pos_rate_bp,
+       |       CAST(MIN(score_u) AS BIGINT) AS min_score_u,
+       |       CAST(MAX(score_u) AS BIGINT) AS max_score_u
+       |FROM bin GROUP BY b ORDER BY bin""".stripMargin
+
+  private def reliabilitySpark: String =
+    s"""WITH ${reliabilityTail("DIV", "nb_sc")}""".stripMargin
+
+  private def reliabilityDuck: String =
+    s"""WITH tok AS (SELECT doc_id, source,
+       |                    unnest(string_split(text, ' ')) AS word
+       |             FROM documents),
+       |${nbScoreCtes(NeutralMath.OracleKernel)},
+       |${reliabilityTail("//", "sc")}""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
-    "q_text_nb_quality" -> QuerySpec.sql2(nbSpark, nbDuck)
+    "q_text_nb_quality" -> QuerySpec.sql2(nbSpark, nbDuck),
+    "q_text_nb_auc" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stageNbSc(s, d)
+        s.sql(aucSpark)
+      },
+      Some(aucDuck)),
+    "q_text_nb_reliability" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stageNbSc(s, d)
+        s.sql(reliabilitySpark)
+      },
+      Some(reliabilityDuck))
   )
 }

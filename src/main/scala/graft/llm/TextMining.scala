@@ -69,7 +69,57 @@ object TextMining {
        |      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
        |${pmiTail(NeutralMath.OracleKernel)}""".stripMargin
 
+  /** Good-Turing frequency-of-frequencies (Good, Biometrika 1953; the
+    * Gale & Sampson 1995 "simple GT" presentation): tabulate N_r = number
+    * of word TYPES seen exactly r times, the Turing-smoothed count
+    * r* = (r+1)·N_{r+1}/N_r, and the unseen-probability mass p₀ = N₁/N —
+    * the vocabulary-health readout a corpus pipeline uses to (a) size
+    * OOV/smoothing mass for its LMs (the Kneser-Ney discount sanity
+    * check next to q_text_kn_ppl) and (b) estimate how much vocabulary
+    * another crawl of the same source would still surface.
+    *
+    * Determinism: every output is integer arithmetic on exact counts —
+    * r* in milli-units and p₀ in micro-units via integer division
+    * (operands non-negative, so Spark DIV and DuckDB // agree); r* is
+    * NULL where N_{r+1} is absent (the gap rows simple-GT smooths by
+    * regression — fitting that log-log line is a K-row driver-side step,
+    * like the reliability table's recalibration).
+    *
+    * 100 TB shape: ONE corpus scan map-side combines to the
+    * vocabulary-bounded type table; the frequency-of-frequencies GROUP BY
+    * collapses it to ≤ distinct-count-value rows (O(√tokens)); the LEAD
+    * window and the single-row totals join run on that bounded table.
+    */
+  private def goodTuringTail(intDiv: String): String =
+    s"""wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY word),
+       |ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS nr FROM wc GROUP BY c),
+       |tot AS (SELECT CAST(SUM(r * nr) AS BIGINT) AS n,
+       |               CAST(SUM(CASE WHEN r = 1 THEN nr ELSE 0 END) AS BIGINT) AS n1
+       |        FROM ff),
+       |sm AS (SELECT r, nr,
+       |              LEAD(nr) OVER (ORDER BY r) AS nr_next,
+       |              LEAD(r) OVER (ORDER BY r) AS r_next,
+       |              row_number() OVER (ORDER BY r) AS rk
+       |       FROM ff)
+       |SELECT CAST(sm.r AS BIGINT) AS r, sm.nr AS n_types,
+       |       CASE WHEN sm.r_next = sm.r + 1
+       |            THEN CAST(((sm.r + 1) * 1000 * sm.nr_next) $intDiv sm.nr AS BIGINT)
+       |            ELSE CAST(NULL AS BIGINT) END AS r_star_milli,
+       |       CAST((1000000 * tot.n1) $intDiv tot.n AS BIGINT) AS p0_micro
+       |FROM sm CROSS JOIN tot
+       |WHERE sm.rk <= 15 ORDER BY r""".stripMargin
+
+  private def goodTuringSpark: String =
+    s"""WITH tok AS (SELECT word FROM documents
+       |             LATERAL VIEW explode(split(text, ' ')) t AS word),
+       |${goodTuringTail("DIV")}""".stripMargin
+
+  private def goodTuringDuck: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |${goodTuringTail("//")}""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
-    "q_text_pmi_collocations" -> QuerySpec.sql2(pmiSpark, pmiDuck)
+    "q_text_pmi_collocations" -> QuerySpec.sql2(pmiSpark, pmiDuck),
+    "q_text_good_turing" -> QuerySpec.sql2(goodTuringSpark, goodTuringDuck)
   )
 }

@@ -235,4 +235,44 @@ class GraphRankSpec extends AnyFunSuite {
     // fine as connected components (it can only split, never merge)
     assert(comm.map(_._2).sum == nbrs.size)
   }
+
+  test("hits: star graph separates the hub and authority roles exactly") {
+    // 1,2,3 → 0 and 0 → 1. Hand-iterate h0=1000 twice:
+    //   round 1: a = Aᵀh → a(0)=3000, a(1)=1000; h = A·a → h(0)=a(1)=1000,
+    //            h(1)=h(2)=h(3)=a(0)=3000.
+    //   round 2: a(0)=h(1)+h(2)+h(3)=9000, a(1)=h(0)=1000;
+    //            h(0)=a(1)=1000, h(1..3)=a(0)=9000.
+    val out = GraphRank
+      .hits(nodesDf(0L, 1L, 2L, 3L), edgesDf(1L -> 0L, 2L -> 0L, 3L -> 0L, 0L -> 1L), iters = 2)
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(out.toSeq == Seq((0L, 9000L, 1000L), (1L, 1000L, 9000L),
+      (2L, 0L, 9000L), (3L, 0L, 9000L)))
+  }
+
+  test("q_graph_hits: JVM replay of 3 rounds over the synthetic citation graph") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    val ids = graft.queries.Tables.documents(sess, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val edges = (for (src <- ids; j <- 0 to 2)
+      yield (src, (src * src * 31 + (2 * j + 1) * 97) % n)).distinct
+    val outNbrs = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSeq }
+    val inNbrs = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1).toSeq }
+    var h: Map[Long, Long] = ids.map(_ -> 1000L).toMap
+    var a: Map[Long, Long] = ids.map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      a = ids.map(v => v -> inNbrs.getOrElse(v, Seq.empty).map(h).sum).toMap
+      h = ids.map(v => v -> outNbrs.getOrElse(v, Seq.empty).map(a).sum).toMap
+    }
+    val exp = ids.map(v => (v, a(v), h(v)))
+      .sortBy { case (id, av, _) => (-av, id) }.take(15)
+      .zipWithIndex.map { case ((id, av, hv), i) => (i + 1, id, av, hv) }
+
+    val got = graft.SparkEntry.queries("q_graph_hits")(sess, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp.toSeq, s"got ${got.toSeq}\nexp ${exp.toSeq}")
+    // the two roles genuinely differ somewhere — HITS earns its second score
+    assert(ids.exists(v => a(v) != h(v)), "auth == hub everywhere — roles collapsed")
+  }
 }

@@ -70,4 +70,73 @@ class TextClassifySpec extends AnyFunSuite {
     val q = graft.SparkEntry.oracleSql("q_text_nb_quality")
     assert(q.contains("doc_id % 3 != 0") && q.contains("doc_id % 3 = 0"))
   }
+
+  /** JVM replay of the shared NB score chain: (label, score_u) per
+    * held-out doc with >= 1 in-vocabulary token.
+    */
+  private def jvmScores(sess: org.apache.spark.sql.SparkSession): Seq[(Int, Long)] = {
+    val docs = graft.queries.Tables.documents(sess, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cp = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val cn = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((id, src, text) <- docs if id % 3 != 0; w <- text.split(" ", -1)) {
+      if (posSrc(src)) cp(w) += 1 else cn(w) += 1
+    }
+    val vocab = (cp.keySet ++ cn.keySet).toSeq
+    val np = cp.values.sum; val nn = cn.values.sum; val v = vocab.size.toLong
+    val llr = vocab.map(w =>
+      w -> NeutralMath.lnScaledJvm(
+        (cp(w) + 1) * (nn + v), (cn(w) + 1) * (np + v), 1e6)).toMap
+    docs.toSeq.collect { case (id, src, text) if id % 3 == 0 =>
+      val toks = text.split(" ", -1).filter(llr.contains)
+      (if (posSrc(src)) 1 else 0, toks.length, toks.map(llr).sum)
+    }.filter(_._2 > 0).map(r => (r._1, r._3))
+  }
+
+  test("q_text_nb_auc: banded Mann-Whitney replay; the filter actually ranks") {
+    val sess = spark.newSession()
+    val sc = jvmScores(sess)
+    val lo = sc.map(_._2).min; val hi = sc.map(_._2).max
+    val width = math.max(1L, hi - lo + 1)
+    val binned = sc.map { case (y, s) => (y, math.min(255L, (s - lo) * 256 / width)) }
+    val np = binned.map(b => b._2 -> 0L).toMap ++
+      binned.filter(_._1 == 1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nn = binned.map(b => b._2 -> 0L).toMap ++
+      binned.filter(_._1 == 0).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bins = np.keySet.toSeq.sorted
+    var below = 0L; var u2 = 0L
+    for (b <- bins) { u2 += np(b) * (2 * below + nn(b)); below += nn(b) }
+    val p = binned.count(_._1 == 1).toLong; val n = binned.count(_._1 == 0).toLong
+    val exp = (p, n, 1000000L * u2 / (2 * p * n), 1000000L * u2 / (p * n) - 1000000L)
+
+    val got = graft.SparkEntry.queries("q_text_nb_auc")(sess, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == exp,
+      s"got ${r.toSeq}\nexp $exp")
+    // the trained filter must rank better than chance on the held-out slice
+    assert(r.getLong(2) > 500000L, s"AUC ${r.getLong(2)} micro <= 0.5 — filter is noise")
+  }
+
+  test("q_text_nb_reliability: 10-bin replay; positive rate rises across the curve") {
+    val sess = spark.newSession()
+    val sc = jvmScores(sess)
+    val lo = sc.map(_._2).min; val hi = sc.map(_._2).max
+    val width = math.max(1L, hi - lo + 1)
+    val exp = sc.groupBy { case (_, s) => math.min(9L, (s - lo) * 10 / width) }
+      .toSeq.sortBy(_._1).map { case (b, rows) =>
+        val scores = rows.map(_._2)
+        (b.toInt, rows.size.toLong, rows.count(_._1 == 1).toLong,
+          10000L * rows.count(_._1 == 1) / rows.size, scores.min, scores.max)
+      }
+    val got = graft.SparkEntry.queries("q_text_nb_reliability")(sess, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+    // calibration curve is non-degenerate and points the right way
+    assert(exp.size >= 3, s"only ${exp.size} occupied bins")
+    assert(exp.last._4 > exp.head._4,
+      s"top-bin positive rate ${exp.last._4} bp <= bottom ${exp.head._4} bp")
+  }
 }

@@ -39,4 +39,36 @@ class TextMiningSpec extends AnyFunSuite {
     // non-vacuous: the miner surfaces pairs co-occurring above chance
     assert(exp.nonEmpty && exp.head._5 > 0, "no above-chance collocation found")
   }
+
+  test("q_text_good_turing: freq-of-freq replay; GT identities hold") {
+    val sess = spark.newSession()
+    val texts = graft.queries.Tables.documents(sess, sf)
+      .select("text").collect().map(_.getString(0))
+
+    val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (t <- texts; w <- t.split(" ", -1)) wc(w) += 1
+    val ff = wc.values.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    val n = wc.values.sum
+    val n1 = ff.getOrElse(1L, 0L)
+    val exp = ff.toSeq.sortBy(_._1).take(15).map { case (r, nr) =>
+      val rStar = ff.get(r + 1).map(nr1 => (r + 1) * 1000L * nr1 / nr)
+      (r, nr, rStar, 1000000L * n1 / n)
+    }
+
+    val got = graft.SparkEntry.queries("q_text_good_turing")(sess, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+
+    // GT sanity: p₀ = N₁/N is a proper fraction (the sf0.001 synthetic
+    // vocabulary happens to have NO singleton types, so p₀ = 0 there —
+    // the sf0.01/sf0.1 oracle runs exercise the nonzero branch), and at
+    // least one smoothed count exists and stays positive
+    val p0 = exp.head._4
+    assert(p0 >= 0 && p0 < 1000000L, s"unseen mass $p0 micro outside [0,1)")
+    assert(p0 == 1000000L * n1 / n)
+    val stars = exp.flatMap(_._3)
+    assert(stars.nonEmpty && stars.forall(_ > 0),
+      s"no usable smoothed counts: $stars")
+  }
 }

@@ -71,6 +71,10 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_hnsw_search",     // single-row query-vector broadcast; both layers' hops are frontier-edge equi-joins
     "q_ann_hnsw_l2",         // single-row query-vector broadcast; all three layers' hops are frontier-edge equi-joins
     "q_graph_ppr",           // single-row teleport-quantum join (pagerank shape); seed flag joins equi on id
+    "q_graph_hits",          // single-row node-count join builds the synthetic edge table; both half-steps equi
+    "q_text_nb_auc",         // single-row score-extremes broadcast; histogram is 256 bins
+    "q_text_nb_reliability", // single-row score-extremes broadcast; histogram is 10 bins
+    "q_text_good_turing",    // single-row token/singleton-total join onto the freq-of-freq table
     "q_search_mmr",          // 12-row staged candidate table self-pairs; zero corpus scans in-plan (PlanAuditSpec)
     "q_embed_quant_ablation" // 4-row precision-level table x corpus + 1-row query broadcast (recall-curve shape)
   )

@@ -578,6 +578,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("NB AUC + reliability read the staged score artifact, never the corpus") {
+    // both tails need the score extremes BEFORE binning (two consumers of
+    // the score table), so the scores are staged via localCheckpoint; a
+    // corpus scan in-plan means the chain re-inlined — 4 corpus reads
+    for (q <- Seq("q_text_nb_auc", "q_text_nb_reliability")) {
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 0, s"$q plans $scans corpus scans (want 0 — staged):\n${p.take(1500)}")
+    }
+  }
+
   test("PMI collocations mine the corpus in ONE scan (margins ride windows)") {
     // both bigram margins and the grand total come from windows over the
     // vocabulary^2-bounded type table — a second Scan parquet means a
