@@ -808,7 +808,113 @@ object DataSelect {
        |       FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
        |${pplLooTail(NeutralMath.OracleKernel)}""".stripMargin
 
+  /** PPS systematic sampling (Madow, Ann. Math. Stat. 1949: walk the
+    * cumulative weight line with a fixed step; every unit is drawn with
+    * probability ∝ its weight, large units possibly multiple times — the
+    * textbook one-pass probability-proportional-to-size design, here with
+    * weight = document length and a deterministic mid-step start so both
+    * engines draw the identical sample). The walk runs in HASHED order
+    * (a 40-bit md5 slice of doc_id), not storage order — randomized
+    * systematic sampling, the standard defense against Madow's
+    * periodicity hazard: the synthetic fixture assigns sources cyclically
+    * in doc_id, and a storage-order walk RESONATES with that period
+    * (measured: an 11% draw share for a 5% source), exactly the failure
+    * the survey-sampling literature warns about.
+    *
+    * The interesting part at 100 TB is the GLOBAL PREFIX SUM the walk
+    * needs. A single unpartitioned running-sum window is the classic
+    * scale-killer (one reducer sees every row), so the cumulative start
+    * is assembled HIERARCHICALLY — the standard distributed scan:
+    * level-0 rows fold within hash-key blocks sized to ~64 docs (window
+    * PARTITIONED by block), level-1 block totals fold within 64-block
+    * super-blocks (window partitioned by super-block), and only the
+    * ~N/4096-row super-block summary rides an unpartitioned window at
+    * the apex. A deployment deepens the tree by log₆₄(N) levels (each
+    * level is the same GROUP BY + partitioned-window pair); three levels
+    * keep the apex ≤ ~250k rows out to 10¹² documents. Block width
+    * derives from the corpus count (single-row broadcast), so blocks stay
+    * ~64 rows at every SF.
+    *
+    * Determinism: exact BIGINT weights/prefixes; hash order ties break on
+    * doc_id; the hit count per doc is
+    * floor((cend−1+s−a)/step) − floor((cstart−1+s−a)/step) with
+    * a = step DIV 2 — all operands non-negative (cstart ≥ 0, a < step),
+    * so Spark's truncating DIV and DuckDB's flooring // agree.
+    */
+  /** The level-0 frame text (weights + hash key + block id), shared by
+    * the Spark staging pass and the DuckDB oracle so both engines derive
+    * the identical frame. On the Spark side this is materialized ONCE
+    * ([[ppsW0Cache]]) because three consumers need it (level-1 totals,
+    * the cumulative join, and the step total) — under SQL-text CTE
+    * re-inlining that would be 4 corpus scans; a production sampler
+    * materializes the weighted frame anyway (it IS the sampling frame,
+    * in the survey sense).
+    */
+  private def ppsW0Ctes(md5doc: String, intDiv: String): String =
+    s"""cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents WHERE n_chars > 0),
+       |wh AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+       |              CAST($md5doc AS BIGINT) AS hkey,
+       |              GREATEST(1, CAST((1099511627776 * 64) $intDiv cnt.nn AS BIGINT)) AS bw
+       |       FROM documents CROSS JOIN cnt WHERE n_chars > 0),
+       |w0 AS (SELECT doc_id, source, w, hkey,
+       |              CAST(hkey $intDiv bw AS BIGINT) AS s1
+       |       FROM wh)""".stripMargin
+
+  private val ppsW0Cache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame](8)
+
+  private def stagePpsW0(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val w0 = ppsW0Cache.getOrElseUpdate((s, d)) {
+      s.sql(
+        s"""WITH ${ppsW0Ctes(
+             "conv(substr(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10)", "DIV")}
+           |SELECT doc_id, source, w, hkey, s1 FROM w0""".stripMargin)
+        .localCheckpoint(true)
+    }
+    w0.createOrReplaceTempView("pps_w0")
+  }
+
+  private def ppsTail(intDiv: String, rel: String): String =
+    s"""l1 AS (SELECT s1, CAST(s1 $intDiv 64 AS BIGINT) AS s2,
+       |              CAST(SUM(w) AS BIGINT) AS t1
+       |       FROM $rel GROUP BY s1),
+       |l2 AS (SELECT s2, CAST(SUM(t1) AS BIGINT) AS t2 FROM l1 GROUP BY s2),
+       |o2 AS (SELECT s2,
+       |              CAST(COALESCE(SUM(t2) OVER (ORDER BY s2
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off2
+       |       FROM l2),
+       |o1 AS (SELECT l1.s1,
+       |              o2.off2 + CAST(COALESCE(SUM(l1.t1) OVER (PARTITION BY l1.s2 ORDER BY l1.s1
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off1
+       |       FROM l1 JOIN o2 ON l1.s2 = o2.s2),
+       |cum AS (SELECT f.doc_id, f.source, f.w,
+       |               o1.off1 + CAST(COALESCE(SUM(f.w) OVER (PARTITION BY f.s1 ORDER BY f.hkey, f.doc_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cstart
+       |        FROM $rel f JOIN o1 ON f.s1 = o1.s1),
+       |par AS (SELECT t, CAST(t $intDiv 100 AS BIGINT) AS step
+       |        FROM (SELECT CAST(SUM(w) AS BIGINT) AS t FROM $rel) z),
+       |hit AS (SELECT c.doc_id, c.source, c.w,
+       |               ((c.cstart + c.w - 1 + p.step - (p.step $intDiv 2)) $intDiv p.step)
+       |             - ((c.cstart - 1 + p.step - (p.step $intDiv 2)) $intDiv p.step) AS n_hits
+       |        FROM cum c CROSS JOIN par p)
+       |SELECT source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |       CAST(SUM(n_hits) AS BIGINT) AS draws,
+       |       CAST(SUM(CASE WHEN n_hits > 0 THEN w ELSE 0 END) AS BIGINT) AS chars_sampled
+       |FROM hit GROUP BY source ORDER BY source""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_sample_pps_systematic" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stagePpsW0(s, d)
+        s.sql(s"WITH ${ppsTail("DIV", "pps_w0")}")
+      },
+      Some(s"""WITH ${ppsW0Ctes(
+                  "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT", "//")},
+              |${ppsTail("//", "w0")}""".stripMargin)),
     "q_sample_neyman" -> sql2(neymanSpark, neymanDuck),
     "q_text_ppl_loo" -> sql2(pplLooSpark, pplLooDuck),
     "q_mix_curriculum" -> sql2(currSpark, currDuck),

@@ -220,8 +220,67 @@ object TextClassify {
        |${nbScoreCtes(NeutralMath.OracleKernel)},
        |${reliabilityTail("//", "sc")}""".stripMargin
 
+  /** Confident-learning label-noise audit (Northcutt, Jiang & Chuang,
+    * "Confident Learning", JAIR 2021, binarized): cross-tabulate the
+    * GIVEN label (source ∈ curated set) against the CONFIDENT prediction
+    * — NB score ≥ the labeled-positive mean score ⇒ confidently positive,
+    * ≤ the labeled-negative mean ⇒ confidently negative, else abstain —
+    * and estimate the label-noise rate as the off-diagonal share of the
+    * confident mass. This is the audit a pipeline runs on its own source
+    * labels before trusting them as training targets: curated-labeled
+    * docs the model is CONFIDENT are crawl-like (and vice versa) are the
+    * mislabel candidates CL would prune or re-weight.
+    *
+    * Determinism: the two class thresholds are mean scores via the
+    * shared-text FLOOR(double/count + 0.5) idiom (score sums are signed,
+    * so integer DIV would split Spark-truncate vs DuckDB-floor — the
+    * DoReMi mean-excess pattern applies); everything else is integer
+    * counts and non-negative division. 100 TB shape: staged score
+    * artifact → one single-row threshold aggregate (broadcast) → one
+    * GROUP BY over ≤6 (label, prediction) cells; windows only over that
+    * 6-row table.
+    */
+  private def labelNoiseTail(intDiv: String, scRel: String): String =
+    s"""lab AS (SELECT doc_id, CASE WHEN source IN $posSrc THEN 1 ELSE 0 END AS y, score_u
+       |        FROM $scRel),
+       |th AS (SELECT
+       |         CAST(FLOOR(CAST(SUM(CASE WHEN y = 1 THEN score_u ELSE 0 END) AS DOUBLE)
+       |                    / GREATEST(1, SUM(y)) + 0.5E0) AS BIGINT) AS tp,
+       |         CAST(FLOOR(CAST(SUM(CASE WHEN y = 0 THEN score_u ELSE 0 END) AS DOUBLE)
+       |                    / GREATEST(1, SUM(1 - y)) + 0.5E0) AS BIGINT) AS tn
+       |       FROM lab),
+       |cl AS (SELECT lab.y,
+       |              CASE WHEN lab.score_u >= th.tp THEN 1
+       |                   WHEN lab.score_u <= th.tn THEN 0
+       |                   ELSE -1 END AS ystar
+       |       FROM lab CROSS JOIN th),
+       |cells AS (SELECT y, ystar, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |          FROM cl GROUP BY y, ystar)
+       |SELECT CAST(y AS INT) AS labeled, CAST(ystar AS INT) AS confident_pred, n_docs,
+       |       CAST((10000 * SUM(CASE WHEN ystar >= 0 AND y != ystar THEN n_docs ELSE 0 END) OVER ())
+       |            $intDiv GREATEST(1, SUM(CASE WHEN ystar >= 0 THEN n_docs ELSE 0 END) OVER ())
+       |            AS BIGINT) AS noise_bp
+       |FROM cells ORDER BY labeled, confident_pred""".stripMargin
+
+  private def labelNoiseSpark: String =
+    s"""WITH ${labelNoiseTail("DIV", "nb_sc")}""".stripMargin
+
+  private def labelNoiseDuck: String =
+    s"""WITH tok AS (SELECT doc_id, source,
+       |                    unnest(string_split(text, ' ')) AS word
+       |             FROM documents),
+       |${nbScoreCtes(NeutralMath.OracleKernel)},
+       |${labelNoiseTail("//", "sc")}""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_text_nb_quality" -> QuerySpec.sql2(nbSpark, nbDuck),
+    "q_text_label_noise" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stageNbSc(s, d)
+        s.sql(labelNoiseSpark)
+      },
+      Some(labelNoiseDuck)),
     "q_text_nb_auc" -> QuerySpec(
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)

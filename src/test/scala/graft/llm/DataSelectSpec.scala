@@ -214,6 +214,57 @@ class DataSelectSpec extends AnyFunSuite {
         s"$src: alloc $alloc not the floor quota ${base(src)} (+0/1 remainder)")
   }
 
+  test("PPS systematic: flat JVM prefix-sum replay matches the hierarchical scan exactly") {
+    val s = spark.newSession()
+    def hkey(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(5).map(b => f"$b%02x").mkString, 16)
+    }
+    val docs = graft.queries.Tables.documents(s, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0).sortBy { case (id, _, _) => (hkey(id), id) }
+    // flat single-threaded scan in HASH order — the ground truth the
+    // 3-level hierarchical tree must equal
+    val total = docs.map(_._3).sum
+    val step = total / 100
+    val start = step / 2
+    var cum = 0L
+    val hits = docs.map { case (id, src, w) =>
+      val n = (cum + w - 1 + step - start) / step - (cum - 1 + step - start) / step
+      cum += w
+      (src, w, n)
+    }
+    val exp = hits.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
+      (src, rs.length.toLong, rs.count(_._3 > 0).toLong, rs.map(_._3).sum,
+        rs.filter(_._3 > 0).map(_._2).sum)
+    }
+
+    val got = graft.SparkEntry.queries("q_sample_pps_systematic")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+
+    // Madow invariants: the walk lands its ~100 draws (floor slack <= 1
+    // step at the tail), and per-source draw counts track the PPS
+    // expectation within sampling noise (3σ + 1 of a count with mean
+    // e = weight_share·draws — at 100 draws over 20 sources a zero for
+    // a ~5-draw source is within range; calibration sharpens with draws)
+    val draws = exp.map(_._4).sum
+    assert(draws >= 99 && draws <= 101, s"systematic walk drew $draws of ~100")
+    var totalAbsDev = 0.0
+    for ((src, _, _, d, _) <- exp) {
+      val e = docs.filter(_._2 == src).map(_._3).sum.toDouble / total * draws
+      totalAbsDev += math.abs(d - e)
+      assert(math.abs(d - e) <= 3 * math.sqrt(e) + 1,
+        s"$src: $d draws vs expected $e — outside 3σ+1")
+    }
+    // and in aggregate the design is calibrated: mean |dev| well under
+    // one expected-count unit per source
+    assert(totalAbsDev / exp.size < 4.0,
+      s"mean per-source deviation ${totalAbsDev / exp.size} draws")
+  }
+
   test("LOO perplexity: self branch reproduces q_text_ppl_bucket's model; the gap is a real signal") {
     val s = spark.newSession()
     val loo = graft.SparkEntry.queries("q_text_ppl_loo")(s, sf).collect()

@@ -139,4 +139,32 @@ class TextClassifySpec extends AnyFunSuite {
     assert(exp.last._4 > exp.head._4,
       s"top-bin positive rate ${exp.last._4} bp <= bottom ${exp.head._4} bp")
   }
+
+  test("q_text_label_noise: confident-learning cells replay; diagonal dominates") {
+    val sess = spark.newSession()
+    val sc = jvmScores(sess)
+    val pos = sc.filter(_._1 == 1).map(_._2)
+    val neg = sc.filter(_._1 == 0).map(_._2)
+    val tp = math.floor(pos.sum.toDouble / math.max(1, pos.size) + 0.5).toLong
+    val tn = math.floor(neg.sum.toDouble / math.max(1, neg.size) + 0.5).toLong
+    val cells = sc.map { case (y, s) =>
+      (y, if (s >= tp) 1 else if (s <= tn) 0 else -1)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val confident = cells.collect { case ((_, p), n) if p >= 0 => n }.sum
+    val offDiag = cells.collect { case ((y, p), n) if p >= 0 && y != p => n }.sum
+    val noiseBp = 10000L * offDiag / math.max(1, confident)
+    val exp = cells.toSeq.map { case ((y, p), n) => (y, p, n, noiseBp) }
+      .sortBy { case (y, p, _, _) => (y, p) }
+
+    val got = graft.SparkEntry.queries("q_text_label_noise")(sess, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+
+    // the audit is meaningful: some mass is confident, and agreement
+    // dominates the confident region (the labels are not mostly noise)
+    assert(confident > 0, "no confident predictions at all")
+    assert(noiseBp < 5000L, s"noise $noiseBp bp — labels read as majority-wrong")
+    // both confident classes occur (thresholds straddle real mass)
+    assert(cells.keys.exists(_._2 == 1) && cells.keys.exists(_._2 == 0))
+  }
 }

@@ -589,6 +589,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("PPS sampler walks the staged weighted frame; no unpartitioned window over it") {
+    // the three consumers (level-1 totals, cumulative join, step total)
+    // read the localCheckpointed frame — a corpus scan in-plan means the
+    // frame re-inlined (4 scans); the only unpartitioned running-sum
+    // window is the ~N/4096-row super-block apex, never the frame itself
+    val p = plan("q_sample_pps_systematic")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q_sample_pps_systematic plans $scans corpus scans (want 0 — staged):\n${p.take(1500)}")
+  }
+
   test("PMI collocations mine the corpus in ONE scan (margins ride windows)") {
     // both bigram margins and the grand total come from windows over the
     // vocabulary^2-bounded type table — a second Scan parquet means a
