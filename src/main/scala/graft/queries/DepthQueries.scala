@@ -34,6 +34,55 @@ object DepthQueries {
   private[queries] def mortonSpark: String =
     mortonSql((c, n) => s"shiftleft($c, $n)")
 
+  /** Hilbert-curve layout key (order-16, d=2) — the stronger locality
+    * cousin of [[mortonSql]]'s Z-order: consecutive Hilbert cells are
+    * ALWAYS grid neighbors (|Δx|+|Δy| = 1), where Morton takes long
+    * diagonal jumps at power-of-two boundaries, so Hilbert-sorted row
+    * groups have strictly tighter per-dimension min/max envelopes (the
+    * reason Databricks liquid clustering and Iceberg moved past Z-order).
+    * Standard xy→d transform (the rot/flip walk of Hilbert 1891 as the
+    * bit-pair recurrence): 16 unrolled rounds, each deciding one base-4
+    * digit q = (3·rx) XOR ry from the current bit pair and rotating the
+    * frame — expressed as pure CASE arithmetic on non-negative integers
+    * ((x DIV s) % 2 for the bit probes; no dialect-split shift/XOR
+    * anywhere), so both engines walk the identical integer recurrence.
+    * Each round's CTE has exactly ONE consumer — linear under SQL-text
+    * CTE re-inlining. At 100 TB: one scan computing hkey, then
+    * sortWithinPartitions(hkey) on write, same as the Z-order note;
+    * HilbertSpec pins the unit-step property and the tighter-than-Morton
+    * row-group envelopes.
+    */
+  private def hilbertSql(intDiv: String): String = {
+    val rounds = (15 to 0 by -1).map { bit =>
+      val s = 1 << bit
+      val i = 15 - bit
+      val (prev, cur) = (s"h$i", s"h${i + 1}")
+      s"""$cur AS (SELECT o_orderkey, ox, oy,
+         |  CASE WHEN ($prev.y $intDiv $s) % 2 = 1 THEN $prev.x
+         |       WHEN ($prev.x $intDiv $s) % 2 = 0 THEN $prev.y
+         |       ELSE 65535 - $prev.y END AS x,
+         |  CASE WHEN ($prev.y $intDiv $s) % 2 = 1 THEN $prev.y
+         |       WHEN ($prev.x $intDiv $s) % 2 = 0 THEN $prev.x
+         |       ELSE 65535 - $prev.x END AS y,
+         |  d + ${s.toLong * s} * (CASE WHEN ($prev.x $intDiv $s) % 2 = 0
+         |                              THEN ($prev.y $intDiv $s) % 2
+         |                              ELSE 3 - ($prev.y $intDiv $s) % 2 END) AS d
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT o_orderkey,
+       |           o_custkey % 65536 AS ox, o_orderkey % 65536 AS oy,
+       |           o_custkey % 65536 AS x, o_orderkey % 65536 AS y,
+       |           CAST(0 AS BIGINT) AS d
+       |           FROM orders WHERE o_orderkey % 23 = 0),
+       |$rounds
+       |SELECT o_orderkey, CAST(ox AS BIGINT) AS x, CAST(oy AS BIGINT) AS y,
+       |       CAST(d AS BIGINT) AS hkey
+       |FROM h16 ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** Spark side of the Hilbert key (HilbertSpec drives it directly). */
+  private[queries] def hilbertSpark: String = hilbertSql("DIV")
+
   /** Bloom-filter semi-join reduction — THE runtime-filter pattern behind
     * every 100 TB fact⋈dim join (Spark's own runtime row-level filtering /
     * Bloom-pruned shuffle joins, and the sideways-information-passing in
@@ -91,6 +140,8 @@ object DepthQueries {
     "q_layout_zorder" -> sql2(
       mortonSpark,
       mortonSql((c, n) => s"($c << $n)")),
+
+    "q_layout_hilbert" -> sql2(hilbertSpark, hilbertSql("//")),
 
     // TPC-H Q5 shape: 6-table join; region/nation/supplier broadcast,
     // lineitem⋈orders shuffle on orderkey.
