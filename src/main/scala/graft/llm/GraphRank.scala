@@ -577,6 +577,99 @@ object GraphRank {
        |WHERE rk <= 15 ORDER BY rk""".stripMargin
   }
 
+  /** Multi-source BFS hop distance from a trusted seed set — the
+    * "how many link hops from curated content" signal that complements
+    * q_graph_ppr's rank mass: PPR says how MUCH trust flows to a node,
+    * hop distance says how DIRECTLY (the crawl-frontier depth cap every
+    * curation crawler enforces; cf. the frontier expansion in
+    * Andersen-Chung-Lang seed sweeps). Synchronous Bellman-Ford rounds
+    * with unit edge weight over the directed citation graph: dist'(v) =
+    * min(dist(v), 1 + min over in-edges (u,v) of dist(u)), 5 rounds from
+    * the q_graph_ppr seed slice (doc_id % 29 = 0), then a per-hop census
+    * (nodes beyond the horizon report hop −1 — the kcore layer-census
+    * output shape).
+    *
+    * Exact integer labels; the min-merge is an explicit shared-text CASE
+    * (Spark's LEAST and DuckDB's LEAST both skip NULLs, but spelling the
+    * null handling out keeps the recurrence engine-agnostic by
+    * construction). Shuffle shape per round = pagerank's: edges laid out
+    * by src once (localCheckpoint), the n-row distance table equi-joins +
+    * map-side-combined MIN groupBy; per-round checkpoint truncates the
+    * two-consumer lineage (dist feeds both the frontier join and the
+    * merge — the kcore cadence).
+    */
+  def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().repartition(col("src")).localCheckpoint(true)
+    val sflag = seeds.select(col("id").as("sid"))
+    var dist = nodes
+      .join(sflag, nodes("id") === sflag("sid"), "left")
+      .select(col("id"),
+        expr("CASE WHEN sid IS NULL THEN CAST(NULL AS BIGINT) ELSE 0L END").as("hop"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val cand = e.join(dist, e("src") === dist("id"))
+        .where(col("hop").isNotNull)
+        .groupBy(col("dst")).agg(min(col("hop") + 1).as("nh"))
+      dist = dist.join(cand, dist("id") === cand("dst"), "left")
+        .select(dist("id"),
+          expr("""CASE WHEN hop IS NULL THEN nh
+                 |     WHEN nh IS NULL THEN hop
+                 |     WHEN nh < hop THEN nh ELSE hop END""".stripMargin).as("hop"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  private def bfsSpark(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
+    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
+    val edges = docs
+      .crossJoin(nDf)
+      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
+      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+    val seeds = docs.filter(expr("id % 29 = 0"))
+    bfsHops(docs, edges, seeds, iters = 5)
+      .groupBy(coalesce(col("hop"), lit(-1L)).as("hop"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        min("id").as("min_node"), max("id").as("max_node"),
+        sum("id").cast("long").as("node_sum"))
+      .select(col("hop").cast("int").as("hop"),
+        col("n_nodes"), col("min_node"), col("max_node"), col("node_sum"))
+      .orderBy("hop")
+  }
+
+  private def bfsDuck: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT p.id,
+         |  CASE WHEN p.hop IS NULL THEN f.nh
+         |       WHEN f.nh IS NULL THEN p.hop
+         |       WHEN f.nh < p.hop THEN f.nh ELSE p.hop END AS hop
+         |  FROM r${i - 1} p LEFT JOIN (
+         |    SELECT ed.dst, MIN(r.hop + 1) AS nh
+         |    FROM ed JOIN r${i - 1} r ON ed.src = r.id
+         |    WHERE r.hop IS NOT NULL GROUP BY ed.dst) f
+         |  ON p.id = f.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |e0 AS (SELECT id AS src,
+       |              (id * id * 31 + (2 * j + 1) * 97) % (SELECT n FROM n) AS dst
+       |       FROM (SELECT id, unnest(range(0, 3)) AS j FROM nodes) z),
+       |ed AS (SELECT DISTINCT src, dst FROM e0),
+       |r0 AS MATERIALIZED (SELECT nodes.id,
+       |       CASE WHEN nodes.id % 29 = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE CAST(NULL AS BIGINT) END AS hop
+       |       FROM nodes),
+       |$rounds
+       |SELECT CAST(COALESCE(hop, -1) AS INT) AS hop,
+       |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |       MIN(id) AS min_node, MAX(id) AS max_node,
+       |       CAST(SUM(id) AS BIGINT) AS node_sum
+       |FROM r5 GROUP BY COALESCE(hop, -1) ORDER BY hop""".stripMargin
+  }
+
   /** Unrolled 5-iteration DuckDB oracle: identical scaled-integer
     * arithmetic, so the hash comparison is exact — no rounding anywhere.
     */
@@ -596,6 +689,7 @@ object GraphRank {
       "q_graph_kcore" -> QuerySpec.df(kcoreSpark, kcoreDuck),
       "q_graph_ppr" -> QuerySpec.df(pprSpark, pprDuck),
       "q_graph_hits" -> QuerySpec.df(hitsSpark, hitsDuck),
+      "q_graph_seed_distance" -> QuerySpec.df(bfsSpark, bfsDuck),
       "q_graph_pagerank" -> QuerySpec.df(
         pagerankSpark,
         s"""WITH nodes AS (SELECT doc_id AS id FROM documents),

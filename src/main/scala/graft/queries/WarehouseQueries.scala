@@ -833,6 +833,42 @@ object WarehouseQueries {
        |            THEN cov / SQRT(vx * vy) ELSE CAST(0 AS DOUBLE) END AS acf
        |FROM r ORDER BY lag_h""".stripMargin
 
+  /** Theil-Sen robust trend over the hourly activity series (Theil 1950;
+    * Sen, JASA 1968): the median of all pairwise slopes — the trend
+    * estimator with a 29% breakdown point that monitoring uses where OLS
+    * (q_text_zipf_fit's moment form) is wrecked by a single incident
+    * spike. Pairwise slopes quantize to integer micro-events/hour via the
+    * shared-text FLOOR(double + 0.5) idiom (Δn is SIGNED, so integer
+    * division would split Spark-truncate vs DuckDB-floor; Δhr > 0 and
+    * both operands are exact small integers, so the one IEEE division is
+    * identical in both engines); the median reads the two middle order
+    * statistics exactly (lo/hi reported, midpoint via the same shared
+    * double idiom).
+    *
+    * 100 TB shape: the only data-sized pass is the hourly bin aggregate
+    * (map-side combined); the all-pairs self-join and the ranking window
+    * run on the CALENDAR-BOUNDED dense series (~720 hours → ~260k pairs
+    * — the autocorr/changepoint contract: bounded by the time range, not
+    * the event count). A multi-year deployment chunks the series or
+    * samples pairs (Sen's estimator is valid on a pair subsample).
+    */
+  private def theilSenSql(epochUs: String, intDiv: String) =
+    s"""WITH ${hourlyDense(epochUs)},
+       |sl AS (SELECT CAST(FLOOR(CAST(b.n - a.n AS DOUBLE) * 1.0E6 / (b.hr - a.hr) + 0.5E0) AS BIGINT) AS s
+       |       FROM d a JOIN d b ON b.hr > a.hr),
+       |rk AS (SELECT s, row_number() OVER (ORDER BY s) AS r,
+       |              COUNT(*) OVER () AS np
+       |       FROM sl),
+       |med AS (SELECT MAX(CASE WHEN r = (np + 1) $intDiv 2 THEN s END) AS lo,
+       |               MAX(CASE WHEN r = np $intDiv 2 + 1 THEN s END) AS hi,
+       |               MAX(np) AS np
+       |        FROM rk)
+       |SELECT CAST(np AS BIGINT) AS n_pairs,
+       |       CAST(lo AS BIGINT) AS slope_lo_micro,
+       |       CAST(hi AS BIGINT) AS slope_hi_micro,
+       |       CAST(FLOOR((CAST(lo AS DOUBLE) + CAST(hi AS DOUBLE)) / 2.0E0 + 0.5E0) AS BIGINT) AS theilsen_micro
+       |FROM med""".stripMargin
+
   /** CUSUM changepoint scan over the hourly activity series (Page,
     * Biometrika 1954; the max-|CUSUM| location estimator of Pettitt
     * 1979): the candidate changepoint maximizes |n·S_i − i·S_n| — the
@@ -1349,6 +1385,11 @@ object WarehouseQueries {
       changepointSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV")
         .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
       changepointSql("epoch_us(ts)", "//")
+        .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
+    "q_ts_theil_sen" -> sql2(
+      theilSenSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV")
+        .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
+      theilSenSql("epoch_us(ts)", "//")
         .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
     "q_events_retention" -> sql2(
       retentionSql("unix_micros(CAST(ts AS TIMESTAMP))"),

@@ -275,4 +275,46 @@ class GraphRankSpec extends AnyFunSuite {
     // the two roles genuinely differ somewhere — HITS earns its second score
     assert(ids.exists(v => a(v) != h(v)), "auth == hub everywhere — roles collapsed")
   }
+
+  test("bfsHops: hand graph — distances propagate, horizon respected, unreached stay null") {
+    // seeds {0}; chain 0→1→2→3 plus isolated 4. After 2 rounds: hops
+    // 0,1,2 are fixed, 3 is beyond the horizon, 4 unreachable.
+    val out = GraphRank
+      .bfsHops(nodesDf(0L, 1L, 2L, 3L, 4L),
+        edgesDf(0L -> 1L, 1L -> 2L, 2L -> 3L),
+        nodesDf(0L), iters = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(out.toSeq == Seq((0L, Some(0L)), (1L, Some(1L)), (2L, Some(2L)),
+      (3L, None), (4L, None)))
+  }
+
+  test("q_graph_seed_distance: JVM Bellman-Ford replay of 5 rounds; census partitions nodes") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    val ids = graft.queries.Tables.documents(sess, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val edges = (for (src <- ids; j <- 0 to 2)
+      yield (src, (src * src * 31 + (2 * j + 1) * 97) % n)).distinct
+    val inN = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1).toSeq }
+    var hop: Map[Long, Long] = ids.filter(_ % 29 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 5) {
+      hop = ids.flatMap { v =>
+        val viaIn = inN.getOrElse(v, Seq.empty).flatMap(u => hop.get(u)).map(_ + 1)
+        val cands = hop.get(v).toSeq ++ viaIn
+        if (cands.isEmpty) None else Some(v -> cands.min)
+      }.toMap
+    }
+    val exp = ids.map(v => (hop.getOrElse(v, -1L), v))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (h, g) =>
+        (h.toInt, g.length.toLong, g.map(_._2).min, g.map(_._2).max, g.map(_._2).sum)
+      }
+    val got = graft.SparkEntry.queries("q_graph_seed_distance")(sess, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+    // census partitions the node set and the frontier actually expanded
+    assert(exp.map(_._2).sum == ids.length.toLong)
+    assert(exp.exists(r => r._1 >= 2), "no node beyond hop 1 — trivial graph")
+  }
 }

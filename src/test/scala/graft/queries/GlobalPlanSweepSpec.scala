@@ -49,6 +49,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ts_autocorr",         // 3-row lag table x the calendar-bounded dense hourly series
     "q_ts_ewma",             // 20-row dyadic-weight lag table x the calendar-bounded dense hourly series
     "q_ts_changepoint",      // single-row series-total join onto the dense hourly series
+    "q_ts_theil_sen",        // calendar-bounded dense-series self-pairs (~720 rows; autocorr contract)
     "q_stats_quantile_merge", // 3-row target-rank table x the N/64 merged summary + audit probe
     "q_dedup_band_tuning",   // single-row truth-count join onto the 3-row config rollup
     "q_embed_probe_train",   // 1-row weight-array broadcast per training round
@@ -72,6 +73,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ann_hnsw_l2",         // single-row query-vector broadcast; all three layers' hops are frontier-edge equi-joins
     "q_graph_ppr",           // single-row teleport-quantum join (pagerank shape); seed flag joins equi on id
     "q_graph_hits",          // single-row node-count join builds the synthetic edge table; both half-steps equi
+    "q_graph_seed_distance", // single-row node-count join builds the synthetic edge table; rounds are equi+MIN
     "q_text_nb_auc",         // single-row score-extremes broadcast; histogram is 256 bins
     "q_text_nb_reliability", // single-row score-extremes broadcast; histogram is 10 bins
     "q_text_good_turing",    // single-row token/singleton-total join onto the freq-of-freq table

@@ -607,6 +607,25 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ts_theil_sen: pairwise-slope replay; estimator sits inside the slope distribution") {
+    val (_, dense) = denseHourly()
+    val slopes = (for {
+      i <- dense.indices; j <- (i + 1) until dense.length
+    } yield math.floor((dense(j) - dense(i)).toDouble * 1e6 / (j - i) + 0.5).toLong).sorted
+    val np = slopes.length.toLong
+    val lo = slopes(((np + 1) / 2 - 1).toInt)
+    val hi = slopes((np / 2).toInt)
+    val mid = math.floor((lo.toDouble + hi.toDouble) / 2.0 + 0.5).toLong
+
+    val got = rows("q_ts_theil_sen")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((np, lo, hi, mid)), s"got ${got.toSeq}\nexp ${(np, lo, hi, mid)}")
+    // robust-median sanity: the two middle order statistics bracket the
+    // estimator and the slope distribution is non-degenerate
+    assert(lo <= mid && mid <= hi)
+    assert(slopes.head < slopes.last, "all pairwise slopes identical — flat fixture")
+  }
+
   test("q_events_next_pred2: JVM replay of both models and the backoff; acc within [0, 10000]") {
     val ev = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "event_type",
