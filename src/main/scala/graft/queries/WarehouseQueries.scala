@@ -481,6 +481,49 @@ object WarehouseQueries {
     * already-released rows would double-count them into their wider
     * cell).
     */
+  /** ε-differentially-private count release (Dwork-McSherry-Nissim-Smith,
+    * TCC 2006: the Laplace mechanism; unit-count sensitivity 1, ε = 1 →
+    * noise ~ Laplace(b = 1)) — the OTHER privacy primitive next to
+    * q_events_k_anonymity's generalization ladder: k-anonymity coarsens
+    * the rows, DP perturbs the aggregate. Released value = true per-type
+    * count + Laplace noise via the exact inverse CDF,
+    *
+    *   noise = −b · sign(u − ½) · ln(1 − 2|u − ½|),
+    *
+    * with u drawn from a 24-bit md5 slice of the event type (a fixed
+    * public seed keeps the fixture oracle-checkable; a production release
+    * derives u from a SECRET per-release seed — same plan, one key
+    * swap). With m = 2^24 and k = 2h+1 (odd, so k ≠ m and sign is
+    * well-defined), 1 − 2|u − ½| = (m − |k − m|)/m exactly, so the log
+    * rides the engine-neutral kernel on the integer ratio m/(m−|k−m|) —
+    * no engine libm. Release clamps at 0; the audit columns (true count,
+    * |noise|) exist because the fixture is closed — a real release drops
+    * them.
+    *
+    * 100 TB shape: one map-side-combined count over the stream → T-row
+    * type table; the noise kernel and release arithmetic run on those T
+    * rows. Nothing else touches the corpus.
+    */
+  private def dpReleaseSql(md5big: String, k: graft.llm.NeutralMath.KernelSplice) =
+    s"""WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+       |          FROM events GROUP BY event_type),
+       |sd AS (SELECT event_type, n, CAST(2 * ($md5big) + 1 AS BIGINT) AS kk
+       |       FROM c),
+       |s2 AS (SELECT event_type, n,
+       |              CASE WHEN kk < 16777216 THEN -1 ELSE 1 END AS sgn,
+       |              CAST(16777216 - ABS(kk - 16777216) AS BIGINT) AS dev
+       |       FROM sd),
+       |${k.ln("lp", "s2", "event_type, n, sgn", "event_type, n, sgn",
+               "16777216", "dev", "l_micro", "1.0E6")},
+       |rel AS (SELECT event_type, n, sgn * l_micro AS noise_micro FROM lp)
+       |SELECT event_type,
+       |       CAST(n AS BIGINT) AS true_n,
+       |       CAST(noise_micro AS BIGINT) AS noise_micro,
+       |       GREATEST(CAST(0 AS BIGINT),
+       |         CAST(FLOOR((CAST(n AS DOUBLE) * 1.0E6 + CAST(noise_micro AS DOUBLE)) / 1.0E6 + 0.5E0) AS BIGINT)) AS released_n,
+       |       CAST(ABS(noise_micro) AS BIGINT) AS abs_err_micro
+       |FROM rel ORDER BY event_type""".stripMargin
+
   private def kAnonSql(epochUs: String, intDiv: String) = {
     def dv(a: String, b: String) = s"$a $intDiv $b"
     s"""WITH e AS (SELECT event_type,
@@ -1386,6 +1429,13 @@ object WarehouseQueries {
         .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
       changepointSql("epoch_us(ts)", "//")
         .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
+    "q_events_dp_release" -> sql2(
+      dpReleaseSql(
+        "CAST(conv(substr(md5(event_type), 1, 6), 16, 10) AS BIGINT)",
+        graft.llm.NeutralMath.SparkKernel),
+      dpReleaseSql(
+        "('0x' || substr(md5(event_type), 1, 6))::BIGINT",
+        graft.llm.NeutralMath.OracleKernel)),
     "q_ts_theil_sen" -> sql2(
       theilSenSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV")
         .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),

@@ -607,6 +607,34 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_dp_release: Laplace inverse-CDF replay through the JVM kernel") {
+    val counts = Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val m = 16777216L
+    val exp = counts.map { case (et, n) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(et.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(md.take(3).map(b => f"$b%02x").mkString, 16)
+      val kk = 2 * h + 1
+      val sgn = if (kk < m) -1L else 1L
+      val dev = m - math.abs(kk - m)
+      val noise = sgn * graft.llm.NeutralMath.lnScaledJvm(m, dev, 1e6)
+      val released = math.max(0L,
+        math.floor((n.toDouble * 1e6 + noise.toDouble) / 1e6 + 0.5).toLong)
+      (et, n, noise, released, math.abs(noise))
+    }
+    val got = rows("q_events_dp_release")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp.toSeq, s"got ${got.toSeq}\nexp ${exp.toSeq}")
+    // the mechanism does something: at least one type is perturbed, and
+    // the released counts stay within a plausible Laplace band (b=1 →
+    // |noise| < 20 with overwhelming margin; here it is deterministic)
+    assert(exp.exists(r => r._4 != r._2), "no count perturbed")
+    assert(exp.forall(r => math.abs(r._4 - r._2) <= 20),
+      "noise magnitude out of the Laplace(1) band")
+  }
+
   test("q_ts_theil_sen: pairwise-slope replay; estimator sits inside the slope distribution") {
     val (_, dense) = denseHourly()
     val slopes = (for {
