@@ -524,6 +524,59 @@ object WarehouseQueries {
        |       CAST(ABS(noise_micro) AS BIGINT) AS abs_err_micro
        |FROM rel ORDER BY event_type""".stripMargin
 
+  /** Poisson-bootstrap confidence interval for the mean order value
+    * (Efron, Ann. Stat. 1979; the POISSONIZED per-row form — Chamandy et
+    * al., "Estimating uncertainty for massive data streams", Google TR
+    * 2012 — which is THE distributed bootstrap: no replica needs to see
+    * the whole dataset, each row independently draws a Poisson(1)
+    * multiplicity per replica, so the resample is one explode + one
+    * map-side-combined aggregate). B = 32 replicas; the md5-uniform draw
+    * inverts the Poisson(1) CDF through integer THRESHOLD LITERALS
+    * (floor(2^24·cdf(k)) for k ≤ 5, tail collapsed to 6 — both engines
+    * compare the same integers, no float CDF at query time); replica
+    * means are non-negative integer division (exact both engines); the
+    * 90% CI reads the 2nd and 31st order statistics of the 32 replica
+    * means.
+    *
+    * 100 TB shape: one scan exploded ×B, map-side combined into B groups
+    * (partial aggregation makes the explode a row-count multiplier, not
+    * a shuffle multiplier); the CI window runs over B = 32 rows. The
+    * true mean joins as one more single-row branch of the same scan
+    * family (documented second scan — the bootstrap's own pass never
+    * re-reads the corpus per replica, which is the whole point of
+    * poissonization).
+    */
+  private def bootstrapSql(bseq: String, md5ub: String, intDiv: String) =
+    s"""WITH v AS (SELECT o_orderkey,
+       |                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |          FROM orders),
+       |bseq AS ($bseq),
+       |rep AS (SELECT v.o_orderkey, v.cents, b.b, $md5ub AS u
+       |        FROM v CROSS JOIN bseq b),
+       |w AS (SELECT b, cents,
+       |             CASE WHEN u < 6171992 THEN 0
+       |                  WHEN u < 12343985 THEN 1
+       |                  WHEN u < 15429982 THEN 2
+       |                  WHEN u < 16458647 THEN 3
+       |                  WHEN u < 16715813 THEN 4
+       |                  WHEN u < 16767247 THEN 5
+       |                  ELSE 6 END AS wt
+       |      FROM rep),
+       |rm AS (SELECT b, CAST(SUM(wt * cents) AS BIGINT) AS s,
+       |              CAST(SUM(wt) AS BIGINT) AS n
+       |       FROM w GROUP BY b),
+       |mu AS (SELECT b, s $intDiv GREATEST(1, n) AS m FROM rm),
+       |rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM mu),
+       |ci AS (SELECT MAX(CASE WHEN r = 2 THEN m END) AS lo,
+       |              MAX(CASE WHEN r = 31 THEN m END) AS hi FROM rk),
+       |tru AS (SELECT CAST(SUM(cents) AS BIGINT) $intDiv COUNT(*) AS m, COUNT(*) AS nn FROM v)
+       |SELECT CAST(32 AS INT) AS n_replicas,
+       |       CAST(tru.nn AS BIGINT) AS n_orders,
+       |       CAST(tru.m AS BIGINT) AS mean_cents,
+       |       CAST(ci.lo AS BIGINT) AS ci_lo_cents,
+       |       CAST(ci.hi AS BIGINT) AS ci_hi_cents
+       |FROM ci CROSS JOIN tru""".stripMargin
+
   private def kAnonSql(epochUs: String, intDiv: String) = {
     def dv(a: String, b: String) = s"$a $intDiv $b"
     s"""WITH e AS (SELECT event_type,
@@ -1429,6 +1482,15 @@ object WarehouseQueries {
         .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
       changepointSql("epoch_us(ts)", "//")
         .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
+    "q_stats_bootstrap_ci" -> sql2(
+      bootstrapSql(
+        "SELECT explode(sequence(0, 31)) AS b",
+        "CAST(conv(substr(md5(concat(CAST(v.o_orderkey AS STRING), '_', CAST(b.b AS STRING))), 1, 6), 16, 10) AS BIGINT)",
+        "DIV"),
+      bootstrapSql(
+        "SELECT unnest(range(0, 32)) AS b",
+        "('0x' || substr(md5(CAST(v.o_orderkey AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)), 1, 6))::BIGINT",
+        "//")),
     "q_events_dp_release" -> sql2(
       dpReleaseSql(
         "CAST(conv(substr(md5(event_type), 1, 6), 16, 10) AS BIGINT)",

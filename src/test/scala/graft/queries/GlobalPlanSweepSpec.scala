@@ -50,6 +50,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_ts_ewma",             // 20-row dyadic-weight lag table x the calendar-bounded dense hourly series
     "q_ts_changepoint",      // single-row series-total join onto the dense hourly series
     "q_ts_theil_sen",        // calendar-bounded dense-series self-pairs (~720 rows; autocorr contract)
+    "q_stats_bootstrap_ci",  // 32-row replica-index table x the scan (poissonized bootstrap explode)
     "q_stats_quantile_merge", // 3-row target-rank table x the N/64 merged summary + audit probe
     "q_dedup_band_tuning",   // single-row truth-count join onto the 3-row config rollup
     "q_embed_probe_train",   // 1-row weight-array broadcast per training round

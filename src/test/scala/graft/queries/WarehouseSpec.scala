@@ -607,6 +607,40 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stats_bootstrap_ci: poissonized replica replay; CI brackets the mean") {
+    val cents = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val th = Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L, 16767247L)
+    def u24(key: Long, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${key}_$b".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(3).map(x => f"$x%02x").mkString, 16)
+    }
+    val means = (0 until 32).map { b =>
+      var s = 0L; var n = 0L
+      for ((k, c) <- cents) {
+        val u = u24(k, b)
+        val wt = th.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
+        s += wt * c; n += wt
+      }
+      (b, s / math.max(1L, n))
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val (lo, hi) = (sorted(1), sorted(30))
+    val trueMean = cents.map(_._2).sum / cents.length
+
+    val got = rows("q_stats_bootstrap_ci")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq ==
+      Seq((32, cents.length.toLong, trueMean, lo, hi)), s"got ${got.toSeq}")
+    // the interval is real: nondegenerate and bracketing the point estimate
+    assert(lo < hi, "degenerate CI")
+    assert(lo <= trueMean && trueMean <= hi,
+      s"CI [$lo, $hi] does not bracket the mean $trueMean")
+  }
+
   test("q_events_dp_release: Laplace inverse-CDF replay through the JVM kernel") {
     val counts = Tables.events(spark, sf)
       .groupBy("event_type").count().collect()
