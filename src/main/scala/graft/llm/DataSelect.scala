@@ -894,15 +894,41 @@ object DataSelect {
        |        FROM $rel f JOIN o1 ON f.s1 = o1.s1),
        |par AS (SELECT t, CAST(t $intDiv 100 AS BIGINT) AS step
        |        FROM (SELECT CAST(SUM(w) AS BIGINT) AS t FROM $rel) z),
-       |hit AS (SELECT c.doc_id, c.source, c.w,
+       |hit AS (SELECT c.doc_id, c.source, c.w, p.step,
        |               ((c.cstart + c.w - 1 + p.step - (p.step $intDiv 2)) $intDiv p.step)
        |             - ((c.cstart - 1 + p.step - (p.step $intDiv 2)) $intDiv p.step) AS n_hits
-       |        FROM cum c CROSS JOIN par p)
-       |SELECT source,
-       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-       |       CAST(SUM(n_hits) AS BIGINT) AS draws,
-       |       CAST(SUM(CASE WHEN n_hits > 0 THEN w ELSE 0 END) AS BIGINT) AS chars_sampled
+       |        FROM cum c CROSS JOIN par p)""".stripMargin
+
+  private def ppsRollup: String =
+    """SELECT source,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |       CAST(SUM(n_hits) AS BIGINT) AS draws,
+      |       CAST(SUM(CASE WHEN n_hits > 0 THEN w ELSE 0 END) AS BIGINT) AS chars_sampled
+      |FROM hit GROUP BY source ORDER BY source""".stripMargin
+
+  /** Horvitz-Thompson domain estimation FROM the PPS sample (Horvitz &
+    * Thompson, JASA 1952): estimate each source's document count from
+    * the systematic-PPS draws alone, N̂_src = Σ_{hits in src} n_hits ·
+    * step/w — each draw inversely weighted by its selection intensity.
+    * This is the estimator that makes a weighted sample USABLE: any
+    * per-domain statistic over the sample re-weights the same way, and
+    * the audit column (true count, relative error) is the closed-fixture
+    * check that the weights are right — the classic failure a pipeline
+    * ships is sampling PPS but averaging unweighted.
+    *
+    * All-integer: the multiplier (step·1000) DIV w is exact non-negative
+    * integer division in both engines (milli-units; docs with w > step
+    * floor toward their π≈1 contribution), and the error reads in basis
+    * points off the exact integers. Same staged frame + hit chain as
+    * q_sample_pps_systematic — one more K-row rollup, zero extra scans.
+    */
+  private def htTail(intDiv: String): String =
+    s"""SELECT source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs_true,
+       |       CAST(SUM(n_hits * ((step * 1000) $intDiv w)) AS BIGINT) AS ht_count_milli,
+       |       CAST(ABS(SUM(n_hits * ((step * 1000) $intDiv w)) - 1000 * COUNT(*)) * 10000
+       |            $intDiv (1000 * COUNT(*)) AS BIGINT) AS err_bp
        |FROM hit GROUP BY source ORDER BY source""".stripMargin
 
   val specs: Map[String, QuerySpec] = Map(
@@ -910,11 +936,22 @@ object DataSelect {
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)
         stagePpsW0(s, d)
-        s.sql(s"WITH ${ppsTail("DIV", "pps_w0")}")
+        s.sql(s"WITH ${ppsTail("DIV", "pps_w0")}\n${ppsRollup}")
       },
       Some(s"""WITH ${ppsW0Ctes(
                   "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT", "//")},
-              |${ppsTail("//", "w0")}""".stripMargin)),
+              |${ppsTail("//", "w0")}
+              |$ppsRollup""".stripMargin)),
+    "q_sample_ht_estimate" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stagePpsW0(s, d)
+        s.sql(s"WITH ${ppsTail("DIV", "pps_w0")}\n${htTail("DIV")}")
+      },
+      Some(s"""WITH ${ppsW0Ctes(
+                  "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT", "//")},
+              |${ppsTail("//", "w0")}
+              |${htTail("//")}""".stripMargin)),
     "q_sample_neyman" -> sql2(neymanSpark, neymanDuck),
     "q_text_ppl_loo" -> sql2(pplLooSpark, pplLooDuck),
     "q_mix_curriculum" -> sql2(currSpark, currDuck),

@@ -265,6 +265,43 @@ class DataSelectSpec extends AnyFunSuite {
       s"mean per-source deviation ${totalAbsDev / exp.size} draws")
   }
 
+  test("HT estimate: replay from the same hit chain; aggregate estimate tracks N") {
+    val s = spark.newSession()
+    def hkey(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(5).map(b => f"$b%02x").mkString, 16)
+    }
+    val docs = graft.queries.Tables.documents(s, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0).sortBy { case (id, _, _) => (hkey(id), id) }
+    val total = docs.map(_._3).sum
+    val step = total / 100
+    val start = step / 2
+    var cum = 0L
+    val hits = docs.map { case (_, src, w) =>
+      val n = (cum + w - 1 + step - start) / step - (cum - 1 + step - start) / step
+      cum += w
+      (src, w, n)
+    }
+    val exp = hits.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
+      val est = rs.map { case (_, w, n) => n * ((step * 1000) / w) }.sum
+      val nT = rs.length.toLong
+      (src, nT, est, math.abs(est - 1000 * nT) * 10000 / (1000 * nT))
+    }
+    val got = graft.SparkEntry.queries("q_sample_ht_estimate")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+    // design check: the AGGREGATE estimate tracks the corpus size (per-
+    // source errors can be large at 100 draws; the total is what HT
+    // promises in expectation)
+    val estTotal = exp.map(_._3).sum
+    val trueTotal = 1000L * exp.map(_._2).sum
+    assert(math.abs(estTotal - trueTotal).toDouble / trueTotal < 0.25,
+      s"HT total $estTotal vs true $trueTotal — weights look wrong")
+  }
+
   test("LOO perplexity: self branch reproduces q_text_ppl_bucket's model; the gap is a real signal") {
     val s = spark.newSession()
     val loo = graft.SparkEntry.queries("q_text_ppl_loo")(s, sf).collect()

@@ -80,6 +80,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_text_good_turing",    // single-row token/singleton-total join onto the freq-of-freq table
     "q_text_label_noise",    // single-row class-threshold broadcast onto the staged score artifact
     "q_sample_pps_systematic", // single-row (total, step) broadcast; prefix-sum levels join equi on block keys
+    "q_sample_ht_estimate",  // same PPS hit chain: single-row (total, step) broadcast only
     "q_search_mmr",          // 12-row staged candidate table self-pairs; zero corpus scans in-plan (PlanAuditSpec)
     "q_embed_quant_ablation" // 4-row precision-level table x corpus + 1-row query broadcast (recall-curve shape)
   )
