@@ -52,6 +52,7 @@ object SparkEntry {
       graft.llm.TextClassify.specs ++
       graft.llm.TextMining.specs ++
       graft.llm.MmrSelect.specs ++
+      graft.llm.MstCluster.specs ++
       graft.llm.EmbedAblation.specs ++
       graft.llm.GraphSearch.specs ++
       graft.llm.HnswSearch.specs ++

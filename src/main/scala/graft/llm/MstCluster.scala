@@ -1,0 +1,175 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QuerySpec
+
+/** Distributed minimum-spanning-forest over the mutual-kNN similarity
+  * graph by Borůvka rounds (Borůvka 1926; the distributed formulation of
+  * Chung & Condon, IPPS 1996 — each round every component hooks its
+  * MINIMUM outgoing edge, components at least halve, so log₂(N) rounds
+  * finish the forest). The MST of the embedding distance graph IS the
+  * single-linkage dendrogram (cut it at distance d and the components
+  * are the single-linkage clusters — the HDBSCAN/graph-clustering
+  * primitive), so this is the corpus-clustering pass a curation pipeline
+  * runs where centroid k-means (q_ann_kmeans) imposes the wrong shapes.
+  *
+  * Edge weights are integer micro-distances (1e6 − round(cos·1e6)) with
+  * edge-identity tie-break (w, min id, max id) — a SIDE-INDEPENDENT total
+  * order, which is what guarantees every pseudo-forest cycle formed by
+  * the hook step is a 2-CYCLE (both endpoints of the cluster-minimum
+  * edge pick it; a per-side order like (w, cb) loses that guarantee).
+  * 2-cycles break to the smaller component id (the root), then pointer
+  * jumping contracts each hook tree: `jumps` doublings cover trees of
+  * depth 2^jumps — 5 covers the fixture with slack, a deployment
+  * iterates to fixpoint (each jump is one comp-table equi-join).
+  *
+  * Output = the per-round census (components before, edges chosen, chosen
+  * weight sum): n_after = n_before − n_chosen because every chosen set is
+  * a forest on components (MstClusterSpec pins this and the
+  * single-linkage equivalence on a hand graph).
+  *
+  * 100 TB shape: per round — 2 label equi-joins onto the (bounded-degree
+  * mutual-kNN) edge list, one per-component window over candidate edges
+  * (partition = component, sized by its cut degree), then comp-table-
+  * sized pointer joins; labels localCheckpoint per round (the kcore
+  * cadence). No cartesian anywhere; everything keys on node/component
+  * ids.
+  */
+object MstCluster {
+
+  /** Checkpoint that also RESETS plan statistics. `localCheckpoint`
+    * truncates lineage but carries the checkpointed plan's sizeInBytes
+    * estimate into the LogicalRDD — and Spark's size-only join estimate
+    * is the PRODUCT of the children, so an iterative algorithm whose
+    * rounds self-join checkpointed outputs compounds the estimate's
+    * DIGIT COUNT exponentially (4 rounds × 6 self-joins here ≈ a
+    * 2^24-digit BigInt; the driver burned 15+ minutes in
+    * BigInteger.multiply inside SizeInBytesOnlyStatsPlanVisitor before
+    * any work ran). Rebuilding the frame from the checkpointed RDD drops
+    * the carried estimate back to the session default, making every
+    * round's stats O(1). The extra createDataFrame is plan-level only —
+    * the data stays the checkpointed RDD.
+    */
+  private def cpReset(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
+  /** Borůvka census over an undirected weighted edge list (u, v, w) with
+    * u < v. Returns one row per round.
+    */
+  def boruvkaCensus(edges: DataFrame, rounds: Int, jumps: Int): DataFrame = {
+    val ed = cpReset(edges.selectExpr("u", "v", "w")
+      .unionByName(edges.selectExpr("v AS u", "u AS v", "w")))
+    var lab = cpReset(ed.select(col("u").as("vid")).distinct()
+      .select(col("vid"), col("vid").as("c")))
+    var census: DataFrame = null
+    for (r <- 1 to rounds) {
+      val la = lab.select(col("vid").as("uu"), col("c").as("ca"))
+      val lb = lab.select(col("vid").as("vv"), col("c").as("cb"))
+      val ce = ed.join(la, ed("u") === la("uu")).join(lb, ed("v") === lb("vv"))
+        .where(col("ca") =!= col("cb"))
+        .select(col("ca"), col("cb"), col("w"),
+          least(col("u"), col("v")).as("ea"), greatest(col("u"), col("v")).as("eb"))
+      val mn = cpReset(ce
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ca").orderBy(col("w"), col("ea"), col("eb"))))
+        .where(col("rn") === 1).drop("rn"))
+      val ch = cpReset(mn.select(col("ea"), col("eb"), col("w")).distinct())
+      val cr = lab.agg(countDistinct("c").as("n_components"))
+        .crossJoin(ch.agg(count(lit(1)).as("n_chosen"),
+          coalesce(sum("w"), lit(0L)).as("w_sum")))
+        .select(lit(r).cast("int").as("round"),
+          col("n_components").cast("long").as("n_components"),
+          col("n_chosen").cast("long").as("n_chosen"),
+          col("w_sum").cast("long").as("w_sum"))
+      census = if (census == null) cr else census.unionByName(cr)
+      val comps = lab.select(col("c")).distinct()
+      val hook = cpReset(comps.join(mn.select(col("ca"), col("cb")),
+          comps("c") === col("ca"), "left")
+        .select(comps("c"), coalesce(col("cb"), comps("c")).as("p")))
+      var ptr = cpReset(hook.as("a").join(hook.as("b"), col("a.p") === col("b.c"))
+        .select(col("a.c").as("c"),
+          when(col("b.p") === col("a.c") && col("a.c") < col("a.p"), col("a.c"))
+            .otherwise(col("a.p")).as("p")))
+      for (_ <- 1 to jumps) {
+        ptr = cpReset(ptr.as("a").join(ptr.as("b"), col("a.p") === col("b.c"))
+          .select(col("a.c").as("c"), col("b.p").as("p")))
+      }
+      lab = cpReset(lab.join(ptr, lab("c") === ptr("c"))
+        .select(lab("vid"), ptr("p").as("c")))
+    }
+    census.orderBy("round")
+  }
+
+  private val rounds = 4
+  private val jumps = 5
+
+  /** Integer micro-distance mutual edge list over the staged directed-kNN
+    * artifact (self-loops carry src = dst and are excluded by src < dst).
+    */
+  private val mutualWeightedSpark =
+    """SELECT a.src AS u, a.dst AS v,
+      |       CAST(1000000 - CAST(FLOOR(a.cos * 1.0E6 + 0.5E0) AS BIGINT) AS BIGINT) AS w
+      |FROM g_edges a JOIN g_edges b
+      |  ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst""".stripMargin
+
+  private def mstSpark(s: SparkSession, d: String): DataFrame = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    boruvkaCensus(s.sql(mutualWeightedSpark), rounds, jumps)
+  }
+
+  private def mstDuck: String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val ptrJumps = (2 to jumps + 1).map { j =>
+        s"""pt${r}_$j AS MATERIALIZED (SELECT a.c, b.p
+           |  FROM pt${r}_${j - 1} a JOIN pt${r}_${j - 1} b ON a.p = b.c)""".stripMargin
+      }.mkString(",\n")
+      s"""ce$r AS MATERIALIZED (SELECT la.c AS ca, lb.c AS cb, e.w,
+         |    LEAST(e.u, e.v) AS ea, GREATEST(e.u, e.v) AS eb
+         |  FROM ed e JOIN lab${r - 1} la ON e.u = la.vid
+         |            JOIN lab${r - 1} lb ON e.v = lb.vid
+         |  WHERE la.c != lb.c),
+         |mn$r AS MATERIALIZED (SELECT ca, cb, w, ea, eb FROM (
+         |  SELECT ca, cb, w, ea, eb,
+         |         row_number() OVER (PARTITION BY ca ORDER BY w, ea, eb) AS rn
+         |  FROM ce$r) z WHERE rn = 1),
+         |ch$r AS MATERIALIZED (SELECT DISTINCT ea, eb, w FROM mn$r),
+         |cen$r AS (SELECT $r AS round,
+         |  (SELECT COUNT(DISTINCT c) FROM lab${r - 1}) AS n_components,
+         |  (SELECT COUNT(*) FROM ch$r) AS n_chosen,
+         |  (SELECT COALESCE(SUM(w), 0) FROM ch$r) AS w_sum),
+         |pt${r}_0 AS MATERIALIZED (SELECT d.c, COALESCE(m.cb, d.c) AS p
+         |  FROM (SELECT DISTINCT c FROM lab${r - 1}) d
+         |  LEFT JOIN mn$r m ON d.c = m.ca),
+         |pt${r}_1 AS MATERIALIZED (SELECT a.c,
+         |    CASE WHEN b.p = a.c AND a.c < a.p THEN a.c ELSE a.p END AS p
+         |  FROM pt${r}_0 a JOIN pt${r}_0 b ON a.p = b.c),
+         |$ptrJumps,
+         |lab$r AS MATERIALIZED (SELECT l.vid, p.p AS c
+         |  FROM lab${r - 1} l JOIN pt${r}_${jumps + 1} p ON l.c = p.c)""".stripMargin
+    }.mkString(",\n")
+    val cens = (1 to rounds).map(r => s"SELECT * FROM cen$r").mkString("\nUNION ALL\n")
+    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+       |me AS (SELECT a.src AS u, a.dst AS v,
+       |              CAST(1000000 - CAST(FLOOR(a.cos * 1.0E6 + 0.5E0) AS BIGINT) AS BIGINT) AS w
+       |       FROM tk a JOIN tk b
+       |         ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst),
+       |ed AS MATERIALIZED (SELECT u, v, w FROM me
+       |      UNION ALL SELECT v AS u, u AS v, w FROM me),
+       |lab0 AS MATERIALIZED (SELECT DISTINCT u AS vid, u AS c FROM ed),
+       |$roundCtes
+       |SELECT CAST(round AS INT) AS round,
+       |       CAST(n_components AS BIGINT) AS n_components,
+       |       CAST(n_chosen AS BIGINT) AS n_chosen,
+       |       CAST(w_sum AS BIGINT) AS w_sum
+       |FROM ($cens) z ORDER BY round""".stripMargin
+  }
+
+  val specs: Map[String, QuerySpec] = Map(
+    "q_graph_mst_boruvka" -> QuerySpec.df(mstSpark, mstDuck)
+  )
+}
