@@ -66,7 +66,14 @@ object DedupCluster {
         .select(col("node"), col("label"),
           least(col("mid"), coalesce(col("jl"), col("mid"))).as("next"))
         .withColumn("changed", col("next") < col("label"))
-        .localCheckpoint(false) // lazy: materialized by the fixpoint action
+        // lazy checkpoint, materialized by the fixpoint action; wrapped in
+        // the stats reset because labels are referenced TWICE per round
+        // (propagate + lookup), which doubles the carried sizeInBytes
+        // estimate's digit count per round — fine for the handful of
+        // rounds dedup components need, a driver-stalling BigInt after the
+        // ~15+ rounds forest-shaped graphs (q_cluster_single_linkage)
+        // take (IterPlan.cpReset doc)
+        .transform(d => IterPlan.cpReset(d, eager = false))
       converged = updated.agg(count(when(col("changed"), true))).head.getLong(0) == 0
       labels = updated.select(col("node"), col("next").as("label"))
       rounds += 1

@@ -40,33 +40,25 @@ import graft.queries.QuerySpec
   */
 object MstCluster {
 
-  /** Checkpoint that also RESETS plan statistics. `localCheckpoint`
-    * truncates lineage but carries the checkpointed plan's sizeInBytes
-    * estimate into the LogicalRDD — and Spark's size-only join estimate
-    * is the PRODUCT of the children, so an iterative algorithm whose
-    * rounds self-join checkpointed outputs compounds the estimate's
-    * DIGIT COUNT exponentially (4 rounds × 6 self-joins here ≈ a
-    * 2^24-digit BigInt; the driver burned 15+ minutes in
-    * BigInteger.multiply inside SizeInBytesOnlyStatsPlanVisitor before
-    * any work ran). Rebuilding the frame from the checkpointed RDD drops
-    * the carried estimate back to the session default, making every
-    * round's stats O(1). The extra createDataFrame is plan-level only —
-    * the data stays the checkpointed RDD.
+  /** Stats-resetting checkpoint — see [[IterPlan.cpReset]] (this operator
+    * is where the pathology was first measured).
     */
-  private def cpReset(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint(true)
-    c.sparkSession.createDataFrame(c.rdd, c.schema)
-  }
+  private def cpReset(df: DataFrame): DataFrame = IterPlan.cpReset(df)
 
   /** Borůvka census over an undirected weighted edge list (u, v, w) with
     * u < v. Returns one row per round.
     */
-  def boruvkaCensus(edges: DataFrame, rounds: Int, jumps: Int): DataFrame = {
+  def boruvkaCensus(edges: DataFrame, rounds: Int, jumps: Int): DataFrame =
+    boruvkaRun(edges, rounds, jumps)._1
+
+  /** Census plus the forest's chosen edge set (ea < eb, w). */
+  def boruvkaRun(edges: DataFrame, rounds: Int, jumps: Int): (DataFrame, DataFrame) = {
     val ed = cpReset(edges.selectExpr("u", "v", "w")
       .unionByName(edges.selectExpr("v AS u", "u AS v", "w")))
     var lab = cpReset(ed.select(col("u").as("vid")).distinct()
       .select(col("vid"), col("vid").as("c")))
     var census: DataFrame = null
+    var forest: DataFrame = null
     for (r <- 1 to rounds) {
       val la = lab.select(col("vid").as("uu"), col("c").as("ca"))
       val lb = lab.select(col("vid").as("vv"), col("c").as("cb"))
@@ -79,6 +71,7 @@ object MstCluster {
           Window.partitionBy("ca").orderBy(col("w"), col("ea"), col("eb"))))
         .where(col("rn") === 1).drop("rn"))
       val ch = cpReset(mn.select(col("ea"), col("eb"), col("w")).distinct())
+      forest = if (forest == null) ch else forest.unionByName(ch)
       val cr = lab.agg(countDistinct("c").as("n_components"))
         .crossJoin(ch.agg(count(lit(1)).as("n_chosen"),
           coalesce(sum("w"), lit(0L)).as("w_sum")))
@@ -102,7 +95,7 @@ object MstCluster {
       lab = cpReset(lab.join(ptr, lab("c") === ptr("c"))
         .select(lab("vid"), ptr("p").as("c")))
     }
-    census.orderBy("round")
+    (census.orderBy("round"), forest)
   }
 
   private val rounds = 4
@@ -122,7 +115,10 @@ object MstCluster {
     boruvkaCensus(s.sql(mutualWeightedSpark), rounds, jumps)
   }
 
-  private def mstDuck: String = {
+  /** Shared DuckDB CTE body (kNN edges → Borůvka rounds) for both the
+    * census oracle and the single-linkage oracle.
+    */
+  private def mstDuckCtes: String = {
     val roundCtes = (1 to rounds).map { r =>
       val ptrJumps = (2 to jumps + 1).map { j =>
         s"""pt${r}_$j AS MATERIALIZED (SELECT a.c, b.p
@@ -152,8 +148,7 @@ object MstCluster {
          |lab$r AS MATERIALIZED (SELECT l.vid, p.p AS c
          |  FROM lab${r - 1} l JOIN pt${r}_${jumps + 1} p ON l.c = p.c)""".stripMargin
     }.mkString(",\n")
-    val cens = (1 to rounds).map(r => s"SELECT * FROM cen$r").mkString("\nUNION ALL\n")
-    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+    s"""${AnnSql.knnDirectedDuckCtes(3)},
        |me AS (SELECT a.src AS u, a.dst AS v,
        |              CAST(1000000 - CAST(FLOOR(a.cos * 1.0E6 + 0.5E0) AS BIGINT) AS BIGINT) AS w
        |       FROM tk a JOIN tk b
@@ -161,7 +156,12 @@ object MstCluster {
        |ed AS MATERIALIZED (SELECT u, v, w FROM me
        |      UNION ALL SELECT v AS u, u AS v, w FROM me),
        |lab0 AS MATERIALIZED (SELECT DISTINCT u AS vid, u AS c FROM ed),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def mstDuck: String = {
+    val cens = (1 to rounds).map(r => s"SELECT * FROM cen$r").mkString("\nUNION ALL\n")
+    s"""WITH $mstDuckCtes
        |SELECT CAST(round AS INT) AS round,
        |       CAST(n_components AS BIGINT) AS n_components,
        |       CAST(n_chosen AS BIGINT) AS n_chosen,
@@ -169,7 +169,63 @@ object MstCluster {
        |FROM ($cens) z ORDER BY round""".stripMargin
   }
 
+  /** Single-linkage cut threshold: micro-distance 750000 (cos ≥ 0.25) —
+    * around the median mutual-kNN similarity, so the dendrogram cut
+    * genuinely splits the forest into multi-node clusters AND singletons
+    * at every shipped SF.
+    */
+  private val slCut = 750000L
+
+  /** Single-linkage clusters = connected components of the MST edges at
+    * distance ≤ cut (equivalently: cut the dendrogram at `slCut`). The
+    * forest is ≤ N−1 edges, so the CC pass (pointer-jumping labels,
+    * shared with q_dedup_cluster) runs on a FOREST-sized pair set —
+    * single-linkage without ever clustering the raw O(N·k) graph. Output
+    * = cluster-size histogram plus the singleton row (nodes whose every
+    * incident MST edge was cut).
+    */
+  private def slSpark(s: SparkSession, d: String): DataFrame = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    val mutual = s.sql(mutualWeightedSpark)
+    val (_, forest) = boruvkaRun(mutual, rounds, jumps)
+    val kept = forest.where(col("w") <= lit(slCut))
+    val labs = DedupCluster.clusters(
+      kept.select(col("ea").as("id1"), col("eb").as("id2")))
+    val hist = labs.groupBy("cluster_rep").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).cast("long").as("n_clusters"))
+    val universe = mutual.select(col("u").as("n"))
+      .unionByName(mutual.select(col("v").as("n"))).distinct()
+    val singles = universe
+      .join(labs, universe("n") === labs("doc_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+      .select(lit(1L).as("size"), col("n_clusters"))
+      .where(col("n_clusters") > 0)
+    hist.unionByName(singles).orderBy("size")
+  }
+
+  private def slDuck: String = {
+    val chAll = (1 to rounds).map(r => s"SELECT ea, eb, w FROM ch$r").mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $mstDuckCtes,
+       |kept AS (SELECT ea, eb FROM ($chAll) f WHERE w <= $slCut),
+       |ke AS (SELECT ea AS a, eb AS b FROM kept
+       |       UNION ALL SELECT eb AS a, ea AS b FROM kept),
+       |reach(node, label) AS (
+       |  SELECT a, a FROM ke
+       |  UNION
+       |  SELECT e.a, r.label FROM ke e JOIN reach r ON r.node = e.b),
+       |cl AS (SELECT node, MIN(label) AS rep FROM reach GROUP BY node),
+       |sz AS (SELECT rep, COUNT(*) AS size FROM cl GROUP BY rep),
+       |hist0 AS (SELECT size, COUNT(*) AS n_clusters FROM sz GROUP BY size),
+       |singles AS (SELECT COUNT(*) AS n FROM lab0 l
+       |            LEFT JOIN cl ON l.vid = cl.node WHERE cl.node IS NULL),
+       |hist AS (SELECT size, n_clusters FROM hist0
+       |         UNION ALL SELECT 1 AS size, n AS n_clusters FROM singles WHERE n > 0)
+       |SELECT CAST(size AS BIGINT) AS size, CAST(n_clusters AS BIGINT) AS n_clusters
+       |FROM hist ORDER BY size""".stripMargin
+  }
+
   val specs: Map[String, QuerySpec] = Map(
-    "q_graph_mst_boruvka" -> QuerySpec.df(mstSpark, mstDuck)
+    "q_graph_mst_boruvka" -> QuerySpec.df(mstSpark, mstDuck),
+    "q_cluster_single_linkage" -> QuerySpec.df(slSpark, slDuck)
   )
 }

@@ -66,4 +66,35 @@ class MstClusterSpec extends AnyFunSuite {
     for (i <- 0 until cen.length - 1)
       assert(cen(i + 1)._2 == cen(i)._2 - cen(i)._3)
   }
+
+  test("q_cluster_single_linkage: histogram equals union-find over the cut forest") {
+    val sess = spark.newSession()
+    LlmQueries.knnEdgesCached(sess, sf).createOrReplaceTempView("g_edges")
+    val edges = sess.sql(
+      """SELECT a.src AS u, a.dst AS v,
+        |       CAST(1000000 - CAST(FLOOR(a.cos * 1.0E6 + 0.5E0) AS BIGINT) AS BIGINT) AS w
+        |FROM g_edges a JOIN g_edges b
+        |  ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+
+    // exact single-linkage at the cut: Kruskal restricted to w <= cut —
+    // identical components to cutting the MST at the same threshold
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((u, v, w) <- edges.sortBy { case (u, v, w) => (w, u, v) } if w <= 750000L) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val exp = nodes.groupBy(find).map(_._2.length).groupBy(identity)
+      .map { case (sz, g) => (sz.toLong, g.size.toLong) }.toSeq.sorted
+
+    val got = graft.SparkEntry.queries("q_cluster_single_linkage")(sess, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exp, s"got $got\nexp $exp")
+    // the cut is non-trivial at this SF: singletons AND a multi-node cluster
+    assert(exp.exists(_._1 == 1L) && exp.exists(_._1 > 1L), s"degenerate cut: $exp")
+    // histogram covers the node universe
+    assert(exp.map { case (sz, n) => sz * n }.sum == nodes.length.toLong)
+  }
 }
