@@ -577,6 +577,52 @@ object WarehouseQueries {
        |       CAST(ci.hi AS BIGINT) AS ci_hi_cents
        |FROM ci CROSS JOIN tru""".stripMargin
 
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938; Nigrini's
+    * fraud-audit use): the leading-digit distribution of order values
+    * against the log₁₀(1+1/d) law, with the chi-squared distance as the
+    * headline number. A conforming column (organic multi-scale amounts)
+    * hugs the law; generated/capped/rounded data — like this synthetic
+    * fixture — deviates LOUDLY, which is precisely what the audit is for
+    * (detecting fabricated or truncated value columns before they enter
+    * training features).
+    *
+    * Determinism: the first digit reads off the integer-cents STRING
+    * (identical rendering of BIGINT in both engines); expected
+    * probabilities are integer micro LITERALS (floor(10⁶·log₁₀(1+1/d)) —
+    * no log at query time); expected counts quantize to integer
+    * milli-counts by non-negative integer division; each chi² term is
+    * FLOOR-quantized to integer micro before the 9-row sum (a double sum
+    * would be fold-order-dependent). One scan, 9-group map-side-combined
+    * aggregate, 9-row window. The squared milli-residual stays inside
+    * BIGINT to n ≈ 3·10⁹ rows; past that the audit runs on digit SHARES
+    * (divide counts by n first) — same plan, one extra division.
+    */
+  private def benfordSql(intDiv: String) =
+    s"""WITH v AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |          FROM orders WHERE o_totalprice > 0),
+       |fd AS (SELECT CAST(substr(CAST(cents AS ${if (intDiv == "DIV") "STRING" else "VARCHAR"}), 1, 1) AS INT) AS digit
+       |       FROM v),
+       |ob AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM fd GROUP BY digit),
+       |bp AS (SELECT d.digit, d.p_micro, COALESCE(ob.n_obs, 0) AS n_obs,
+       |              SUM(COALESCE(ob.n_obs, 0)) OVER () AS n
+       |       FROM (SELECT 1 AS digit, 301029 AS p_micro UNION ALL
+       |             SELECT 2, 176091 UNION ALL SELECT 3, 124938 UNION ALL
+       |             SELECT 4, 96910 UNION ALL SELECT 5, 79181 UNION ALL
+       |             SELECT 6, 66946 UNION ALL SELECT 7, 57991 UNION ALL
+       |             SELECT 8, 51152 UNION ALL SELECT 9, 45757) d
+       |       LEFT JOIN ob ON d.digit = ob.digit),
+       |ex AS (SELECT digit, n_obs, n,
+       |              GREATEST(CAST(1 AS BIGINT),
+       |                CAST((n * p_micro) $intDiv 1000 AS BIGINT)) AS exp_milli
+       |       FROM bp),
+       |tm AS (SELECT digit, n_obs, exp_milli,
+       |              CAST(FLOOR(CAST((n_obs * 1000 - exp_milli) * (n_obs * 1000 - exp_milli) AS DOUBLE)
+       |                         / (CAST(exp_milli AS DOUBLE) * 1.0E3) * 1.0E6 + 0.5E0) AS BIGINT) AS t_micro
+       |       FROM ex)
+       |SELECT CAST(digit AS INT) AS digit, n_obs, exp_milli,
+       |       CAST(SUM(t_micro) OVER () AS BIGINT) AS chi2_micro
+       |FROM tm ORDER BY digit""".stripMargin
+
   private def kAnonSql(epochUs: String, intDiv: String) = {
     def dv(a: String, b: String) = s"$a $intDiv $b"
     s"""WITH e AS (SELECT event_type,
@@ -1482,6 +1528,7 @@ object WarehouseQueries {
         .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
       changepointSql("epoch_us(ts)", "//")
         .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
+    "q_stats_benford" -> sql2(benfordSql("DIV"), benfordSql("//")),
     "q_stats_bootstrap_ci" -> sql2(
       bootstrapSql(
         "SELECT explode(sequence(0, 31)) AS b",

@@ -607,6 +607,33 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stats_benford: first-digit replay; counts cover the table") {
+    val cents = Tables.orders(spark, sf)
+      .where("o_totalprice > 0")
+      .selectExpr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(_.getLong(0))
+    val obs = cents.map(_.toString.head.asDigit).groupBy(identity)
+      .map { case (d, g) => d -> g.size.toLong }
+    val n = cents.length.toLong
+    val p = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+    val exp = (1 to 9).map { d =>
+      val o = obs.getOrElse(d, 0L)
+      val em = math.max(1L, n * p(d) / 1000)
+      val r = o * 1000 - em
+      (d, o, em, math.floor(r.toDouble * r.toDouble / (em.toDouble * 1e3) * 1e6 + 0.5).toLong)
+    }
+    val chi2 = exp.map(_._4).sum
+
+    val got = rows("q_stats_benford")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp.map(e => (e._1, e._2, e._3, chi2)), s"got ${got.toSeq}")
+    // audit sanity: counts cover the table, and the synthetic fixture
+    // deviates from the law (that deviation is the audit's signal)
+    assert(exp.map(_._2).sum == n)
+    assert(chi2 > 0)
+  }
+
   test("q_stats_bootstrap_ci: poissonized replica replay; CI brackets the mean") {
     val cents = Tables.orders(spark, sf)
       .selectExpr("o_orderkey",
