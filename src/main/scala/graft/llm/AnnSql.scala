@@ -659,6 +659,102 @@ object AnnSql {
   def ivfHierTopKDuck(k: Int, nprobe: Int = 3, p1: Int = 2): String =
     ivfHierSql(duckCos, k, nprobe, p1)
 
+  /** External cluster-validity readout for the two-level-quantizer cells
+    * against the embeddings' ground-truth labels: PURITY (Σ per-cell
+    * majority-label count / N), mutual information, and NMI with the
+    * sqrt(Hc·Hl) normalization (Manning-Raghavan-Schütze IR book §16.3 —
+    * the standard external evaluation of a clustering when labels exist).
+    * This is the eval that decides whether an IVF/k-means index's cells
+    * are usable as WEAK LABELS for curation (high purity) or just
+    * routing structure (low purity, still fine for ANN).
+    *
+    * Determinism: all three statistics are functions of the integer
+    * (cell, label) contingency table; each MI term is n_cl ·
+    * lnScaled(n_cl·N, n_c·n_l) — ONE engine-neutral kernel call per
+    * OCCUPIED contingency cell (type-bounded), summed as exact BIGINTs
+    * (terms are signed; the weighted sum is ≥ 0 up to quantization, so
+    * the per-N division goes through the shared FLOOR(double + 0.5)
+    * idiom, not integer DIV); entropies are positive-term kernel sums;
+    * NMI divides micro-integers after one IEEE-exact SQRT + FLOOR.
+    *
+    * 100 TB shape: the assignment is the shared two-level quantizer
+    * (N^¼-row cell table nested-looped, centroids equi-joined); the
+    * contingency table is (cells × labels)-bounded, map-side combined;
+    * everything after runs on that bounded table. Products stay in
+    * BIGINT while n_c·n_l < 2^63 — any corpus (n² per-pair shares would
+    * overflow first at ~3e9; the doc'd rescale is counts→milli-shares).
+    */
+  /** Shared chain: two-level assignment → (cell, label) contingency
+    * table `ct`. Public-ish so the spec can replay the validity
+    * arithmetic from the exact table the operator folds.
+    */
+  private def purityCtCtes(cosFn: (String, String) => String, p1: Int): String =
+    s"""${hierAsnCtes("embeddings", "embedding", cosFn, desc = true, p1)},
+       |asn AS (SELECT vec_id, cent_id FROM (
+       |  SELECT v.vec_id, a.cent_id,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${cosFn("v.v", "a.cv")} DESC, a.cent_id) AS rn
+       |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1),
+       |al AS (SELECT a.vec_id, a.cent_id, e.label
+       |       FROM asn a JOIN embeddings e ON a.vec_id = e.vec_id),
+       |ct AS (SELECT cent_id, label, CAST(COUNT(*) AS BIGINT) AS n_cl
+       |       FROM al GROUP BY cent_id, label)""".stripMargin
+
+  private[llm] def purityContingencySpark: String =
+    s"""WITH ${purityCtCtes((a, b) => s"graft_cosine($a, $b)", 2)}
+       |SELECT cent_id, label, n_cl FROM ct ORDER BY cent_id, label""".stripMargin
+
+  private def purityNmiSql(
+      cosFn: (String, String) => String, p1: Int,
+      intDiv: String, k: NeutralMath.KernelSplice): String =
+    s"""WITH ${purityCtCtes(cosFn, p1)},
+       |tc AS (SELECT cent_id, CAST(SUM(n_cl) AS BIGINT) AS n_c FROM ct GROUP BY cent_id),
+       |tl AS (SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l FROM ct GROUP BY label),
+       |tot AS (SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM ct),
+       |pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS pure
+       |        FROM (SELECT cent_id, MAX(n_cl) AS mx FROM ct GROUP BY cent_id) z),
+       |mi0 AS (SELECT ct.cent_id, ct.label, ct.n_cl,
+       |               CAST(ct.n_cl * tot.n AS BIGINT) AS num,
+       |               CAST(tc.n_c * tl.n_l AS BIGINT) AS den
+       |        FROM ct JOIN tc ON ct.cent_id = tc.cent_id
+       |                JOIN tl ON ct.label = tl.label
+       |        CROSS JOIN tot),
+       |${k.ln("mi1", "mi0", "cent_id, label, n_cl, num, den", "cent_id, label, n_cl",
+               "num", "den", "ln_u", "1.0E6")},
+       |mis AS (SELECT CAST(SUM(n_cl * ln_u) AS BIGINT) AS i_w FROM mi1),
+       |hc0 AS (SELECT tc.cent_id, tc.n_c, tot.n FROM tc CROSS JOIN tot),
+       |${k.ln("hc1", "hc0", "cent_id, n_c, n", "cent_id, n_c",
+               "n", "n_c", "hln", "1.0E6")},
+       |hcs AS (SELECT CAST(SUM(n_c * hln) AS BIGINT) AS hc_w FROM hc1),
+       |hl0 AS (SELECT tl.label, tl.n_l, tot.n FROM tl CROSS JOIN tot),
+       |${k.ln("hl1", "hl0", "label, n_l, n", "label, n_l",
+               "n", "n_l", "lln", "1.0E6")},
+       |hls AS (SELECT CAST(SUM(n_l * lln) AS BIGINT) AS hl_w FROM hl1),
+       |fin AS (SELECT tot.n,
+       |               (SELECT COUNT(*) FROM tc) AS n_cells,
+       |               (SELECT COUNT(*) FROM tl) AS n_labels,
+       |               pur.pure,
+       |               GREATEST(CAST(0 AS BIGINT),
+       |                 CAST(FLOOR(CAST(mis.i_w AS DOUBLE) / tot.n + 0.5E0) AS BIGINT)) AS mi_micro,
+       |               CAST(hcs.hc_w $intDiv tot.n AS BIGINT) AS hc_micro,
+       |               CAST(hls.hl_w $intDiv tot.n AS BIGINT) AS hl_micro
+       |        FROM tot CROSS JOIN pur CROSS JOIN mis CROSS JOIN hcs CROSS JOIN hls)
+       |SELECT CAST(n AS BIGINT) AS n_vecs,
+       |       CAST(n_cells AS BIGINT) AS n_cells,
+       |       CAST(n_labels AS BIGINT) AS n_labels,
+       |       CAST((10000 * pure) $intDiv n AS BIGINT) AS purity_bp,
+       |       mi_micro,
+       |       CAST((1000 * mi_micro) $intDiv
+       |            GREATEST(CAST(1 AS BIGINT),
+       |              CAST(FLOOR(SQRT(CAST(hc_micro * hl_micro AS DOUBLE))) AS BIGINT)) AS BIGINT) AS nmi_milli
+       |FROM fin""".stripMargin
+
+  def purityNmiSpark: String =
+    purityNmiSql((a, b) => s"graft_cosine($a, $b)", 2, "DIV", NeutralMath.SparkKernel)
+
+  def purityNmiDuck: String =
+    purityNmiSql(duckCos, 2, "//", NeutralMath.OracleKernel)
+
   /** Audit query for the hierarchical assignment's distance-evaluation
     * budget: per-vector second-level candidate count (the v1 ⋈ a21 join
     * width). PlanAuditSpec asserts max_evals stays within p1 × the largest

@@ -818,6 +818,17 @@ object LlmQueries {
       },
       Some(AnnSql.ivfHierTopKDuck(3))),
 
+    // External cluster validity of the quantizer cells vs ground-truth
+    // labels: purity / MI / NMI off the integer contingency table
+    // (AnnSql.purityNmiSql doc).
+    "q_cluster_purity" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.purityNmiSpark)
+      },
+      Some(AnnSql.purityNmiDuck)),
+
     // IVF maintenance: hot-list detection + deterministic 2-means split
     // proposal, one assignment pass + windows (AnnSql.listRebalanceSql doc).
     "q_ann_list_rebalance" -> QuerySpec(
