@@ -118,8 +118,107 @@ object TextMining {
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |${goodTuringTail("//")}""".stripMargin
 
+  /** Pairwise Jensen-Shannon divergence between source unigram
+    * distributions (Lin, IEEE-IT 1991) — the symmetric, bounded (≤ ln 2)
+    * corpus-drift matrix a mixture designer reads before setting domain
+    * weights: which sources are near-duplicates of each other
+    * distributionally (candidates for merging/capping) and which carry
+    * genuinely distinct text. JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q);
+    * with integer counts each KL term is an exact rational —
+    * p/m = 2·ca·Nb/(ca·Nb + cb·Na) — so every log rides the
+    * engine-neutral kernel on BIGINT products (safe while
+    * count·tokens < 2^63, i.e. per-source token counts to ~3e9; past
+    * that counts rescale to per-million shares, same plan). Missing-word
+    * terms (cb = 0 → ln 2) come from the LEFT joins.
+    *
+    * 100 TB shape: ONE corpus tokenize pass map-side combines into the
+    * vocabulary-bounded (source, word) count artifact, STAGED
+    * (localCheckpoint) because the pair expansion reads it four times
+    * (two sides × two KL branches) — under CTE re-inlining that would be
+    * four corpus scans (PlanAuditSpec pins 0 in-plan). Everything after
+    * is equi-joins on word keyed by the K²-pair table and K²-row
+    * aggregates.
+    */
+  private val jsCntCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)](8)
+
+  private[llm] def stageJsCnt(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val (cnt, tot) = jsCntCache.getOrElseUpdate((s, d)) {
+      val c = s.sql(
+        """SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+          |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
+          |GROUP BY source, word""".stripMargin).localCheckpoint(true)
+      val tt = c.groupBy("source")
+        .agg(org.apache.spark.sql.functions.sum("c").as("n"))
+        .localCheckpoint(true)
+      (c, tt)
+    }
+    cnt.createOrReplaceTempView("js_cnt")
+    tot.createOrReplaceTempView("js_tot")
+  }
+
+  /** Dialect-shared JSD tail over `cnt(source, word, c)` / `tot(source,
+    * n)` relations.
+    */
+  private def jsdTail(cnt: String, tot: String,
+      k: NeutralMath.KernelSplice): String =
+    s"""pairs AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+       |          FROM $tot a JOIN $tot b ON a.source < b.source),
+       |ta0 AS (SELECT p.sa, p.sb, p.na, p.nb, ca.c AS ca, COALESCE(cb.c, 0) AS cb
+       |        FROM pairs p
+       |        JOIN $cnt ca ON ca.source = p.sa
+       |        LEFT JOIN $cnt cb ON cb.source = p.sb AND cb.word = ca.word),
+       |ta1 AS (SELECT sa, sb, na, nb, ca,
+       |               CAST(2 * ca * nb AS BIGINT) AS num,
+       |               CAST(ca * nb + cb * na AS BIGINT) AS den
+       |        FROM ta0),
+       |${k.ln("ta", "ta1", "sa, sb, na, ca, num, den", "sa, sb, na, ca",
+               "num", "den", "lu", "1.0E6")},
+       |kla AS (SELECT sa, sb, CAST(SUM(ca * lu) AS BIGINT) AS s, MAX(na) AS na
+       |        FROM ta GROUP BY sa, sb),
+       |tb0 AS (SELECT p.sa, p.sb, p.na, p.nb, cb.c AS cb, COALESCE(ca.c, 0) AS ca
+       |        FROM pairs p
+       |        JOIN $cnt cb ON cb.source = p.sb
+       |        LEFT JOIN $cnt ca ON ca.source = p.sa AND ca.word = cb.word),
+       |tb1 AS (SELECT sa, sb, na, nb, cb,
+       |               CAST(2 * cb * na AS BIGINT) AS num,
+       |               CAST(cb * na + ca * nb AS BIGINT) AS den
+       |        FROM tb0),
+       |${k.ln("tb", "tb1", "sa, sb, nb, cb, num, den", "sa, sb, nb, cb",
+               "num", "den", "lu", "1.0E6")},
+       |klb AS (SELECT sa, sb, CAST(SUM(cb * lu) AS BIGINT) AS s, MAX(nb) AS nb
+       |        FROM tb GROUP BY sa, sb),
+       |fin AS (SELECT kla.sa, kla.sb,
+       |               GREATEST(CAST(0 AS BIGINT),
+       |                 CAST(FLOOR(CAST(kla.s AS DOUBLE) / kla.na + 0.5E0) AS BIGINT)) AS klp,
+       |               GREATEST(CAST(0 AS BIGINT),
+       |                 CAST(FLOOR(CAST(klb.s AS DOUBLE) / klb.nb + 0.5E0) AS BIGINT)) AS klq
+       |        FROM kla JOIN klb ON kla.sa = klb.sa AND kla.sb = klb.sb)
+       |SELECT sa, sb, klp AS kl_pm_micro, klq AS kl_qm_micro,
+       |       CAST(FLOOR((CAST(klp AS DOUBLE) + CAST(klq AS DOUBLE)) / 2.0E0 + 0.5E0) AS BIGINT) AS jsd_micro
+       |FROM fin ORDER BY sa, sb""".stripMargin
+
+  private def jsdSpark: String =
+    s"""WITH ${jsdTail("js_cnt", "js_tot", NeutralMath.SparkKernel)}""".stripMargin
+
+  private def jsdDuck: String =
+    s"""WITH cnt AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+       |            FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |                  FROM documents) z
+       |            GROUP BY source, word),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+       |${jsdTail("cnt", "tot", NeutralMath.OracleKernel)}""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_text_pmi_collocations" -> QuerySpec.sql2(pmiSpark, pmiDuck),
-    "q_text_good_turing" -> QuerySpec.sql2(goodTuringSpark, goodTuringDuck)
+    "q_text_good_turing" -> QuerySpec.sql2(goodTuringSpark, goodTuringDuck),
+    "q_text_js_divergence" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stageJsCnt(s, d)
+        s.sql(jsdSpark)
+      },
+      Some(jsdDuck))
   )
 }

@@ -71,4 +71,40 @@ class TextMiningSpec extends AnyFunSuite {
     assert(stars.nonEmpty && stars.forall(_ > 0),
       s"no usable smoothed counts: $stars")
   }
+
+  test("q_text_js_divergence: kernel replay of all pairs; JSD bounds and symmetry base") {
+    val sess = spark.newSession()
+    val docs = graft.queries.Tables.documents(sess, sf)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val cnt = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    for ((src, t) <- docs; w <- t.split(" ", -1)) cnt((src, w)) += 1
+    val bySrc = cnt.groupBy(_._1._1)
+      .map { case (s0, m) => s0 -> m.map { case ((_, w), c) => w -> c }.toMap }
+    val tot = bySrc.view.mapValues(_.values.sum).toMap
+    val sources = bySrc.keys.toSeq.sorted
+
+    def klMicro(pSrc: String, qSrc: String): Long = {
+      val (p, q) = (bySrc(pSrc), bySrc(qSrc))
+      val (np, nq) = (tot(pSrc), tot(qSrc))
+      val s = p.map { case (w, ca) =>
+        val cb = q.getOrElse(w, 0L)
+        ca * NeutralMath.lnScaledJvm(2 * ca * nq, ca * nq + cb * np, 1e6)
+      }.sum
+      math.max(0L, math.floor(s.toDouble / np + 0.5).toLong)
+    }
+    val exp = (for {
+      a <- sources; b <- sources if a < b
+    } yield {
+      val (klp, klq) = (klMicro(a, b), klMicro(b, a))
+      (a, b, klp, klq, math.floor((klp.toDouble + klq.toDouble) / 2.0 + 0.5).toLong)
+    }).sortBy(r => (r._1, r._2))
+
+    val got = graft.SparkEntry.queries("q_text_js_divergence")(sess, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp, s"got ${got.take(3).toSeq}...\nexp ${exp.take(3)}...")
+    // JSD is bounded by ln 2 (693147 micro) and the matrix is non-degenerate
+    assert(exp.forall(r => r._5 >= 0 && r._5 <= 693147 + 5), "JSD outside [0, ln 2]")
+    assert(exp.map(_._5).distinct.length > 1, "all pairs equally divergent — dead signal")
+    assert(exp.length == sources.length * (sources.length - 1) / 2)
+  }
 }

@@ -599,6 +599,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 0, s"q_sample_pps_systematic plans $scans corpus scans (want 0 — staged):\n${p.take(1500)}")
   }
 
+  test("JS divergence reads the staged count artifact, never the corpus") {
+    // the pair expansion reads the (source, word) counts four times (two
+    // sides x two KL branches) — in-plan corpus scans mean the staged
+    // artifact re-inlined into four tokenize passes
+    val p = plan("q_text_js_divergence")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q_text_js_divergence plans $scans corpus scans (want 0 — staged):\n${p.take(1500)}")
+  }
+
   test("PMI collocations mine the corpus in ONE scan (margins ride windows)") {
     // both bigram margins and the grand total come from windows over the
     // vocabulary^2-bounded type table — a second Scan parquet means a
