@@ -110,10 +110,23 @@ object MstCluster {
       |FROM g_edges a JOIN g_edges b
       |  ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst""".stripMargin
 
-  private def mstSpark(s: SparkSession, d: String): DataFrame = {
-    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
-    boruvkaCensus(s.sql(mutualWeightedSpark), rounds, jumps)
-  }
+  /** Memoized (census, forest) per (session, dir): the census query and
+    * the single-linkage cut consume the SAME Borůvka run — the forest is
+    * a staged artifact like the kNN edge list itself (every frame inside
+    * is already checkpointed, so the memo just skips re-running the
+    * rounds).
+    */
+  private val mstRunCache = new graft.LruMemo[
+    (SparkSession, String), (DataFrame, DataFrame)](8)
+
+  private def mstRunCached(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    mstRunCache.getOrElseUpdate((s, d)) {
+      LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+      boruvkaRun(s.sql(mutualWeightedSpark), rounds, jumps)
+    }
+
+  private def mstSpark(s: SparkSession, d: String): DataFrame =
+    mstRunCached(s, d)._1
 
   /** Shared DuckDB CTE body (kNN edges → Borůvka rounds) for both the
     * census oracle and the single-linkage oracle.
@@ -185,9 +198,8 @@ object MstCluster {
     * incident MST edge was cut).
     */
   private def slSpark(s: SparkSession, d: String): DataFrame = {
-    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    val (_, forest) = mstRunCached(s, d)
     val mutual = s.sql(mutualWeightedSpark)
-    val (_, forest) = boruvkaRun(mutual, rounds, jumps)
     val kept = forest.where(col("w") <= lit(slCut))
     val labs = DedupCluster.clusters(
       kept.select(col("ea").as("id1"), col("eb").as("id2")))
