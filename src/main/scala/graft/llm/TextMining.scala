@@ -210,7 +210,93 @@ object TextMining {
        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
        |${jsdTail("cnt", "tot", NeutralMath.OracleKernel)}""".stripMargin
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): damped
+    * PageRank over the word CO-OCCURRENCE graph (adjacent-word edges,
+    * both directions — the paper's window-2 graph), top-20 words by rank.
+    * Rank mass is [[GraphRank]]'s exact scaled-BIGINT recurrence (1e12
+    * units, truncation only removes mass), run 5 unrolled rounds over
+    * integer word ids assigned by dense vocabulary rank — so both engines
+    * walk the identical integer recurrence and the extraction is
+    * bit-deterministic. Frequency finds common words; PMI finds
+    * surprising PAIRS; TextRank finds words that sit in well-connected
+    * neighborhoods — the keyword signal of the three.
+    *
+    * 100 TB shape: one corpus bigram explode map-side combines to the
+    * vocabulary²-bounded distinct edge set; word-id assignment is a rank
+    * window over the VOCABULARY (bounded, the established contract; at
+    * web scale ids come from the hash-capped vocabulary instead); each
+    * pagerank round is one equi-join + one map-side-combined SUM over
+    * vocabulary-sized tables. Single-consumer CTE chain per round.
+    */
+  /** Tail over a DISTINCT-pair relation `gp(w1, w2)` (vocabulary²-bounded
+    * — on the Spark side a staged artifact, because wv/ed0 reference it
+    * five times transitively and SQL-text re-inlining would turn that
+    * into five corpus explodes).
+    */
+  private def textrankTail(gp: String, intDiv: String): String = {
+    val scale = 1000000000000L
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (SELECT nodes.id,
+         |  CAST((15 * tele.t + 85 * COALESCE(f.inflow, 0)) $intDiv 100 AS BIGINT) AS rank
+         |  FROM nodes CROSS JOIN tele LEFT JOIN (
+         |    SELECT eo.dst, CAST(SUM(r.rank $intDiv eo.outdeg) AS BIGINT) AS inflow
+         |    FROM eo JOIN r${i - 1} r ON eo.src = r.id GROUP BY eo.dst) f
+         |  ON nodes.id = f.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""wv AS (SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+       |       FROM (SELECT w1 AS word FROM $gp
+       |             UNION SELECT w2 AS word FROM $gp) z),
+       |ed0 AS (SELECT DISTINCT a.id AS src, b.id AS dst
+       |        FROM $gp g JOIN wv a ON g.w1 = a.word JOIN wv b ON g.w2 = b.word
+       |        WHERE a.id != b.id),
+       |ed AS (SELECT src, dst FROM ed0
+       |       UNION SELECT dst AS src, src AS dst FROM ed0),
+       |eo AS (SELECT ed.src, ed.dst, od.outdeg
+       |       FROM ed JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |                     FROM ed GROUP BY src) od ON ed.src = od.src),
+       |nodes AS (SELECT id FROM wv),
+       |tele AS (SELECT CAST($scale $intDiv COUNT(*) AS BIGINT) AS t FROM nodes),
+       |r0 AS (SELECT nodes.id, tele.t AS rank FROM nodes CROSS JOIN tele),
+       |$iters,
+       |sel AS (SELECT wv.word, r5.rank FROM r5 JOIN wv ON r5.id = wv.id
+       |        ORDER BY r5.rank DESC, wv.word LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY rank DESC, word) AS INT) AS rk,
+       |       word, CAST(rank AS BIGINT) AS rank_scaled
+       |FROM sel ORDER BY rk""".stripMargin
+  }
+
+  private val trPairCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame](8)
+
+  private[llm] def stageTrPairs(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val gp = trPairCache.getOrElseUpdate((s, d)) {
+      s.sql(
+        """SELECT DISTINCT element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+          |FROM (SELECT split(text, ' ') AS w FROM documents) d
+          |LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
+          |WHERE size(w) >= 2""".stripMargin).localCheckpoint(true)
+    }
+    gp.createOrReplaceTempView("tr_pairs")
+  }
+
+  private def textrankSpark: String =
+    s"""WITH ${textrankTail("tr_pairs", "DIV")}""".stripMargin
+
+  private def textrankDuck: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |gp AS (SELECT DISTINCT w[i] AS w1, w[i + 1] AS w2
+       |       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
+       |${textrankTail("gp", "//")}""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_text_textrank" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stageTrPairs(s, d)
+        s.sql(textrankSpark)
+      },
+      Some(textrankDuck)),
     "q_text_pmi_collocations" -> QuerySpec.sql2(pmiSpark, pmiDuck),
     "q_text_good_turing" -> QuerySpec.sql2(goodTuringSpark, goodTuringDuck),
     "q_text_js_divergence" -> QuerySpec(

@@ -72,6 +72,38 @@ class TextMiningSpec extends AnyFunSuite {
       s"no usable smoothed counts: $stars")
   }
 
+  test("q_text_textrank: JVM replay of the integer recurrence over the word graph") {
+    val sess = spark.newSession()
+    val texts = graft.queries.Tables.documents(sess, sf)
+      .select("text").collect().map(_.getString(0))
+    val pairs = (for (t <- texts; w = t.split(" ", -1); i <- 0 until w.length - 1)
+      yield (w(i), w(i + 1))).distinct
+    val vocab = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.sorted
+    val id = vocab.zipWithIndex.map { case (w, i) => w -> (i + 1).toLong }.toMap
+    val ed = pairs.map { case (a, b) => (id(a), id(b)) }.filter(p => p._1 != p._2)
+    val und = (ed ++ ed.map(_.swap)).distinct
+    val out = und.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2).toSeq }
+    val n = vocab.length.toLong
+    val scale = 1000000000000L
+    val tele = scale / n
+    var rank: Map[Long, Long] = id.values.map(_ -> tele).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s0, ds) <- out; contrib = rank(s0) / ds.length; d0 <- ds)
+        inflow(d0) += contrib
+      rank = id.values.map(v => v -> ((15 * tele + 85 * inflow(v)) / 100)).toMap
+    }
+    val exp = vocab.map(w => (w, rank(id(w))))
+      .sortBy { case (w, r) => (-r, w) }.take(20)
+      .zipWithIndex.map { case ((w, r), i) => (i + 1, w, r) }
+
+    val got = graft.SparkEntry.queries("q_text_textrank")(sess, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == exp.toSeq, s"got ${got.take(5).toSeq}\nexp ${exp.take(5)}")
+    // ranks vary — the graph structure is doing work beyond frequency
+    assert(exp.map(_._3).distinct.length > 1)
+  }
+
   test("q_text_js_divergence: kernel replay of all pairs; JSD bounds and symmetry base") {
     val sess = spark.newSession()
     val docs = graft.queries.Tables.documents(sess, sf)

@@ -599,6 +599,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 0, s"q_sample_pps_systematic plans $scans corpus scans (want 0 — staged):\n${p.take(1500)}")
   }
 
+  test("TextRank walks the staged word-pair artifact, never the corpus") {
+    // wv/ed0 reference the pair table five times transitively; an
+    // in-plan corpus scan means five re-inlined corpus explodes
+    val p = plan("q_text_textrank")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 0, s"q_text_textrank plans $scans corpus scans (want 0 — staged):\n${p.take(1500)}")
+  }
+
   test("JS divergence reads the staged count artifact, never the corpus") {
     // the pair expansion reads the (source, word) counts four times (two
     // sides x two KL branches) — in-plan corpus scans mean the staged
