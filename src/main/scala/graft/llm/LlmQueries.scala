@@ -510,6 +510,58 @@ object LlmQueries {
       },
       Some(AnnSql.knnGraphDuck(3))),
 
+    // ANN graph connectivity audit: connected components of the mutual
+    // kNN graph + the isolated-vector count — the index health check for
+    // graph-routed search (a beam can only reach its entry's component;
+    // a fragmented graph or many isolated vectors means walks silently
+    // miss recall, cf. the global-beam starvation note on
+    // q_ann_graph_search). Composes the staged edge artifact with the
+    // shared pointer-jumping CC labels; isolated = embeddings whose every
+    // candidate edge failed the mutual filter.
+    "q_ann_graph_connectivity" -> QuerySpec(
+      (s, d) => {
+        knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+        val me = s.sql(AnnSql.knnMutualOver("g_edges")).select(col("id1"), col("id2"))
+        val labs = DedupCluster.clusters(me)
+        val comps = labs.groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
+          .localCheckpoint(true)
+        val emb = Tables.embeddings(s, d).select(col("vec_id"))
+        val iso = emb.join(labs, emb("vec_id") === labs("doc_id"), "left_anti")
+        comps.agg(count(lit(1)).cast("long").as("n_components"),
+            coalesce(max("sz"), lit(0L)).cast("long").as("largest"),
+            coalesce(sum("sz"), lit(0L)).cast("long").as("n_connected"))
+          .crossJoin(iso.agg(count(lit(1)).cast("long").as("n_isolated")))
+          .crossJoin(emb.agg(count(lit(1)).cast("long").as("n_vecs")))
+          .selectExpr("n_vecs", "n_components", "largest", "n_connected", "n_isolated",
+            "CAST((10000 * largest) DIV n_vecs AS BIGINT) AS largest_share_bp")
+      },
+      Some(s"""WITH RECURSIVE ${AnnSql.knnDirectedDuckCtes(3)},
+              |me AS (SELECT a.src AS id1, a.dst AS id2
+              |       FROM tk a JOIN tk b
+              |         ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst),
+              |ke AS (SELECT id1 AS a, id2 AS b FROM me
+              |       UNION ALL SELECT id2 AS a, id1 AS b FROM me),
+              |reach(node, label) AS (
+              |  SELECT a, a FROM ke
+              |  UNION
+              |  SELECT e.a, r.label FROM ke e JOIN reach r ON r.node = e.b),
+              |cl AS (SELECT node, MIN(label) AS rep FROM reach GROUP BY node),
+              |sz AS (SELECT rep, COUNT(*) AS sz FROM cl GROUP BY rep),
+              |emb AS (SELECT vec_id FROM embeddings),
+              |agg AS (SELECT COUNT(*) AS n_components,
+              |               COALESCE(MAX(sz), 0) AS largest,
+              |               COALESCE(SUM(sz), 0) AS n_connected FROM sz),
+              |iso AS (SELECT COUNT(*) AS n_isolated FROM emb
+              |        LEFT JOIN cl ON emb.vec_id = cl.node WHERE cl.node IS NULL),
+              |tot AS (SELECT COUNT(*) AS n_vecs FROM emb)
+              |SELECT CAST(tot.n_vecs AS BIGINT) AS n_vecs,
+              |       CAST(agg.n_components AS BIGINT) AS n_components,
+              |       CAST(agg.largest AS BIGINT) AS largest,
+              |       CAST(agg.n_connected AS BIGINT) AS n_connected,
+              |       CAST(iso.n_isolated AS BIGINT) AS n_isolated,
+              |       CAST((10000 * agg.largest) // tot.n_vecs AS BIGINT) AS largest_share_bp
+              |FROM agg CROSS JOIN iso CROSS JOIN tot""".stripMargin)),
+
     // Cross-source duplication matrix: roll the verified near-dup pairs up
     // by unordered (source, source) — the provenance diagnostic that tells
     // a curation pass WHERE its duplication comes from (mirror sites,

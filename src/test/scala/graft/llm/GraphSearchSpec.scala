@@ -49,6 +49,32 @@ class GraphSearchSpec extends AnyFunSuite {
     beam.foreach { case (_, id, cs) => assert(cs == bruteAll(id), s"$id score drift") }
   }
 
+  test("q_ann_graph_connectivity: JVM union-find replay; census identities hold") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    LlmQueries.knnEdgesCached(sess, sf).createOrReplaceTempView("g_edges")
+    val me = sess.sql(AnnSql.knnMutualOver("g_edges"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (me.map(_._1) ++ me.map(_._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- me) { val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val comps = nodes.groupBy(find).map(_._2.length)
+    val nVecs = graft.queries.Tables.embeddings(sess, sf).count()
+
+    val got = graft.SparkEntry.queries("q_ann_graph_connectivity")(sess, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (nVecs, comps.size.toLong, comps.max.toLong, nodes.length.toLong,
+        nVecs - nodes.length),
+      s"got ${r.toSeq}")
+    assert(r.getLong(5) == 10000L * comps.max / nVecs)
+    // identities: connected + isolated partition the vectors
+    assert(r.getLong(3) + r.getLong(4) == r.getLong(0))
+  }
+
   test("per-hop work is frontier x edges equi-joins; only the 1-row query nests") {
     val df = SparkEntry.queries("q_ann_graph_search")(spark, sf)
     val p = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]

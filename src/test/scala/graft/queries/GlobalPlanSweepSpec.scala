@@ -80,6 +80,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_cluster_purity",      // N^(1/4)-row cell-table nested loop (hierAsnCtes invariant) + 1-row totals
     "q_text_js_divergence",  // K-row per-source totals theta-self-join (source domain); KL branches equi on word
     "q_text_textrank",       // single-row teleport-quantum cross joins (pagerank shape) over the staged word graph
+    "q_ann_graph_connectivity", // census: single-row aggregate crossJoins; CC rounds are equi joins
     "q_text_nb_auc",         // single-row score-extremes broadcast; histogram is 256 bins
     "q_text_nb_reliability", // single-row score-extremes broadcast; histogram is 10 bins
     "q_text_good_turing",    // single-row token/singleton-total join onto the freq-of-freq table
