@@ -670,6 +670,92 @@ object GraphRank {
        |FROM r5 GROUP BY COALESCE(hop, -1) ORDER BY hop""".stripMargin
   }
 
+  /** Semi-supervised label SPREADING over the mutual kNN graph (Zhu &
+    * Ghahramani, CMU-CALD-02-107, majority-vote form): seed vectors
+    * (vec_id % 4 != 0) keep their ground-truth label CLAMPED; held-out
+    * vectors take the majority label of their currently-labeled
+    * neighbors each round (ties to the smallest label), 3 synchronous
+    * rounds. This is transductive classification with the embedding
+    * index as the only model — the cheap labeler a curation pipeline
+    * runs when a fraction of the corpus has trusted labels — where
+    * q_graph_label_prop (all nodes self-labeled, no clamping) discovers
+    * COMMUNITIES instead. Output: per-true-label held-out accuracy — the
+    * eval that says whether the graph is label-coherent enough to trust
+    * the spread.
+    *
+    * Integer vote counts, deterministic tie-break; per-round shuffle =
+    * one edge⋈labels equi-join + one map-side-combined (node, label)
+    * count + one per-node argmax window (partition sized by degree);
+    * rounds cpReset-checkpointed (labels have two consumers per round —
+    * the vote join and the seed carry — the IterPlan lesson).
+    */
+  private def labelSpreadSpark(s: SparkSession, d: String): DataFrame = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    val me = s.sql("""SELECT a.src AS id1, a.dst AS id2 FROM g_edges a
+                     |JOIN g_edges b ON a.src = b.dst AND a.dst = b.src
+                     |              AND a.src < a.dst""".stripMargin)
+    val ue = IterPlan.cpReset(
+      me.selectExpr("id1 AS a", "id2 AS b")
+        .unionByName(me.selectExpr("id2 AS a", "id1 AS b")))
+    val truth = IterPlan.cpReset(
+      Tables.embeddings(s, d).selectExpr("vec_id AS id", "label AS lbl"))
+    val seeds = IterPlan.cpReset(truth.where("id % 4 != 0"))
+    var labs = seeds
+    for (_ <- 1 to 3) {
+      val votes = ue.join(labs, ue("b") === labs("id"))
+        .groupBy(ue("a"), labs("lbl")).agg(count(lit(1)).as("c"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("a").orderBy(col("c").desc, col("lbl"))
+      val pred = votes.withColumn("rn", row_number().over(win))
+        .where((col("rn") === 1).and(col("a") % 4 === 0))
+        .select(col("a").as("id"), col("lbl"))
+      labs = IterPlan.cpReset(seeds.unionByName(pred))
+    }
+    val hold = truth.where("id % 4 = 0")
+    val pred = labs.where("id % 4 = 0")
+      .select(col("id").as("pid"), col("lbl").as("plbl"))
+    hold.join(pred, hold("id") === col("pid"), "left")
+      .groupBy(col("lbl").as("true_label"))
+      .agg(count(lit(1)).cast("long").as("n_holdout"),
+        count(col("plbl")).cast("long").as("n_predicted"),
+        sum(when(col("plbl") === col("lbl"), 1L).otherwise(0L)).cast("long").as("n_correct"))
+      .selectExpr("CAST(true_label AS INT) AS true_label",
+        "n_holdout", "n_predicted", "n_correct",
+        "CAST((10000 * n_correct) DIV GREATEST(1, n_predicted) AS BIGINT) AS acc_bp")
+      .orderBy("true_label")
+  }
+
+  private def labelSpreadDuck: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""vt$i AS MATERIALIZED (SELECT e.a AS id, l.lbl, COUNT(*) AS c
+         |  FROM ue e JOIN lb${i - 1} l ON e.b = l.id GROUP BY e.a, l.lbl),
+         |nw$i AS MATERIALIZED (SELECT id, lbl FROM (
+         |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+         |  FROM vt$i) z WHERE rn = 1 AND id % 4 = 0),
+         |lb$i AS MATERIALIZED (SELECT id, lbl FROM seeds
+         |  UNION ALL SELECT id, lbl FROM nw$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+       |me AS (SELECT a.src AS id1, a.dst AS id2 FROM tk a
+       |       JOIN tk b ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst),
+       |ue AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM me
+       |      UNION ALL SELECT id2 AS a, id1 AS b FROM me),
+       |truth AS (SELECT vec_id AS id, label AS lbl FROM embeddings),
+       |seeds AS MATERIALIZED (SELECT id, lbl FROM truth WHERE id % 4 != 0),
+       |lb0 AS MATERIALIZED (SELECT id, lbl FROM seeds),
+       |$rounds,
+       |hold AS (SELECT id, lbl FROM truth WHERE id % 4 = 0),
+       |pred AS (SELECT id AS pid, lbl AS plbl FROM lb3 WHERE id % 4 = 0)
+       |SELECT CAST(hold.lbl AS INT) AS true_label,
+       |       CAST(COUNT(*) AS BIGINT) AS n_holdout,
+       |       CAST(COUNT(pred.plbl) AS BIGINT) AS n_predicted,
+       |       CAST(SUM(CASE WHEN pred.plbl = hold.lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       CAST((10000 * SUM(CASE WHEN pred.plbl = hold.lbl THEN 1 ELSE 0 END))
+       |            // GREATEST(1, COUNT(pred.plbl)) AS BIGINT) AS acc_bp
+       |FROM hold LEFT JOIN pred ON hold.id = pred.pid
+       |GROUP BY hold.lbl ORDER BY true_label""".stripMargin
+  }
+
   /** Unrolled 5-iteration DuckDB oracle: identical scaled-integer
     * arithmetic, so the hash comparison is exact — no rounding anywhere.
     */
@@ -690,6 +776,7 @@ object GraphRank {
       "q_graph_ppr" -> QuerySpec.df(pprSpark, pprDuck),
       "q_graph_hits" -> QuerySpec.df(hitsSpark, hitsDuck),
       "q_graph_seed_distance" -> QuerySpec.df(bfsSpark, bfsDuck),
+      "q_graph_label_spread" -> QuerySpec.df(labelSpreadSpark, labelSpreadDuck),
       "q_graph_pagerank" -> QuerySpec.df(
         pagerankSpark,
         s"""WITH nodes AS (SELECT doc_id AS id FROM documents),

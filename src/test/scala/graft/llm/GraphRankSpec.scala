@@ -289,6 +289,50 @@ class GraphRankSpec extends AnyFunSuite {
       (3L, None), (4L, None)))
   }
 
+  test("q_graph_label_spread: JVM replay of 3 clamped rounds; spread beats chance") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    val me = {
+      graft.llm.LlmQueries.knnEdgesCached(sess, sf).createOrReplaceTempView("g_edges")
+      sess.sql("""SELECT a.src, a.dst FROM g_edges a JOIN g_edges b
+                 |ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val nbrs = (me ++ me.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSeq }
+    val truth = graft.queries.Tables.embeddings(sess, sf)
+      .selectExpr("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    var labs: Map[Long, Int] = truth.filter(_._1 % 4 != 0)
+    val seeds = labs
+    for (_ <- 1 to 3) {
+      val pred = nbrs.keys.filter(_ % 4 == 0).flatMap { v =>
+        val votes = nbrs(v).flatMap(labs.get)
+          .groupBy(identity).map { case (l, g) => (l, g.size) }
+        if (votes.isEmpty) None
+        else Some(v -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1)
+      }.toMap
+      labs = seeds ++ pred
+    }
+    val hold = truth.filter(_._1 % 4 == 0)
+    val exp = hold.groupBy(_._2).toSeq.sortBy(_._1).map { case (l, g) =>
+      val predd = g.keys.toSeq.flatMap(id => labs.get(id).map(id -> _))
+      val correct = predd.count { case (id, pl) => pl == truth(id) }
+      (l, g.size.toLong, predd.size.toLong, correct.toLong,
+        10000L * correct / math.max(1L, predd.size))
+    }
+    val got = graft.SparkEntry.queries("q_graph_label_spread")(sess, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+    // the spread earns its keep: aggregate accuracy beats the majority-
+    // class baseline over PREDICTED nodes
+    val nPred = exp.map(_._3).sum; val nCorr = exp.map(_._4).sum
+    val priors = hold.groupBy(_._2).view.mapValues(_.size).toMap
+    val basel = 10000L * priors.values.max / hold.size
+    assert(nPred > 0 && 10000L * nCorr / nPred > basel,
+      s"spread acc ${10000L * nCorr / nPred} bp <= majority baseline $basel bp")
+  }
+
   test("q_graph_seed_distance: JVM Bellman-Ford replay of 5 rounds; census partitions nodes") {
     val sf = "/root/testdata/sf0.001"
     val sess = spark.newSession()
