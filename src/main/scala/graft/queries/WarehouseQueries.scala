@@ -388,8 +388,13 @@ object WarehouseQueries {
     * counts come from a prefix window over the grouped observation-time
     * table, NOT a correlated per-row rescan.
     */
-  private def kmSurvivalSql(epochUs: String, k: graft.llm.NeutralMath.KernelSplice) =
-    s"""WITH u AS (SELECT user_id, MIN($epochUs) AS t_first,
+  /** Shared survival risk-set chain (conversion-time table → per-event-
+    * time deaths d and at-risk counts n) — consumed by both the
+    * Kaplan-Meier product-limit estimator and the Nelson-Aalen
+    * cumulative-hazard estimator.
+    */
+  private def survivalRiskCtes(epochUs: String) =
+    s"""u AS (SELECT user_id, MIN($epochUs) AS t_first,
        |                 MIN(CASE WHEN event_type = 'purchase' THEN $epochUs END) AS t_conv,
        |                 MAX($epochUs) AS t_last
        |          FROM events GROUP BY user_id),
@@ -404,7 +409,10 @@ object WarehouseQueries {
        |               SUM(c) OVER () AS total
        |        FROM g),
        |risk AS (SELECT t, d, total - COALESCE(n_before, 0) AS n
-       |         FROM pre WHERE d > 0),
+       |         FROM pre WHERE d > 0)""".stripMargin
+
+  private def kmSurvivalSql(epochUs: String, k: graft.llm.NeutralMath.KernelSplice) =
+    s"""WITH ${survivalRiskCtes(epochUs)},
        |lr0 AS (SELECT t, d, n,
        |               CAST(GREATEST(n - d, 1) AS BIGINT) AS fnum, CAST(n AS BIGINT) AS fden
        |        FROM risk),
@@ -425,6 +433,41 @@ object WarehouseQueries {
        |       CASE WHEN extinct = 1 THEN CAST(0 AS BIGINT)
        |            ELSE CAST(FLOOR(1.0E10 / CAST(einv AS DOUBLE) + 0.5E0) AS BIGINT) END AS surv_bp
        |FROM kmx ORDER BY hours""".stripMargin
+
+  /** Nelson-Aalen cumulative hazard (Nelson 1972; Aalen, Ann. Stat.
+    * 1978): H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ over the SAME risk-set chain as
+    * q_events_survival_km, plus the Fleming-Harrington survival read-off
+    * exp(−H) — the estimator pair a reliability/conversion analysis
+    * reports together (NA's hazard INCREMENTS are what a monitoring
+    * alert thresholds on; KM's product limit is what a survival curve
+    * plots — near-identical survival when increments are small, and the
+    * divergence itself is the small-risk-set warning).
+    *
+    * Determinism: each increment dᵢ·10⁶/nᵢ quantizes through the shared
+    * FLOOR(double + 0.5) text (one IEEE division on exact integers);
+    * the cumulative sum is an exact BIGINT window over event-time rows;
+    * exp rides the engine-neutral kernel with the KM clamp. Shuffle
+    * shape identical to KM: one user aggregate, event-time-bounded
+    * windows.
+    */
+  private def nelsonAalenSql(epochUs: String, k: graft.llm.NeutralMath.KernelSplice) =
+    s"""WITH ${survivalRiskCtes(epochUs)},
+       |na0 AS (SELECT t, d, n,
+       |               CAST(FLOOR(CAST(d AS DOUBLE) * 1.0E6 / n + 0.5E0) AS BIGINT) AS h_micro
+       |        FROM risk),
+       |na AS (SELECT t, d, n,
+       |              CAST(SUM(h_micro) OVER (ORDER BY t
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_micro
+       |       FROM na0),
+       |na2 AS (SELECT t, d, n, cum_micro,
+       |               LEAST(CAST(29000000 AS BIGINT), cum_micro) AS hcl
+       |        FROM na),
+       |${k.exp("nax", "na2", "t, d, n, cum_micro, hcl",
+          "t, d, n, cum_micro", "hcl", "einv")}
+       |SELECT t AS hours, CAST(d AS BIGINT) AS n_conv, CAST(n AS BIGINT) AS n_risk,
+       |       cum_micro AS cumhaz_micro,
+       |       CAST(FLOOR(1.0E10 / CAST(einv AS DOUBLE) + 0.5E0) AS BIGINT) AS fh_surv_bp
+       |FROM nax ORDER BY hours""".stripMargin
 
   /** Event-type co-occurrence LIFT (market-basket association over user
     * baskets): lift(a,b) = P(a,b) / (P(a)·P(b)) across users, > 1 when
@@ -622,6 +665,51 @@ object WarehouseQueries {
        |SELECT CAST(digit AS INT) AS digit, n_obs, exp_milli,
        |       CAST(SUM(t_micro) OVER () AS BIGINT) AS chi2_micro
        |FROM tm ORDER BY digit""".stripMargin
+
+  /** Binned two-sample Kolmogorov-Smirnov test between the click and
+    * purchase value distributions (Kolmogorov 1933 / Smirnov 1948; the
+    * binned form every streaming/distributed implementation uses): D =
+    * max over bins |F₁ − F₂| with both CDFs read off one shared 64-bin
+    * histogram (the q_stream_drift_alert bucket quantization — same
+    * 800-cent bins, so the two monitors agree on what a "bin" is). The
+    * decision column compares against the large-sample α = 0.05 critical
+    * value 1.358·√((n₁+n₂)/(n₁·n₂)).
+    *
+    * Determinism: D's numerator max|cum₁·n₂ − cum₂·n₁| is EXACT BIGINT
+    * (cross-multiplied CDFs — no float division under the max), safe to
+    * ~3·10⁹ rows per side (the Benford rescale note); only the final
+    * display division and the critical value (one IEEE sqrt on exact
+    * integers, shared text) touch doubles. One scan, 64-group map-side
+    * aggregate, 64-row spine windows.
+    */
+  private def ksTestSql(spine: String, intDiv: String) =
+    s"""WITH e AS (SELECT event_type,
+       |                 LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT))) AS b
+       |          FROM events WHERE event_type IN ('click', 'purchase')),
+       |h AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY event_type, b),
+       |gb AS (SELECT $spine AS b),
+       |f AS (SELECT gb.b,
+       |             COALESCE(h1.c, 0) AS c1, COALESCE(h2.c, 0) AS c2
+       |      FROM gb LEFT JOIN h h1 ON gb.b = h1.b AND h1.event_type = 'click'
+       |              LEFT JOIN h h2 ON gb.b = h2.b AND h2.event_type = 'purchase'),
+       |cf AS (SELECT b,
+       |              CAST(SUM(c1) OVER (ORDER BY b
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+       |              CAST(SUM(c2) OVER (ORDER BY b
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+       |              CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+       |              CAST(SUM(c2) OVER () AS BIGINT) AS n2
+       |       FROM f),
+       |agg AS (SELECT MAX(ABS(cum1 * n2 - cum2 * n1)) AS dnum,
+       |               MAX(n1) AS n1, MAX(n2) AS n2
+       |        FROM cf)
+       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |       CAST((1000000 * dnum) $intDiv (n1 * n2) AS BIGINT) AS ks_micro,
+       |       CAST(FLOOR(1.358E0 * SQRT(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1.0E6 + 0.5E0) AS BIGINT) AS crit05_micro,
+       |       CAST(CASE WHEN (1000000 * dnum) $intDiv (n1 * n2) >
+       |                      FLOOR(1.358E0 * SQRT(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) * 1.0E6 + 0.5E0)
+       |                 THEN 1 ELSE 0 END AS INT) AS reject_05
+       |FROM agg""".stripMargin
 
   private def kAnonSql(epochUs: String, intDiv: String) = {
     def dv(a: String, b: String) = s"$a $intDiv $b"
@@ -1529,6 +1617,12 @@ object WarehouseQueries {
       changepointSql("epoch_us(ts)", "//")
         .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
     "q_stats_benford" -> sql2(benfordSql("DIV"), benfordSql("//")),
+    "q_stats_ks_test" -> sql2(
+      ksTestSql("explode(sequence(0, 63))", "DIV"),
+      ksTestSql("unnest(range(0, 64))", "//")),
+    "q_events_nelson_aalen" -> sql2(
+      nelsonAalenSql("unix_micros(CAST(ts AS TIMESTAMP))", graft.llm.NeutralMath.SparkKernel),
+      nelsonAalenSql("epoch_us(ts)", graft.llm.NeutralMath.OracleKernel)),
     "q_stats_bootstrap_ci" -> sql2(
       bootstrapSql(
         "SELECT explode(sequence(0, 31)) AS b",

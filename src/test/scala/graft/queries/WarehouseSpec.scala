@@ -197,6 +197,78 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_nelson_aalen: hazard replay; FH survival bounds KM from above") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val first = es.map(_._3).min
+      val conv = es.filter(_._2 == "purchase").map(_._3).minOption
+      val tObs = math.floor((conv.getOrElse(es.map(_._3).max) - first) / 3600000000.0).toLong
+      (tObs, conv.isDefined)
+    }
+    val total = perUser.size.toLong
+    val byT = perUser.groupBy(_._1)
+    val times = byT.filter(_._2.exists(_._2)).keys.toSeq.sorted
+    var cum = 0L
+    var nBefore = 0L
+    val exp = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    for (t <- byT.keys.toSeq.sorted) {
+      val rows0 = byT(t)
+      val d = rows0.count(_._2).toLong
+      val n = total - nBefore
+      if (d > 0) {
+        cum += math.floor(d.toDouble * 1e6 / n + 0.5).toLong
+        val einv = graft.llm.NeutralMath.expMicroJvm(math.min(29000000L, cum))
+        exp += ((t, d, n, cum, math.floor(1e10 / einv.toDouble + 0.5).toLong))
+      }
+      nBefore += rows0.size
+    }
+    val got = rows("q_events_nelson_aalen")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == exp.toSeq, s"got ${got.take(4).toSeq}\nexp ${exp.take(4)}")
+    assert(times.nonEmpty)
+    // classical inequality: exp(-x) >= 1 - x per factor, so the
+    // Fleming-Harrington survival bounds KM from ABOVE at every event time
+    val km = rows("q_events_survival_km").map(r => (r.getLong(0), r.getLong(3))).toMap
+    got.foreach { case (t, _, _, _, fh) =>
+      assert(fh + 1 >= km(t), s"t=$t: FH survival $fh below KM ${km(t)}")
+    }
+    // hazard is non-decreasing
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 >= a._4)
+      case _ => ()
+    }
+  }
+
+  test("q_stats_ks_test: binned-CDF replay; D in [0, 1e6] and decision consistent") {
+    val vals = Tables.events(spark, sf)
+      .where("event_type IN ('click', 'purchase')")
+      .selectExpr("event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def hist(t: String): Array[Long] = {
+      val h = Array.fill(64)(0L)
+      vals.filter(_._1 == t).foreach { case (_, c) =>
+        h(math.min(63L, math.max(0L, c / 800)).toInt) += 1 }
+      h
+    }
+    val (h1, h2) = (hist("click"), hist("purchase"))
+    val (n1, n2) = (h1.sum, h2.sum)
+    var (c1, c2, dnum) = (0L, 0L, 0L)
+    for (b <- 0 until 64) {
+      c1 += h1(b); c2 += h2(b)
+      dnum = math.max(dnum, math.abs(c1 * n2 - c2 * n1))
+    }
+    val ks = 1000000L * dnum / (n1 * n2)
+    val crit = math.floor(1.358 * math.sqrt((n1 + n2).toDouble / (n1.toDouble * n2)) * 1e6 + 0.5).toLong
+    val exp = (n1, n2, ks, crit, if (ks > crit) 1 else 0)
+
+    val got = rows("q_stats_ks_test")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq == Seq(exp), s"got ${got.toSeq}\nexp $exp")
+    assert(ks >= 0 && ks <= 1000000L)
+  }
+
   test("q_events_survival_km: non-increasing curve that matches a Scala KM replay") {
     val out = rows("q_events_survival_km").map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
