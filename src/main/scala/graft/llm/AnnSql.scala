@@ -755,6 +755,83 @@ object AnnSql {
   def purityNmiDuck: String =
     purityNmiSql(duckCos, 2, "//", NeutralMath.OracleKernel)
 
+  /** INTERNAL cluster validity — simplified silhouette (Rousseeuw, J.
+    * Comput. Appl. Math. 1987; the centroid-distance simplification every
+    * large-N implementation uses, e.g. scikit-learn's sampled variant):
+    * per point a = L2 distance to own centroid, b = distance to the
+    * nearest OTHER candidate centroid, s = (b − a)/max(a, b) ∈ [0, 1]
+    * (the nearest-centroid assignment makes b ≥ a, so the classical
+    * negative branch collapses — misassignment shows as s ≈ 0). The
+    * external twin is q_cluster_purity (needs labels); silhouette is the
+    * readout when NO labels exist — the k-picker's elbow criterion.
+    *
+    * The candidate set is the quantizer-routed one ([[hierAsnCtes]], p1 =
+    * 2 probed cells) — the same FAISS-style fidelity trade as the k-means
+    * step itself: b scans the probed cells' centroids, not all √N.
+    * Points whose probe set holds a single centroid (no runner-up) drop
+    * out — counted nowhere else, they are the cells the probe can't
+    * evaluate.
+    *
+    * Determinism: distances are squared-L2 over the fixed-point milli
+    * quantization (exact integers carried in doubles); the rn=1/rn=2
+    * split compares exact integers; s quantizes through the shared
+    * FLOOR(1e6·(√b2−√a2)/√b2 + 0.5) text — IEEE sqrt on exact-integer
+    * inputs is correctly rounded in both engines, so every per-point
+    * s_micro matches bit-for-bit and the per-cell SUM is exact BIGINT.
+    * Per-cell means ship as full-precision quotients; the ROLLUP row
+    * (cell = −1) is the corpus-wide mean silhouette.
+    */
+  private def silhouetteSql(
+      quant: String, dotFn: (String, String) => String): String = {
+    def d2(a: String, b: String) =
+      s"${dotFn(a, a)} + ${dotFn(b, b)} - 2 * ${dotFn(a, b)}"
+    s"""WITH qv AS (SELECT vec_id, $quant AS v FROM embeddings),
+       |${hierAsnCtes("qv", "v", d2, desc = false, p1 = 2)},
+       |d AS (SELECT v.vec_id, a.cent_id, ${d2("v.v", "a.cv")} AS dd
+       |      FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id),
+       |r AS (SELECT vec_id, cent_id, dd,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY dd, cent_id) AS rn
+       |      FROM d),
+       |ab AS (SELECT a.vec_id, a.cent_id, a.dd AS a2, b.dd AS b2
+       |       FROM r a JOIN r b ON a.vec_id = b.vec_id
+       |       WHERE a.rn = 1 AND b.rn = 2),
+       |sm AS (SELECT vec_id, cent_id,
+       |              CASE WHEN b2 <= 0 THEN CAST(0 AS BIGINT)
+       |                   ELSE CAST(FLOOR(1.0E6 * (SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))
+       |                        / SQRT(CAST(b2 AS DOUBLE)) + 0.5E0) AS BIGINT) END AS s_micro
+       |       FROM ab)
+       |SELECT COALESCE(CAST(cent_id AS BIGINT), -1) AS cell,
+       |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |       CAST(SUM(s_micro) AS BIGINT) AS s_sum_micro,
+       |       CAST(SUM(s_micro) AS DOUBLE) / (1.0E6 * COUNT(*)) AS mean_sil
+       |FROM sm GROUP BY ROLLUP(cent_id) ORDER BY cell""".stripMargin
+  }
+
+  /** Spec hook: the (vec, own-centroid, a², b²) pair table silhouette
+    * folds — same SQL prefix, so the spec replays the s quantization and
+    * rollup from the exact inputs (the ClusterValiditySpec pattern).
+    */
+  private[llm] def silhouettePairsSpark: String = {
+    def d2(a: String, b: String) =
+      s"graft_dot_d($a, $a) + graft_dot_d($b, $b) - 2 * graft_dot_d($a, $b)"
+    s"""WITH qv AS (SELECT vec_id, $kmQSpark AS v FROM embeddings),
+       |${hierAsnCtes("qv", "v", d2, desc = false, p1 = 2)},
+       |d AS (SELECT v.vec_id, a.cent_id, ${d2("v.v", "a.cv")} AS dd
+       |      FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id),
+       |r AS (SELECT vec_id, cent_id, dd,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY dd, cent_id) AS rn
+       |      FROM d)
+       |SELECT a.vec_id, a.cent_id, CAST(a.dd AS BIGINT) AS a2, CAST(b.dd AS BIGINT) AS b2
+       |FROM r a JOIN r b ON a.vec_id = b.vec_id
+       |WHERE a.rn = 1 AND b.rn = 2 ORDER BY a.vec_id""".stripMargin
+  }
+
+  def silhouetteSpark: String =
+    silhouetteSql(kmQSpark, (a, b) => s"graft_dot_d($a, $b)")
+
+  def silhouetteDuck: String =
+    silhouetteSql(kmQ, (a, b) => s"list_dot_product($a, $b)")
+
   /** Audit query for the hierarchical assignment's distance-evaluation
     * budget: per-vector second-level candidate count (the v1 ⋈ a21 join
     * width). PlanAuditSpec asserts max_evals stays within p1 × the largest

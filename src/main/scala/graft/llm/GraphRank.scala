@@ -344,7 +344,11 @@ object GraphRank {
     * the round count fixed; no all-pairs step anywhere. Pure integer
     * votes, fold-order exact.
     */
-  private def lpaTail: String = {
+  /** Shared 3-round LPA chain (ue undirected neighbor list, l0 self
+    * labels, l1..l3 majority-vote rounds) — consumed by the
+    * q_graph_label_prop readout and the q_graph_modularity scorer.
+    */
+  private def lpaChainCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"""v$i AS (SELECT ue.node AS node, l${i - 1}.lbl AS lbl
          |       FROM ue JOIN l${i - 1} ON ue.nbr = l${i - 1}.node
@@ -360,7 +364,11 @@ object GraphRank {
        |       UNION ALL
        |       SELECT id2 AS node, id1 AS nbr FROM me),
        |l0 AS (SELECT DISTINCT node, node AS lbl FROM ue),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def lpaTail: String = {
+    s"""$lpaChainCtes,
        |g AS (SELECT lbl, COUNT(*) AS n_members, MIN(node) AS min_node
        |      FROM l3 GROUP BY lbl),
        |tot AS (SELECT COUNT(*) AS n_comm FROM g),
@@ -381,6 +389,61 @@ object GraphRank {
     s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
        |${mutualCte("tk")},
        |$lpaTail""".stripMargin
+
+  /** Newman-Girvan modularity of the LPA communities over the mutual kNN
+    * graph (Newman & Girvan, Phys. Rev. E 69, 2004): Q = Σ_c [e_c/m −
+    * (deg_c/2m)²] — the standard "did label propagation find real
+    * structure" readout (Q ≈ 0: no better than random wiring at the same
+    * degree sequence; Q ≥ ~0.3: real community structure). Shares
+    * [[lpaChainCtes]] with q_graph_label_prop so the communities scored
+    * are EXACTLY the ones that query reports.
+    *
+    * Determinism: Q·4m² = Σ_c (4m·e_c − deg_c²) is EXACT signed BIGINT
+    * (per-community q_num ships raw); only the display quotient divides,
+    * as one shared double text over exact integers. deg_c² bounds BIGINT
+    * to m ≈ 1.5×10⁹ edges — beyond that the doc'd rescale is
+    * degree-shares in milli. Shape: intra-community edge count is ONE
+    * equi-join pass of the edge list against the label table (no wedge
+    * or pair blowup); everything after runs on community-bounded rows.
+    */
+  private def modularityTail: String =
+    s"""$lpaChainCtes,
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM ue GROUP BY node),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM me),
+       |ein AS (SELECT a.lbl, CAST(COUNT(*) AS BIGINT) AS e_in
+       |        FROM me JOIN l3 a ON me.id1 = a.node
+       |                JOIN l3 b ON me.id2 = b.node
+       |        WHERE a.lbl = b.lbl GROUP BY a.lbl),
+       |dc AS (SELECT l.lbl, CAST(SUM(d.dg) AS BIGINT) AS deg_sum,
+       |              CAST(COUNT(*) AS BIGINT) AS n_members
+       |       FROM l3 l JOIN deg d ON l.node = d.node GROUP BY l.lbl),
+       |pc AS (SELECT dc.lbl, dc.n_members, dc.deg_sum,
+       |              CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
+       |              CAST(4 * mm.m * COALESCE(e.e_in, 0)
+       |                   - dc.deg_sum * dc.deg_sum AS BIGINT) AS qnum
+       |       FROM dc LEFT JOIN ein e ON dc.lbl = e.lbl CROSS JOIN mm),
+       |qt AS (SELECT CAST(SUM(qnum) AS BIGINT) AS qsum FROM pc),
+       |selc AS (SELECT lbl, n_members, deg_sum, e_in, qnum FROM pc
+       |         ORDER BY n_members DESC, lbl LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY n_members DESC, lbl) AS INT) AS rk,
+       |       lbl AS community, CAST(n_members AS BIGINT) AS n_members,
+       |       CAST(e_in AS BIGINT) AS e_in, CAST(deg_sum AS BIGINT) AS deg_sum,
+       |       CAST(qnum AS BIGINT) AS q_num,
+       |       CAST((SELECT qsum FROM qt) AS BIGINT) AS q_num_total,
+       |       CAST((SELECT qsum FROM qt) AS DOUBLE)
+       |         / (4.0E0 * CAST((SELECT m FROM mm) AS DOUBLE)
+       |                  * CAST((SELECT m FROM mm) AS DOUBLE)) AS q_modularity
+       |FROM selc ORDER BY rk""".stripMargin
+
+  private def modularitySpark(s: SparkSession, d: String): DataFrame = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    s.sql(s"WITH ${mutualCte("g_edges")},\n$modularityTail")
+  }
+
+  private def modularityDuck: String =
+    s"""WITH ${AnnSql.knnDirectedDuckCtes(3)},
+       |${mutualCte("tk")},
+       |$modularityTail""".stripMargin
 
   /** k-core decomposition (onion peeling; Seidman, Social Networks 1983;
     * distributed peeling as in Montresor et al., "Distributed k-core
@@ -771,6 +834,7 @@ object GraphRank {
     Map(
       "q_graph_adamic_adar" -> QuerySpec.df(adamicSpark, adamicDuck),
       "q_graph_label_prop" -> QuerySpec.df(lpaSpark, lpaDuck),
+      "q_graph_modularity" -> QuerySpec.df(modularitySpark, modularityDuck),
       "q_graph_triangles" -> QuerySpec.df(trianglesSpark, trianglesDuck),
       "q_graph_kcore" -> QuerySpec.df(kcoreSpark, kcoreDuck),
       "q_graph_ppr" -> QuerySpec.df(pprSpark, pprDuck),

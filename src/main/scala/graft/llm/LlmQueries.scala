@@ -881,6 +881,17 @@ object LlmQueries {
       },
       Some(AnnSql.purityNmiDuck)),
 
+    // Internal cluster validity when no labels exist: quantizer-routed
+    // simplified silhouette per cell + corpus rollup (AnnSql.silhouetteSql
+    // doc) — the unlabeled twin of q_cluster_purity.
+    "q_cluster_silhouette" -> QuerySpec(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        graft.functions.GraftFunctions.register(s)
+        s.sql(AnnSql.silhouetteSpark)
+      },
+      Some(AnnSql.silhouetteDuck)),
+
     // IVF maintenance: hot-list detection + deterministic 2-means split
     // proposal, one assignment pass + windows (AnnSql.listRebalanceSql doc).
     "q_ann_list_rebalance" -> QuerySpec(

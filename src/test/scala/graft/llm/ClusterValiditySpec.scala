@@ -52,4 +52,36 @@ class ClusterValiditySpec extends AnyFunSuite {
     // MI respects its entropy ceiling (quantization slack of a few micro)
     assert(miMicro <= math.min(hcMicro, hlMicro) + 5)
   }
+
+  test("q_cluster_silhouette: quantization + rollup replay from the pair table; bounds hold") {
+    val sess = spark.newSession()
+    graft.queries.Tables.registerAll(sess, sf)
+    graft.functions.GraftFunctions.register(sess)
+    val pairs = sess.sql(AnnSql.silhouettePairsSpark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    def sMicro(a2: Long, b2: Long): Long =
+      if (b2 <= 0) 0L
+      else math.floor(1e6 * (math.sqrt(b2.toDouble) - math.sqrt(a2.toDouble))
+        / math.sqrt(b2.toDouble) + 0.5).toLong
+    val perCell = pairs.groupBy(_._2).map { case (c, ps) =>
+      (c, ps.length.toLong, ps.map(p => sMicro(p._3, p._4)).sum)
+    }.toSeq.sortBy(_._1)
+    val total = (-1L, pairs.length.toLong, perCell.map(_._3).sum)
+    val exp = (total +: perCell).map { case (c, n, s) =>
+      (c, n, s, s.toDouble / (1e6 * n)) }
+
+    val got = graft.SparkEntry.queries("q_cluster_silhouette")(sess, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == exp, s"got ${got.take(4).toSeq}\nexp ${exp.take(4)}")
+
+    // b >= a by construction, so every per-point score sits in [0, 1e6]
+    pairs.foreach { case (v, _, a2, b2) =>
+      assert(b2 >= a2, s"vec $v: runner-up nearer than assignment")
+      val s = sMicro(a2, b2)
+      assert(s >= 0 && s <= 1000000L, s"vec $v: s_micro $s out of range")
+    }
+    // rollup row aggregates the cells exactly
+    assert(got.head._1 == -1L && got.head._2 == got.tail.map(_._2).sum)
+  }
 }

@@ -236,6 +236,46 @@ class GraphRankSpec extends AnyFunSuite {
     assert(comm.map(_._2).sum == nbrs.size)
   }
 
+  test("q_graph_modularity: exact integer replay from the LPA labels; bounds hold") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = spark.newSession()
+    val edges = graft.SparkEntry.queries("q_ann_knn_graph")(sess, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSeq }
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nbrs.map { case (n, ns) =>
+        val votes = (ns.map(lbl) :+ lbl(n))
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val m = edges.length.toLong
+    val eIn = edges.filter { case (a, b) => lbl(a) == lbl(b) }
+      .groupBy { case (a, _) => lbl(a) }.view.mapValues(_.length.toLong).toMap
+    val byC = lbl.groupBy(_._2).map { case (c, mem) =>
+      val degSum = mem.keys.toSeq.map(n => nbrs(n).size.toLong).sum
+      val e = eIn.getOrElse(c, 0L)
+      (c, mem.size.toLong, e, degSum, 4 * m * e - degSum * degSum)
+    }
+    val qTotal = byC.map(_._5).sum
+    val expTop = byC.toSeq.sortBy { case (c, n, _, _, _) => (-n, c) }.take(20)
+
+    val got = graft.SparkEntry.queries("q_graph_modularity")(sess, sf).collect()
+    assert(got.length == expTop.length && got.nonEmpty)
+    got.zip(expTop).foreach { case (r, (c, nm, e, ds, qn)) =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((c, nm, e, ds, qn)), s"row ${r.toSeq}\nexp ${(c, nm, e, ds, qn)}")
+      assert(r.getLong(6) == qTotal)
+      assert(r.getDouble(7) == qTotal.toDouble / (4.0 * m.toDouble * m.toDouble))
+    }
+    // handshake: community degree sums cover 2m exactly; Q in (-1/2, 1]
+    assert(byC.map(_._4).sum == 2 * m)
+    val q = qTotal.toDouble / (4.0 * m * m)
+    assert(q > -0.5 && q <= 1.0, s"modularity $q out of range")
+  }
+
   test("hits: star graph separates the hub and authority roles exactly") {
     // 1,2,3 → 0 and 0 → 1. Hand-iterate h0=1000 twice:
     //   round 1: a = Aᵀh → a(0)=3000, a(1)=1000; h = A·a → h(0)=a(1)=1000,

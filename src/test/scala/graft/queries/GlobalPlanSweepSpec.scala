@@ -88,7 +88,10 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_sample_pps_systematic", // single-row (total, step) broadcast; prefix-sum levels join equi on block keys
     "q_sample_ht_estimate",  // same PPS hit chain: single-row (total, step) broadcast only
     "q_search_mmr",          // 12-row staged candidate table self-pairs; zero corpus scans in-plan (PlanAuditSpec)
-    "q_embed_quant_ablation" // 4-row precision-level table x corpus + 1-row query broadcast (recall-curve shape)
+    "q_embed_quant_ablation", // 4-row precision-level table x corpus + 1-row query broadcast (recall-curve shape)
+    "q_events_rfm",          // domain-bounded bin-offset self-joins (~40/170-row bin tables) + 1-row n/anchor
+    "q_graph_modularity",    // single-row edge-count m cross join; edge x label scoring is equi
+    "q_cluster_silhouette"   // N^(1/4)-row cell-table nested loop (hierAsnCtes invariant, q_cluster_purity shape)
   )
 
   test("no cartesian anywhere; nested-loop joins only with constant-bounded broadcast sides") {

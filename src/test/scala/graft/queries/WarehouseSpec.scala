@@ -269,6 +269,76 @@ class WarehouseSpec extends AnyFunSuite {
     assert(ks >= 0 && ks <= 1000000L)
   }
 
+  test("q_stats_mannwhitney: binned rank-sum replay; U symmetry and decision consistency") {
+    val vals = Tables.events(spark, sf)
+      .where("event_type IN ('click', 'purchase')")
+      .selectExpr("event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def hist(t: String): Array[Long] = {
+      val h = Array.fill(64)(0L)
+      vals.filter(_._1 == t).foreach { case (_, c) =>
+        h(math.min(63L, math.max(0L, c / 800)).toInt) += 1 }
+      h
+    }
+    val (h1, h2) = (hist("click"), hist("purchase"))
+    val (n1, n2) = (h1.sum, h2.sum)
+    val n = n1 + n2
+    var (cum2, u2, ties) = (0L, 0L, 0L)
+    for (b <- 0 until 64) {
+      cum2 += h2(b)
+      u2 += h1(b) * (2 * cum2 - h2(b))
+      val t = h1(b) + h2(b)
+      ties += t * t * t - t
+    }
+    val a2 = u2 - n1 * n2
+    val s = math.max(1L, (n + 1) * n * (n - 1) - ties)
+    val z = a2.toDouble / (2.0 * math.sqrt(
+      n1.toDouble * n2.toDouble * s.toDouble / (12.0 * n.toDouble * (n - 1).toDouble)))
+    val cles = u2.toDouble / (2.0 * n1.toDouble * n2.toDouble)
+    val exp = (n1, n2, u2, ties, z, cles, if (math.abs(z) > 1.96) 1 else 0)
+
+    val got = rows("q_stats_mannwhitney").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6)))
+    assert(got.toSeq == Seq(exp), s"got ${got.toSeq}\nexp $exp")
+    // U symmetry: 2·U1 + 2·U2 = 2·n1·n2, so U1 within [0, n1·n2]
+    assert(u2 >= 0 && u2 <= 2 * n1 * n2)
+    assert(cles >= 0.0 && cles <= 1.0)
+  }
+
+  test("q_events_rfm: exact quintile replay; segments partition customers") {
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE)",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate, r.getLong(2)))
+    val anchor = orders.map(_._2).maxBy(_.toEpochDay)
+    val base = orders.groupBy(_._1).toSeq.map { case (ck, os) =>
+      val lastD = os.map(_._2).maxBy(_.toEpochDay)
+      (ck, anchor.toEpochDay - lastD.toEpochDay, os.size.toLong, os.map(_._3).sum)
+    }
+    val nCust = base.size.toLong
+    def quintile(ranked: Seq[Long]): Map[Long, Int] =
+      ranked.zipWithIndex.map { case (ck, i) => ck -> ((i.toLong * 5) / nCust + 1).toInt }.toMap
+    val rq = quintile(base.sortBy(b => (b._2, b._1)).map(_._1))
+    val fq = quintile(base.sortBy(b => (b._3, b._1)).map(_._1))
+    val mq = quintile(base.sortBy(b => (b._4, b._1)).map(_._1))
+    val exp = base.groupBy(b => (6 - rq(b._1)) * 100 + fq(b._1) * 10 + mq(b._1))
+      .toSeq.map { case (seg, cs) =>
+        val cents = cs.map(_._4).sum
+        (seg, cs.size.toLong, cents, cents.toDouble / cs.size)
+      }.sortBy(_._1)
+
+    val got = rows("q_events_rfm").map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == exp, s"got ${got.take(5).toSeq}\nexp ${exp.take(5)}")
+    // segments partition the customer base; scores confined to 1..5
+    assert(got.map(_._2).sum == nCust)
+    got.foreach { case (seg, _, _, _) =>
+      val (r5, f5, m5) = (seg / 100, seg / 10 % 10, seg % 10)
+      assert(r5 >= 1 && r5 <= 5 && f5 >= 1 && f5 <= 5 && m5 >= 1 && m5 <= 5, s"segment $seg")
+    }
+  }
+
   test("q_events_survival_km: non-increasing curve that matches a Scala KM replay") {
     val out = rows("q_events_survival_km").map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
