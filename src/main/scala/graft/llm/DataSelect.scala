@@ -422,6 +422,76 @@ object DataSelect {
     s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS wd FROM documents),
        |${zipfTail(NeutralMath.OracleKernel)}""".stripMargin
 
+  /** Heaps'-law fit (Heaps 1978; Herdan 1960) — the vocabulary-GROWTH
+    * twin of q_text_zipf_fit's frequency-decay diagnostic: V(T) ≈ K·T^β
+    * over 8 corpus prefixes (doc_id cutoffs maxid >> j), where β governs
+    * how fast new types keep appearing as the corpus scales — the number
+    * a tokenizer/vocab-budget or dedup-index sizing decision reads before
+    * committing (β near 0 = saturated/templated; near 1 = noise). Types
+    * here are TRIGRAM shingles (the q_dedup_ngram unit): the synthetic
+    * fixture's word vocabulary is closed (31 types — unigram β would be
+    * exactly 0, itself the saturation signal), while shingle types keep
+    * growing, which is also the production-relevant curve — it sizes
+    * MinHash/winnowing index growth, not just the tokenizer.
+    *
+    * Distributed WITHOUT replaying ingestion order: a word's first
+    * occurrence is MIN(doc_id) (one vocabulary-bounded aggregate), so the
+    * vocab at cutoff c is COUNT(first_doc ≤ c) and the token count is
+    * SUM over docs ≤ c — both via an 8-row cutoff-table theta join
+    * (broadcast; the q_stats_bootstrap_ci spine shape). No window over
+    * anything data-sized. Both log axes quantize to integer milli-nats
+    * via the engine-neutral kernel; the 5 regression moments fold as
+    * exact BIGINTs (x,y ≤ ln(T)·10³ keeps n·Σxy < 2^48 at any corpus);
+    * slope/R² divide at the display edge only.
+    */
+  private def heapsTail(k: NeutralMath.KernelSplice, intDiv: String,
+      spine: String, shiftL: String): String =
+    s"""mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mid FROM documents),
+       |sp AS (SELECT $spine AS j),
+       |cuts AS (SELECT sp.j, mx.mid $intDiv $shiftL AS cutoff FROM sp CROSS JOIN mx),
+       |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok FROM tk GROUP BY doc_id),
+       |fo AS (SELECT wd, CAST(MIN(doc_id) AS BIGINT) AS fd FROM tk GROUP BY wd),
+       |pt AS (SELECT c.j, c.cutoff, CAST(SUM(dt.ntok) AS BIGINT) AS toks
+       |       FROM cuts c JOIN dt ON dt.doc_id <= c.cutoff GROUP BY c.j, c.cutoff),
+       |pv AS (SELECT c.j, CAST(COUNT(*) AS BIGINT) AS vocab
+       |       FROM cuts c JOIN fo ON fo.fd <= c.cutoff GROUP BY c.j),
+       |pts AS (SELECT pt.j, pt.cutoff, pt.toks, pv.vocab
+       |        FROM pt JOIN pv ON pt.j = pv.j),
+       |${k.ln("lx", "pts", "j, cutoff, toks, vocab", "j, cutoff, toks, vocab",
+               "toks", "1", "x_milli", "1.0E3")},
+       |${k.ln("ly", "lx", "j, cutoff, toks, vocab, x_milli",
+               "j, cutoff, toks, vocab, x_milli", "vocab", "1", "y_milli", "1.0E3")},
+       |mo AS (SELECT COUNT(*) AS np, SUM(x_milli) AS sx, SUM(y_milli) AS sy,
+       |              SUM(x_milli * y_milli) AS sxy, SUM(x_milli * x_milli) AS sxx,
+       |              SUM(y_milli * y_milli) AS syy
+       |       FROM ly),
+       |f AS (SELECT np,
+       |             CAST(np * sxy - sx * sy AS DOUBLE) AS num,
+       |             CAST(np * sxx - sx * sx AS DOUBLE) AS den,
+       |             CAST(np * syy - sy * sy AS DOUBLE) AS dy
+       |      FROM mo)
+       |SELECT CAST(p.j AS INT) AS j, CAST(p.cutoff AS BIGINT) AS cutoff_doc,
+       |       p.toks AS n_tokens, p.vocab AS n_types,
+       |       (SELECT num / den FROM f) AS heaps_beta,
+       |       (SELECT CASE WHEN dy > 0 THEN num * num / (den * dy) ELSE 0.0E0 END FROM f) AS r2
+       |FROM pts p ORDER BY j""".stripMargin
+
+  private def heapsSpark: String =
+    s"""WITH dd AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+       |tk AS (SELECT doc_id,
+       |              concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)) AS wd
+       |       FROM dd LATERAL VIEW explode(sequence(1, size(w) - 2)) t AS i
+       |       WHERE size(w) >= 3),
+       |${heapsTail(NeutralMath.SparkKernel, "DIV",
+                    "explode(sequence(0, 7))", "shiftleft(1, CAST(sp.j AS INT))")}""".stripMargin
+
+  private def heapsDuck: String =
+    s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tk AS (SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS wd
+       |       FROM dd, unnest(range(1, len(w) - 1)) AS t(i)),
+       |${heapsTail(NeutralMath.OracleKernel, "//",
+                    "unnest(range(0, 8))", "(1 << sp.j)")}""".stripMargin
+
   /** DoReMi domain-reweighting step ("DoReMi: Optimizing Data Mixtures
     * Speeds Up Language Model Pretraining", Xie et al., arXiv:2305.10429):
     * one multiplicative-weights update over the per-domain EXCESS loss —
@@ -977,6 +1047,7 @@ object DataSelect {
     "q_embed_pca_project" -> sql2(pcaSpark, pcaDuck),
     "q_text_ppl_bucket" -> sql2(pplSpark, pplDuck),
     "q_text_kn_ppl" -> sql2(knSpark, knDuck),
-    "q_text_zipf_fit" -> sql2(zipfSpark, zipfDuck)
+    "q_text_zipf_fit" -> sql2(zipfSpark, zipfDuck),
+    "q_text_heaps_fit" -> sql2(heapsSpark, heapsDuck)
   )
 }

@@ -335,6 +335,35 @@ object LlmQueries {
        |            THEN 1 ELSE 0 END AS flagged
        |FROM g WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin
 
+  /** Shared tail for q_text_judge_kappa: the two integer-threshold judges
+    * over the per-doc `base` stats, the 2×2 contingency fold, and the
+    * exact-BIGINT kappa numerator/denominator (see the registration-site
+    * doc for the formula and bounds).
+    */
+  private def kappaTail: String =
+    s"""j AS (SELECT doc_id,
+       |             CASE WHEN n BETWEEN 20 AND 80 AND sw >= 2 THEN 1 ELSE 0 END AS ja,
+       |             CASE WHEN 5 * dn >= n AND 10 * sumlen BETWEEN 30 * n AND 100 * n
+       |                  THEN 1 ELSE 0 END AS jb
+       |      FROM base),
+       |ct AS (SELECT CAST(SUM(CASE WHEN ja = 1 AND jb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |              CAST(SUM(CASE WHEN ja = 1 AND jb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |              CAST(SUM(CASE WHEN ja = 0 AND jb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |              CAST(SUM(CASE WHEN ja = 0 AND jb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+       |              CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM j),
+       |kp AS (SELECT n11, n10, n01, n00, n,
+       |              CAST(n * (n11 + n00)
+       |                   - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS BIGINT) AS knum,
+       |              CAST(n * n
+       |                   - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS BIGINT) AS kden
+       |       FROM ct)
+       |SELECT n, n11, n10, n01, n00, knum, kden,
+       |       CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS p_agree,
+       |       CASE WHEN kden = 0 THEN 0.0E0
+       |            ELSE CAST(knum AS DOUBLE) / CAST(kden AS DOUBLE) END AS kappa
+       |FROM kp""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     // ---- deduplication ----
 
@@ -1846,6 +1875,38 @@ object LlmQueries {
         |            WHEN r_stop = 0 THEN 'stopwords' WHEN r_rep = 0 THEN 'repetition'
         |            ELSE 'ok' END AS reason
         |FROM r ORDER BY doc_id""".stripMargin),
+
+    // Inter-judge agreement audit: Cohen's kappa (Cohen, Educ. Psychol.
+    // Meas. 1960) between two independent quality judges — the Gopher-
+    // style structural rule (word count band + stopword presence) and
+    // the lexical rule (TTR >= 0.2 + mean-word-length band, the
+    // q_text_quality gates) — over the FULL corpus. This is the check a
+    // curation pipeline runs before trusting ANY single filter: raw
+    // agreement flatters judges that both say "keep" to everything;
+    // kappa subtracts chance agreement. kappa = (n·Σagree − Σ_k r_k·c_k)
+    // / (n² − Σ_k r_k·c_k): every term folds as an exact BIGINT off the
+    // 2×2 contingency counts (integer cross-multiplied thresholds, the
+    // gopher discipline — no float gate), and only the display quotient
+    // divides. n² bounds BIGINT to ~3e9 docs; the doc'd rescale past
+    // that is counts→milli-shares. One scan, no joins wider than the
+    // 1-row contingency fold.
+    "q_text_judge_kappa" -> sql2(
+      s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+         |base AS (SELECT doc_id, CAST(size(w) AS BIGINT) AS n,
+         |         CAST(size(array_distinct(w)) AS BIGINT) AS dn,
+         |         aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x)) AS sumlen,
+         |         CAST(size(filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'
+         |                              OR x = 'in' OR x = 'to' OR x = 'be' OR x = 'that')) AS BIGINT) AS sw
+         |         FROM d),
+         |$kappaTail""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+         |         CAST(len(list_distinct(w)) AS BIGINT) AS dn,
+         |         CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sumlen,
+         |         CAST(len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'
+         |                                  OR x = 'in' OR x = 'to' OR x = 'be' OR x = 'that')) AS BIGINT) AS sw
+         |         FROM d),
+         |$kappaTail""".stripMargin),
 
     // Per-source quota cap (the "no domain may dominate the mix" pipeline
     // stage): keep at most 40 docs per source, best-quality first (TTR

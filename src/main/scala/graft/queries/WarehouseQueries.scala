@@ -826,6 +826,91 @@ object WarehouseQueries {
        |       CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg_cents
        |FROM sc GROUP BY r_score, f_score, m_score ORDER BY segment""".stripMargin
 
+  /** Gini concentration coefficient + 10-point Lorenz curve of customer
+    * lifetime spend (Gini 1912; Lorenz 1905) — the revenue-concentration
+    * readout every warehouse reports ("what share of revenue do the
+    * bottom d deciles hold"); for a training-data warehouse the same
+    * query over per-source token counts is the corpus-balance audit.
+    *
+    * Exact everywhere except two display divisions: ranks over spend
+    * come from the value-binned hierarchical-rank idiom (q_events_rfm —
+    * per-bin counts + offsets, windows PARTITION BY bin only), the
+    * rank-weighted spend sum Σ i·xᵢ and the cumulative spend at each
+    * decile boundary fold as BIGINTs (per-bin spend offsets + within-bin
+    * running sums, same shape), and G = (2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx)
+    * ships its exact numerator alongside the double quotient. Σ i·xᵢ
+    * stays in BIGINT to ~10⁹ customers at 10⁶-cent mean spend; past that
+    * the doc'd rescale is cents→dollar-milli. The decile probe is a
+    * 10-row equi-join on the exact global rank.
+    */
+  private def giniSql(spine: String, intDiv: String): String =
+    s"""WITH cu AS (SELECT o_custkey AS ck,
+       |                  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |           FROM orders GROUP BY o_custkey),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS tot FROM cu),
+       |mb AS (SELECT ck, cents, cents $intDiv 1048576 AS bin FROM cu),
+       |mc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(cents) AS BIGINT) AS sc
+       |       FROM mb GROUP BY bin),
+       |mo AS (SELECT a.bin, CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS off,
+       |              CAST(COALESCE(SUM(b.sc), 0) AS BIGINT) AS soff
+       |       FROM mc a LEFT JOIN mc b ON b.bin < a.bin GROUP BY a.bin),
+       |mr AS (SELECT mb.ck, mb.cents,
+       |              mo.off + row_number() OVER (PARTITION BY mb.bin
+       |                                          ORDER BY mb.cents, mb.ck) AS rnk,
+       |              mo.soff + SUM(mb.cents) OVER (PARTITION BY mb.bin
+       |                                            ORDER BY mb.cents, mb.ck
+       |                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+       |       FROM mb JOIN mo ON mb.bin = mo.bin),
+       |gs AS (SELECT CAST(SUM(rnk * cents) AS BIGINT) AS s1 FROM mr),
+       |gn AS (SELECT gs.s1, nt.n, nt.tot,
+       |              CAST(2 * gs.s1 - (nt.n + 1) * nt.tot AS BIGINT) AS gnum
+       |       FROM gs CROSS JOIN nt),
+       |dec AS (SELECT $spine AS d),
+       |dr AS (SELECT dec.d, (nt.n * dec.d) $intDiv 10 AS rd FROM dec CROSS JOIN nt)
+       |SELECT CAST(dr.d AS INT) AS decile, CAST(dr.rd AS BIGINT) AS rank_at,
+       |       CAST(mr.cum_cents AS BIGINT) AS cum_cents,
+       |       CAST(mr.cum_cents AS DOUBLE) / CAST(gn.tot AS DOUBLE) AS lorenz_share,
+       |       gn.gnum AS gini_num, CAST(gn.n AS BIGINT) AS n_cust,
+       |       CAST(gn.tot AS BIGINT) AS total_cents,
+       |       CAST(gn.gnum AS DOUBLE) / (CAST(gn.n AS DOUBLE) * CAST(gn.tot AS DOUBLE)) AS gini
+       |FROM dr JOIN mr ON mr.rnk = dr.rd CROSS JOIN gn ORDER BY decile""".stripMargin
+
+  /** Cohort lifetime-value matrix — the acquisition-month × age revenue
+    * triangle a subscription/commerce warehouse plots as its core
+    * retention economics (the q_events_retention shape, but accumulating
+    * REVENUE instead of counting active users): cohort = month of the
+    * customer's first order, age = months since, LTV(cohort, age) =
+    * cumulative revenue per cohort member.
+    *
+    * All-integer: months are y·12+m ordinals, revenue is exact cents,
+    * the cumulative sum is a window PARTITIONED BY cohort over ≤ the
+    * calendar-bounded month count (the dense-hourly-series contract —
+    * ages per cohort are bounded by the calendar, not by N), and the
+    * per-member LTV ships as a full-precision quotient of exact
+    * integers. Shape: one orders scan + one first-order aggregate on
+    * custkey, one equi-join back on custkey, (cohort, age)-bounded rows
+    * after.
+    */
+  private def cohortLtvSql(intDiv: String): String =
+    s"""WITH om AS (SELECT o_custkey AS ck,
+       |                  CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS BIGINT) AS m,
+       |                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |           FROM orders),
+       |co AS (SELECT ck, CAST(MIN(m) AS BIGINT) AS cm FROM om GROUP BY ck),
+       |cs AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_n FROM co GROUP BY cm),
+       |rev AS (SELECT co.cm, om.m - co.cm AS age, CAST(SUM(om.cents) AS BIGINT) AS rev
+       |        FROM om JOIN co ON om.ck = co.ck GROUP BY co.cm, om.m - co.cm),
+       |cum AS (SELECT cm, age, rev,
+       |               CAST(SUM(rev) OVER (PARTITION BY cm ORDER BY age
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+       |        FROM rev)
+       |SELECT CAST((c.cm $intDiv 12) * 100 + (c.cm % 12) + 1 AS INT) AS cohort_yyyymm,
+       |       CAST(c.age AS INT) AS age_months,
+       |       cs.cohort_n, c.rev AS rev_cents, c.cum_cents,
+       |       CAST(c.cum_cents AS DOUBLE) / CAST(cs.cohort_n AS DOUBLE) AS ltv_cents
+       |FROM cum c JOIN cs ON c.cm = cs.cm
+       |ORDER BY cohort_yyyymm, age_months""".stripMargin
+
   private def kAnonSql(epochUs: String, intDiv: String) = {
     def dv(a: String, b: String) = s"$a $intDiv $b"
     s"""WITH e AS (SELECT event_type,
@@ -1741,6 +1826,10 @@ object WarehouseQueries {
     "q_events_rfm" -> sql2(
       rfmSql((a, b) => s"datediff($a, $b)", "DIV"),
       rfmSql((a, b) => s"datediff('day', $b, $a)", "//")),
+    "q_stats_gini" -> sql2(
+      giniSql("explode(sequence(1, 10))", "DIV"),
+      giniSql("unnest(range(1, 11))", "//")),
+    "q_events_cohort_ltv" -> sql2(cohortLtvSql("DIV"), cohortLtvSql("//")),
     "q_events_nelson_aalen" -> sql2(
       nelsonAalenSql("unix_micros(CAST(ts AS TIMESTAMP))", graft.llm.NeutralMath.SparkKernel),
       nelsonAalenSql("epoch_us(ts)", graft.llm.NeutralMath.OracleKernel)),

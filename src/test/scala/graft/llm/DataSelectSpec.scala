@@ -410,4 +410,46 @@ class DataSelectSpec extends AnyFunSuite {
       assert(gr2 >= 0.0 && gr2 <= 1.0, s"$gs: r2 out of range ($gr2)")
     }
   }
+
+  test("Heaps fit: point + beta replay from first occurrences; growth is monotone") {
+    val s = spark.newSession()
+    val docs = graft.queries.Tables.documents(s, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toArray))
+    val maxId = docs.map(_._1).max
+    val cuts = (0 until 8).map(j => (j, maxId / (1L << j)))
+    val firstOcc = docs.flatMap { case (id, ws) => ws.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).min) }
+    val pts = cuts.map { case (j, c) =>
+      val toks = docs.filter(_._1 <= c).map(_._2.length.toLong).sum
+      val vocab = firstOcc.count(_._2 <= c).toLong
+      (j, c, toks, vocab)
+    }
+    val ln = pts.map { case (_, _, t, v) =>
+      (NeutralMath.lnScaledJvm(t, 1L, 1.0e3), NeutralMath.lnScaledJvm(v, 1L, 1.0e3)) }
+    val np = ln.length.toLong
+    val (sx, sy) = (ln.map(_._1).sum, ln.map(_._2).sum)
+    val num = (np * ln.map(p => p._1 * p._2).sum - sx * sy).toDouble
+    val den = (np * ln.map(p => p._1 * p._1).sum - sx * sx).toDouble
+    val dy = (np * ln.map(p => p._2 * p._2).sum - sy * sy).toDouble
+    val beta = num / den
+    val r2 = if (dy > 0) num * num / (den * dy) else 0.0
+
+    val got = graft.SparkEntry.queries("q_text_heaps_fit")(s, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 8)
+    got.zip(pts).foreach { case ((gj, gc, gt, gv, gb, gr), (ej, ec, et, ev)) =>
+      assert((gj, gc, gt, gv) == (ej, ec, et, ev), s"point $gj")
+      assert(gb == beta && gr == r2)
+    }
+    // vocabulary and token counts grow with the prefix; sublinear type
+    // growth means 0 < beta < 1 on any non-degenerate corpus
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 <= a._3 && b._4 <= a._4) // j ascending = cutoff shrinking
+      case _ => ()
+    }
+    assert(beta > 0.0 && beta < 1.0, s"Heaps beta $beta out of (0,1)")
+  }
 }

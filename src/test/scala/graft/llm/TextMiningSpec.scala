@@ -139,4 +139,44 @@ class TextMiningSpec extends AnyFunSuite {
     assert(exp.map(_._5).distinct.length > 1, "all pairs equally divergent — dead signal")
     assert(exp.length == sources.length * (sources.length - 1) / 2)
   }
+
+  test("q_text_judge_kappa: 2x2 contingency replay; kappa corrects below raw agreement") {
+    val sess = spark.newSession()
+    val docs = graft.queries.Tables.documents(sess, sf)
+      .select("text").collect().map(_.getString(0))
+    val stop = Set("the", "a", "of", "and", "in", "to", "be", "that")
+    val judged = docs.map { t =>
+      val w = t.split(" ", -1)
+      val n = w.length.toLong
+      val sw = w.count(stop).toLong
+      val dn = w.distinct.length.toLong
+      val sumlen = w.map(_.length.toLong).sum
+      val ja = if (n >= 20 && n <= 80 && sw >= 2) 1 else 0
+      val jb = if (5 * dn >= n && 10 * sumlen >= 30 * n && 10 * sumlen <= 100 * n) 1 else 0
+      (ja, jb)
+    }
+    val n = judged.length.toLong
+    val n11 = judged.count(_ == ((1, 1))).toLong
+    val n10 = judged.count(_ == ((1, 0))).toLong
+    val n01 = judged.count(_ == ((0, 1))).toLong
+    val n00 = judged.count(_ == ((0, 0))).toLong
+    val pe2 = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    val knum = n * (n11 + n00) - pe2
+    val kden = n * n - pe2
+    val exp = (n, n11, n10, n01, n00, knum, kden,
+      (n11 + n00).toDouble / n.toDouble,
+      if (kden == 0) 0.0 else knum.toDouble / kden.toDouble)
+
+    val got = graft.SparkEntry.queries("q_text_judge_kappa")(sess, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8)) == exp,
+      s"got ${r.toSeq}\nexp $exp")
+    // kappa never exceeds raw agreement (chance correction only subtracts)
+    // and sits in [-1, 1]; both judges must actually fire on the fixture
+    assert(r.getDouble(8) <= r.getDouble(7) + 1e-12)
+    assert(r.getDouble(8) >= -1.0 && r.getDouble(8) <= 1.0)
+    assert(n11 + n10 > 0 && n11 + n01 > 0, "a judge never fired — dead comparison")
+  }
 }

@@ -91,7 +91,9 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_embed_quant_ablation", // 4-row precision-level table x corpus + 1-row query broadcast (recall-curve shape)
     "q_events_rfm",          // domain-bounded bin-offset self-joins (~40/170-row bin tables) + 1-row n/anchor
     "q_graph_modularity",    // single-row edge-count m cross join; edge x label scoring is equi
-    "q_cluster_silhouette"   // N^(1/4)-row cell-table nested loop (hierAsnCtes invariant, q_cluster_purity shape)
+    "q_cluster_silhouette",  // N^(1/4)-row cell-table nested loop (hierAsnCtes invariant, q_cluster_purity shape)
+    "q_stats_gini",          // domain-bounded bin-offset self-joins + 10-row decile probe + 1-row totals
+    "q_text_heaps_fit"       // 8-row cutoff-table theta join (bootstrap-spine shape) + 1-row fit broadcast
   )
 
   test("no cartesian anywhere; nested-loop joins only with constant-bounded broadcast sides") {

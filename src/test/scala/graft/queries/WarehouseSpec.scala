@@ -339,6 +339,63 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stats_gini: exact rank-weighted replay; Lorenz curve convex and bounded") {
+    val spend = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.map { case (ck, os) => (ck, os.map(_._2).sum) }
+    val n = spend.size.toLong
+    val tot = spend.map(_._2).sum
+    val ranked = spend.sortBy { case (ck, c) => (c, ck) }
+    val s1 = ranked.zipWithIndex.map { case ((_, c), i) => (i + 1L) * c }.sum
+    val gnum = 2 * s1 - (n + 1) * tot
+    val cum = ranked.scanLeft(0L)(_ + _._2).tail
+    val exp = (1 to 10).map { d =>
+      val rd = n * d / 10
+      (d, rd, cum(rd.toInt - 1), cum(rd.toInt - 1).toDouble / tot.toDouble,
+        gnum, n, tot, gnum.toDouble / (n.toDouble * tot.toDouble))
+    }
+
+    val got = rows("q_stats_gini").map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(got.toSeq == exp, s"got ${got.take(3).toSeq}\nexp ${exp.take(3)}")
+    // Lorenz: shares non-decreasing, convex (increments grow), ends at 1
+    val sh = got.map(_._4)
+    sh.sliding(2).foreach { case Array(a, b) => assert(b >= a); case _ => () }
+    assert(sh.last == 1.0)
+    val g = got.head._8
+    assert(g >= 0.0 && g < 1.0, s"gini $g out of [0,1)")
+  }
+
+  test("q_events_cohort_ltv: revenue triangle replay; LTV accumulates, cohorts partition") {
+    val orders = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+    val firstM = orders.groupBy(_._1).map { case (ck, os) => ck -> os.map(_._2).min }
+    val cohortN = firstM.groupBy(_._2).map { case (cm, m) => cm -> m.size.toLong }
+    val rev = orders.groupBy(o => (firstM(o._1), o._2 - firstM(o._1)))
+      .map { case (k, os) => k -> os.map(_._3).sum }
+    val exp = rev.keys.toSeq.sorted.map { case (cm, age) =>
+      val cumC = rev.filter { case ((c, a), _) => c == cm && a <= age }.values.sum
+      ((cm / 12 * 100 + cm % 12 + 1).toInt, age.toInt, cohortN(cm), rev((cm, age)),
+        cumC, cumC.toDouble / cohortN(cm).toDouble)
+    }
+
+    val got = rows("q_events_cohort_ltv").map(r => (r.getInt(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == exp, s"got ${got.take(3).toSeq}\nexp ${exp.take(3)}")
+    // cohort sizes partition the customer base; total revenue conserved
+    assert(cohortN.values.sum == firstM.size.toLong)
+    assert(got.map(_._4).sum == orders.map(_._3).sum)
+    got.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._5 >= a._5, s"cohort ${a._1}: cum revenue dropped")
+        case _ => ()
+      }
+    }
+  }
+
   test("q_events_survival_km: non-increasing curve that matches a Scala KM replay") {
     val out = rows("q_events_survival_km").map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
