@@ -44,6 +44,7 @@ object SparkEntry {
       graft.queries.ExtraQueries.specs ++
       graft.queries.DepthQueries.specs ++
       graft.queries.WarehouseQueries.specs ++
+      graft.queries.StatsInference.specs ++
       graft.llm.LlmQueries.specs ++
       graft.llm.GraphRank.specs ++
       graft.llm.SearchRank.specs ++

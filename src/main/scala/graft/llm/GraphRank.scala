@@ -819,6 +819,92 @@ object GraphRank {
        |GROUP BY hold.lbl ORDER BY true_label""".stripMargin
   }
 
+  /** Degree assortativity of the citation graph (Newman, "Assortative
+    * mixing in networks", PRL 2002): the Pearson correlation of
+    * (in-degree of source, in-degree of target) across directed edges —
+    * do well-cited documents cite other well-cited documents? A crawl
+    * pipeline reads this as one scalar health check of the link graph
+    * (positive: hub-clustered web; negative: star-like spam topology).
+    * Same deterministic synthetic citation graph as q_graph_pagerank
+    * (the operator takes ANY (src, dst) edge table).
+    *
+    * Determinism: degrees and all five moment sums are exact BIGINTs
+    * (order-independent integer folds); only the final correlation
+    * combines them, as ONE shared double text over exact integers —
+    * every op correctly-rounded IEEE, bit-identical across engines.
+    * The moment products are computed in DOUBLE because m·Σxy overflows
+    * int64 first (~10⁹ edges at avg degree 30; the at-scale rescale is
+    * degree milli-shares, the q_cluster_purity note).
+    *
+    * 100 TB shape: the staged edge artifact (one materialization, three
+    * consumers — the multi-consumer staging contract) feeds ONE groupBy
+    * for in-degrees and two co-partitioned equi-joins back onto the
+    * edges; the moment fold is a map-side-combined single-row aggregate.
+    * No window, no sort, nothing driver-side.
+    */
+  private def assortSpark(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
+    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
+    // Staged once: in-degree pass + both degree joins reuse this
+    // materialization instead of re-deriving the explode per consumer.
+    val edges = docs
+      .crossJoin(nDf)
+      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
+      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val ind = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).cast("long").as("indeg"))
+    val ex = edges
+      .join(ind.select(col("id").as("sid"), col("indeg").as("dx")),
+        col("src") === col("sid"), "left")
+      .join(ind.select(col("id").as("did"), col("indeg").as("dy")),
+        col("dst") === col("did"), "left")
+      .select(coalesce(col("dx"), lit(0L)).as("dx"),
+        coalesce(col("dy"), lit(0L)).as("dy"))
+    ex.agg(
+      count(lit(1)).cast("long").as("m"),
+      sum(col("dx")).cast("long").as("sx"),
+      sum(col("dy")).cast("long").as("sy"),
+      sum(col("dx") * col("dx")).cast("long").as("sxx"),
+      sum(col("dy") * col("dy")).cast("long").as("syy"),
+      sum(col("dx") * col("dy")).cast("long").as("sxy"))
+      .selectExpr("m", "sx", "sy", "sxx", "syy", "sxy",
+        """CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0E0
+          |      AND (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0E0
+          |     THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |          / SQRT((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |                 * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |     END AS assortativity""".stripMargin)
+  }
+
+  private def assortDuck: String =
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |e0 AS (SELECT id AS src,
+       |              (id * id * 31 + (2 * j + 1) * 97) % (SELECT n FROM n) AS dst
+       |       FROM (SELECT id, unnest(range(0, 3)) AS j FROM nodes) z),
+       |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+       |ind AS MATERIALIZED (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS indeg
+       |       FROM ed GROUP BY dst),
+       |ex AS (SELECT COALESCE(i1.indeg, 0) AS dx, COALESCE(i2.indeg, 0) AS dy
+       |       FROM ed LEFT JOIN ind i1 ON ed.src = i1.id
+       |               LEFT JOIN ind i2 ON ed.dst = i2.id),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+       |             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+       |             CAST(SUM(dy * dy) AS BIGINT) AS syy,
+       |             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+       |      FROM ex)
+       |SELECT m, sx, sy, sxx, syy, sxy,
+       |       CASE WHEN (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0E0
+       |             AND (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0E0
+       |            THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |                 / SQRT((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                        * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |            END AS assortativity
+       |FROM s""".stripMargin
+
   /** Unrolled 5-iteration DuckDB oracle: identical scaled-integer
     * arithmetic, so the hash comparison is exact — no rounding anywhere.
     */
@@ -833,6 +919,7 @@ object GraphRank {
     }.mkString(",\n")
     Map(
       "q_graph_adamic_adar" -> QuerySpec.df(adamicSpark, adamicDuck),
+      "q_graph_assortativity" -> QuerySpec.df(assortSpark, assortDuck),
       "q_graph_label_prop" -> QuerySpec.df(lpaSpark, lpaDuck),
       "q_graph_modularity" -> QuerySpec.df(modularitySpark, modularityDuck),
       "q_graph_triangles" -> QuerySpec.df(trianglesSpark, trianglesDuck),

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.queries.QuerySpec.sql2
+
+/** Categorical / rank inference tests a warehouse monitoring deployment
+  * runs over the fact tables (the reference delegates its whole SQL
+  * surface to the engine — these extend the q_stats_* family of
+  * engine-checked test statistics: KS, Mann-Whitney, SRM, CUPED).
+  *
+  * Float discipline (FloatDisciplineSpec contract): every test statistic
+  * is assembled from EXACT integer aggregates; the only floating-point
+  * steps are correctly-rounded IEEE ops on identical inputs (shared SQL
+  * text), and integer quantization rides the FLOOR(x + 0.5E0) idiom —
+  * no ROUND-of-quotient, no bare decimal-literal division, no
+  * engine-native transcendental.
+  */
+object StatsInference {
+
+  /** Pearson chi-square test of independence + Cramér's V over the
+    * orders (status × priority) contingency table (Pearson 1900; Cramér,
+    * "Mathematical Methods of Statistics" 1946 §21.9) — the categorical
+    * drift monitor that pairs with q_stats_ks_test (continuous shape)
+    * and q_stats_mannwhitney (location): did the distribution of order
+    * priorities shift between fulfillment states?
+    *
+    * Exactness: cell deviation dev = n·o − r·c is EXACT BIGINT (n ≤ 2^31
+    * rows keeps n·o inside int64; past that the counts rescale to
+    * milli-shares first — the q_cluster_purity note). Each cell's chi²
+    * contribution dev²/(r·c·n) is three correctly-rounded IEEE ops on
+    * exact integers — bit-identical across engines — then FLOOR-quantized
+    * to micro units per CELL so the total is an order-independent BIGINT
+    * sum (never a float fold). Expected counts are integer micro units
+    * via integer division.
+    *
+    * 100 TB shape: ONE scan, map-side-combined groupBy to the ≤|S|·|P|
+    * cell table (15 rows here; bounded by the categorical domains, never
+    * by N); margins are windows over that bounded table; the single-row
+    * test-statistic join broadcasts (GlobalPlanSweepSpec allowlist). The
+    * dof critical value is data-independent, so the reject flag uses the
+    * χ²₀.₀₅ quantile for the OBSERVED dof via the Wilson-Hilferty cube
+    * approximation — computed in exact integer micro units on both sides.
+    */
+  private def chi2Sql(intDiv: String): String =
+    s"""WITH c AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       |                  CAST(COUNT(*) AS BIGINT) AS o
+       |           FROM orders GROUP BY o_orderstatus, o_orderpriority),
+       |m AS (SELECT status, priority, o,
+       |             CAST(SUM(o) OVER (PARTITION BY status) AS BIGINT) AS r,
+       |             CAST(SUM(o) OVER (PARTITION BY priority) AS BIGINT) AS cc,
+       |             CAST(SUM(o) OVER () AS BIGINT) AS n
+       |      FROM c),
+       |cells AS (SELECT status, priority, o, r, cc, n,
+       |                 n * o - r * cc AS dev_n,
+       |                 (r * cc * 1000000) $intDiv n AS exp_micro,
+       |                 CAST(FLOOR(CAST(n * o - r * cc AS DOUBLE) * CAST(n * o - r * cc AS DOUBLE)
+       |                      / (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE) * CAST(n AS DOUBLE))
+       |                      * 1.0E6 + 0.5E0) AS BIGINT) AS contrib_micro
+       |          FROM m),
+       |tot AS (SELECT CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro,
+       |               CAST(COUNT(DISTINCT status) AS BIGINT) AS nr,
+       |               CAST(COUNT(DISTINCT priority) AS BIGINT) AS nc,
+       |               CAST(MAX(n) AS BIGINT) AS n
+       |        FROM cells),
+       |crit AS (SELECT chi2_micro, nr, nc, n,
+       |                (nr - 1) * (nc - 1) AS dof,
+       |                CAST(FLOOR(CAST((nr - 1) * (nc - 1) AS DOUBLE)
+       |                     * (1.0E0 - 2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))
+       |                        + 1.6449E0 * SQRT(2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))))
+       |                     * (1.0E0 - 2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))
+       |                        + 1.6449E0 * SQRT(2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))))
+       |                     * (1.0E0 - 2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))
+       |                        + 1.6449E0 * SQRT(2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))))
+       |                     * 1.0E6 + 0.5E0) AS BIGINT) AS crit05_micro
+       |         FROM tot)
+       |SELECT cells.status, cells.priority, cells.o AS obs,
+       |       cells.exp_micro, cells.dev_n, cells.contrib_micro,
+       |       crit.chi2_micro, CAST(crit.dof AS BIGINT) AS dof,
+       |       crit.crit05_micro,
+       |       CAST(CASE WHEN crit.chi2_micro > crit.crit05_micro THEN 1 ELSE 0 END AS INT) AS reject_05,
+       |       SQRT(CAST(crit.chi2_micro AS DOUBLE)
+       |            / (1.0E6 * CAST(crit.n AS DOUBLE)
+       |               * CAST(LEAST(crit.nr, crit.nc) - 1 AS DOUBLE))) AS cramers_v
+       |FROM cells CROSS JOIN crit
+       |ORDER BY cells.status, cells.priority""".stripMargin
+
+  /** Binned Spearman rank correlation between order value and line count
+    * (Spearman 1904) over per-order aggregates: are bigger orders bigger
+    * because of more lines, rank-wise? Exact on the BINNED statement —
+    * both variables quantize to bounded grids (price in 2^20-cent bins,
+    * line count is already small-integer), midranks come from the grid's
+    * cumulative margins (the q_stats_mannwhitney binned-tie treatment),
+    * and Spearman = Pearson over the ≤ |B1|·|B2| weighted cell table.
+    *
+    * Exactness: 2·midrank is an exact integer (the ½-tie credit is
+    * absorbed by carrying doubled ranks); all five moment sums fold over
+    * the bounded cell table in BIGINT (cells ≤ 64·48, weights ≤ N — the
+    * doubled-rank products stay inside int64 to ~2×10⁶ rows, past which
+    * the doc'd rescale is rank-milli-shares); the final correlation is
+    * one shared double text over six exact integers. The moment
+    * combination n·Σxy − Σx·Σy overflows int64 first, so it is computed
+    * in DOUBLE — each operand an exact integer cast, every op correctly
+    * rounded IEEE, bit-identical across engines.
+    *
+    * 100 TB shape: one lineitem groupBy(orderkey) (map-side combined),
+    * one bounded-grid groupBy, margins as windows over the bounded grid,
+    * a single-row moment join — no rank window over the corpus, no
+    * global sort (the classic exact-Spearman killer).
+    */
+  private def spearmanSql(intDiv: String): String =
+    s"""WITH po AS (SELECT l_orderkey,
+       |                  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       |                  CAST(COUNT(*) AS BIGINT) AS nl
+       |           FROM lineitem GROUP BY l_orderkey),
+       |b AS (SELECT cents $intDiv 1048576 AS bx, LEAST(nl, 47) AS by2 FROM po),
+       |g AS (SELECT bx, by2, CAST(COUNT(*) AS BIGINT) AS w FROM b GROUP BY bx, by2),
+       |mx AS (SELECT bx, CAST(SUM(w) AS BIGINT) AS cx FROM g GROUP BY bx),
+       |my AS (SELECT by2, CAST(SUM(w) AS BIGINT) AS cy FROM g GROUP BY by2),
+       |rx AS (SELECT bx, cx,
+       |              2 * CAST(SUM(cx) OVER (ORDER BY bx
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |                - cx + 1 AS r2x
+       |       FROM mx),
+       |ry AS (SELECT by2, cy,
+       |              2 * CAST(SUM(cy) OVER (ORDER BY by2
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |                - cy + 1 AS r2y
+       |       FROM my),
+       |j AS (SELECT g.w, rx.r2x, ry.r2y
+       |      FROM g JOIN rx ON g.bx = rx.bx JOIN ry ON g.by2 = ry.by2),
+       |s AS (SELECT CAST(SUM(w) AS BIGINT) AS n,
+       |             CAST(SUM(w * r2x) AS BIGINT) AS sx,
+       |             CAST(SUM(w * r2y) AS BIGINT) AS sy,
+       |             CAST(SUM(w * r2x * r2x) AS BIGINT) AS sxx,
+       |             CAST(SUM(w * r2y * r2y) AS BIGINT) AS syy,
+       |             CAST(SUM(w * r2x * r2y) AS BIGINT) AS sxy
+       |      FROM j)
+       |SELECT n, sx, sy, sxx, syy, sxy,
+       |       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0E0
+       |             AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0E0
+       |            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |                 / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |            END AS spearman_rho
+       |FROM s""".stripMargin
+
+  val specs: Map[String, QuerySpec] = Map(
+    "q_stats_chi2" -> sql2(chi2Sql("DIV"), chi2Sql("//")),
+    "q_stats_spearman" -> sql2(spearmanSql("DIV"), spearmanSql("//")))
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Independent Scala replays for the categorical/rank inference operators —
+  * the DuckDB hash confirms engine agreement; these confirm the formulas
+  * implement the claimed statistics (the round-8 ADVICE #4 convention).
+  */
+class StatsInferenceSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark.newSession()
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("q_stats_chi2: full Scala contingency replay — exact cell contributions and total") {
+    val obs = Tables.orders(spark, sf)
+      .select("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = obs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rm = obs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cm = obs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = obs.length.toLong
+    val expContrib = cells.map { case ((s, p), o) =>
+      val dev = n * o - rm(s) * cm(p)
+      (s, p) -> math.floor(
+        dev.toDouble * dev.toDouble / (rm(s).toDouble * cm(p).toDouble * n.toDouble) * 1e6 + 0.5).toLong
+    }
+    val got = rows("q_stats_chi2").map(r =>
+      ((r.getString(0), r.getString(1)), r.getLong(2), r.getLong(5), r.getLong(6))).toSeq
+    assert(got.map(_._1).toSet == cells.keySet, "cell set mismatch")
+    got.foreach { case (k, o, contrib, _) =>
+      assert(o == cells(k), s"cell $k observed count")
+      assert(contrib == expContrib(k), s"cell $k chi2 contribution")
+    }
+    val chi2 = expContrib.values.sum
+    assert(got.forall(_._4 == chi2), "total chi2_micro differs from cell sum")
+    // a 3x5 contingency over independent-ish synthetic draws: dof = 8
+    val one = rows("q_stats_chi2").head
+    assert(one.getLong(7) == (rm.size - 1).toLong * (cm.size - 1).toLong)
+    // Cramér's V in [0, 1]
+    assert(rows("q_stats_chi2").forall { r =>
+      val v = r.getDouble(10); v >= 0.0 && v <= 1.0
+    })
+  }
+
+  test("q_stats_spearman: binned midrank replay matches the moment sums and rho") {
+    val po = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey",
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, ls) => (ls.map(_._2).sum, ls.length.toLong) }
+      .toSeq
+    val binned = po.map { case (cents, nl) => (cents / 1048576L, math.min(nl, 47L)) }
+    def rank2(keys: Seq[Long]): Map[Long, Long] = {
+      val counts = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val sorted = counts.toSeq.sortBy(_._1)
+      var cum = 0L
+      sorted.map { case (k, c) =>
+        cum += c
+        k -> (2 * cum - c + 1)
+      }.toMap
+    }
+    val r2x = rank2(binned.map(_._1))
+    val r2y = rank2(binned.map(_._2))
+    val nn = binned.length.toLong
+    val sx = binned.map(b => r2x(b._1)).sum
+    val sy = binned.map(b => r2y(b._2)).sum
+    val sxx = binned.map(b => r2x(b._1) * r2x(b._1)).sum
+    val syy = binned.map(b => r2y(b._2) * r2y(b._2)).sum
+    val sxy = binned.map(b => r2x(b._1) * r2y(b._2)).sum
+    val got = rows("q_stats_spearman")
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      == ((nn, sx, sy, sxx, syy, sxy)), "moment sums differ from replay")
+    val expRho = (nn.toDouble * sxy - sx.toDouble * sy) /
+      math.sqrt((nn.toDouble * sxx - sx.toDouble * sx) * (nn.toDouble * syy - sy.toDouble * sy))
+    assert(math.abs(r.getDouble(6) - expRho) < 1e-12)
+    // price and line count are strongly rank-positively related by construction
+    assert(r.getDouble(6) > 0.5, s"rho=${r.getDouble(6)}")
+  }
+
+  test("q_graph_assortativity: degree replay over the synthetic citation graph") {
+    val n = Tables.documents(spark, sf).count()
+    val edges = (0L until n).flatMap { id =>
+      (0 to 2).map(j => (id, (id * id * 31 + (2 * j + 1) * 97) % n))
+    }.distinct
+    val indeg = edges.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val pts = edges.map { case (s, d) => (indeg.getOrElse(s, 0L), indeg.getOrElse(d, 0L)) }
+    val m = pts.length.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val got = rows("q_graph_assortativity")
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      == ((m, sx, sy, sxx, syy, sxy)), "edge-degree moments differ from replay")
+    val expR = (m.toDouble * sxy - sx.toDouble * sy) /
+      math.sqrt((m.toDouble * sxx - sx.toDouble * sx) * (m.toDouble * syy - sy.toDouble * sy))
+    assert(math.abs(r.getDouble(6) - expR) < 1e-12)
+    assert(math.abs(r.getDouble(6)) <= 1.0)
+  }
+}
