@@ -45,6 +45,7 @@ object SparkEntry {
       graft.queries.DepthQueries.specs ++
       graft.queries.WarehouseQueries.specs ++
       graft.queries.StatsInference.specs ++
+      graft.queries.MarkovAttribution.specs ++
       graft.llm.LlmQueries.specs ++
       graft.llm.GraphRank.specs ++
       graft.llm.SearchRank.specs ++

@@ -289,7 +289,106 @@ object TextMining {
        |       FROM (SELECT w, unnest(range(1, len(w))) AS i FROM d WHERE len(w) >= 2) z),
        |${textrankTail("gp", "//")}""".stripMargin
 
+  /** RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
+    * keyword extraction from individual documents", in Berry & Kogan,
+    * Text Mining 2010): candidate phrases are maximal stopword-free word
+    * runs; each content word scores deg(w)/freq(w) — its summed
+    * co-occurrence degree (Σ lengths of phrases containing it) over its
+    * frequency — and a phrase scores the sum of its words' scores. The
+    * document-level complement to corpus-level q_text_textrank /
+    * q_text_pmi_collocations: no graph iteration, no pair table, one
+    * pass — the cheap first-cut keyphrase tagger a curation pipeline
+    * runs on every document.
+    *
+    * Determinism: word scores are integer milli-units (deg·1000 DIV
+    * freq — exact in both engines); phrase scores are BIGINT sums of
+    * those; phrase TEXT is reconstructed order-exactly (array_sort over
+    * (position, word) structs on the Spark side, ORDER BY position
+    * string_agg on the oracle side) — no collect_list ordering hazard;
+    * the top-15 ties break on the phrase string.
+    *
+    * 100 TB shape: one tokenize pass; both windows (phrase-id running
+    * stopword count; phrase length) PARTITION BY doc — per-document
+    * work, embarrassingly parallel. The content-word table is STAGED
+    * (localCheckpoint; the word-score aggregate and the phrase rollup
+    * are two consumers — the multi-consumer staging contract), the
+    * word-score join is vocabulary-bounded, and the final top-k is a
+    * TakeOrdered over the ≤5-word candidate phrases.
+    */
+  private val rakeCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame](8)
+
+  private val rakeStop = "('a', 'the')"
+
+  /** Content-word rows (doc_id, pid, i, word, len) — Spark dialect. */
+  private def rakePhSpark: String =
+    s"""WITH tok AS (SELECT doc_id, i, element_at(w, i) AS word
+       |             FROM (SELECT doc_id, split(text, ' ') AS w FROM documents) d
+       |             LATERAL VIEW explode(sequence(1, size(w))) t AS i),
+       |st AS (SELECT doc_id, i, word,
+       |              CASE WHEN word IN $rakeStop THEN 1 ELSE 0 END AS is_stop
+       |       FROM tok),
+       |seg AS (SELECT doc_id, i, word, is_stop,
+       |               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+       |        FROM st)
+       |SELECT doc_id, pid, i, word,
+       |       CAST(COUNT(*) OVER (PARTITION BY doc_id, pid) AS BIGINT) AS len
+       |FROM seg WHERE is_stop = 0""".stripMargin
+
+  private def rakePhDuck: String =
+    s"""WITH tok AS (SELECT doc_id, i, w[i] AS word
+       |             FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+       |                   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d) z),
+       |st AS (SELECT doc_id, i, word,
+       |              CASE WHEN word IN $rakeStop THEN 1 ELSE 0 END AS is_stop
+       |       FROM tok),
+       |seg AS (SELECT doc_id, i, word, is_stop,
+       |               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+       |        FROM st)
+       |SELECT doc_id, pid, i, word,
+       |       CAST(COUNT(*) OVER (PARTITION BY doc_id, pid) AS BIGINT) AS len
+       |FROM seg WHERE is_stop = 0""".stripMargin
+
+  private def rakeTail(ph: String, phraseAgg: String, intDiv: String): String =
+    s"""ws AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |              CAST(SUM(len) AS BIGINT) AS deg
+       |       FROM $ph GROUP BY word),
+       |sc AS (SELECT word, CAST((deg * 1000) $intDiv freq AS BIGINT) AS w_milli FROM ws),
+       |pj AS (SELECT p.doc_id, p.pid, p.i, p.word, sc.w_milli
+       |       FROM $ph p JOIN sc ON p.word = sc.word),
+       |ps AS (SELECT doc_id, pid, $phraseAgg AS phrase,
+       |              CAST(SUM(w_milli) AS BIGINT) AS score_milli,
+       |              CAST(COUNT(*) AS BIGINT) AS n_words
+       |       FROM pj GROUP BY doc_id, pid HAVING COUNT(*) <= 5),
+       |agg AS (SELECT phrase, score_milli, CAST(MAX(n_words) AS BIGINT) AS n_words,
+       |               CAST(COUNT(*) AS BIGINT) AS n_occur
+       |        FROM ps GROUP BY phrase, score_milli)
+       |SELECT rk, phrase, n_words, n_occur, score_milli FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY score_milli DESC, phrase) AS INT) AS rk,
+       |         phrase, n_words, n_occur, score_milli
+       |  FROM agg) z
+       |WHERE rk <= 15 ORDER BY rk""".stripMargin
+
+  private def rakeSpark: String =
+    s"""WITH ${rakeTail("graft_rake_ph",
+           "array_join(transform(array_sort(collect_list(struct(i, word))), x -> x.word), ' ')",
+           "DIV")}""".stripMargin
+
+  private def rakeDuck: String =
+    s"""WITH ph AS MATERIALIZED ($rakePhDuck),
+       |${rakeTail("ph", "string_agg(word, ' ' ORDER BY i)", "//")}""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_text_rake" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        rakeCache.getOrElseUpdate((s, d)) {
+          s.sql(rakePhSpark).localCheckpoint(true)
+        }.createOrReplaceTempView("graft_rake_ph")
+        s.sql(rakeSpark)
+      },
+      Some(rakeDuck)),
     "q_text_textrank" -> QuerySpec(
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)
