@@ -375,6 +375,86 @@ object DataSelect {
     s"""WITH $bgHeadDuck,
        |${knTail(NeutralMath.OracleKernel)}""".stripMargin
 
+  /** RHO-loss-style excess-loss data selection (Mindermann et al.,
+    * "Prioritized training on points that are learnable, worth learning,
+    * and not yet learnt", ICML 2022): score each document by the GAP
+    * between a weak learner's loss and a strong reference model's loss
+    * on the same tokens — documents where the weak model is surprised
+    * but the strong model is not are LEARNABLE (not noise) and NOT YET
+    * LEARNT (not redundant), the top of the selection order. Emulated
+    * here with the repo's two corpus LMs over the SAME bigram events:
+    * learner = unigram (context-free) surprisal of the successor token,
+    * reference = the Kneser-Ney-discounted bigram (the q_text_kn_ppl
+    * model, strictly richer). Excess clamps at 0 (only positive
+    * reducible loss ranks — and the clamp keeps every integer division
+    * non-negative, where Spark DIV and DuckDB // agree; they differ on
+    * negatives).
+    *
+    * Determinism: both per-type NLLs ride the engine-neutral micro-nat
+    * log kernel on exact integer count ratios; per-doc sums and the
+    * per-token normalization are BIGINT folds + non-negative integer
+    * division — no float accumulation, bit-identical across engines.
+    *
+    * 100 TB shape: the bigram stream is STAGED once (localCheckpoint;
+    * FIVE consumers — type counts and the per-doc scoring join — would
+    * otherwise re-explode the corpus per consumer, the round-8 DSIR
+    * pathology this module already fixed once). Everything between the
+    * two corpus passes is vocabulary²-bounded: both LM tables join into
+    * ONE per-bigram-type score row (nll_uni, nll_kn) so the scoring
+    * pass is a single equi-join; the single-row total joins broadcast
+    * (GlobalPlanSweepSpec allowlist); top-20 is a TakeOrdered.
+    */
+  private val rhoBgCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame](8)
+
+  private[llm] def stageRhoBg(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    rhoBgCache.getOrElseUpdate((s, d)) {
+      s.sql(s"WITH $bgHeadSpark SELECT doc_id, source, w1, w2 FROM bg")
+        .localCheckpoint(true)
+    }.createOrReplaceTempView("graft_rho_bg")
+
+  private def rhoTail(bgRel: String, intDiv: String,
+      k: NeutralMath.KernelSplice): String =
+    s"""cb AS (SELECT w1, w2, COUNT(*) AS c FROM $bgRel GROUP BY w1, w2),
+       |cu AS (SELECT w1, SUM(c) AS c, COUNT(*) AS nf FROM cb GROUP BY w1),
+       |np AS (SELECT w2, COUNT(*) AS np FROM cb GROUP BY w2),
+       |bt AS (SELECT COUNT(*) AS b FROM cb),
+       |u2 AS (SELECT w2, CAST(SUM(c) AS BIGINT) AS cw FROM cb GROUP BY w2),
+       |ut AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cb),
+       |${k.ln("lpk",
+          "cb JOIN cu ON cb.w1 = cu.w1 JOIN np ON cb.w2 = np.w2 CROSS JOIN bt",
+          "cb.w1 AS w1, cb.w2 AS w2", "w1, w2",
+          "4 * cu.c * bt.b",
+          "(4 * cb.c - 3) * bt.b + 3 * cu.nf * np.np", "nll_kn", "1.0E6")},
+       |${k.ln("lpu", "u2 CROSS JOIN ut", "u2.w2 AS w2", "w2",
+          "ut.n", "u2.cw", "nll_uni", "1.0E6")},
+       |lp AS (SELECT lpk.w1, lpk.w2, lpk.nll_kn, lpu.nll_uni
+       |       FROM lpk JOIN lpu ON lpk.w2 = lpu.w2),
+       |doc AS (SELECT bg.doc_id, bg.source, CAST(COUNT(*) AS BIGINT) AS n_bg,
+       |               CAST(SUM(lp.nll_kn) AS BIGINT) AS kn_sum,
+       |               CAST(SUM(lp.nll_uni) AS BIGINT) AS uni_sum
+       |        FROM $bgRel bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+       |        GROUP BY bg.doc_id, bg.source),
+       |r AS (SELECT doc_id, source, n_bg,
+       |             CAST(uni_sum $intDiv n_bg AS BIGINT) AS ce_uni_micro,
+       |             CAST(kn_sum $intDiv n_bg AS BIGINT) AS ce_kn_micro,
+       |             CAST(GREATEST(CAST(0 AS BIGINT), uni_sum - kn_sum) $intDiv n_bg AS BIGINT) AS excess_micro
+       |      FROM doc)
+       |SELECT rk, doc_id, source, n_bg, ce_uni_micro, ce_kn_micro, excess_micro FROM (
+       |  SELECT doc_id, source, n_bg, ce_uni_micro, ce_kn_micro, excess_micro,
+       |         CAST(row_number() OVER (ORDER BY excess_micro DESC, doc_id) AS INT) AS rk
+       |  FROM r) z
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
+  private def rhoSpark: String =
+    s"""WITH ${rhoTail("graft_rho_bg", "DIV", NeutralMath.SparkKernel)}""".stripMargin
+
+  private def rhoDuck: String =
+    s"""WITH bgm AS MATERIALIZED (SELECT doc_id, source, w1, w2
+       |                          FROM (WITH $bgHeadDuck SELECT * FROM bg) q),
+       |${rhoTail("bgm", "//", NeutralMath.OracleKernel)}""".stripMargin
+
   /** Zipf-law fit per source — the corpus-health diagnostic (a natural
     * corpus fits ln(freq) ≈ a + s·ln(rank) with s ≈ −1; boilerplate
     * floods and template spam bend the curve): least-squares slope and R²
@@ -1044,6 +1124,13 @@ object DataSelect {
       },
       Some(dsirDuck(clusterPrefixDuck, clusterPoolDuck))),
     "q_select_doremi" -> sql2(doremiSpark, doremiDuck),
+    "q_select_rho" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stageRhoBg(s, d)
+        s.sql(rhoSpark)
+      },
+      Some(rhoDuck)),
     "q_embed_pca_project" -> sql2(pcaSpark, pcaDuck),
     "q_text_ppl_bucket" -> sql2(pplSpark, pplDuck),
     "q_text_kn_ppl" -> sql2(knSpark, knDuck),

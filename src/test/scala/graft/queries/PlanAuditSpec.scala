@@ -648,6 +648,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-9 staged operators read only their checkpoints, never the corpus") {
+    // q_select_rho: the bigram stream has five transitive consumers
+    // (four type tables + the scoring join) — staged via stageRhoBg.
+    // q_text_rake: the content-word table feeds the word-score aggregate
+    // AND the phrase rollup. q_events_markov_attribution: journeys and
+    // the scenario matrix are staged; the returned frame reads only the
+    // 24th absorption checkpoint. An in-plan parquet scan means a staged
+    // artifact re-inlined.
+    for (q <- Seq("q_select_rho", "q_text_rake", "q_events_markov_attribution")) {
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 0, s"$q plans $scans corpus scans (want 0 — staged):\n${p.take(1500)}")
+    }
+  }
+
   private def windowExecs(name: String) =
     SparkEntry.queries(name)(spark, sf)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
