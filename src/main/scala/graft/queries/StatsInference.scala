@@ -143,7 +143,100 @@ object StatsInference {
        |            END AS spearman_rho
        |FROM s""".stripMargin
 
+  /** One-way ANOVA F-test over event values by event type (Fisher,
+    * "Statistical Methods for Research Workers" 1925): does mean event
+    * value differ across the K event types? The omnibus mean test
+    * completing the monitor family (chi2: category mix; KS: shape;
+    * MWU: pairwise location; this: K-group means).
+    *
+    * Exactness: per-group (n, Σx, Σx²) are exact BIGINT cents folds.
+    * The between-group sum of squares needs Σ_g S_g²/n_g — a float sum
+    * whose fold ORDER could differ across engines — so each group's
+    * S_g²/n_g quantizes to an integer (one IEEE multiply+divide on exact
+    * ints, FLOOR+0.5) BEFORE the sum: SSB/SSW become order-independent
+    * BIGINT folds (quantization error ≤ K/2 cents² against ~10¹³-scale
+    * sums). F, η², and the Wilson-Hilferty χ²₀.₀₅/(K−1) critical value
+    * are shared double texts over those integers.
+    *
+    * 100 TB shape: ONE scan, map-side-combined groupBy to K rows;
+    * windows over the K-row table; nothing else.
+    */
+  private def anovaSql(intDiv: String): String = {
+    val wh = """(1.0E0 - 2.0E0 / (9.0E0 * CAST(k - 1 AS DOUBLE))
+               |  + 1.6449E0 * SQRT(2.0E0 / (9.0E0 * CAST(k - 1 AS DOUBLE))))""".stripMargin
+    s"""WITH e AS (SELECT event_type AS g,
+       |                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+       |           FROM events),
+       |gr AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+       |              CAST(SUM(x * x) AS BIGINT) AS q
+       |       FROM e GROUP BY g),
+       |g2 AS (SELECT g, n, s, q,
+       |              CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5E0) AS BIGINT) AS m2
+       |       FROM gr),
+       |t AS (SELECT g, n, s, q, m2,
+       |             CAST(SUM(n) OVER () AS BIGINT) AS tn,
+       |             CAST(SUM(s) OVER () AS BIGINT) AS ts,
+       |             CAST(SUM(q) OVER () AS BIGINT) AS tq,
+       |             CAST(SUM(m2) OVER () AS BIGINT) AS tm2,
+       |             CAST(COUNT(*) OVER () AS BIGINT) AS k
+       |      FROM g2),
+       |f AS (SELECT g, n, s, q, tn, k,
+       |             tm2 - CAST(FLOOR(CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) + 0.5E0) AS BIGINT) AS ssb,
+       |             tq - tm2 AS ssw
+       |      FROM t)
+       |SELECT g AS event_type, n, CAST(s $intDiv n AS BIGINT) AS mean_cents,
+       |       ssb AS ssb_cents2, ssw AS ssw_cents2,
+       |       (CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+       |         / (CAST(ssw AS DOUBLE) / CAST(tn - k AS DOUBLE)) AS f_stat,
+       |       CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE) AS eta_sq,
+       |       CAST(CASE WHEN (CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+       |                      / (CAST(ssw AS DOUBLE) / CAST(tn - k AS DOUBLE)) >
+       |                      $wh * $wh * $wh
+       |                 THEN 1 ELSE 0 END AS INT) AS reject_05
+       |FROM f ORDER BY event_type""".stripMargin
+  }
+
+  /** Binned Kendall tau-b between order value and line count (Kendall,
+    * Biometrika 1938; tau-b tie correction: Kendall 1945) over the SAME
+    * bounded grid as q_stats_spearman, so the two rank monitors agree on
+    * the binned statement. Concordant/discordant pair masses come from
+    * the grid self-join (strictly-both-greater / x-greater-y-smaller),
+    * tie masses from the margins — all EXACT integer pair counting.
+    * Only the final tau-b divides, as one shared double text.
+    *
+    * 100 TB shape: corpus work is the same one lineitem groupBy; the
+    * self-join runs on the ≤|B1|·|B2| grid (domain-bounded, broadcast —
+    * GlobalPlanSweepSpec allowlist), margins are windows over the grid.
+    * Pair counts stay in int64 to ~4×10⁹ orders (n²/2 < 2⁶³).
+    */
+  private def kendallSql(intDiv: String): String =
+    s"""WITH po AS (SELECT l_orderkey,
+       |                  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       |                  CAST(COUNT(*) AS BIGINT) AS nl
+       |           FROM lineitem GROUP BY l_orderkey),
+       |b AS (SELECT cents $intDiv 1048576 AS bx, LEAST(nl, 47) AS by2 FROM po),
+       |g AS (SELECT bx, by2, CAST(COUNT(*) AS BIGINT) AS w FROM b GROUP BY bx, by2),
+       |cd AS (SELECT CAST(COALESCE(SUM(CASE WHEN a.bx < o.bx AND a.by2 < o.by2
+       |                                     THEN a.w * o.w END), 0) AS BIGINT) AS conc,
+       |              CAST(COALESCE(SUM(CASE WHEN a.bx < o.bx AND a.by2 > o.by2
+       |                                     THEN a.w * o.w END), 0) AS BIGINT) AS disc
+       |       FROM g a JOIN g o ON a.bx < o.bx),
+       |mx AS (SELECT CAST(SUM(cx * (cx - 1)) AS BIGINT) $intDiv 2 AS tx
+       |       FROM (SELECT bx, CAST(SUM(w) AS BIGINT) AS cx FROM g GROUP BY bx) z),
+       |my AS (SELECT CAST(SUM(cy * (cy - 1)) AS BIGINT) $intDiv 2 AS ty
+       |       FROM (SELECT by2, CAST(SUM(w) AS BIGINT) AS cy FROM g GROUP BY by2) z),
+       |nt AS (SELECT CAST(SUM(w) AS BIGINT) AS n FROM g),
+       |s AS (SELECT cd.conc, cd.disc, mx.tx, my.ty, nt.n,
+       |             (nt.n * (nt.n - 1)) $intDiv 2 AS n0
+       |      FROM cd CROSS JOIN mx CROSS JOIN my CROSS JOIN nt)
+       |SELECT n, conc, disc, tx AS ties_x, ty AS ties_y,
+       |       CAST(conc - disc AS DOUBLE)
+       |         / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) AS tau_b
+       |FROM s""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_stats_chi2" -> sql2(chi2Sql("DIV"), chi2Sql("//")),
-    "q_stats_spearman" -> sql2(spearmanSql("DIV"), spearmanSql("//")))
+    "q_stats_spearman" -> sql2(spearmanSql("DIV"), spearmanSql("//")),
+    "q_stats_anova" -> sql2(anovaSql("DIV"), anovaSql("//")),
+    "q_stats_kendall" -> sql2(kendallSql("DIV"), kendallSql("//")))
 }

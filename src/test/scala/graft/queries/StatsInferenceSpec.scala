@@ -53,8 +53,7 @@ class StatsInferenceSpec extends AnyFunSuite {
       .selectExpr("l_orderkey",
         "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).map { case (_, ls) => (ls.map(_._2).sum, ls.length.toLong) }
-      .toSeq
+      .groupBy(_._1).toSeq.map { case (_, ls) => (ls.map(_._2).sum, ls.length.toLong) }
     val binned = po.map { case (cents, nl) => (cents / 1048576L, math.min(nl, 47L)) }
     def rank2(keys: Seq[Long]): Map[Long, Long] = {
       val counts = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
@@ -83,6 +82,65 @@ class StatsInferenceSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(6) - expRho) < 1e-12)
     // price and line count are strongly rank-positively related by construction
     assert(r.getDouble(6) > 0.5, s"rho=${r.getDouble(6)}")
+  }
+
+  test("q_stats_anova: group-moment replay — exact SSB/SSW and F") {
+    val xs = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gr = xs.groupBy(_._1).map { case (g, v) =>
+      val s = v.map(_._2).sum
+      (g, v.length.toLong, s, v.map(e => e._2 * e._2).sum,
+        math.floor(s.toDouble * s.toDouble / v.length.toDouble + 0.5).toLong)
+    }.toSeq.sortBy(_._1)
+    val tn = gr.map(_._2).sum; val ts = gr.map(_._3).sum
+    val tq = gr.map(_._4).sum; val tm2 = gr.map(_._5).sum
+    val k = gr.length.toLong
+    val ssb = tm2 - math.floor(ts.toDouble * ts.toDouble / tn.toDouble + 0.5).toLong
+    val ssw = tq - tm2
+    val expF = (ssb.toDouble / (k - 1).toDouble) / (ssw.toDouble / (tn - k).toDouble)
+
+    val got = rows("q_stats_anova").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(got.map(_._1).toSeq == gr.map(_._1))
+    got.zip(gr).foreach { case ((g, n, mean, sb, sw, f, eta), (eg, en, es, _, _)) =>
+      assert(g == eg && n == en && mean == es / en, s"group $g moments")
+      assert(sb == ssb && sw == ssw, s"group $g SS")
+      assert(math.abs(f - expF) < 1e-9, s"group $g F")
+      assert(math.abs(eta - ssb.toDouble / (ssb + ssw).toDouble) < 1e-12)
+    }
+    // within-group variance dwarfs between-group on this uniform fixture
+    assert(ssw > ssb)
+  }
+
+  test("q_stats_kendall: brute pair-count replay over the binned grid") {
+    val po = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey",
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq
+      .map { case (_, ls) => (ls.map(_._2).sum / 1048576L, math.min(ls.length.toLong, 47L)) }
+    var conc = 0L; var disc = 0L
+    for (i <- po.indices; j <- (i + 1) until po.length) {
+      val (x1, y1) = po(i); val (x2, y2) = po(j)
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) conc += 1 else disc += 1
+      }
+    }
+    val n = po.length.toLong
+    val n0 = n * (n - 1) / 2
+    val tx = po.groupBy(_._1).values.map(v => v.length.toLong * (v.length - 1) / 2).sum
+    val ty = po.groupBy(_._2).values.map(v => v.length.toLong * (v.length - 1) / 2).sum
+    val got = rows("q_stats_kendall")
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((n, conc, disc, tx, ty)), "pair counts differ from brute replay")
+    val expTau = (conc - disc).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble)
+    assert(math.abs(r.getDouble(5) - expTau) < 1e-12)
+    assert(r.getDouble(5) > 0.4, s"tau_b=${r.getDouble(5)}")
   }
 
   test("q_graph_assortativity: degree replay over the synthetic citation graph") {
