@@ -53,6 +53,7 @@ object SparkEntry {
       graft.llm.TextIndex.specs ++
       graft.llm.TextClassify.specs ++
       graft.llm.TextMining.specs ++
+      graft.llm.UnigramTok.specs ++
       graft.llm.MmrSelect.specs ++
       graft.llm.MstCluster.specs ++
       graft.llm.EmbedAblation.specs ++
