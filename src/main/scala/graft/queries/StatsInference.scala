@@ -234,9 +234,64 @@ object StatsInference {
        |         / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) AS tau_b
        |FROM s""".stripMargin
 
+  /** Two-feature OLS with intercept via the normal equations (Legendre
+    * 1805/Gauss; the closed form every warehouse regression starts
+    * from): order value (cents) on line count and total quantity —
+    * solved exactly by Cramer's rule on the 3×3 moment matrix, plus R².
+    *
+    * Exactness: all nine X'X / X'y moments are exact BIGINT folds over
+    * one lineitem groupBy. The response is WHOLE DOLLARS, not cents:
+    * the quadratic moment Σy² is the overflow-critical term (order
+    * values reach ~5.5e5 dollars, so Σy² stays inside int64 to ~3×10⁷
+    * orders at dollar scale but only ~3×10³ at cents — caught by the
+    * sf0.1 gate, which overflowed the cents version outright). The 3×3
+    * determinants and coefficients are ONE shared double text over
+    * those integers — fixed textual operation order, every op
+    * correctly-rounded IEEE, bit-identical across engines (a scalar
+    * expression, not a data-ordered fold). The residual sum for R² uses
+    * the algebraic identity SSR = Syy − b₁·Sx1y − b₂·Sx2y on centered
+    * moments, so no second data pass.
+    *
+    * 100 TB shape: one map-side-combined groupBy(orderkey), one
+    * single-row moment aggregate, a constant-size solve. Nothing else.
+    */
+  private def olsSql: String =
+    s"""WITH po AS (SELECT l_orderkey,
+       |                  CAST(COUNT(*) AS BIGINT) AS x1,
+       |                  CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS x2,
+       |                  CAST(SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS BIGINT) AS y
+       |           FROM lineitem GROUP BY l_orderkey),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |             CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+       |             CAST(SUM(y) AS BIGINT) AS sy,
+       |             CAST(SUM(x1 * x1) AS BIGINT) AS s11, CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+       |             CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+       |             CAST(SUM(x1 * y) AS BIGINT) AS s1y, CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+       |             CAST(SUM(y * y) AS BIGINT) AS syy
+       |      FROM po),
+       |c AS (SELECT n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy,
+       |             CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a11,
+       |             CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a12,
+       |             CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a22,
+       |             CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1,
+       |             CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2
+       |      FROM m),
+       |b AS (SELECT n, s1, s2, sy, syy, a11, a12, a22, c1, c2,
+       |             (c1 * a22 - c2 * a12) / (a11 * a22 - a12 * a12) AS b1,
+       |             (c2 * a11 - c1 * a12) / (a11 * a22 - a12 * a12) AS b2
+       |      FROM c)
+       |SELECT n, b1 AS beta_lines, b2 AS beta_qty,
+       |       (CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE) - b2 * CAST(s2 AS DOUBLE))
+       |         / CAST(n AS DOUBLE) AS beta_intercept,
+       |       (b1 * c1 + b2 * c2)
+       |         / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS r_squared
+       |FROM b""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
     "q_stats_chi2" -> sql2(chi2Sql("DIV"), chi2Sql("//")),
     "q_stats_spearman" -> sql2(spearmanSql("DIV"), spearmanSql("//")),
     "q_stats_anova" -> sql2(anovaSql("DIV"), anovaSql("//")),
-    "q_stats_kendall" -> sql2(kendallSql("DIV"), kendallSql("//")))
+    "q_stats_kendall" -> sql2(kendallSql("DIV"), kendallSql("//")),
+    "q_stats_ols" -> QuerySpec.sql(olsSql))
 }

@@ -143,6 +143,43 @@ class StatsInferenceSpec extends AnyFunSuite {
     assert(r.getDouble(5) > 0.4, s"tau_b=${r.getDouble(5)}")
   }
 
+  test("q_stats_ols: normal-equation replay — exact moments, Cramer solve") {
+    val po = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey",
+        "CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q",
+        "CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS dollars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (_, ls) => (ls.length.toLong, ls.map(_._2).sum, ls.map(_._3).sum) }
+    val n = po.length.toLong
+    val s1 = po.map(_._1).sum; val s2 = po.map(_._2).sum; val sy = po.map(_._3).sum
+    val s11 = po.map(p => p._1 * p._1).sum; val s12 = po.map(p => p._1 * p._2).sum
+    val s22 = po.map(p => p._2 * p._2).sum
+    val s1y = po.map(p => p._1 * p._3).sum; val s2y = po.map(p => p._2 * p._3).sum
+    val syy = po.map(p => p._3 * p._3).sum
+    val a11 = n.toDouble * s11 - s1.toDouble * s1
+    val a12 = n.toDouble * s12 - s1.toDouble * s2
+    val a22 = n.toDouble * s22 - s2.toDouble * s2
+    val c1 = n.toDouble * s1y - s1.toDouble * sy
+    val c2 = n.toDouble * s2y - s2.toDouble * sy
+    val det = a11 * a22 - a12 * a12
+    val b1 = (c1 * a22 - c2 * a12) / det
+    val b2 = (c2 * a11 - c1 * a12) / det
+    val b0 = (sy.toDouble - b1 * s1 - b2 * s2) / n
+    val r2 = (b1 * c1 + b2 * c2) / (n.toDouble * syy - sy.toDouble * sy)
+
+    val got = rows("q_stats_ols")
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - b1) < math.abs(b1) * 1e-9)
+    assert(math.abs(r.getDouble(2) - b2) < math.abs(b2) * 1e-6 + 1e-6)
+    assert(math.abs(r.getDouble(3) - b0) < math.abs(b0) * 1e-6 + 1e-6)
+    assert(math.abs(r.getDouble(4) - r2) < 1e-9)
+    // fit quality: line count explains most order-value variance here
+    assert(r.getDouble(4) > 0.5 && r.getDouble(4) <= 1.0)
+  }
+
   test("q_graph_assortativity: degree replay over the synthetic citation graph") {
     val n = Tables.documents(spark, sf).count()
     val edges = (0L until n).flatMap { id =>
