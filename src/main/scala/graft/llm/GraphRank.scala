@@ -905,6 +905,150 @@ object GraphRank {
        |            END AS assortativity
        |FROM s""".stripMargin
 
+  /** Seed-sampled betweenness centrality (Brandes, "A faster algorithm
+    * for betweenness centrality", J. Math. Sociology 2001; the
+    * pivot-sampled estimator: Brandes & Pich 2007): which documents sit
+    * on the most shortest paths of the citation graph — the broker/
+    * bottleneck complement to the volume-centric pagerank/HITS family.
+    * Forward pass: 4-hop multi-source BFS carrying σ (shortest-path
+    * counts, exact integers — a level-j node's σ is the sum over its
+    * level-(j−1) predecessors, complete by level-synchronous rounds).
+    * Backward pass: the Brandes dependency accumulation by decreasing
+    * depth, δ(v) = Σ_{v→w, depth(w)=depth(v)+1} σᵥ·(1+δ(w))/σ_w, with
+    * each edge term quantized to micro units via non-negative integer
+    * division — so every fold is an order-independent BIGINT sum and
+    * the whole estimator is bit-identical across engines.
+    *
+    * 100 TB shape: the work is FRONTIER-bounded, not graph-bounded —
+    * each seed reaches ≤ Σ_{j≤4} outdeg^j nodes, so every per-round
+    * table is ≤ seeds·121 rows joined against the staged edge artifact
+    * (equi-joins on node; the anti-join enforces first-visit depth).
+    * Seeds sample deterministically (id % 499 = 0, ~N/499 pivots —
+    * the Brandes-Pich estimator scales by pivot count, not N). All
+    * rounds localCheckpoint on the Spark side; the oracle MATERIALIZEs
+    * every round (accumulator CTEs re-inline exponentially otherwise).
+    */
+  private val BcHops = 4
+
+  private def betweennessSpark(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
+    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
+    val edges = docs
+      .crossJoin(nDf)
+      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
+      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    // forward: level-synchronous BFS with path counts
+    var level = docs.filter(expr("id % 499 = 0"))
+      .select(col("id").as("seed"), col("id").as("node"),
+        lit(1L).as("sig"), lit(0).as("depth"))
+      .localCheckpoint(true)
+    var visited = level
+    val levels = scala.collection.mutable.ArrayBuffer(level)
+    for (j <- 1 to BcHops) {
+      val nf = level.join(edges, col("node") === col("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sig")).cast("long").as("sig"))
+        .select(col("seed"), col("dst").as("node"), col("sig"), lit(j).as("depth"))
+        .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
+          col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
+        .localCheckpoint(true)
+      levels += nf
+      visited = visited.union(nf).localCheckpoint(true)
+      level = nf
+    }
+    // backward: dependency accumulation by decreasing depth
+    var delta = levels(BcHops)
+      .select(col("seed"), col("node"), col("sig"), lit(0L).as("dm"))
+      .localCheckpoint(true)
+    for (j <- (BcHops - 1) to 1 by -1) {
+      val cur = levels(j)
+      val contrib = cur
+        .join(edges, col("node") === col("src"))
+        .join(delta.select(col("seed").as("ds"), col("node").as("dn"),
+          col("sig").as("wsig"), col("dm")),
+          col("seed") === col("ds") && col("dst") === col("dn"))
+        .select(col("seed"), col("node"), col("sig"),
+          expr("sig * (1000000 + dm) DIV wsig").as("term"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("term")).cast("long").as("dm"))
+      val dj = cur.select(col("seed"), col("node"), col("sig"))
+        .join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sig"),
+          coalesce(col("dm"), lit(0L)).as("dm"))
+        .localCheckpoint(true)
+      delta = delta.union(dj).localCheckpoint(true)
+    }
+    // delta holds only depth-1..4 rows (the seed row never re-enters a
+    // frontier — it is in v0), so no endpoint exclusion is needed here
+    val bc = delta
+      .groupBy(col("node"))
+      .agg(sum(col("dm")).cast("long").as("bc_micro"),
+        count(lit(1)).cast("long").as("n_seeds"))
+    bc.select(
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bc_micro").desc, col("node"))).as("rk"),
+      col("node").as("doc_id"), col("bc_micro"), col("n_seeds"))
+      .filter(col("rk") <= 20)
+      .orderBy("rk")
+  }
+
+  private def betweennessDuck: String = {
+    val fwd = (1 to BcHops).map { j =>
+      s"""f$j AS MATERIALIZED (
+         |  SELECT nf.seed, nf.node, nf.sig, $j AS depth FROM (
+         |    SELECT f.seed, ed.dst AS node, CAST(SUM(f.sig) AS BIGINT) AS sig
+         |    FROM f${j - 1} f JOIN ed ON f.node = ed.src
+         |    GROUP BY f.seed, ed.dst) nf
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${j - 1} v
+         |                    WHERE v.seed = nf.seed AND v.node = nf.node)),
+         |v$j AS MATERIALIZED (SELECT seed, node FROM v${j - 1}
+         |  UNION ALL SELECT seed, node FROM f$j)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((BcHops - 1) to 1 by -1).map { j =>
+      val src = if (j == BcHops - 1) s"SELECT seed, node, sig, CAST(0 AS BIGINT) AS dm FROM f$BcHops"
+      else s"SELECT seed, node, sig, dm FROM d${j + 1}"
+      s"""w$j AS MATERIALIZED ($src),
+         |d$j AS MATERIALIZED (
+         |  SELECT c.seed, c.node, c.sig, COALESCE(t.dm, 0) AS dm
+         |  FROM f$j c LEFT JOIN (
+         |    SELECT c2.seed, c2.node,
+         |           CAST(SUM(c2.sig * (1000000 + w.dm) // w.sig) AS BIGINT) AS dm
+         |    FROM f$j c2 JOIN ed ON c2.node = ed.src
+         |    JOIN w$j w ON w.seed = c2.seed AND w.node = ed.dst
+         |    GROUP BY c2.seed, c2.node) t
+         |  ON t.seed = c.seed AND t.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    val deltaUnion = ((BcHops - 1) to 1 by -1)
+      .map(j => s"SELECT seed, node, dm FROM d$j")
+      .mkString("\n  UNION ALL ") +
+      s"\n  UNION ALL SELECT seed, node, CAST(0 AS BIGINT) AS dm FROM f$BcHops"
+    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |e0 AS (SELECT id AS src,
+       |              (id * id * 31 + (2 * j + 1) * 97) % (SELECT n FROM n) AS dst
+       |       FROM (SELECT id, unnest(range(0, 3)) AS j FROM nodes) z),
+       |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+       |f0 AS MATERIALIZED (SELECT id AS seed, id AS node, CAST(1 AS BIGINT) AS sig,
+       |                           0 AS depth
+       |                    FROM nodes WHERE id % 499 = 0),
+       |v0 AS MATERIALIZED (SELECT seed, node FROM f0),
+       |$fwd,
+       |$bwd,
+       |alld AS ($deltaUnion),
+       |bc AS (SELECT node, CAST(SUM(dm) AS BIGINT) AS bc_micro,
+       |              CAST(COUNT(*) AS BIGINT) AS n_seeds
+       |       FROM alld GROUP BY node)
+       |SELECT rk, doc_id, bc_micro, n_seeds FROM (
+       |  SELECT node AS doc_id, bc_micro, n_seeds,
+       |         CAST(row_number() OVER (ORDER BY bc_micro DESC, node) AS INT) AS rk
+       |  FROM bc) z
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+  }
+
   /** Unrolled 5-iteration DuckDB oracle: identical scaled-integer
     * arithmetic, so the hash comparison is exact — no rounding anywhere.
     */
@@ -920,6 +1064,7 @@ object GraphRank {
     Map(
       "q_graph_adamic_adar" -> QuerySpec.df(adamicSpark, adamicDuck),
       "q_graph_assortativity" -> QuerySpec.df(assortSpark, assortDuck),
+      "q_graph_betweenness" -> QuerySpec.df(betweennessSpark, betweennessDuck),
       "q_graph_label_prop" -> QuerySpec.df(lpaSpark, lpaDuck),
       "q_graph_modularity" -> QuerySpec.df(modularitySpark, modularityDuck),
       "q_graph_triangles" -> QuerySpec.df(trianglesSpark, trianglesDuck),

@@ -45,6 +45,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_stats_chi2",          // single-row test-statistic join onto the <=|S|x|P| bounded cell table
     "q_stats_kendall",       // domain-bounded grid self-join + single-row pair/tie-total crossJoins
     "q_graph_assortativity", // single-row node-count join builds the synthetic edge table (hits shape)
+    "q_graph_betweenness",   // single-row node-count join builds the synthetic edge table; BFS/Brandes rounds equi
     "q_events_markov_attribution", // <=T+1-row scenario table x <=(T+1)^2 transition matrix; 1-row base join
     "q_events_lateness_audit", // 3-row delay-level table x the shard-windowed stream
     "q_events_next_pred",    // single-row train/test cut broadcast; model join is equi
