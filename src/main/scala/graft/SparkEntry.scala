@@ -54,6 +54,7 @@ object SparkEntry {
       graft.llm.TextClassify.specs ++
       graft.llm.TextMining.specs ++
       graft.llm.UnigramTok.specs ++
+      graft.llm.SuffixLcp.specs ++
       graft.llm.MmrSelect.specs ++
       graft.llm.MstCluster.specs ++
       graft.llm.EmbedAblation.specs ++

@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.queries.QuerySpec
+import graft.queries.QuerySpec.sql2
+
+/** Suffix-order LCP mining — the character-level exact-duplication
+  * primitive of suffix-array corpus dedup (Lee, Ippolito, Nystrom et
+  * al., "Deduplicating training data makes language models better",
+  * ACL 2022 build suffix arrays for exactly this): sort every suffix
+  * (truncated at 40 chars), take each adjacent CROSS-DOCUMENT pair in
+  * suffix order, and report the longest common prefixes — the longest
+  * verbatim strings shared across documents, with no fixed shingle
+  * width. Complements q_dedup_substring (token-level fixed-8 shingle
+  * islands): this one finds repeats at ANY length ≤ 40 chars and
+  * pinpoints the exact occurrence positions.
+  *
+  * Determinism: pure string ordering and comparison — the suffix order
+  * (s, doc, pos) is total, the LCP is a 40-branch prefix-equality CASE
+  * (both engines' substr agree, including past-end truncation), and
+  * the top-15 ties break on (doc_b, pos_b), unique by construction.
+  *
+  * 100 TB shape: this is distributed suffix sorting by PREFIX BUCKET —
+  * the suffix explode (linear in corpus chars) shuffles once on the
+  * 3-char bucket key (alphabet³ buckets; each ~1/|Σ|³ of the stream),
+  * and the order/LAG window runs within buckets only. Cross-bucket
+  * adjacencies are the pairs with LCP < 3 — irrelevant to a top-k of
+  * LONG repeats. No global sort, no pair explosion: exactly one LAG
+  * row per suffix. The 40-char truncation caps both memory per row and
+  * the report length (a deployment hunting 1000-char repeats raises
+  * the cap linearly).
+  */
+object SuffixLcp {
+
+  private val Cap = 40
+  private val TopK = 15
+
+  private def lcpCase: String =
+    (Cap to 1 by -1)
+      .map(j => s"WHEN substr(s, 1, $j) = substr(ps, 1, $j) THEN $j")
+      .mkString("CASE ", "\n             ", " ELSE 0 END")
+
+  private def lcpSql(posExplode: String): String =
+    s"""WITH suf AS (SELECT doc_id, pos, substr(text, pos, $Cap) AS s
+       |             FROM $posExplode),
+       |w AS (SELECT doc_id, pos, s,
+       |             LAG(s) OVER (PARTITION BY substr(s, 1, 3)
+       |                          ORDER BY s, doc_id, pos) AS ps,
+       |             LAG(doc_id) OVER (PARTITION BY substr(s, 1, 3)
+       |                               ORDER BY s, doc_id, pos) AS pdoc,
+       |             LAG(pos) OVER (PARTITION BY substr(s, 1, 3)
+       |                            ORDER BY s, doc_id, pos) AS ppos
+       |      FROM suf),
+       |x AS (SELECT doc_id, pos, s, ps, pdoc, ppos,
+       |             LEAST($lcpCase, length(s), length(ps)) AS lcp
+       |      FROM w WHERE pdoc IS NOT NULL AND pdoc <> doc_id),
+       |top AS (SELECT lcp, substr(s, 1, lcp) AS gram,
+       |               pdoc AS doc_a, ppos AS pos_a, doc_id AS doc_b, pos AS pos_b,
+       |               CAST(row_number() OVER (ORDER BY lcp DESC, doc_id, pos) AS INT) AS rk
+       |        FROM x WHERE lcp > 0)
+       |SELECT rk, CAST(lcp AS BIGINT) AS lcp_chars, gram,
+       |       doc_a, CAST(pos_a AS BIGINT) AS pos_a,
+       |       doc_b, CAST(pos_b AS BIGINT) AS pos_b
+       |FROM top WHERE rk <= $TopK ORDER BY rk""".stripMargin
+
+  private def lcpSpark: String =
+    lcpSql(
+      """documents LATERAL VIEW explode(sequence(1, length(text))) t AS pos""")
+
+  private def lcpDuck: String =
+    lcpSql(
+      """(SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+        | FROM documents) z""".stripMargin)
+
+  val specs: Map[String, QuerySpec] = Map(
+    "q_dedup_suffix_lcp" -> sql2(lcpSpark, lcpDuck))
+}
