@@ -379,7 +379,55 @@ object TextMining {
     s"""WITH ph AS MATERIALIZED ($rakePhDuck),
        |${rakeTail("ph", "string_agg(word, ' ' ORDER BY i)", "//")}""".stripMargin
 
+  /** Word burstiness / overdispersion audit (Church & Gale, "Poisson
+    * mixtures", Natural Language Engineering 1995; Katz's K-mixture):
+    * for each word, how far its per-document count distribution departs
+    * from the Poisson a uniform topic-free corpus would produce. Two
+    * readouts per word: the burst mean tf/df (mean occurrences PER
+    * CONTAINING document — Church & Gale's E[c | c>0]) and the index of
+    * dispersion D = var/mean over ALL documents, D = (N·Σc² − tf²)/(N·tf)
+    * (D ≈ 1 under Poisson; templates/boilerplate push D ≫ 1). The
+    * corpus-health screen that catches template floods BEFORE they bend
+    * the Zipf fit (q_text_zipf_fit) or flood the dedup queues.
+    *
+    * Determinism: tf, df, Σc² are exact integer folds over the (doc,
+    * word) count table; both readouts are non-negative integer
+    * divisions in milli units (N·Σc² ≥ tf² by Cauchy-Schwarz, so the
+    * numerator never goes negative into the engine-split DIV domain).
+    * int64 holds to ~10⁹·maxc tokens per word; past that counts rescale
+    * to per-million shares (the q_text_js_divergence note).
+    *
+    * 100 TB shape: one tokenize pass map-side combines to the (doc,
+    * word) table, one more combine to the vocabulary-bounded word
+    * table, a single-row doc-count join (sweep-allowlisted); top-15 by
+    * dispersion is a TakeOrdered. Nothing pairwise anywhere.
+    */
+  private def burstTail(docCount: String, intDiv: String): String =
+    s"""f AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, word),
+       |wf AS (SELECT word, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df,
+       |              CAST(SUM(c * c) AS BIGINT) AS c2 FROM f GROUP BY word),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ($docCount) dd),
+       |r AS (SELECT word, tf, df, c2, nd.n,
+       |             (tf * 1000) $intDiv df AS burst_milli,
+       |             ((nd.n * c2 - tf * tf) * 1000) $intDiv (nd.n * tf) AS disp_milli
+       |      FROM wf CROSS JOIN nd WHERE tf >= 50)
+       |SELECT rk, word, tf, df, burst_milli, disp_milli FROM (
+       |  SELECT word, tf, df, burst_milli, disp_milli,
+       |         CAST(row_number() OVER (ORDER BY disp_milli DESC, word) AS INT) AS rk
+       |  FROM r) z
+       |WHERE rk <= 15 ORDER BY rk""".stripMargin
+
+  private def burstSpark: String =
+    s"""WITH tok AS (SELECT doc_id, word FROM documents
+       |             LATERAL VIEW explode(split(text, ' ')) t AS word),
+       |${burstTail("SELECT doc_id FROM documents", "DIV")}""".stripMargin
+
+  private def burstDuck: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |${burstTail("SELECT doc_id FROM documents", "//")}""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_text_burstiness" -> QuerySpec.sql2(burstSpark, burstDuck),
     "q_text_rake" -> QuerySpec(
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)

@@ -288,7 +288,49 @@ object StatsInference {
        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS r_squared
        |FROM b""".stripMargin
 
+  /** Inter-arrival burstiness per event type (Goh & Barabási, "Burstiness
+    * and memory in complex systems", EPL 2008): CV² of the per-user gap
+    * distribution and the bounded burstiness index B = (CV−1)/(CV+1)
+    * (B = 0 for a Poisson process, → 1 for heavy-tailed bursts, < 0 for
+    * pacemaker-regular traffic) — the traffic-shape monitor that tells
+    * a pipeline whether an event stream's rate statistics can be trusted
+    * as Poisson (alerting thresholds, sampling designs) or not.
+    *
+    * Determinism: gaps are exact integer SECONDS from per-user LAG
+    * (microsecond timestamps floor-divided — both engines agree on
+    * non-negative intDiv); n, Σg, Σg² are exact BIGINT folds; CV² and B
+    * are one shared double text over them (n·Σg² overflows int64 first,
+    * so the combination runs in DOUBLE over exact integer casts —
+    * IEEE-identical; SQRT is exempt everywhere, correctly rounded).
+    *
+    * 100 TB shape: one scan, one user_id-partitioned LAG window (the
+    * sessionize exchange), one map-side-combined groupBy to T rows.
+    */
+  private def interarrivalSql(epochUs: String, intDiv: String): String =
+    s"""WITH e AS (SELECT event_type, user_id, event_id,
+       |                  ($epochUs) $intDiv 1000000 AS sec
+       |           FROM events),
+       |g AS (SELECT event_type,
+       |             sec - LAG(sec) OVER (PARTITION BY event_type, user_id
+       |                                  ORDER BY sec, event_id) AS gap
+       |      FROM e),
+       |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |             CAST(SUM(gap) AS BIGINT) AS sg,
+       |             CAST(SUM(gap * gap) AS BIGINT) AS sgg
+       |      FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+       |SELECT event_type, n AS n_gaps, CAST(sg $intDiv n AS BIGINT) AS mean_gap_sec,
+       |       (CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+       |         / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) AS cv_sq,
+       |       (SQRT((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+       |              / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) - 1.0E0)
+       |         / (SQRT((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+       |                 / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) + 1.0E0) AS burstiness
+       |FROM m ORDER BY event_type""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_events_interarrival" -> sql2(
+      interarrivalSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV"),
+      interarrivalSql("epoch_us(ts)", "//")),
     "q_stats_chi2" -> sql2(chi2Sql("DIV"), chi2Sql("//")),
     "q_stats_spearman" -> sql2(spearmanSql("DIV"), spearmanSql("//")),
     "q_stats_anova" -> sql2(anovaSql("DIV"), anovaSql("//")),

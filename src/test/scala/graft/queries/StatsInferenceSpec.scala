@@ -180,6 +180,54 @@ class StatsInferenceSpec extends AnyFunSuite {
     assert(r.getDouble(4) > 0.5 && r.getDouble(4) <= 1.0)
   }
 
+  test("q_events_interarrival: per-user gap replay — exact moments and CV²") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("event_type", "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS sec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byType = evs.groupBy(_._1).toSeq.map { case (t, es) =>
+      val gaps = es.groupBy(_._2).toSeq.flatMap { case (_, ue) =>
+        val s = ue.sortBy(e => (e._4, e._3)).map(_._4)
+        s.sliding(2).collect { case Array(a, b) => b - a }.toSeq
+      }
+      val n = gaps.length.toLong
+      val sg = gaps.sum; val sgg = gaps.map(g => g * g).sum
+      (t, n, sg / n, (n.toDouble * sgg - sg.toDouble * sg) / (sg.toDouble * sg))
+    }.sortBy(_._1)
+    val got = rows("q_events_interarrival").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == byType.map(_._1))
+    got.zip(byType).foreach { case ((t, n, mg, cv2, b), (et, en, emg, ecv2)) =>
+      assert(t == et && n == en && mg == emg, s"$t gap moments")
+      assert(math.abs(cv2 - ecv2) < 1e-9, s"$t cv2")
+      val cv = math.sqrt(ecv2)
+      assert(math.abs(b - (cv - 1) / (cv + 1)) < 1e-9, s"$t burstiness")
+      assert(b > -1.0 && b < 1.0)
+    }
+  }
+
+  test("q_text_burstiness: word dispersion replay — exact tf/df/D") {
+    val tok = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS word").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nDocs = Tables.documents(spark, sf).count()
+    val perWord = tok.groupBy(_._2).toSeq.map { case (w, occ) =>
+      val byDoc = occ.groupBy(_._1).map(_._2.length.toLong)
+      val tf = byDoc.sum; val df = byDoc.size.toLong
+      val c2 = byDoc.map(c => c * c).sum
+      (w, tf, df, tf * 1000 / df, (nDocs * c2 - tf * tf) * 1000 / (nDocs * tf))
+    }.filter(_._2 >= 50)
+    val expected = perWord.sortBy(x => (-x._5, x._1)).take(15)
+    val got = rows("q_text_burstiness").map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == expected.length.min(15))
+    got.zip(expected).foreach { case ((rk, w, tf, df, bm, dm), (ew, etf, edf, ebm, edm)) =>
+      assert(w == ew, s"rank $rk word")
+      assert(tf == etf && df == edf, s"rank $rk counts")
+      assert(bm == ebm && dm == edm, s"rank $rk scores")
+    }
+  }
+
   test("q_graph_assortativity: degree replay over the synthetic citation graph") {
     val n = Tables.documents(spark, sf).count()
     val edges = (0L until n).flatMap { id =>
