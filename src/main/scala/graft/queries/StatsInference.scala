@@ -327,7 +327,77 @@ object StatsInference {
        |                 / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) + 1.0E0) AS burstiness
        |FROM m ORDER BY event_type""".stripMargin
 
+  /** DAU / trailing-7-day WAU / stickiness per calendar day (the
+    * standard engagement ratio DAU/WAU; e.g. the industry "stickiness"
+    * KPI): how concentrated is weekly activity into single days?
+    *
+    * Exactness: pure integer counting — epoch days by integer division,
+    * exact distinct (user, day) pairs, WAU via a 7-way anchor-day
+    * explode (each active day contributes to the 7 trailing windows
+    * that contain it) + COUNT(DISTINCT user) per anchor, stickiness in
+    * basis points by integer division.
+    *
+    * 100 TB shape: one scan collapses to the (user, day) distinct table
+    * (one exchange); the ×7 explode is calendar-bounded fan-out on that
+    * already-collapsed table, NEVER on raw events; everything after is
+    * day-bounded. No range join, no broadcast — equi-joins only.
+    */
+  private def stickinessSql(epochUs: String, intDiv: String,
+      anchorExplode: String): String =
+    s"""WITH ud AS (SELECT DISTINCT user_id,
+       |                   ($epochUs) $intDiv 86400000000 AS d
+       |            FROM events),
+       |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+       |wx AS (SELECT user_id, d, $anchorExplode AS ad FROM ud),
+       |wau AS (SELECT ad AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+       |        FROM wx GROUP BY ad),
+       |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+       |SELECT CAST(dau.d AS BIGINT) AS epoch_day, dau.dau, wau.wau,
+       |       CAST((dau.dau * 10000) $intDiv wau.wau AS BIGINT) AS stickiness_bp
+       |FROM dau JOIN wau ON dau.d = wau.d
+       |         JOIN span ON dau.d >= span.d0 + 6 AND dau.d <= span.d1
+       |ORDER BY epoch_day""".stripMargin
+
+  /** Hill tail-index estimator over order values (Hill, "A simple
+    * general approach to inference about the tail of a distribution",
+    * Ann. Stat. 1975): α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order
+    * statistics — the heavy-tail monitor that tells a pipeline whether
+    * value sums/means even converge (α ≤ 1: no mean; α ≤ 2: no
+    * variance), the cross-sectional complement to q_events_interarrival.
+    *
+    * Exactness: the top-101 rows come from a distributed TakeOrdered
+    * (ORDER BY cents DESC, key LIMIT — per-partition top-k then merge,
+    * no global sort, no unpartitioned rank window); x₍ₖ₊₁₎ is a MIN
+    * window over those 101 bounded rows; each log ratio rides the
+    * engine-neutral micro-nat kernel on exact integer cents; α̂ is an
+    * integer division of exact sums (milli units).
+    */
+  private def hillTail(k: graft.llm.NeutralMath.KernelSplice,
+      intDiv: String): String =
+    s"""top AS (SELECT cents FROM (
+       |          SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       |                 o_orderkey
+       |          FROM orders ORDER BY cents DESC, o_orderkey LIMIT 101) z),
+       |mn AS (SELECT cents, CAST(MIN(cents) OVER () AS BIGINT) AS xk FROM top),
+       |up AS (SELECT cents, xk FROM mn WHERE cents > xk),
+       |${k.ln("lr", "up", "cents, xk", "cents, xk", "cents", "xk", "ln_micro", "1.0E6")},
+       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+       |               CAST(SUM(ln_micro) AS BIGINT) AS s,
+       |               CAST(MIN(xk) AS BIGINT) AS xk
+       |        FROM lr)
+       |SELECT kk AS k_top, xk AS x_k1_cents, s AS sum_ln_micro,
+       |       CAST((kk * 1000000000) $intDiv GREATEST(CAST(1 AS BIGINT), s) AS BIGINT) AS alpha_milli
+       |FROM agg""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_events_stickiness" -> sql2(
+      stickinessSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV",
+        "explode(sequence(d, d + 6))"),
+      stickinessSql("epoch_us(ts)", "//",
+        "unnest(range(d, d + 7))")),
+    "q_stats_hill_tail" -> sql2(
+      s"WITH ${hillTail(graft.llm.NeutralMath.SparkKernel, "DIV")}",
+      s"WITH ${hillTail(graft.llm.NeutralMath.OracleKernel, "//")}"),
     "q_events_interarrival" -> sql2(
       interarrivalSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV"),
       interarrivalSql("epoch_us(ts)", "//")),

@@ -228,6 +228,40 @@ class StatsInferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q_events_stickiness: exact DAU/WAU replay over (user, day) pairs") {
+    val ud = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 AS d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val d0 = ud.map(_._2).min; val d1 = ud.map(_._2).max
+    val dau = ud.groupBy(_._2).map { case (d, v) => d -> v.length.toLong }
+    def wau(d: Long) = ud.filter(p => p._2 >= d - 6 && p._2 <= d).map(_._1).distinct.length.toLong
+    val expected = dau.keys.filter(d => d >= d0 + 6 && d <= d1).toSeq.sorted
+      .map(d => (d, dau(d), wau(d), dau(d) * 10000 / wau(d)))
+    val got = rows("q_events_stickiness").map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected, "DAU/WAU table differs from replay")
+    // a weekly-active population is never 100% daily-sticky here
+    assert(got.forall(x => x._4 > 0 && x._4 <= 10000))
+  }
+
+  test("q_stats_hill_tail: top-k order-statistic replay through the JVM log kernel") {
+    val cents = Tables.orders(spark, sf)
+      .selectExpr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(x => (-x._1, x._2)).take(101).map(_._1)
+    val xk = cents.min
+    val up = cents.filter(_ > xk)
+    val s = up.map(x => graft.llm.NeutralMath.lnScaledJvm(x, xk, 1e6)).sum
+    val alpha = up.length.toLong * 1000000000L / math.max(1L, s)
+    val got = rows("q_stats_hill_tail")
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((up.length.toLong, xk, s, alpha)), "Hill estimator differs from replay")
+    // order values are light-tailed (bounded synthetic): alpha well above 2
+    assert(alpha > 2000L)
+  }
+
   test("q_graph_assortativity: degree replay over the synthetic citation graph") {
     val n = Tables.documents(spark, sf).count()
     val edges = (0L until n).flatMap { id =>
