@@ -1646,6 +1646,51 @@ object WarehouseQueries {
        |       CAST(lsc AS BIGINT) AS ewma_sc, resid_sc
        |FROM sel ORDER BY rk""".stripMargin
 
+  /** Brown-Holt double exponential smoothing over the dense hourly
+    * series (Brown, "Exponential smoothing for predicting demand" 1956;
+    * Holt 1957): level a = 2S′ − S″, trend b = S′ − S″ (α = ½ makes the
+    * α/(1−α) factor exactly 1), one-step forecast a + b — the
+    * trend-aware upgrade of q_ts_ewma's level-only monitor, same
+    * machinery: the single-EWMA kernel α(1−α)^k and the double-EWMA
+    * kernel (k+1)α²(1−α)^k are both EXACT dyadic integers at α = ½
+    * (2^(20−k) and (k+1)·2^(19−k) at 2²¹ scale), so the two smoothers
+    * are 20-tap integer convolutions and the level/trend/forecast are
+    * pure BIGINT arithmetic — the only divisions are the two
+    * self-normalizations by the exact tap-weight totals (non-negative,
+    * engine-agreement domain). 20 taps truncate the kernels at relative
+    * mass 2^-20 — beneath the 1-count quantum of the series itself.
+    *
+    * 100 TB shape: identical to q_ts_ewma — one scan to per-hour counts,
+    * a calendar-bounded dense spine, one 20-row lag-table nested loop
+    * (sweep-allowlisted) and per-hour grouping; display is the last 24
+    * complete hours via TakeOrdered.
+    */
+  private def holtSql(epochUs: String, intDiv: String) =
+    s"""WITH ${hourlyDense(epochUs)},
+       |lg AS (HOLT_SPINE),
+       |tw AS (SELECT CAST(SUM(w1) AS BIGINT) AS t1, CAST(SUM(w2) AS BIGINT) AS t2 FROM lg),
+       |sm AS (SELECT a.hr,
+       |              CAST(SUM(b.n * lg.w1) AS BIGINT) AS s1sc,
+       |              CAST(SUM(b.n * lg.w2) AS BIGINT) AS s2sc,
+       |              COUNT(*) AS ntaps
+       |       FROM d a JOIN lg ON 1 = 1 JOIN d b ON b.hr = a.hr - lg.l
+       |       GROUP BY a.hr),
+       |r AS (SELECT sm.hr,
+       |             CAST(s1sc $intDiv tw.t1 AS BIGINT) AS s1,
+       |             CAST(s2sc $intDiv tw.t2 AS BIGINT) AS s2
+       |      FROM sm CROSS JOIN tw WHERE sm.ntaps = 20),
+       |f AS (SELECT r.hr, d.n, r.s1, r.s2,
+       |             2 * r.s1 - r.s2 AS level_est,
+       |             r.s1 - r.s2 AS trend_est,
+       |             3 * r.s1 - 2 * r.s2 AS forecast_1
+       |      FROM r JOIN d ON d.hr = r.hr),
+       |sel AS (SELECT hr, n, s1, s2, level_est, trend_est, forecast_1
+       |        FROM f ORDER BY hr DESC LIMIT 24)
+       |SELECT CAST(row_number() OVER (ORDER BY hr) AS INT) AS rk,
+       |       CAST(hr AS BIGINT) AS hr, CAST(n AS BIGINT) AS n,
+       |       s1 AS s_single, s2 AS s_double, level_est, trend_est, forecast_1
+       |FROM sel ORDER BY rk""".stripMargin
+
   /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & Walker,
     * WSDM 2013) — the standard trick that makes A/B tests decisive on a
     * fraction of the traffic: adjust each unit's metric by its own
@@ -1734,6 +1779,19 @@ object WarehouseQueries {
         "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"),
       cupedSql("epoch_us(ts)", "//",
         "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT")),
+    "q_ts_holt" -> sql2(
+      holtSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV")
+        .replace("HOLT_SPINE",
+          "SELECT l, CAST(shiftleft(1L, 20 - CAST(l AS INT)) AS BIGINT) AS w1, " +
+            "CAST((l + 1) * shiftleft(1L, 19 - CAST(l AS INT)) AS BIGINT) AS w2 " +
+            "FROM (SELECT explode(sequence(0, 19)) AS l)")
+        .replace("SPINE_EXPR", "explode(sequence(mn, mx))"),
+      holtSql("epoch_us(ts)", "//")
+        .replace("HOLT_SPINE",
+          "SELECT l, CAST(1::BIGINT << (20 - l) AS BIGINT) AS w1, " +
+            "CAST((l + 1) * (1::BIGINT << (19 - l)) AS BIGINT) AS w2 " +
+            "FROM (SELECT unnest(range(0, 20)) AS l) z")
+        .replace("SPINE_EXPR", "unnest(range(mn, mx + 1))")),
     "q_ts_ewma" -> sql2(
       ewmaSql("unix_micros(CAST(ts AS TIMESTAMP))")
         .replace("LAG_SPINE",

@@ -53,6 +53,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_events_next_pred2",   // single-row train/test cut broadcast; both model joins are equi on context
     "q_ts_autocorr",         // 3-row lag table x the calendar-bounded dense hourly series
     "q_ts_ewma",             // 20-row dyadic-weight lag table x the calendar-bounded dense hourly series
+    "q_ts_holt",             // same 20-row lag-table shape + 1-row tap-weight-total join
     "q_ts_changepoint",      // single-row series-total join onto the dense hourly series
     "q_ts_theil_sen",        // calendar-bounded dense-series self-pairs (~720 rows; autocorr contract)
     "q_stats_bootstrap_ci",  // 32-row replica-index table x the scan (poissonized bootstrap explode)

@@ -1053,6 +1053,27 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ts_holt: Brown double-smoothing replay; forecast = level + trend exactly") {
+    val (mn, dense) = denseHourly()
+    val t1 = (0 to 19).map(i => 1L << (20 - i)).sum
+    val t2 = (0 to 19).map(i => (i + 1).toLong * (1L << (19 - i))).sum
+    val exp = dense.indices.collect { case t if t >= 19 =>
+      val s1 = (0 to 19).map(i => dense(t - i) * (1L << (20 - i))).sum / t1
+      val s2 = (0 to 19).map(i => dense(t - i) * (i + 1).toLong * (1L << (19 - i))).sum / t2
+      (mn + t, dense(t), s1, s2, 2 * s1 - s2, s1 - s2, 3 * s1 - 2 * s2)
+    }.sortBy(-_._1).take(24).sortBy(_._1)
+      .zipWithIndex.map { case ((hr, n, s1, s2, l, b, f), i) =>
+        (i + 1, hr, n, s1, s2, l, b, f)
+      }
+    val got = rows("q_ts_holt").map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == exp.toSeq, s"got ${got.toSeq.take(3)}\nexp ${exp.take(3)}")
+    // structural identities: level = 2S'−S'', forecast = level + trend
+    for ((_, _, _, s1, s2, l, b, f) <- got.toSeq) {
+      assert(l == 2 * s1 - s2 && b == s1 - s2 && f == l + b)
+    }
+  }
+
   test("q_ts_changepoint: max-CUSUM replay; the top candidate separates the means") {
     val (mn, dense) = denseHourly()
     val sn = dense.sum
