@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 import graft.queries.QuerySpec.sql2
 
 /** Categorical / rank inference tests a warehouse monitoring deployment
@@ -389,7 +391,75 @@ object StatsInference {
        |       CAST((kk * 1000000000) $intDiv GREATEST(CAST(1 AS BIGINT), s) AS BIGINT) AS alpha_milli
        |FROM agg""".stripMargin
 
+  /** Exact median + MAD robust scale (Hampel 1974; the 1.4826·MAD
+    * consistency factor for the normal): the outlier-immune location/
+    * scale pair every robust monitor wants where mean/stddev lie. Both
+    * passes find an EXACT order statistic without any global sort: the
+    * value-binned hierarchical-rank idiom (bin counts map-side combine;
+    * the target bin from a bounded cumulative table; within-bin
+    * row_number partitioned BY BIN — the q_events_rfm machinery), run
+    * once on cents and once on |cents − median| with the median joined
+    * as a single broadcast row (sweep-allowlisted). Lower median on
+    * ties (rank ⌈n/2⌉ with deterministic (value, key) order); all
+    * arithmetic integer, the consistency factor as an exact integer
+    * multiply into micro-cents.
+    *
+    * 100 TB shape: two scans (MAD is irreducibly two-pass), each ONE
+    * bin-keyed exchange; no window ever sees more than one bin's rows.
+    */
+  private def madRankPick(rel: String, intDiv: String, outName: String): String =
+    s"""${rel}c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM ${rel}b GROUP BY bin),
+       |${rel}o AS (SELECT a.bin, CAST(MIN(a.c) AS BIGINT) AS c,
+       |                   CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS off,
+       |                   CAST(MAX(tt.n) AS BIGINT) AS n
+       |            FROM ${rel}c a
+       |            LEFT JOIN ${rel}c b ON b.bin < a.bin
+       |            CROSS JOIN (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ${rel}c) tt
+       |            GROUP BY a.bin),
+       |${rel}t AS (SELECT bin, off, n, (n + 1) $intDiv 2 AS target FROM ${rel}o
+       |            WHERE off < (n + 1) $intDiv 2
+       |              AND off + c >= (n + 1) $intDiv 2),
+       |${rel}r AS (SELECT x.v, o.off + row_number() OVER (PARTITION BY x.bin
+       |                                                   ORDER BY x.v, x.k) AS rnk,
+       |                   o.target, o.n
+       |            FROM ${rel}b x JOIN ${rel}t o ON x.bin = o.bin),
+       |$outName AS (SELECT v, n FROM ${rel}r WHERE rnk = target)""".stripMargin
+
+  private def madMedSql(intDiv: String): String =
+    s"""WITH po AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       |                  o_orderkey AS k
+       |           FROM orders),
+       |pob AS (SELECT cents AS v, k, cents $intDiv 1048576 AS bin FROM po),
+       |${madRankPick("po", intDiv, "med")}
+       |SELECT CAST(v AS BIGINT) AS v, n FROM med""".stripMargin
+
+  private def madTailSql(medRel: String, intDiv: String): String =
+    s"""WITH dv AS (SELECT ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+       |                       - (SELECT v FROM $medRel)) AS d,
+       |                  o_orderkey AS k
+       |           FROM orders),
+       |dvb AS (SELECT d AS v, k, d $intDiv 1048576 AS bin FROM dv),
+       |${madRankPick("dv", intDiv, "mad")}
+       |SELECT mad.n AS n,
+       |       (SELECT CAST(v AS BIGINT) FROM $medRel) AS median_cents,
+       |       CAST(mad.v AS BIGINT) AS mad_cents,
+       |       CAST(mad.v * 1482602 AS BIGINT) AS sigma_robust_microcents
+       |FROM mad""".stripMargin
+
+  private def madSpark(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(madMedSql("DIV")).localCheckpoint(true)
+      .createOrReplaceTempView("graft_mad_med")
+    s.sql(madTailSql("graft_mad_med", "DIV"))
+  }
+
+  private def madDuck: String =
+    s"""WITH medq AS MATERIALIZED (${madMedSql("//")}),
+       |res AS (${madTailSql("medq", "//")})
+       |SELECT * FROM res""".stripMargin
+
   val specs: Map[String, QuerySpec] = Map(
+    "q_stats_mad" -> QuerySpec.df(madSpark, madDuck),
     "q_events_stickiness" -> sql2(
       stickinessSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV",
         "explode(sequence(d, d + 6))"),

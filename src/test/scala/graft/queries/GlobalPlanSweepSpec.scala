@@ -77,6 +77,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_text_unigram_tok_em", // single-row piece-total join onto the vocabulary-bounded candidate table
     "q_text_burstiness",     // single-row doc-count join onto the vocabulary-bounded word table
     "q_events_stickiness",   // single-row span join onto the calendar-bounded day table
+    "q_stats_mad",           // single-row bin-total joins onto the bounded bin tables (both passes)
     "q_embed_pca_project",   // iterate-chain joins are d^2-sized, never N (norms are now 8-row windows)
     "q_layout_range_partition", // single-row (k-1)-cut boundary-array broadcast — the RangePartitioner shape
     "q_ann_graph_search",    // single-row query-vector broadcast; hops are frontier-edge equi-joins

@@ -262,6 +262,23 @@ class StatsInferenceSpec extends AnyFunSuite {
     assert(alpha > 2000L)
   }
 
+  test("q_stats_mad: exact lower-median and MAD against a full sort replay") {
+    val cents = Tables.orders(spark, sf)
+      .selectExpr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = cents.length
+    val med = cents.sortBy(x => (x._1, x._2)).apply((n + 1) / 2 - 1)._1
+    val dev = cents.map(x => (math.abs(x._1 - med), x._2))
+    val mad = dev.sortBy(x => (x._1, x._2)).apply((n + 1) / 2 - 1)._1
+    val got = rows("q_stats_mad")
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((n.toLong, med, mad, mad * 1482602L)), "median/MAD differ from sort replay")
+    // robust sigma of a uniform-ish price distribution is well below the range
+    assert(mad > 0 && mad < med)
+  }
+
   test("q_graph_assortativity: degree replay over the synthetic citation graph") {
     val n = Tables.documents(spark, sf).count()
     val edges = (0L until n).flatMap { id =>
