@@ -819,6 +819,30 @@ object GraphRank {
        |GROUP BY hold.lbl ORDER BY true_label""".stripMargin
   }
 
+  /** ONE definition of the deterministic synthetic citation graph
+    * (3 quadratic-hash outlinks per doc, parallel edges collapsed) for
+    * the round-9 operators — the older call sites in this file inline
+    * the same recipe and are pinned by the driver record; consolidating
+    * them is a quiet-round cleanup, not worth re-gating mid-round.
+    */
+  private def syntheticEdges(docs: DataFrame): DataFrame = {
+    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
+    docs
+      .crossJoin(nDf)
+      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
+      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+      .distinct()
+  }
+
+  /** The oracle-side twin of [[syntheticEdges]]: nodes/n/e0/ed CTEs. */
+  private val syntheticEdgesDuckCtes: String =
+    s"""nodes AS (SELECT doc_id AS id FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |e0 AS (SELECT id AS src,
+       |              (id * id * 31 + (2 * j + 1) * 97) % (SELECT n FROM n) AS dst
+       |       FROM (SELECT id, unnest(range(0, 3)) AS j FROM nodes) z),
+       |ed AS (SELECT DISTINCT src, dst FROM e0)""".stripMargin
+
   /** Degree assortativity of the citation graph (Newman, "Assortative
     * mixing in networks", PRL 2002): the Pearson correlation of
     * (in-degree of source, in-degree of target) across directed edges —
@@ -844,15 +868,9 @@ object GraphRank {
     */
   private def assortSpark(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
-    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
     // Staged once: in-degree pass + both degree joins reuse this
     // materialization instead of re-deriving the explode per consumer.
-    val edges = docs
-      .crossJoin(nDf)
-      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
-      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = syntheticEdges(docs).localCheckpoint(true)
     val ind = edges.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).cast("long").as("indeg"))
     val ex = edges
@@ -879,12 +897,7 @@ object GraphRank {
   }
 
   private def assortDuck: String =
-    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
-       |n AS (SELECT COUNT(*) AS n FROM nodes),
-       |e0 AS (SELECT id AS src,
-       |              (id * id * 31 + (2 * j + 1) * 97) % (SELECT n FROM n) AS dst
-       |       FROM (SELECT id, unnest(range(0, 3)) AS j FROM nodes) z),
-       |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+    s"""WITH ${syntheticEdgesDuckCtes.replace("ed AS (", "ed AS MATERIALIZED (")},
        |ind AS MATERIALIZED (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS indeg
        |       FROM ed GROUP BY dst),
        |ex AS (SELECT COALESCE(i1.indeg, 0) AS dx, COALESCE(i2.indeg, 0) AS dy
@@ -932,12 +945,7 @@ object GraphRank {
 
   private def betweennessSpark(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
-    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
-    val edges = docs
-      .crossJoin(nDf)
-      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
-      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
-      .distinct()
+    val edges = syntheticEdges(docs)
       .repartition(col("src"))
       .localCheckpoint(true)
     // forward: level-synchronous BFS with path counts
@@ -1026,12 +1034,7 @@ object GraphRank {
       .map(j => s"SELECT seed, node, dm FROM d$j")
       .mkString("\n  UNION ALL ") +
       s"\n  UNION ALL SELECT seed, node, CAST(0 AS BIGINT) AS dm FROM f$BcHops"
-    s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
-       |n AS (SELECT COUNT(*) AS n FROM nodes),
-       |e0 AS (SELECT id AS src,
-       |              (id * id * 31 + (2 * j + 1) * 97) % (SELECT n FROM n) AS dst
-       |       FROM (SELECT id, unnest(range(0, 3)) AS j FROM nodes) z),
-       |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0),
+    s"""WITH ${syntheticEdgesDuckCtes.replace("ed AS (", "ed AS MATERIALIZED (")},
        |f0 AS MATERIALIZED (SELECT id AS seed, id AS node, CAST(1 AS BIGINT) AS sig,
        |                           0 AS depth
        |                    FROM nodes WHERE id % 499 = 0),

@@ -250,7 +250,7 @@ object TextIndex {
       docs: org.apache.spark.sql.DataFrame): Unit =
     buildWt(docs).createOrReplaceTempView("bpe_wt")
 
-  private def stageWtCached(
+  private[llm] def stageWtCached(
       s: org.apache.spark.sql.SparkSession, d: String): Unit =
     wtCache.getOrElseUpdate((s, d)) {
       buildWt(graft.queries.Tables.documents(s, d))

@@ -41,15 +41,24 @@ object UnigramTok {
   private val MaxPiece = 4
   private val TopK = 20
 
-  /** Word-type table CTE body (dialect-split tokenize). */
-  private val wtSpark =
-    """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-      |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
-      |GROUP BY word""".stripMargin
+  /** Word-type relation: the Spark side composes TextIndex's MEMOIZED
+    * word-type artifact (one tokenize+count scan shared with the whole
+    * BPE family — a second definition here would both re-pay the scan
+    * and risk tokenization drift), projected to this module's column
+    * names with empty tokens dropped: an empty word makes Spark's
+    * `sequence(1, 0)` emit a descending [1, 0] while DuckDB's
+    * `range(1, 1)` emits nothing — a latent engine split the guard
+    * closes on both sides (no empty token exists in today's fixture;
+    * this pins the behavior against fixture drift).
+    */
+  private val wtFromBpe =
+    """SELECT w AS word, CAST(c AS BIGINT) AS cnt
+      |FROM bpe_wt WHERE length(w) >= 1""".stripMargin
 
   private val wtDuck =
     """SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+      |WHERE length(word) >= 1
       |GROUP BY word""".stripMargin
 
   /** Candidate piece inventory + micro-nat costs over a word-type
@@ -111,8 +120,8 @@ object UnigramTok {
 
   private def tokSpark(s: SparkSession, d: String): DataFrame = {
     graft.queries.Tables.registerAll(s, d)
-    val wt = s.sql(wtSpark).localCheckpoint(true)
-    wt.createOrReplaceTempView("ut_wt")
+    TextIndex.stageWtCached(s, d) // memoized (w, c) artifact -> view bpe_wt
+    s.sql(wtFromBpe).createOrReplaceTempView("ut_wt")
     s.sql(s"""WITH ${ctTail("ut_wt", posExplodeSpark("ut_wt"), NeutralMath.SparkKernel)}
              |SELECT piece, c, cost_micro FROM ctf""".stripMargin)
       .localCheckpoint(true).createOrReplaceTempView("ut_ct")

@@ -25,35 +25,47 @@ object StatsInference {
     * and q_stats_mannwhitney (location): did the distribution of order
     * priorities shift between fulfillment states?
     *
-    * Exactness: cell deviation dev = n·o − r·c is EXACT BIGINT (n ≤ 2^31
-    * rows keeps n·o inside int64; past that the counts rescale to
-    * milli-shares first — the q_cluster_purity note). Each cell's chi²
-    * contribution dev²/(r·c·n) is three correctly-rounded IEEE ops on
-    * exact integers — bit-identical across engines — then FLOOR-quantized
-    * to micro units per CELL so the total is an order-independent BIGINT
-    * sum (never a float fold). Expected counts are integer micro units
-    * via integer division.
+    * Exactness: the contingency grid is DENSIFIED (distinct statuses ×
+    * distinct priorities, LEFT-joined to observed counts) so an EMPTY
+    * cell still contributes its full Pearson term (0−E)²/E = r·c/n —
+    * omitting empty cells understates χ² exactly in the extreme-shift
+    * regimes the monitor exists for. Cell deviation dev = n·o − r·c is
+    * EXACT BIGINT (products bounded by n², inside int64 to ~3×10⁹ rows;
+    * past that counts rescale to milli-shares first — the
+    * q_cluster_purity note). Each cell's contribution dev²/(r·c·n) and
+    * expected count r·c/n are correctly-rounded IEEE chains on exact
+    * integers — bit-identical across engines — FLOOR-quantized to micro
+    * units per CELL so the total is an order-independent BIGINT sum
+    * (never a float fold).
     *
     * 100 TB shape: ONE scan, map-side-combined groupBy to the ≤|S|·|P|
     * cell table (15 rows here; bounded by the categorical domains, never
-    * by N); margins are windows over that bounded table; the single-row
-    * test-statistic join broadcasts (GlobalPlanSweepSpec allowlist). The
-    * dof critical value is data-independent, so the reject flag uses the
+    * by N); the densifying cross join and the single-row test-statistic
+    * join are domain-bounded broadcasts (GlobalPlanSweepSpec allowlist);
+    * margins are windows over the dense grid. The reject flag uses the
     * χ²₀.₀₅ quantile for the OBSERVED dof via the Wilson-Hilferty cube
     * approximation — computed in exact integer micro units on both sides.
     */
-  private def chi2Sql(intDiv: String): String =
+  private def chi2Sql: String = {
+    val wh = """(1.0E0 - 2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))
+               |  + 1.6449E0 * SQRT(2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))))""".stripMargin
     s"""WITH c AS (SELECT o_orderstatus AS status, o_orderpriority AS priority,
        |                  CAST(COUNT(*) AS BIGINT) AS o
        |           FROM orders GROUP BY o_orderstatus, o_orderpriority),
+       |ss AS (SELECT DISTINCT status FROM c),
+       |pp AS (SELECT DISTINCT priority FROM c),
+       |gc AS (SELECT g.status, g.priority, CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+       |       FROM (SELECT ss.status, pp.priority FROM ss CROSS JOIN pp) g
+       |       LEFT JOIN c ON c.status = g.status AND c.priority = g.priority),
        |m AS (SELECT status, priority, o,
        |             CAST(SUM(o) OVER (PARTITION BY status) AS BIGINT) AS r,
        |             CAST(SUM(o) OVER (PARTITION BY priority) AS BIGINT) AS cc,
        |             CAST(SUM(o) OVER () AS BIGINT) AS n
-       |      FROM c),
+       |      FROM gc),
        |cells AS (SELECT status, priority, o, r, cc, n,
        |                 n * o - r * cc AS dev_n,
-       |                 (r * cc * 1000000) $intDiv n AS exp_micro,
+       |                 CAST(FLOOR(CAST(r AS DOUBLE) * CAST(cc AS DOUBLE)
+       |                      / CAST(n AS DOUBLE) * 1.0E6 + 0.5E0) AS BIGINT) AS exp_micro,
        |                 CAST(FLOOR(CAST(n * o - r * cc AS DOUBLE) * CAST(n * o - r * cc AS DOUBLE)
        |                      / (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE) * CAST(n AS DOUBLE))
        |                      * 1.0E6 + 0.5E0) AS BIGINT) AS contrib_micro
@@ -66,12 +78,7 @@ object StatsInference {
        |crit AS (SELECT chi2_micro, nr, nc, n,
        |                (nr - 1) * (nc - 1) AS dof,
        |                CAST(FLOOR(CAST((nr - 1) * (nc - 1) AS DOUBLE)
-       |                     * (1.0E0 - 2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))
-       |                        + 1.6449E0 * SQRT(2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))))
-       |                     * (1.0E0 - 2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))
-       |                        + 1.6449E0 * SQRT(2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))))
-       |                     * (1.0E0 - 2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))
-       |                        + 1.6449E0 * SQRT(2.0E0 / (9.0E0 * CAST((nr - 1) * (nc - 1) AS DOUBLE))))
+       |                     * $wh * $wh * $wh
        |                     * 1.0E6 + 0.5E0) AS BIGINT) AS crit05_micro
        |         FROM tot)
        |SELECT cells.status, cells.priority, cells.o AS obs,
@@ -84,6 +91,7 @@ object StatsInference {
        |               * CAST(LEAST(crit.nr, crit.nc) - 1 AS DOUBLE))) AS cramers_v
        |FROM cells CROSS JOIN crit
        |ORDER BY cells.status, cells.priority""".stripMargin
+  }
 
   /** Binned Spearman rank correlation between order value and line count
     * (Spearman 1904) over per-order aggregates: are bigger orders bigger
@@ -95,9 +103,10 @@ object StatsInference {
     *
     * Exactness: 2·midrank is an exact integer (the ½-tie credit is
     * absorbed by carrying doubled ranks); all five moment sums fold over
-    * the bounded cell table in BIGINT (cells ≤ 64·48, weights ≤ N — the
-    * doubled-rank products stay inside int64 to ~2×10⁶ rows, past which
-    * the doc'd rescale is rank-milli-shares); the final correlation is
+    * the bounded cell table in BIGINT. The binding bound is the
+    * doubled-rank moment Σw·(2r)² ≤ 4N³: inside int64 only to ~1.3×10⁶
+    * rows (worst case; ~1.9×10⁶ typical) — past ~10⁶ rows the doc'd
+    * rescale is rank-milli-shares; the final correlation is
     * one shared double text over six exact integers. The moment
     * combination n·Σxy − Σx·Σy overflows int64 first, so it is computed
     * in DOUBLE — each operand an exact integer cast, every op correctly
@@ -342,7 +351,9 @@ object StatsInference {
     * 100 TB shape: one scan collapses to the (user, day) distinct table
     * (one exchange); the ×7 explode is calendar-bounded fan-out on that
     * already-collapsed table, NEVER on raw events; everything after is
-    * day-bounded. No range join, no broadcast — equi-joins only.
+    * day-bounded. The DAU↔WAU join is equi on the day; the only
+    * non-equi piece is the single-row span broadcast that trims the
+    * partial leading windows (sweep-allowlisted).
     */
   private def stickinessSql(epochUs: String, intDiv: String,
       anchorExplode: String): String =
@@ -357,7 +368,7 @@ object StatsInference {
        |SELECT CAST(dau.d AS BIGINT) AS epoch_day, dau.dau, wau.wau,
        |       CAST((dau.dau * 10000) $intDiv wau.wau AS BIGINT) AS stickiness_bp
        |FROM dau JOIN wau ON dau.d = wau.d
-       |         JOIN span ON dau.d >= span.d0 + 6 AND dau.d <= span.d1
+       |         JOIN span ON dau.d >= span.d0 + 6
        |ORDER BY epoch_day""".stripMargin
 
   /** Hill tail-index estimator over order values (Hill, "A simple
@@ -471,7 +482,7 @@ object StatsInference {
     "q_events_interarrival" -> sql2(
       interarrivalSql("unix_micros(CAST(ts AS TIMESTAMP))", "DIV"),
       interarrivalSql("epoch_us(ts)", "//")),
-    "q_stats_chi2" -> sql2(chi2Sql("DIV"), chi2Sql("//")),
+    "q_stats_chi2" -> QuerySpec.sql(chi2Sql),
     "q_stats_spearman" -> sql2(spearmanSql("DIV"), spearmanSql("//")),
     "q_stats_anova" -> sql2(anovaSql("DIV"), anovaSql("//")),
     "q_stats_kendall" -> sql2(kendallSql("DIV"), kendallSql("//")),
