@@ -48,6 +48,36 @@ class StatsInferenceSpec extends AnyFunSuite {
     })
   }
 
+  test("q_stats_chi2: an EMPTY contingency cell contributes its full Pearson term") {
+    // the fixture populates all 15 cells, so this pins the dense-grid fix
+    // on a synthetic table with one absent (status, priority) combo
+    val s2 = TestSpark.spark.newSession()
+    import scala.jdk.CollectionConverters._
+    val rows2 = Seq(
+      ("A", "p1", 30), ("A", "p2", 10),
+      ("B", "p1", 20) /* (B, p2) absent */).flatMap { case (st, pr, k) =>
+      (1 to k).map(_ => org.apache.spark.sql.Row(st, pr))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_orderpriority",
+        org.apache.spark.sql.types.StringType)))
+    s2.createDataFrame(rows2.asJava, schema).createOrReplaceTempView("orders")
+    val got = s2.sql(SparkEntry.oracleSql("q_stats_chi2")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6)))
+    assert(got.length == 4, "dense grid must emit the absent cell")
+    val empty = got.find(_._1 == (("B", "p2"))).get
+    assert(empty._2 == 0L, "absent cell observed count")
+    // E = r*c/n = 20*10/60; its Pearson term for o=0 is exactly E
+    val eMicro = math.floor(20.0 * 10.0 / 60.0 * 1e6 + 0.5).toLong
+    assert(empty._3 == eMicro, "absent cell expected count")
+    assert(empty._4 == eMicro, "absent cell chi2 contribution must equal E")
+    // total includes the empty-cell mass on every row
+    assert(got.forall(_._5 == got.map(_._4).sum))
+  }
+
   test("q_stats_spearman: binned midrank replay matches the moment sums and rho") {
     val po = Tables.lineitem(spark, sf)
       .selectExpr("l_orderkey",
