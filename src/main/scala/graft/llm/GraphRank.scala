@@ -136,11 +136,7 @@ object GraphRank {
     */
   private def pprSpark(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
-    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
-    val edges = docs
-      .crossJoin(nDf)
-      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
-      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+    val edges = syntheticEdgesRaw(docs)
     val seeds = docs.filter(expr("id % 29 = 0"))
     val ranks = personalizedPagerank(docs, edges, seeds, iters = 5)
     val top = ranks
@@ -197,13 +193,9 @@ object GraphRank {
     */
   private def pagerankSpark(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
-    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
     // doc_ids are dense 0..n-1 in the fixture, so the quadratic map lands
     // on valid node ids; real pipelines pass a real (src, dst) table here.
-    val edges = docs
-      .crossJoin(nDf)
-      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
-      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+    val edges = syntheticEdgesRaw(docs)
     val ranks = pagerank(docs, edges, iters = 5)
     val top = ranks.orderBy(col("rank").desc, col("id")).limit(20)
     top
@@ -594,11 +586,7 @@ object GraphRank {
     */
   private def hitsSpark(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
-    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
-    val edges = docs
-      .crossJoin(nDf)
-      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
-      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+    val edges = syntheticEdgesRaw(docs)
     val top = hits(docs, edges, iters = 3)
       .orderBy(col("a").desc, col("id")).limit(15)
     top
@@ -687,11 +675,7 @@ object GraphRank {
 
   private def bfsSpark(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
-    val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
-    val edges = docs
-      .crossJoin(nDf)
-      .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
-      .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
+    val edges = syntheticEdgesRaw(docs)
     val seeds = docs.filter(expr("id % 29 = 0"))
     bfsHops(docs, edges, seeds, iters = 5)
       .groupBy(coalesce(col("hop"), lit(-1L)).as("hop"))
@@ -825,14 +809,16 @@ object GraphRank {
     * the same recipe and are pinned by the driver record; consolidating
     * them is a quiet-round cleanup, not worth re-gating mid-round.
     */
-  private def syntheticEdges(docs: DataFrame): DataFrame = {
+  private[llm] def syntheticEdgesRaw(docs: DataFrame): DataFrame = {
     val nDf = broadcast(docs.agg(count(lit(1)).as("n")))
     docs
       .crossJoin(nDf)
       .select(col("id").as("src"), explode(expr("sequence(0, 2)")).as("j"), col("n"))
       .select(col("src"), expr("(src * src * 31 + (2 * j + 1) * 97) % n").as("dst"))
-      .distinct()
   }
+
+  private def syntheticEdges(docs: DataFrame): DataFrame =
+    syntheticEdgesRaw(docs).distinct()
 
   /** The oracle-side twin of [[syntheticEdges]]: nodes/n/e0/ed CTEs. */
   private val syntheticEdgesDuckCtes: String =
