@@ -60,7 +60,8 @@ object SparkEntry {
       graft.llm.EmbedAblation.specs ++
       graft.llm.GraphSearch.specs ++
       graft.llm.HnswSearch.specs ++
-      graft.streaming.EventStream.specs
+      graft.streaming.EventStream.specs ++
+      graft.substrait.SubstraitQueries.specs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -256,9 +256,22 @@ class FlightSqlService(
         CommandTicket(CommandPreparedStatementQuery(handleBytes)).encode)
     }
 
-  def getFlightInfoSubstraitPlan(plan: Array[Byte], meta: Meta = noMeta): FlightInfo =
-    throw Status.unimplemented(
-      "substrait plans are not supported (no substrait library offline)")
+  /** Substrait plan → schema + re-encoded ticket (service.rs:349-386):
+    * the plan is decoded for its schema but not executed; the ticket
+    * carries the original bytes back for DoGet. Decoding is the in-repo
+    * wire-format consumer (graft.substrait.SubstraitDecoder) standing in
+    * for `deserialize_bytes` + `from_substrait_plan`
+    * (service.rs:1018-1029) — no substrait-java exists offline.
+    */
+  def getFlightInfoSubstraitPlan(plan: Array[Byte], meta: Meta = noMeta): FlightInfo = wrap {
+    if (plan.isEmpty)
+      throw Status.invalidArgument("Expected substrait plan, found None")
+    val spark = provider.session(meta)
+    val df = graft.substrait.SubstraitDecoder.decode(spark, plan)
+    FlightInfo(
+      ArrowCodec.encodeSchema(schemaForPlan(df)),
+      CommandTicket(CommandStatementSubstraitPlan(plan)).encode)
+  }
 
   private def metadataInfo(cmd: Command, schema: StructType, spark: SparkSession): FlightInfo =
     FlightInfo(
@@ -294,9 +307,12 @@ class FlightSqlService(
         val handle = QueryHandle.decode(handleBytes)
         val df = boundPrepared(spark, handle.query, handle.parameters)
         ArrowCodec.encodeStream(df, fieldMetadata(df))
-      case CommandStatementSubstraitPlan(_) =>
-        throw Status.unimplemented(
-          "substrait plans are not supported (no substrait library offline)")
+      case CommandStatementSubstraitPlan(plan) =>
+        // service.rs:274-303: deserialize → logical plan → execute stream
+        if (plan.isEmpty)
+          throw Status.invalidArgument("Expected substrait plan, found None")
+        val df = graft.substrait.SubstraitDecoder.decode(spark, plan)
+        ArrowCodec.encodeStream(df, fieldMetadata(df))
       case CommandGetCatalogs() => ArrowCodec.encodeStream(Metadata.catalogs(spark))
       case cmd: CommandGetDbSchemas => ArrowCodec.encodeStream(Metadata.dbSchemas(spark, cmd))
       case cmd: CommandGetTables => ArrowCodec.encodeStream(Metadata.tables(spark, cmd))
