@@ -9,10 +9,15 @@ import graft.protocol.Proto.Writer
   * datafusion-flight-sql-server/src/service.rs:274-303).
   *
   * Wire layout follows the public Substrait protos and is cross-validated
-  * against an independent consumer: scripts/check_substrait.py executes
-  * builder output under Acero (pyarrow.substrait.run_query) and compares
-  * with DuckDB — so the producer and consumer here cannot simply share a
-  * private misreading of the format.
+  * against an independent consumer where that consumer supports the shape:
+  * scripts/check_substrait.py executes the join/filter/sort/fetch plan
+  * under Acero (pyarrow.substrait.run_query) and matches DuckDB exactly,
+  * and pins that the aggregate plan is rejected by Acero *only* for its
+  * missing `modulus` kernel (the bytes parse; the kernel is absent there).
+  * So the producer and the in-repo consumer cannot simply share a private
+  * misreading of the format. Run: `python3 scripts/check_substrait.py
+  * <sfDir> <planDir>` after `sbt "runMain graft.substrait.SubstraitPlanDump
+  * <planDir>"`.
   */
 object SubstraitBuilder {
 
@@ -102,9 +107,10 @@ object SubstraitBuilder {
     msg(_.bytesField(1, msg { w =>
       w.bytesField(2, msg { ns =>
         cols.foreach { case (n, _) => ns.stringField(1, n) }
+        // Type.Struct { types=1; type_variation_reference=2; nullability=3 }
         ns.bytesField(2, msg { st =>
           cols.foreach { case (_, t) => st.bytesField(1, t) }
-          st.varintField(4, 1)
+          st.varintField(3, 1)
         })
       })
       filter.foreach(w.bytesField(3, _))
@@ -198,6 +204,15 @@ object SubstraitBuilder {
 
   def cross(left: Array[Byte], right: Array[Byte]): Array[Byte] =
     msg(_.bytesField(12, msg { w => w.bytesField(2, left); w.bytesField(3, right) }))
+
+  val UnionDistinct = 5; val UnionAll = 6
+
+  /** SetRel { common=1; inputs=2; op=3 } (algebra.proto Rel oneof tag 8). */
+  def set(inputs: Seq[Array[Byte]], op: Int): Array[Byte] =
+    msg(_.bytesField(8, msg { w =>
+      inputs.foreach(w.bytesField(2, _))
+      w.varintField(3, op.toLong)
+    }))
 
   // ---- plan ----
 

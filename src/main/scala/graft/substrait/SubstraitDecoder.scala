@@ -24,14 +24,21 @@ import graft.protocol.Proto.Field
   * answer to DataFusion's consumer).
   *
   * Field numbers follow the public Substrait protos (substrait.io,
-  * proto/substrait/{plan,algebra,type,extensions}.proto) and were
-  * cross-validated byte-for-byte against an independent consumer: every
-  * shape the test encoder emits also executes under Acero
-  * (pyarrow.substrait.run_query) with identical results — see
-  * scripts/check_substrait.py.
+  * proto/substrait/{plan,algebra,type,extensions}.proto). Cross-validation
+  * against an independent consumer is partial, bounded by Acero's own
+  * coverage: scripts/check_substrait.py executes the builder's
+  * Read/Join/Filter/Project+emit/Sort/Fetch plan under Acero
+  * (pyarrow.substrait.run_query) and matches DuckDB exactly, and pins that
+  * the aggregate plan is rejected there *only* because Acero lacks a
+  * `modulus` kernel (the wire bytes themselves parse — the extension URIs,
+  * anchors and relation layout are accepted). Shapes Acero cannot run
+  * (decimal aggregate measures, post_join_filter — which Acero silently
+  * drops) are covered by the DuckDB oracle via SubstraitQueries and by
+  * SubstraitSpec unit tests instead.
   *
   * Supported relations: Read (named_table), Filter, Project (+emit),
-  * Fetch, Sort, Aggregate (single grouping), Join, Cross. Unsupported
+  * Fetch, Sort, Aggregate (single grouping), Join, Set (UNION ALL /
+  * UNION DISTINCT), Cross. Unsupported
   * relations and expressions fail with a message naming the construct,
   * mirroring the reference's error-not-guess behavior for plans its
   * consumer cannot map.
@@ -46,6 +53,7 @@ object SubstraitDecoder {
   private val RelSort = 5
   private val RelJoin = 6
   private val RelProject = 7
+  private val RelSet = 8
   private val RelCross = 12
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -225,6 +233,20 @@ object SubstraitDecoder {
           case Some(post) =>
             joined.filter(expression(post.bytes, joined.columns.map(joined(_)), fns))
           case None => joined
+        }
+
+      case RelSet =>
+        // SetRel { common=1; inputs=2; op=3 } — inputs union by POSITION
+        // (substrait fields are positional; internal names never match)
+        val inputs = body.filter(_.tag == 2).map(i => recur(i.bytes))
+        if (inputs.size < 2) fail("substrait: set relation needs at least two inputs")
+        val widths = inputs.map(_.columns.length).distinct
+        if (widths.size > 1)
+          fail(s"substrait: set inputs have mismatched widths ${widths.mkString(", ")}")
+        one(body, 3).map(_.varint).getOrElse(0L) match {
+          case 6 => inputs.reduce(_ union _) // UNION_ALL
+          case 5 => inputs.reduce(_ union _).distinct() // UNION_DISTINCT
+          case op => fail(s"substrait: unsupported set op $op (only UNION_ALL/UNION_DISTINCT)")
         }
 
       case RelCross =>

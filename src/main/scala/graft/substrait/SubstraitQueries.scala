@@ -20,9 +20,11 @@ object SubstraitQueries {
 
   /** read(orders) → filter(custkey%10=3) → project(cast decimal) →
     * aggregate(priority; count(*), sum) → project(cast fp64) → sort.
+    *
+    * scripts/check_substrait.py pins that Acero rejects this plan *only*
+    * for its missing `modulus` kernel — the wire bytes parse there.
     */
-  private def aggPlan(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+  private[substrait] def aggPlanBytes: Array[Byte] = {
     val fns = Seq(
       Fn(1, UriComparison, "equal:any_any"),
       Fn(2, UriArithmetic, "modulus:i64_i64"),
@@ -47,15 +49,26 @@ object SubstraitQueries {
     val recast = project(agged,
       Seq(cast(fieldRef(2), typ(FP64))), Some(Seq(0, 1, 3)))
     val sorted = sort(recast, Seq(fieldRef(0) -> AscLast))
-    val bytes = plan(sorted, Seq("o_orderpriority", "n", "total"), fns)
-    SubstraitDecoder.decode(spark, bytes)
+    plan(sorted, Seq("o_orderpriority", "n", "total"), fns)
   }
 
-  /** read(customer) ⋈ read(orders) on custkey → post filter → emit →
-    * sort → fetch: the join/fetch arms under the oracle gate.
-    */
-  private def joinPlan(spark: SparkSession, dir: String): DataFrame = {
+  private def aggPlan(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    SubstraitDecoder.decode(spark, aggPlanBytes)
+  }
+
+  /** read(customer) ⋈ read(orders) on custkey → FilterRel → emit →
+    * sort → fetch: the join/fetch arms under the oracle gate.
+    *
+    * The price predicate is a FilterRel ABOVE the join, not
+    * JoinRel.post_join_filter: at least one mainstream consumer (Acero)
+    * silently ignores post_join_filter, so a portable producer must not
+    * emit it — and keeping the plan Acero-runnable is what lets
+    * scripts/check_substrait.py cross-check these exact bytes against an
+    * independent consumer. post_join_filter decoding stays covered by
+    * SubstraitSpec.
+    */
+  private[substrait] def joinPlanBytes: Array[Byte] = {
     val fns = Seq(
       Fn(1, UriComparison, "equal:any_any"),
       Fn(2, UriComparison, "gt:any_any"))
@@ -68,17 +81,46 @@ object SubstraitQueries {
       "o_totalprice" -> typ(FP64)))
     // combined frame [c_custkey, c_mktsegment, o_orderkey, o_custkey, o_totalprice]
     val joined = join(cust, ords,
-      fn(1, typ(BOOL), fieldRef(0), fieldRef(3)), Inner,
-      postFilter = Some(fn(2, typ(BOOL), fieldRef(4), litF64(100000.0))))
+      fn(1, typ(BOOL), fieldRef(0), fieldRef(3)), Inner)
+    val filtered = filterRel(joined, fn(2, typ(BOOL), fieldRef(4), litF64(100000.0)))
     // passthrough project + emit trimming to [o_orderkey, c_mktsegment, o_totalprice]
     // (the canonical producer pattern: new exprs appended after the 5 input
     // fields, emit selecting only them)
-    val trimmed = project(joined,
+    val trimmed = project(filtered,
       Seq(fieldRef(2), fieldRef(1), fieldRef(4)), Some(Seq(5, 6, 7)))
     val sorted = sort(trimmed, Seq(fieldRef(0) -> AscLast))
     val limited = fetch(sorted, 0, 50)
-    val bytes = plan(limited, Seq("o_orderkey", "c_mktsegment", "price"), fns)
-    SubstraitDecoder.decode(spark, bytes)
+    plan(limited, Seq("o_orderkey", "c_mktsegment", "price"), fns)
+  }
+
+  private def joinPlan(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    SubstraitDecoder.decode(spark, joinPlanBytes)
+  }
+
+  /** Two filtered reads of orders → SetRel UNION_ALL → sort: the set-op
+    * arm (what a DataFusion federation client emits most after the core
+    * set). The two price ranges are disjoint so UNION ALL is
+    * duplicate-free and the final sort on the unique o_orderkey is
+    * deterministic. Acero-runnable end-to-end (check_substrait.py row 3).
+    */
+  private[substrait] def unionPlanBytes: Array[Byte] = {
+    val fns = Seq(
+      Fn(1, UriComparison, "gt:any_any"),
+      Fn(2, UriComparison, "lt:any_any"))
+    def ordersRead = readNamed("orders", Seq(
+      "o_orderkey" -> typ(I64),
+      "o_totalprice" -> typ(FP64)))
+    val hi = filterRel(ordersRead, fn(1, typ(BOOL), fieldRef(1), litF64(400000.0)))
+    val lo = filterRel(ordersRead, fn(2, typ(BOOL), fieldRef(1), litF64(2000.0)))
+    val unioned = set(Seq(hi, lo), UnionAll)
+    val sorted = sort(unioned, Seq(fieldRef(0) -> AscLast))
+    plan(sorted, Seq("o_orderkey", "price"), fns)
+  }
+
+  private def unionPlan(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    SubstraitDecoder.decode(spark, unionPlanBytes)
   }
 
   val specs: Map[String, QuerySpec] = Map(
@@ -93,5 +135,11 @@ object SubstraitQueries {
       """SELECT o_orderkey, c_mktsegment, o_totalprice AS price
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |WHERE o_totalprice > 100000.0
-        |ORDER BY o_orderkey LIMIT 50""".stripMargin))
+        |ORDER BY o_orderkey LIMIT 50""".stripMargin),
+
+    "q_substrait_union" -> QuerySpec.df(unionPlan,
+      """SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_totalprice > 400000.0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_totalprice < 2000.0
+        |ORDER BY o_orderkey""".stripMargin))
 }

@@ -439,6 +439,62 @@ class FlightSqlServiceSpec extends AnyFunSuite {
     assert(locked.getFlightInfoStatement("SELECT 1").ticket.nonEmpty)
   }
 
+  test("substrait plan e2e: GetFlightInfo schema, ticket round-trip, batches = SQL twin (service.rs:274-303/349-386)") {
+    import graft.substrait.SubstraitBuilder._
+    val fns = Seq(
+      Fn(1, UriComparison, "equal:any_any"),
+      Fn(2, UriComparison, "gt:any_any"))
+    val users = readNamed("users", Seq("id" -> typ(I32), "name" -> typ(STR)))
+    val orders = readNamed("orders", Seq(
+      "order_id" -> typ(I32), "user_id" -> typ(I32), "amount" -> typ(I32)))
+    // combined [id, name, order_id, user_id, amount] → filter → emit → sort
+    val joined = join(users, orders, fn(1, typ(BOOL), fieldRef(0), fieldRef(3)), Inner)
+    val filtered = filterRel(joined, fn(2, typ(BOOL), fieldRef(4), litI32(30)))
+    val trimmed = project(filtered, Seq(fieldRef(1), fieldRef(4)), Some(Seq(5, 6)))
+    val planBytes = plan(sort(trimmed, Seq(fieldRef(1) -> AscLast)),
+      Seq("name", "amount"), fns)
+
+    val info = service.getFlightInfoSubstraitPlan(planBytes)
+    // schema known before execution, named from the plan's root names
+    val schema = ArrowCodec.decodeSchema(info.schemaBytes)
+    assert(schema.getFields.size == 2)
+    assert(schema.getFields.get(0).getName == "name")
+    assert(schema.getFields.get(1).getName == "amount")
+    // the ticket carries the original plan bytes back (service.rs:349-386)
+    CommandTicket.decode(info.ticket).command match {
+      case CommandStatementSubstraitPlan(bytes) => assert(bytes.sameElements(planBytes))
+      case other => fail(s"expected a substrait ticket, got $other")
+    }
+    val result = ArrowCodec.decode(service.doGet(info.ticket).toBytes)
+    val twin = this.fetch(service,
+      """SELECT name, amount FROM users u JOIN orders o ON u.id = o.user_id
+        |WHERE amount > 30 ORDER BY amount""".stripMargin)
+    assert(result.rows == twin.rows)
+    assert(result.rows == Seq(Seq("Alice", 50), Seq("Bob", 75), Seq("Alice", 100)))
+  }
+
+  test("empty substrait plan errors on both arms (service.rs:280/361)") {
+    val e1 = intercept[Status](service.getFlightInfoSubstraitPlan(Array.emptyByteArray))
+    assert(e1.code == Status.InvalidArgument)
+    assert(e1.message == "Expected substrait plan, found None")
+    val e2 = intercept[Status](service.doGet(
+      CommandTicket(CommandStatementSubstraitPlan(Array.emptyByteArray)).encode))
+    assert(e2.code == Status.InvalidArgument)
+    assert(e2.message == "Expected substrait plan, found None")
+  }
+
+  test("unsupported substrait relation errors through the service, naming the construct") {
+    import graft.substrait.SubstraitBuilder._
+    import graft.protocol.Proto.Writer
+    def msgW(b: Writer => Unit): Array[Byte] = { val w = new Writer(); b(w); w.result() }
+    val users = readNamed("users", Seq("id" -> typ(I32), "name" -> typ(STR)))
+    val extensionSingle = msgW(_.bytesField(9, msgW(_.bytesField(1, users))))
+    val e = intercept[Status](
+      service.getFlightInfoSubstraitPlan(plan(extensionSingle, Nil, Nil)))
+    assert(e.code == Status.Internal)
+    assert(e.message.contains("unsupported relation tag 9"))
+  }
+
   test("statement ticket is self-contained: re-decodable and re-runnable (statelessness)") {
     val info = service.getFlightInfoStatement("SELECT COUNT(*) AS n FROM orders")
     // a 'different instance' — new service object — can serve the same ticket

@@ -1,0 +1,98 @@
+package graft.substrait
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.protocol.Proto.Writer
+import SubstraitBuilder._
+
+/** Unit coverage for decoder shapes the oracle queries no longer (or
+  * cannot) exercise: JoinRel.post_join_filter (q_substrait_join moved its
+  * predicate to a FilterRel because Acero silently drops post_join_filter
+  * — the decoder still honors it), set-op semantics, and the
+  * error-not-guess paths (unsupported relation/set-op/second grouping,
+  * mirroring the reference's behavior for plans its consumer cannot map,
+  * service.rs:1018-1029).
+  */
+class SubstraitSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.fixtures()
+
+  private def msgW(b: Writer => Unit): Array[Byte] = {
+    val w = new Writer(); b(w); w.result()
+  }
+
+  private def usersRead = readNamed("users", Seq(
+    "id" -> typ(I32), "name" -> typ(STR)))
+  private def ordersRead = readNamed("orders", Seq(
+    "order_id" -> typ(I32), "user_id" -> typ(I32), "amount" -> typ(I32)))
+
+  test("JoinRel.post_join_filter is applied by the decoder") {
+    val fns = Seq(
+      Fn(1, UriComparison, "equal:any_any"),
+      Fn(2, UriComparison, "gt:any_any"))
+    // combined frame [id, name, order_id, user_id, amount]
+    val joined = join(usersRead, ordersRead,
+      fn(1, typ(BOOL), fieldRef(0), fieldRef(3)), Inner,
+      postFilter = Some(fn(2, typ(BOOL), fieldRef(4), litI32(30))))
+    val trimmed = project(joined, Seq(fieldRef(1), fieldRef(4)), Some(Seq(5, 6)))
+    val sorted = sort(trimmed, Seq(fieldRef(1) -> AscLast))
+    val df = SubstraitDecoder.decode(spark,
+      plan(sorted, Seq("name", "amount"), fns))
+    val expected = spark.sql(
+      """SELECT name, amount FROM users u JOIN orders o ON u.id = o.user_id
+        |WHERE amount > 30 ORDER BY amount""".stripMargin)
+    assert(df.collect().toSeq == expected.collect().toSeq)
+    assert(df.columns.toSeq == Seq("name", "amount"))
+  }
+
+  test("SetRel UNION_DISTINCT dedups across inputs") {
+    val unioned = set(Seq(usersRead, usersRead), UnionDistinct)
+    val df = SubstraitDecoder.decode(spark,
+      plan(sort(unioned, Seq(fieldRef(0) -> AscLast)), Seq("id", "name"), Nil))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("SetRel rejects unsupported ops and mismatched widths by name") {
+    val minus = intercept[IllegalArgumentException] {
+      SubstraitDecoder.decode(spark, plan(set(Seq(usersRead, usersRead), 1), Nil, Nil))
+    }
+    assert(minus.getMessage.contains("unsupported set op 1"))
+    val width = intercept[IllegalArgumentException] {
+      SubstraitDecoder.decode(spark, plan(set(Seq(usersRead, ordersRead), UnionAll), Nil, Nil))
+    }
+    assert(width.getMessage.contains("mismatched widths"))
+  }
+
+  test("a second grouping (grouping sets) errors clearly") {
+    val fns = Seq(Fn(1, UriAggGeneric, "count:"))
+    // AggregateRel { input=2; groupings=3 (×2); measures=4 }
+    val agg = msgW(_.bytesField(4, msgW { w =>
+      w.bytesField(2, ordersRead)
+      w.bytesField(3, msgW(_.bytesField(1, fieldRef(0))))
+      w.bytesField(3, msgW(_.bytesField(1, fieldRef(1))))
+      w.bytesField(4, measure(1, typ(I64), Nil))
+    }))
+    val e = intercept[IllegalArgumentException] {
+      SubstraitDecoder.decode(spark, plan(agg, Seq("a", "b", "n"), fns))
+    }
+    assert(e.getMessage.contains("multiple groupings"))
+  }
+
+  test("an unsupported relation errors with its tag, never guesses") {
+    // extension_single = Rel oneof tag 9 — a relation this consumer
+    // deliberately does not map
+    val extensionSingle = msgW(_.bytesField(9, msgW(_.bytesField(1, usersRead))))
+    val e = intercept[IllegalArgumentException] {
+      SubstraitDecoder.decode(spark, plan(extensionSingle, Nil, Nil))
+    }
+    assert(e.getMessage.contains("unsupported relation tag 9"))
+  }
+
+  test("empty plan bytes fail with the no-relations error") {
+    val e = intercept[IllegalArgumentException] {
+      SubstraitDecoder.decode(spark, Array.emptyByteArray)
+    }
+    assert(e.getMessage.contains("plan has no relations"))
+  }
+}
