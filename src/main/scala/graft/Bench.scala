@@ -24,7 +24,12 @@ import org.apache.spark.sql.SparkSession
   * datum (one batched child, not a top-8 budget — the round-8 record
   * left 46 flags unadjudicated and the harness could no longer
   * adjudicate itself); `n_flagged`/`n_isolated` in the JSON prove the
-  * coverage.
+  * coverage. Round-11: staging steps are individually timed and
+  * success-recorded (`staging` = {step: {sec, ok}}, `warmup_failed`), and
+  * an isolation child whose own staging/warm-up threw is an INVALID
+  * adjudicator (`isolation_valid:false`, suppresses nothing) — an
+  * unrecorded staging failure used to shift artifact builds into the
+  * first in-matrix consumer and produce flags nobody could adjudicate.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,42 +47,50 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warm-up (untimed): a scan+join+agg+sort covers the batch codegen
-    // paths the matrix reuses (round-1 showed the first query absorbing
-    // ~4s of JIT); one streaming query warms the micro-batch engine +
-    // state store the same way (the first streaming query otherwise pays
-    // ~10s of one-off JIT that is engine setup, not query cost), and one
-    // window query warms WindowExec + the broadcast-build path (otherwise
-    // the alphabetically-first window consumer absorbs that JIT).
+    // Warm-up + staging run UNTIMED relative to the query matrix, but each
+    // step is itself timed and its success recorded (r10 verdict #2: an
+    // unrecorded staging failure shifts the artifact build into the first
+    // in-matrix consumer, producing regression flags no one can
+    // adjudicate). The JSON carries `staging` = {step: {sec, ok}} and
+    // `warmup_failed`; the isolation protocol refuses a child datum whose
+    // own staging/warm-up failed.
+    var stagingEntries = List.empty[(String, Double, Boolean)]
+    var warmupFailed = List.empty[String]
+    def staged(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      val ok = try { body; true } catch { case _: Throwable => false }
+      stagingEntries ::= ((name, (System.nanoTime() - t0) / 1e9, ok))
+    }
+
+    // Warm-up: a scan+join+agg+sort covers the batch codegen paths the
+    // matrix reuses (round-1 showed the first query absorbing ~4s of JIT);
+    // one streaming query warms the micro-batch engine + state store the
+    // same way (the first streaming query otherwise pays ~10s of one-off
+    // JIT that is engine setup, not query cost), and one window query
+    // warms WindowExec + the broadcast-build path (otherwise the
+    // alphabetically-first window consumer absorbs that JIT).
     Seq("q_agg_q1", "q_join_inner", "q_scan_project", "q_stream_window", "q_win_rank")
       .filter(SparkEntry.queries.contains)
-      .foreach(n => try materialize(n) catch { case _: Throwable => () })
+      .foreach(n => try materialize(n) catch { case _: Throwable => warmupFailed ::= n })
 
-    // Fixture staging (untimed): these write on-disk fixtures once per
-    // (session, dir); staging them here means the timed region measures
-    // stream execution / the shuffle-free join, not fixture rewrites.
-    try graft.streaming.EventStream.stageAll(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.queries.ExtraQueries.ensureBucketed(spark, sfDir)
-    catch { case _: Throwable => () }
-    // Serving-index staging (untimed): the BM25 posting/length tables and
-    // the two-level IVF assignment are build-once serve-many artifacts
-    // (in production, batch index jobs); the retrieval queries time the
-    // PROBE path. The build cost itself stays measured — q_ann_ivf_hier
-    // derives the same quantizer inline, and the text family pays its own
-    // corpus explodes.
-    try graft.llm.SearchRank.stageBm25(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.llm.AnnSql.stageHierIndex(spark, sfDir)
-    catch { case _: Throwable => () }
-    // graph-index artifacts for the two walk-serving queries (the kNN
-    // edge BUILD cost stays measured by q_ann_knn_graph itself)
-    try graft.llm.LlmQueries.knnEdgesCached(spark, sfDir)
-    catch { case _: Throwable => () }
-    try graft.llm.HnswSearch.stageEdgesL2(spark, sfDir) // also stages layer 1
-    catch { case _: Throwable => () }
-    try graft.llm.SearchRank.stageProbeWeights(spark, sfDir)
-    catch { case _: Throwable => () }
+    // Fixture staging: these write on-disk fixtures once per (session,
+    // dir); staging them here means the timed region measures stream
+    // execution / the shuffle-free join, not fixture rewrites.
+    staged("events_stream")(graft.streaming.EventStream.stageAll(spark, sfDir))
+    staged("bucketed_tables")(graft.queries.ExtraQueries.ensureBucketed(spark, sfDir))
+    // Serving-index staging: the BM25 posting/length tables and the
+    // two-level IVF assignment are build-once serve-many artifacts (in
+    // production, batch index jobs); the retrieval queries time the PROBE
+    // path. The build cost itself stays measured — q_ann_ivf_hier derives
+    // the same quantizer inline, and the text family pays its own corpus
+    // explodes.
+    staged("bm25_index")(graft.llm.SearchRank.stageBm25(spark, sfDir))
+    staged("ivf_hier_index")(graft.llm.AnnSql.stageHierIndex(spark, sfDir))
+    // graph-index artifacts for the walk-serving queries (the kNN edge
+    // BUILD cost stays measured by q_ann_knn_graph itself)
+    staged("knn_edges")(graft.llm.LlmQueries.knnEdgesCached(spark, sfDir))
+    staged("hnsw_edges")(graft.llm.HnswSearch.stageEdgesL2(spark, sfDir)) // also stages layer 1
+    staged("probe_weights")(graft.llm.SearchRank.stageProbeWeights(spark, sfDir))
 
     // Dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the timed matrix
     // (isolating one query from cross-query JVM state is the first step of
@@ -197,8 +210,8 @@ object Bench {
       * output goes to a temp file, so the parent's stdout stays the
       * driver's single JSON line.
       */
-    def isolatedTimes(names: Seq[String]): Map[String, Double] =
-      if (names.isEmpty) Map.empty
+    def isolatedTimes(names: Seq[String]): (Map[String, Double], Boolean) =
+      if (names.isEmpty) (Map.empty, true)
       else try {
         val tmp = Files.createTempFile("bench_iso_", ".json")
         val log = Files.createTempFile("bench_iso_", ".log")
@@ -220,7 +233,7 @@ object Bench {
         val p = pb.start()
         // generous: warm+time two passes over the flagged set
         val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
-        if (!done) { p.destroyForcibly(); Map.empty }
+        if (!done) { p.destroyForcibly(); (Map.empty, false) }
         else {
           // parse whatever the child recorded even on nonzero exit (a
           // single failing query must not discard the other adjudications)
@@ -230,17 +243,23 @@ object Bench {
             case i => childJson.substring(i + 11, childJson.indexOf('}', i))
           }
           val entry = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
-          entry.findAllMatchIn(qObj).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // adjudication validity: a child whose own staging or warm-up
+          // threw timed artifact BUILDS inside the flagged queries — its
+          // datum must not suppress (or confirm) anything
+          val childClean = !childJson.contains("\"ok\":false") &&
+            childJson.contains("\"warmup_failed\":[]")
+          (entry.findAllMatchIn(qObj).map(m => m.group(1) -> m.group(2).toDouble).toMap,
+            childClean)
         }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      } catch { case scala.util.control.NonFatal(_) => (Map.empty, false) }
 
     // A restricted (BENCH_ONLY) run never isolates — it IS the isolation
     // child.
-    val isolated: Map[String, Option[Double]] =
-      if (only.nonEmpty) Map.empty
+    val (isolated: Map[String, Option[Double]], isoValid: Boolean) =
+      if (only.nonEmpty) (Map.empty[String, Option[Double]], true)
       else {
-        val times = isolatedTimes(candidates.map(_._1).sorted)
-        candidates.map { case (n, _) => n -> times.get(n) }.toMap
+        val (times, clean) = isolatedTimes(candidates.map(_._1).sorted)
+        (candidates.map { case (n, _) => n -> times.get(n) }.toMap, clean)
       }
 
     def entryJson(n: String, v: Double): String = {
@@ -251,9 +270,11 @@ object Bench {
     // confirmed = still >1.3x calib-adjusted prev when re-timed in the
     // fresh flags-only JVM (or no isolation datum); within 1.3x isolated
     // = matrix/noise, suppressed into its own object so the evidence
-    // stays in the record
+    // stays in the record. An INVALID isolation run (child staging or
+    // warm-up threw) suppresses nothing — every flag stays confirmed with
+    // its datum visible, and `isolation_valid:false` says why.
     val (noise, confirmed) = candidates.partition { case (n, _) =>
-      isolated.get(n).flatten.exists(iso =>
+      isoValid && isolated.get(n).flatten.exists(iso =>
         prev.get(n).exists(p => iso / (p * calibFactor) <= 1.3))
     }
     val regressions = confirmed.map { case (n, v) => entryJson(n, v) }.mkString("{", ",", "}")
@@ -273,8 +294,12 @@ object Bench {
     val note = "r2 re-baseline: materializing noop-write action + warm-up " +
       "(r1 used count(), which let Catalyst drop sorts/projections); " +
       "r1_queries_total covers the original 33-query matrix under the new harness"
+    val stagingJson = stagingEntries.reverse
+      .map { case (n, s, ok) => s""""$n":{"sec":${f"$s%.3f"},"ok":$ok}""" }
+      .mkString("{", ",", "}")
+    val warmupJson = warmupFailed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"regressions_vs_prev":$regressions,"noise_suppressed":$suppressed,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"calib_sec":${f"$calibSec%.3f"},"prev_calib_sec":${f"$prevCalib%.3f"},"calib_factor":${f"$calibFactor%.3f"},"n_flagged":${candidates.size},"n_isolated":${isolated.count(_._2.nonEmpty)},"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"staging":$stagingJson,"warmup_failed":$warmupJson,"regressions_vs_prev":$regressions,"noise_suppressed":$suppressed,"isolation_valid":$isoValid,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"calib_sec":${f"$calibSec%.3f"},"prev_calib_sec":${f"$prevCalib%.3f"},"calib_factor":${f"$calibFactor%.3f"},"n_flagged":${candidates.size},"n_isolated":${isolated.count(_._2.nonEmpty)},"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
     println(json)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")

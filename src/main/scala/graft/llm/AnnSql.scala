@@ -1,5 +1,7 @@
 package graft.llm
 
+import graft.Staging.StagedDataFrame
+
 /** Embedding similarity SQL, generated for both dialects from shared
   * constants so Spark and the DuckDB oracle compute bit-identical doubles.
   *
@@ -907,8 +909,8 @@ object AnnSql {
     val (c1, a21, asn) = hierIndexCache.getOrElseUpdate((s, d)) {
       // unreferenced CTEs are pruned, so the two small extracts never run
       // the N-sized v1 window — only the asn build pays it, once
-      val c1 = s.sql(s"WITH $chain SELECT c1_id, c1e FROM c1").localCheckpoint(true)
-      val a21 = s.sql(s"WITH $chain SELECT cent_id, cv, c1_id FROM a21").localCheckpoint(true)
+      val c1 = s.sql(s"WITH $chain SELECT c1_id, c1e FROM c1").staged()
+      val a21 = s.sql(s"WITH $chain SELECT cent_id, cv, c1_id FROM a21").staged()
       val asn = s.sql(
         s"""WITH $chain,
            |asn AS (SELECT vec_id, v, cent_id FROM (
@@ -916,7 +918,7 @@ object AnnSql {
            |         row_number() OVER (PARTITION BY v.vec_id
            |           ORDER BY graft_cosine(v.v, a.cv) DESC, a.cent_id) AS rn
            |  FROM v1 v JOIN a21 a ON v.c1_id = a.c1_id) t WHERE rn = 1)
-           |SELECT vec_id, v, cent_id FROM asn""".stripMargin).localCheckpoint(true)
+           |SELECT vec_id, v, cent_id FROM asn""".stripMargin).staged()
       (c1, a21, asn)
     }
     c1.createOrReplaceTempView("hier_c1")

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.queries.QuerySpec
 import graft.queries.QuerySpec.sql2
+import graft.Staging.StagedDataFrame
 
 /** Data-selection operators — the "which documents do we actually train
   * on" stage that runs after dedup/cleaning in an LLM corpus pipeline:
@@ -142,7 +143,7 @@ object DataSelect {
            |SELECT b, CASE WHEN source IN $targetSrc THEN 1 ELSE 0 END AS t,
            |       CAST(COUNT(*) AS BIGINT) AS c
            |FROM g GROUP BY b, CASE WHEN source IN $targetSrc THEN 1 ELSE 0 END""".stripMargin)
-        .localCheckpoint(true)
+        .staged()
     }
     bc.createOrReplaceTempView(viewName)
   }
@@ -411,7 +412,7 @@ object DataSelect {
   private[llm] def stageRhoBg(s: org.apache.spark.sql.SparkSession, d: String): Unit =
     rhoBgCache.getOrElseUpdate((s, d)) {
       s.sql(s"WITH $bgHeadSpark SELECT doc_id, source, w1, w2 FROM bg")
-        .localCheckpoint(true)
+        .staged()
     }.createOrReplaceTempView("graft_rho_bg")
 
   private def rhoTail(bgRel: String, intDiv: String,
@@ -1020,7 +1021,7 @@ object DataSelect {
         s"""WITH ${ppsW0Ctes(
              "conv(substr(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10)", "DIV")}
            |SELECT doc_id, source, w, hkey, s1 FROM w0""".stripMargin)
-        .localCheckpoint(true)
+        .staged()
     }
     w0.createOrReplaceTempView("pps_w0")
   }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Staging.StagedDataFrame
 
 /** Near-duplicate clustering: connected components over the pair graph,
   * keeping the minimum doc_id as each cluster's representative — the
@@ -25,7 +26,7 @@ object DedupCluster {
   def clusters(pairs: DataFrame): DataFrame = {
     // Materialize the (possibly expensive) pair pipeline ONCE before the
     // union references it twice.
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val p = pairs.select(col("id1"), col("id2")).staged()
     // The iterative rounds shuffle only the label frontier (|nodes| rows,
     // a sliver of the corpus); run them at a narrow shuffle width and
     // restore afterwards — per-round latency is joins x partitions x
@@ -43,11 +44,11 @@ object DedupCluster {
   private def clustersLoop(p: DataFrame): DataFrame = {
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
-      .localCheckpoint(true)
+      .staged()
 
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .staged()
 
     var converged = false
     var rounds = 0

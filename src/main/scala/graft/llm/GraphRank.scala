@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.{QuerySpec, Tables}
+import graft.Staging.StagedDataFrame
 
 /** Link-graph centrality for crawl prioritization: iterative PageRank over
   * an arbitrary (src, dst) edge table — the primitive a web-scale corpus
@@ -56,7 +57,7 @@ object GraphRank {
     val eo = e0
       .join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .staged()
 
     var ranks = nodes.crossJoin(teleDf).select(col("id"), col("tele").as("rank"))
     for (_ <- 1 to iters) {
@@ -104,7 +105,7 @@ object GraphRank {
     val eo = e0
       .join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .staged()
 
     var ranks = nodes
       .join(sflag, nodes("id") === sflag("sid"), "left")
@@ -471,12 +472,12 @@ object GraphRank {
     val me = s.sql(s"WITH ${mutualCte("g_edges")} SELECT id1, id2 FROM me")
     var e = me.selectExpr("id1 AS node", "id2 AS nbr")
       .unionByName(me.selectExpr("id2 AS node", "id1 AS nbr"))
-      .localCheckpoint(true)
-    var alive = e.select("node").distinct().localCheckpoint(true)
+      .staged()
+    var alive = e.select("node").distinct().staged()
     var labels: DataFrame = null
     for (i <- 1 to 6) {
       val surv = e.groupBy("node").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 2).select("node").localCheckpoint(true)
+        .filter(col("deg") >= 2).select("node").staged()
       val peeled = alive.join(surv, Seq("node"), "left_anti")
         .select(col("node"), lit(i).as("peel_round"))
       labels = if (labels == null) peeled else labels.unionByName(peeled)
@@ -484,7 +485,7 @@ object GraphRank {
         .drop("n1")
         .join(surv.withColumnRenamed("node", "n2"), col("nbr") === col("n2"))
         .drop("n2")
-        .localCheckpoint(true)
+        .staged()
       alive = surv
     }
     labels = labels.unionByName(alive.select(col("node"), lit(7).as("peel_round")))
@@ -562,7 +563,7 @@ object GraphRank {
     */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(true)
+      .distinct().staged()
     var hub = nodes.select(col("id"), lit(1000L).as("h"))
     var auth = nodes.select(col("id"), lit(0L).as("a"))
     for (_ <- 1 to iters) {
@@ -570,12 +571,12 @@ object GraphRank {
         .groupBy("dst").agg(sum("h").as("a0"))
       auth = nodes.join(aIn, nodes("id") === aIn("dst"), "left")
         .select(nodes("id"), coalesce(col("a0"), lit(0L)).as("a"))
-        .localCheckpoint(true)
+        .staged()
       val hIn = e.join(auth, e("dst") === auth("id"))
         .groupBy("src").agg(sum("a").as("h0"))
       hub = nodes.join(hIn, nodes("id") === hIn("src"), "left")
         .select(nodes("id"), coalesce(col("h0"), lit(0L)).as("h"))
-        .localCheckpoint(true)
+        .staged()
     }
     auth.join(hub, "id")
   }
@@ -652,13 +653,13 @@ object GraphRank {
   def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().repartition(col("src")).localCheckpoint(true)
+      .distinct().repartition(col("src")).staged()
     val sflag = seeds.select(col("id").as("sid"))
     var dist = nodes
       .join(sflag, nodes("id") === sflag("sid"), "left")
       .select(col("id"),
         expr("CASE WHEN sid IS NULL THEN CAST(NULL AS BIGINT) ELSE 0L END").as("hop"))
-      .localCheckpoint(true)
+      .staged()
     for (_ <- 1 to iters) {
       val cand = e.join(dist, e("src") === dist("id"))
         .where(col("hop").isNotNull)
@@ -668,7 +669,7 @@ object GraphRank {
           expr("""CASE WHEN hop IS NULL THEN nh
                  |     WHEN nh IS NULL THEN hop
                  |     WHEN nh < hop THEN nh ELSE hop END""".stripMargin).as("hop"))
-        .localCheckpoint(true)
+        .staged()
     }
     dist
   }
@@ -856,7 +857,7 @@ object GraphRank {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
     // Staged once: in-degree pass + both degree joins reuse this
     // materialization instead of re-deriving the explode per consumer.
-    val edges = syntheticEdges(docs).localCheckpoint(true)
+    val edges = syntheticEdges(docs).staged()
     val ind = edges.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).cast("long").as("indeg"))
     val ex = edges
@@ -933,12 +934,12 @@ object GraphRank {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
     val edges = syntheticEdges(docs)
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .staged()
     // forward: level-synchronous BFS with path counts
     var level = docs.filter(expr("id % 499 = 0"))
       .select(col("id").as("seed"), col("id").as("node"),
         lit(1L).as("sig"), lit(0).as("depth"))
-      .localCheckpoint(true)
+      .staged()
     var visited = level
     val levels = scala.collection.mutable.ArrayBuffer(level)
     for (j <- 1 to BcHops) {
@@ -948,15 +949,15 @@ object GraphRank {
         .select(col("seed"), col("dst").as("node"), col("sig"), lit(j).as("depth"))
         .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
           col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
-        .localCheckpoint(true)
+        .staged()
       levels += nf
-      visited = visited.union(nf).localCheckpoint(true)
+      visited = visited.union(nf).staged()
       level = nf
     }
     // backward: dependency accumulation by decreasing depth
     var delta = levels(BcHops)
       .select(col("seed"), col("node"), col("sig"), lit(0L).as("dm"))
-      .localCheckpoint(true)
+      .staged()
     for (j <- (BcHops - 1) to 1 by -1) {
       val cur = levels(j)
       val contrib = cur
@@ -972,8 +973,8 @@ object GraphRank {
         .join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sig"),
           coalesce(col("dm"), lit(0L)).as("dm"))
-        .localCheckpoint(true)
-      delta = delta.union(dj).localCheckpoint(true)
+        .staged()
+      delta = delta.union(dj).staged()
     }
     // delta holds only depth-1..4 rows (the seed row never re-enters a
     // frontier — it is in v0), so no endpoint exclusion is needed here

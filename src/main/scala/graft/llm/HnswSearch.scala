@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.queries.QuerySpec
 import graft.queries.Tables
+import graft.Staging.StagedDataFrame
 
 /** Hierarchical graph-routed ANN search — the full HNSW discipline
   * (Malkov & Yashunin, "Efficient and robust approximate nearest neighbor
@@ -67,7 +68,7 @@ object HnswSearch {
       s.sql(AnnSql.knnDirectedSparkOver(3, s"${AnnSql.hnswLevelSpark} >= 1"))
         .unionByName(Tables.embeddings(s, d)
           .selectExpr("vec_id AS src", "vec_id AS dst", "CAST(1.0 AS DOUBLE) AS cos"))
-        .localCheckpoint(true)
+        .staged()
     }.createOrReplaceTempView("hnsw_l1")
   }
 
@@ -142,7 +143,7 @@ object HnswSearch {
       s.sql(AnnSql.knnDirectedSparkOver(3, s"${AnnSql.hnswLevelSpark} >= 2"))
         .unionByName(Tables.embeddings(s, d)
           .selectExpr("vec_id AS src", "vec_id AS dst", "CAST(1.0 AS DOUBLE) AS cos"))
-        .localCheckpoint(true)
+        .staged()
     }.createOrReplaceTempView("hnsw_l2")
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.{QuerySpec, Tables}
 import graft.queries.QuerySpec.{df, sql, sql2}
+import graft.Staging.StagedDataFrame
 
 /** LLM-training-data pipeline operators over the `documents`, `embeddings`
   * and `events` fixtures: deduplication (exact, MinHash+LSH, SimHash,
@@ -233,7 +234,7 @@ object LlmQueries {
   private def registerSig(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     Tables.registerAll(s, d)
     graft.functions.GraftFunctions.register(s)
-    sigCache.getOrElseUpdate((s, d)) { s.sql(AnnSql.sigStageSpark).localCheckpoint(true) }
+    sigCache.getOrElseUpdate((s, d)) { s.sql(AnnSql.sigStageSpark).staged() }
       .createOrReplaceTempView("ann_sig")
   }
 
@@ -255,7 +256,7 @@ object LlmQueries {
       s.sql(AnnSql.knnDirectedSpark(3))
         .unionByName(Tables.embeddings(s, d)
           .selectExpr("vec_id AS src", "vec_id AS dst", "CAST(1.0 AS DOUBLE) AS cos"))
-        .localCheckpoint(true)
+        .staged()
     }
 
   /** Memoized persistent corpus index for incremental dedup (same
@@ -270,7 +271,7 @@ object LlmQueries {
       val idx = MinHashDedup.CorpusIndex.build(
         Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
       MinHashDedup.CorpusIndex(
-        idx.banded.localCheckpoint(true), idx.words.localCheckpoint(true))
+        idx.banded.staged(), idx.words.staged())
     }
 
   /** Dialect-shared TF-IDF tail from the word stream `w` down: the idf
@@ -553,7 +554,7 @@ object LlmQueries {
         val me = s.sql(AnnSql.knnMutualOver("g_edges")).select(col("id1"), col("id2"))
         val labs = DedupCluster.clusters(me)
         val comps = labs.groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
-          .localCheckpoint(true)
+          .staged()
         val emb = Tables.embeddings(s, d).select(col("vec_id"))
         val iso = emb.join(labs, emb("vec_id") === labs("doc_id"), "left_anti")
         comps.agg(count(lit(1)).cast("long").as("n_components"),

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Staging.StagedDataFrame
 
 /** MinHash + LSH near-duplicate detection over a text column.
   *
@@ -36,7 +37,7 @@ object MinHashDedup {
       nearDuplicates(
         graft.queries.Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0),
         threshold)
-        .localCheckpoint(true)
+        .staged()
     }
 
   /** Distinct (doc_id, word) pairs — word-set semantics (1-gram shingles;
@@ -110,7 +111,7 @@ object MinHashDedup {
     // pipeline at sf0.1). This is the batch-side twin of CorpusIndex.banded,
     // which persists exactly this table for incremental dedup; on a
     // cluster the localCheckpoint swaps for a durable checkpoint/table.
-    val bk = banded(docs).localCheckpoint(true)
+    val bk = banded(docs).staged()
     val left = bk.withColumn("salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     val right = bk.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltFactor)))

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{QuerySpec, Tables}
+import graft.Staging.StagedDataFrame
 
 /** Maximal Marginal Relevance diversified selection (Carbonell &
   * Goldstein, SIGIR 1998) — the post-retrieval step between ranking and
@@ -56,7 +57,7 @@ object MmrSelect {
     Tables.registerAll(s, d)
     graft.functions.GraftFunctions.register(s)
     candCache.getOrElseUpdate((s, d)) {
-      s.sql(candSparkSql).localCheckpoint(true)
+      s.sql(candSparkSql).staged()
     }.createOrReplaceTempView("mmr_cand")
   }
 

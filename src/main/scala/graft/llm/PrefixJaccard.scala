@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Staging.StagedDataFrame
 
 /** Direct (no-LSH) exact set-similarity join via PREFIX FILTERING
   * (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity Search").
@@ -33,7 +34,7 @@ object PrefixJaccard {
     val w = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
-      .localCheckpoint(true) // one materialization serves all consumers
+      .staged() // one materialization serves all consumers
 
     val dfreq = w.groupBy("word").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy("df", "word")
@@ -76,7 +77,7 @@ object PrefixJaccard {
       // materialize the (small) verified set before the presentation sort —
       // the range partitioner's sampling pass would otherwise recompute the
       // whole candidate+verify subtree a second time
-      .localCheckpoint(true)
+      .staged()
       .orderBy("id1", "id2")
   }
 
@@ -95,7 +96,7 @@ object PrefixJaccard {
     val w = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
-      .localCheckpoint(true)
+      .staged()
 
     val dfreq = w.groupBy("word").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy("df", "word")
@@ -127,7 +128,7 @@ object PrefixJaccard {
       .filter(col("c") * tDen >= col("na") * tNum)
       .select(col("contained"), col("container"),
         expr("CAST(FLOOR(c * 10000.0 / na + 0.5) AS BIGINT)").as("containment_bp"))
-      .localCheckpoint(true)
+      .staged()
       .orderBy("contained", "container")
   }
 }

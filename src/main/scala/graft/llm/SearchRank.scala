@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.queries.QuerySpec
 import graft.queries.QuerySpec.sql2
+import graft.Staging.StagedDataFrame
 
 /** Retrieval-ranking and sketch-based corpus-analysis operators over the
   * `documents` / `embeddings` fixtures — the search side of a training-data
@@ -294,10 +295,10 @@ object SearchRank {
       val tf = s.sql(
         """SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
           |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
-          |GROUP BY doc_id, word""".stripMargin).localCheckpoint(true)
+          |GROUP BY doc_id, word""".stripMargin).staged()
       val dl = tf.groupBy("doc_id")
         .agg(org.apache.spark.sql.functions.sum("tf").cast("long").as("dl"))
-        .localCheckpoint(true)
+        .staged()
       (tf, dl)
     }
     tf.createOrReplaceTempView("bm25_tf")
@@ -685,7 +686,7 @@ object SearchRank {
     graft.queries.Tables.registerAll(s, d)
     graft.functions.GraftFunctions.register(s)
     probeWCache.getOrElseUpdate((s, d)) {
-      s.sql(AnnSql.probeTrainSpark()).localCheckpoint(true)
+      s.sql(AnnSql.probeTrainSpark()).staged()
     }
     ()
   }
@@ -697,7 +698,7 @@ object SearchRank {
         graft.functions.GraftFunctions.register(s)
         stageBm25(s, d)
         probeWCache.getOrElseUpdate((s, d)) {
-          s.sql(AnnSql.probeTrainSpark()).localCheckpoint(true)
+          s.sql(AnnSql.probeTrainSpark()).staged()
         }.createOrReplaceTempView("probe_w")
         s.sql(rerankSparkSql)
       },

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.queries.QuerySpec
+import graft.Staging.StagedDataFrame
 
 /** Token-level generative quality classifier — the Naive Bayes filter a
   * curation pipeline trains to separate "looks like the curated
@@ -125,7 +126,7 @@ object TextClassify {
            |             FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word),
            |${nbScoreCtes(NeutralMath.SparkKernel)}
            |SELECT doc_id, source, score_u, n_tok FROM sc""".stripMargin)
-        .localCheckpoint(true)
+        .staged()
     }
     sc.createOrReplaceTempView("nb_sc")
   }

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.queries.QuerySpec
 import graft.queries.QuerySpec.sql2
+import graft.Staging.StagedDataFrame
 
 /** Tokenizer-training and retrieval-index construction — the two
   * text-side index artifacts an LLM data platform builds over a corpus:
@@ -243,7 +244,7 @@ object TextIndex {
     docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .coalesce(1) // vocabulary-bounded: one partition beats 32 empty ones downstream
-      .localCheckpoint(true)
+      .staged()
   }
 
   private def stageWt(

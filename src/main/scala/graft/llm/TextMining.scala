@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.queries.QuerySpec
+import graft.Staging.StagedDataFrame
 
 /** Statistical phrase mining — PMI collocation extraction (Church &
   * Hanks, "Word association norms, mutual information, and lexicography",
@@ -148,10 +149,10 @@ object TextMining {
       val c = s.sql(
         """SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
           |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
-          |GROUP BY source, word""".stripMargin).localCheckpoint(true)
+          |GROUP BY source, word""".stripMargin).staged()
       val tt = c.groupBy("source")
         .agg(org.apache.spark.sql.functions.sum("c").as("n"))
-        .localCheckpoint(true)
+        .staged()
       (c, tt)
     }
     cnt.createOrReplaceTempView("js_cnt")
@@ -275,7 +276,7 @@ object TextMining {
         """SELECT DISTINCT element_at(w, i) AS w1, element_at(w, i + 1) AS w2
           |FROM (SELECT split(text, ' ') AS w FROM documents) d
           |LATERAL VIEW explode(sequence(1, size(w) - 1)) t AS i
-          |WHERE size(w) >= 2""".stripMargin).localCheckpoint(true)
+          |WHERE size(w) >= 2""".stripMargin).staged()
     }
     gp.createOrReplaceTempView("tr_pairs")
   }
@@ -432,7 +433,7 @@ object TextMining {
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)
         rakeCache.getOrElseUpdate((s, d)) {
-          s.sql(rakePhSpark).localCheckpoint(true)
+          s.sql(rakePhSpark).staged()
         }.createOrReplaceTempView("graft_rake_ph")
         s.sql(rakeSpark)
       },

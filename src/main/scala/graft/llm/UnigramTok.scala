@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.QuerySpec
+import graft.Staging.StagedDataFrame
 
 /** Unigram-LM tokenizer training step (Kudo, "Subword regularization:
   * improving neural network translation models with multiple subword
@@ -124,23 +125,23 @@ object UnigramTok {
     s.sql(wtFromBpe).createOrReplaceTempView("ut_wt")
     s.sql(s"""WITH ${ctTail("ut_wt", posExplodeSpark("ut_wt"), NeutralMath.SparkKernel)}
              |SELECT piece, c, cost_micro FROM ctf""".stripMargin)
-      .localCheckpoint(true).createOrReplaceTempView("ut_ct")
-    var b = s.sql(b0Sql("ut_wt")).localCheckpoint(true)
+      .staged().createOrReplaceTempView("ut_ct")
+    var b = s.sql(b0Sql("ut_wt")).staged()
     for (j <- 1 to MaxLen) {
       b.createOrReplaceTempView("ut_b")
-      b = b.union(s.sql(roundSql("ut_b", "ut_ct", j))).localCheckpoint(true)
+      b = b.union(s.sql(roundSql("ut_b", "ut_ct", j))).staged()
     }
     b.createOrReplaceTempView("ut_b")
     var st = s.sql(
       """SELECT word, pos, prev, piece FROM ut_b
-        |WHERE pos = length(word) AND pos > 0""".stripMargin).localCheckpoint(true)
+        |WHERE pos = length(word) AND pos > 0""".stripMargin).staged()
     var seg = st
     for (_ <- 1 until MaxLen) {
       st.createOrReplaceTempView("ut_s")
       st = s.sql(
         """SELECT b.word AS word, b.pos AS pos, b.prev AS prev, b.piece AS piece
           |FROM ut_b b JOIN ut_s s ON b.word = s.word AND b.pos = s.prev
-          |WHERE s.prev > 0""".stripMargin).localCheckpoint(true)
+          |WHERE s.prev > 0""".stripMargin).staged()
       seg = seg.union(st)
     }
     seg.select("word", "piece").createOrReplaceTempView("ut_seg")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Staging.StagedDataFrame
 
 /** Markov-chain (removal-effect) marketing attribution (Anderl, Becker,
   * v. Wangenheim & Schumann, "Mapping the customer journey", 2014; the
@@ -106,14 +107,14 @@ object MarkovAttribution {
   private def markovSpark(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
     // Staged journey rows: ONE corpus exchange, two bounded consumers.
-    s.sql(keptSql).localCheckpoint(true).createOrReplaceTempView("graft_mk_kept")
+    s.sql(keptSql).staged().createOrReplaceTempView("graft_mk_kept")
     s.sql(matrixSql("graft_mk_kept", "DIV"))
-      .localCheckpoint(true).createOrReplaceTempView("graft_mk_m")
+      .staged().createOrReplaceTempView("graft_mk_m")
     var p = s.sql(
       "SELECT scn, s, CAST(0 AS BIGINT) AS v FROM graft_mk_m WHERE 1 = 0")
     for (_ <- 1 to K) {
       p.createOrReplaceTempView("graft_mk_p")
-      p = s.sql(iterSql("graft_mk_m", "graft_mk_p", "DIV")).localCheckpoint(true)
+      p = s.sql(iterSql("graft_mk_m", "graft_mk_p", "DIV")).staged()
     }
     p.createOrReplaceTempView("graft_mk_p")
     s.sql(finalSql("graft_mk_p", "DIV"))

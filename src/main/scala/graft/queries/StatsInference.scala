@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.QuerySpec.sql2
+import graft.Staging.StagedDataFrame
 
 /** Categorical / rank inference tests a warehouse monitoring deployment
   * runs over the fact tables (the reference delegates its whole SQL
@@ -104,20 +105,25 @@ object StatsInference {
     * Exactness: 2·midrank is an exact integer (the ½-tie credit is
     * absorbed by carrying doubled ranks); all five moment sums fold over
     * the bounded cell table in BIGINT. The binding bound is the
-    * doubled-rank moment Σw·(2r)² ≤ 4N³: inside int64 only to ~1.3×10⁶
-    * rows (worst case; ~1.9×10⁶ typical) — past ~10⁶ rows the doc'd
-    * rescale is rank-milli-shares; the final correlation is
-    * one shared double text over six exact integers. The moment
-    * combination n·Σxy − Σx·Σy overflows int64 first, so it is computed
-    * in DOUBLE — each operand an exact integer cast, every op correctly
-    * rounded IEEE, bit-identical across engines.
+    * doubled-rank moment Σw·(2r)² ≤ 4N³ — inside int64 only to ~1.3×10⁶
+    * rows — so the SQL carries a rank-quantization guard in the text
+    * itself: when 2N+1 exceeds 2¹⁴ the doubled ranks are intDiv-rescaled
+    * to ≤ 2¹⁴ shares (sf = ceil((2N+1)/2¹⁴); Σw·q² ≤ N·2²⁸ keeps the fold
+    * in int64 to ~3×10¹⁰ rows). Below the threshold sf = 1 and every
+    * output is bit-identical to the unguarded form; above it the
+    * statistic is Spearman over deterministically quantized ranks
+    * (quantization error O(2⁻¹⁴) on a [−1,1] statistic) — identical on
+    * both engines because non-negative intDiv agrees everywhere. The
+    * moment combination n·Σxy − Σx·Σy overflows int64 first, so it is
+    * computed in DOUBLE — each operand an exact integer cast, every op
+    * correctly rounded IEEE, bit-identical across engines.
     *
     * 100 TB shape: one lineitem groupBy(orderkey) (map-side combined),
     * one bounded-grid groupBy, margins as windows over the bounded grid,
     * a single-row moment join — no rank window over the corpus, no
     * global sort (the classic exact-Spearman killer).
     */
-  private def spearmanSql(intDiv: String): String =
+  private[graft] def spearmanSql(intDiv: String): String =
     s"""WITH po AS (SELECT l_orderkey,
        |                  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
        |                  CAST(COUNT(*) AS BIGINT) AS nl
@@ -126,16 +132,20 @@ object StatsInference {
        |g AS (SELECT bx, by2, CAST(COUNT(*) AS BIGINT) AS w FROM b GROUP BY bx, by2),
        |mx AS (SELECT bx, CAST(SUM(w) AS BIGINT) AS cx FROM g GROUP BY bx),
        |my AS (SELECT by2, CAST(SUM(w) AS BIGINT) AS cy FROM g GROUP BY by2),
+       |nt AS (SELECT CAST(SUM(w) AS BIGINT) AS tn FROM g),
+       |sf AS (SELECT CASE WHEN 2 * tn + 1 <= 16384 THEN CAST(1 AS BIGINT)
+       |                   ELSE (2 * tn + 16384) $intDiv 16384 END AS sf
+       |       FROM nt),
        |rx AS (SELECT bx, cx,
-       |              2 * CAST(SUM(cx) OVER (ORDER BY bx
+       |              (2 * CAST(SUM(cx) OVER (ORDER BY bx
        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |                - cx + 1 AS r2x
-       |       FROM mx),
+       |                - cx + 1) $intDiv sf.sf AS r2x
+       |       FROM mx CROSS JOIN sf),
        |ry AS (SELECT by2, cy,
-       |              2 * CAST(SUM(cy) OVER (ORDER BY by2
+       |              (2 * CAST(SUM(cy) OVER (ORDER BY by2
        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |                - cy + 1 AS r2y
-       |       FROM my),
+       |                - cy + 1) $intDiv sf.sf AS r2y
+       |       FROM my CROSS JOIN sf),
        |j AS (SELECT g.w, rx.r2x, ry.r2y
        |      FROM g JOIN rx ON g.bx = rx.bx JOIN ry ON g.by2 = ry.by2),
        |s AS (SELECT CAST(SUM(w) AS BIGINT) AS n,
@@ -172,7 +182,7 @@ object StatsInference {
     * 100 TB shape: ONE scan, map-side-combined groupBy to K rows;
     * windows over the K-row table; nothing else.
     */
-  private def anovaSql(intDiv: String): String = {
+  private[graft] def anovaSql(intDiv: String): String = {
     val wh = """(1.0E0 - 2.0E0 / (9.0E0 * CAST(k - 1 AS DOUBLE))
                |  + 1.6449E0 * SQRT(2.0E0 / (9.0E0 * CAST(k - 1 AS DOUBLE))))""".stripMargin
     s"""WITH e AS (SELECT event_type AS g,
@@ -195,7 +205,9 @@ object StatsInference {
        |             tm2 - CAST(FLOOR(CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) + 0.5E0) AS BIGINT) AS ssb,
        |             tq - tm2 AS ssw
        |      FROM t)
-       |SELECT g AS event_type, n, CAST(s $intDiv n AS BIGINT) AS mean_cents,
+       |SELECT g AS event_type, n,
+       |       CAST(CASE WHEN s >= 0 THEN s $intDiv n
+       |                 ELSE 0 - ((0 - s) $intDiv n) END AS BIGINT) AS mean_cents,
        |       ssb AS ssb_cents2, ssw AS ssw_cents2,
        |       (CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
        |         / (CAST(ssw AS DOUBLE) / CAST(tn - k AS DOUBLE)) AS f_stat,
@@ -218,9 +230,11 @@ object StatsInference {
     * 100 TB shape: corpus work is the same one lineitem groupBy; the
     * self-join runs on the ≤|B1|·|B2| grid (domain-bounded, broadcast —
     * GlobalPlanSweepSpec allowlist), margins are windows over the grid.
-    * Pair counts stay in int64 to ~4×10⁹ orders (n²/2 < 2⁶³).
+    * Pair counts stay in int64 to ~4×10⁹ orders (n²/2 < 2⁶³). A fully
+    * tied variable (one occupied bin) makes n0 = tx (or ty); tau_b is
+    * then undefined and the CASE yields NULL instead of dividing by zero.
     */
-  private def kendallSql(intDiv: String): String =
+  private[graft] def kendallSql(intDiv: String): String =
     s"""WITH po AS (SELECT l_orderkey,
        |                  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
        |                  CAST(COUNT(*) AS BIGINT) AS nl
@@ -241,8 +255,10 @@ object StatsInference {
        |             (nt.n * (nt.n - 1)) $intDiv 2 AS n0
        |      FROM cd CROSS JOIN mx CROSS JOIN my CROSS JOIN nt)
        |SELECT n, conc, disc, tx AS ties_x, ty AS ties_y,
-       |       CAST(conc - disc AS DOUBLE)
-       |         / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) AS tau_b
+       |       CASE WHEN n0 > tx AND n0 > ty
+       |            THEN CAST(conc - disc AS DOUBLE)
+       |                 / SQRT(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+       |            END AS tau_b
        |FROM s""".stripMargin
 
   /** Two-feature OLS with intercept via the normal equations (Legendre
@@ -317,7 +333,7 @@ object StatsInference {
     * 100 TB shape: one scan, one user_id-partitioned LAG window (the
     * sessionize exchange), one map-side-combined groupBy to T rows.
     */
-  private def interarrivalSql(epochUs: String, intDiv: String): String =
+  private[graft] def interarrivalSql(epochUs: String, intDiv: String): String =
     s"""WITH e AS (SELECT event_type, user_id, event_id,
        |                  ($epochUs) $intDiv 1000000 AS sec
        |           FROM events),
@@ -330,12 +346,16 @@ object StatsInference {
        |             CAST(SUM(gap * gap) AS BIGINT) AS sgg
        |      FROM g WHERE gap IS NOT NULL GROUP BY event_type)
        |SELECT event_type, n AS n_gaps, CAST(sg $intDiv n AS BIGINT) AS mean_gap_sec,
-       |       (CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
-       |         / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) AS cv_sq,
-       |       (SQRT((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
-       |              / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) - 1.0E0)
-       |         / (SQRT((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
-       |                 / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) + 1.0E0) AS burstiness
+       |       CASE WHEN sg > 0
+       |            THEN (CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+       |                 / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+       |            END AS cv_sq,
+       |       CASE WHEN sg > 0
+       |            THEN (SQRT((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+       |                       / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) - 1.0E0)
+       |                 / (SQRT((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+       |                         / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))) + 1.0E0)
+       |            END AS burstiness
        |FROM m ORDER BY event_type""".stripMargin
 
   /** DAU / trailing-7-day WAU / stickiness per calendar day (the
@@ -459,7 +479,7 @@ object StatsInference {
 
   private def madSpark(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
-    s.sql(madMedSql("DIV")).localCheckpoint(true)
+    s.sql(madMedSql("DIV")).staged()
       .createOrReplaceTempView("graft_mad_med")
     s.sql(madTailSql("graft_mad_med", "DIV"))
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.queries.QuerySpec.{sql, sql2}
+import graft.Staging.StagedDataFrame
 
 /** Warehouse-maintenance operators a production deployment of the engine
   * runs alongside the query surface (the reference delegates this whole
@@ -1838,7 +1839,7 @@ object WarehouseQueries {
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)
         s.sql("SELECT user_id, collect_set(event_type) AS ts FROM events GROUP BY user_id")
-          .localCheckpoint(true)
+          .staged()
           .createOrReplaceTempView("lift_u")
         s.sql(liftTail)
       },

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Staging.StagedDataFrame
 
 /** Ingest-time ANN list assignment: a STREAM of incoming vectors is routed
   * to its IVF list through the SAME two-level quantizer the batch index
@@ -153,7 +154,7 @@ object VectorIngest {
       val members = spark
         .sql(indexSql +
           "SELECT c1_id, collect_list(struct(cent_id, cv)) AS members FROM a21 GROUP BY c1_id")
-        .localCheckpoint(true) // the persistent index artifact
+        .staged() // the persistent index artifact
       CellIndex(cells, members)
     }
 

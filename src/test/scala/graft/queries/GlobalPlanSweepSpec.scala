@@ -44,6 +44,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_stats_kmv_intersect", // T-row (event-type domain) pair table x <=T*128-row sketch rows
     "q_stats_chi2",          // single-row test-statistic join onto the <=|S|x|P| bounded cell table
     "q_stats_kendall",       // domain-bounded grid self-join + single-row pair/tie-total crossJoins
+    "q_stats_spearman",      // single-row rank-quantization factor (sf) crossJoins onto the bounded margins
     "q_graph_assortativity", // single-row node-count join builds the synthetic edge table (hits shape)
     "q_graph_betweenness",   // single-row node-count join builds the synthetic edge table; BFS/Brandes rounds equi
     "q_events_markov_attribution", // <=T+1-row scenario table x <=(T+1)^2 transition matrix; 1-row base join
@@ -106,6 +107,108 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_stats_gini",          // domain-bounded bin-offset self-joins + 10-row decile probe + 1-row totals
     "q_text_heaps_fit"       // 8-row cutoff-table theta join (bootstrap-spine shape) + 1-row fit broadcast
   )
+
+  /** Unpartitioned-window allowlist: every entry must feed the window a
+    * DOMAIN-BOUNDED input (bin/category/cell tables whose size is fixed by
+    * construction, never by N) — a global window over a corpus-sized input
+    * single-threads the whole dataset through one task at 100 TB. Entries
+    * are justified line-by-line; WindowGroupLimit-bounded windows (rank
+    * filters Spark pushes a global limit under) pass without listing.
+    */
+  private val unpartitionedWindowBounded = Set(
+    // two-level quantizer family: windows run on the staged CELL /
+    // centroid tables (nlist1 ~ N^(1/4), nlist ~ sqrt(N) — sublinear by
+    // construction; the corpus-sized assignment join is equi and carries
+    // no window)
+    "q_ann_ivf_hier",        // 4: cell-table cut/rank windows
+    "q_ann_ivfpq",           // 4: cell table + per-subspace codebook (256 rows)
+    "q_ann_ivfpq_residual",  // 10: cell table + residual codebooks (256 rows each)
+    "q_ann_kmeans",          // 2: centroid-table convergence windows
+    "q_ann_list_rebalance",  // 2: cell-occupancy table windows
+    "q_cluster_purity",      // 24: hierAsnCtes cell-table label/majority windows
+    "q_cluster_silhouette",  // 4: same hierAsnCtes cell-table shape
+    "q_dedup_semantic",      // 4: SemDeDup cell-table windows
+    "q_sample_coreset",      // 2: cell-table sensitivity windows
+    // sampling/mix designs: windows over the SOURCE/STRATA domain tables
+    // (|sources| rows — categorical domain, never N)
+    "q_mix_unimax",          // 4: per-source budget waterfilling windows
+    "q_sample_neyman",       // 4: per-stratum allocation windows
+    "q_sample_ht_estimate",  // 1: prefix-sum LEVEL table (N/4096 block keys; doc'd PPS chain)
+    "q_sample_pps_systematic", // 1: same prefix-sum level-table shape
+    // graph walk serving: windows rank the per-hop frontier (<= |labels|
+    // x beam-width rows by construction; the hop join is equi)
+    "q_ann_graph_search",    // 1: final beam ranking
+    "q_ann_hnsw_search",     // 1: final beam ranking
+    "q_ann_hnsw_l2",         // 1: final beam ranking
+    // iterate-chain linear algebra: d^2-sized iterates (d = 8 embedding dims)
+    "q_embed_pca_project",   // 8: per-iteration norm/deflation windows (8-row)
+    // events: windows over domain-bounded derived tables
+    "q_events_cuped",        // 1: 2-row moments table (midpoint cut)
+    "q_events_markov_attribution", // 2: <=(T+1)^2 transition matrix (T = event types)
+    "q_events_survival_km",  // 3: distinct event-DAY risk table (calendar-bounded)
+    "q_events_nelson_aalen", // 3: same calendar-bounded risk-set table
+    // test statistics: windows over bounded grids / bin / group tables
+    "q_stats_anova",         // 1: K-row group-moment table (K = event types)
+    "q_stats_benford",       // 2: 9-row first-digit table
+    "q_stats_bootstrap_ci",  // 1: 32-row replica table
+    "q_stats_chi2",          // 2: <=|S|x|P| dense contingency cells
+    "q_stats_ks_test",       // 2: value-bin grid (2^20-cent bins; domain-bounded)
+    "q_stats_mannwhitney",   // 2: same binned-grid midrank margins
+    "q_stats_spearman",      // 2: bounded-grid rank margins (mx/my)
+    // time series: calendar-bounded dense hourly series (~720 rows)
+    "q_ts_changepoint",      // 1: prefix-moment window over the hourly series
+    "q_ts_seasonal_decompose", // 1: same dense-series shape
+    "q_ts_theil_sen",        // 2: dense-series pair ranks (autocorr contract)
+    // text/tokenizer: windows over vocabulary-bounded TYPE tables (word/
+    // bigram/merge/piece types — the repo-wide "vocabulary-bounded"
+    // convention the BNLJ allowlist documents; corpus TOKEN streams never
+    // carry a global window)
+    "q_text_bpe_encode",     // 1: merge-rule table (fixed merge budget)
+    "q_text_good_turing",    // 1: freq-of-freq table (<= max count rows)
+    "q_text_label_noise",    // 1: class-threshold table (class domain)
+    "q_text_nb_auc",         // 1: 256-bin score histogram
+    "q_text_nb_quality",     // 1: vocabulary-bounded model table
+    "q_text_pmi_collocations", // 1: bigram TYPE total (SUM OVER () on the type table)
+    "q_text_textrank",       // 47: word-graph pagerank iterations (vocabulary-bounded nodes)
+    "q_text_unigram_tok_em", // 1: piece-candidate TYPE table
+    // retrieval serving: windows over the per-query candidate tables
+    // (posting-intersection bounded; PlanAuditSpec pins zero corpus scans)
+    "q_search_rag_pack",     // 1: packed-candidate ranking
+    "q_search_rerank_probe"  // 1: candidate-feature ranking
+  )
+
+  test("unpartitioned windows are group-limit-bounded or run on domain-bounded inputs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow, WindowGroupLimit => LWindowGroupLimit}
+    val spark = TestSpark.spark.newSession()
+    val skip = (n: String) => n.startsWith("q_stream_")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skip(name) => Nil
+      case (name, fn) =>
+        val lp = fn(spark, sf)
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.optimizedPlan
+        val unpartitioned = lp.collectWithSubqueries {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        // bounded-by-optimizer: a rank predicate Spark pushed DIRECTLY
+        // under the window as WindowGroupLimit or GlobalLimit
+        // (empty-partition windows get the Limit+Sort form — a
+        // distributed top-k; only <= K rows reach the single-partition
+        // window). Direct child only: a limit deep on another branch
+        // does not bound this window's input.
+        def bounded(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+          p match {
+            case _: LWindowGroupLimit | _: GlobalLimit => true
+            case pr: org.apache.spark.sql.catalyst.plans.logical.Project => bounded(pr.child)
+            case _ => false
+          }
+        val unbounded = unpartitioned.filterNot(w => bounded(w.child))
+        if (unbounded.nonEmpty && !unpartitionedWindowBounded(name))
+          Seq(s"$name: ${unbounded.size} unpartitioned window(s) without group limit")
+        else Nil
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 
   test("no cartesian anywhere; nested-loop joins only with constant-bounded broadcast sides") {
     // own session: temp views are a per-session namespace, and the

@@ -309,6 +309,132 @@ class StatsInferenceSpec extends AnyFunSuite {
     assert(mad > 0 && mad < med)
   }
 
+  // ---- degenerate-fixture guards (round-10 ADVICE: the shared SQL text
+  // must carry its own CASE guards; each test below pins one) ----
+
+  private def lineitemView(s: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, Double)]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("l_extendedprice",
+        org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+      .createOrReplaceTempView("lineitem")
+  }
+
+  test("q_stats_kendall: a fully tied variable yields NULL tau_b, not a division by zero") {
+    val s2 = TestSpark.spark.newSession()
+    // every order lands in the SAME price bin (bx identical) -> n0 = tx
+    lineitemView(s2, Seq((1L, 10.0), (1L, 10.0), (2L, 10.0), (3L, 10.0), (3L, 12.0)))
+    val got = s2.sql(StatsInference.kendallSql("DIV")).collect()
+    assert(got.length == 1)
+    assert(got.head.isNullAt(5), "tau_b must be NULL on a degenerate grid")
+    assert(got.head.getLong(0) == 3L) // the exact counts still report
+  }
+
+  test("q_events_interarrival: all-zero gaps yield NULL cv_sq/burstiness, not NaN") {
+    val s2 = TestSpark.spark.newSession()
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampNTZType)))
+    val t0 = java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0)
+    // one user firing twice in the SAME second -> gap = 0 -> sg = 0
+    val rows2 = Seq(
+      org.apache.spark.sql.Row("burst", 1L, 1L, t0),
+      org.apache.spark.sql.Row("burst", 1L, 2L, t0))
+    s2.createDataFrame(rows2.asJava, schema).createOrReplaceTempView("events")
+    val got = s2.sql(StatsInference.interarrivalSql(
+      "unix_micros(CAST(ts AS TIMESTAMP))", "DIV")).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 1L && got.head.getLong(2) == 0L)
+    assert(got.head.isNullAt(3), "cv_sq must be NULL when sg = 0")
+    assert(got.head.isNullAt(4), "burstiness must be NULL when sg = 0")
+  }
+
+  test("q_stats_anova: negative value sums keep truncation-toward-zero mean_cents") {
+    val s2 = TestSpark.spark.newSession()
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    // refunds: s = -3 cents over n = 2 -> mean_cents must be -1 (trunc),
+    // never -2 (floor) on either engine
+    val rows2 = Seq(
+      org.apache.spark.sql.Row("refund", -0.01), org.apache.spark.sql.Row("refund", -0.02),
+      org.apache.spark.sql.Row("sale", 1.0), org.apache.spark.sql.Row("sale", 2.0))
+    s2.createDataFrame(rows2.asJava, schema).createOrReplaceTempView("events")
+    val got = s2.sql(StatsInference.anovaSql("DIV")).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("refund") == -1L, s"mean_cents trunc-toward-zero, got ${got("refund")}")
+    assert(got("sale") == 150L)
+  }
+
+  test("q_stats_spearman: past 2^14 doubled ranks the in-text rescale keeps moments in int64") {
+    val s2 = TestSpark.spark.newSession()
+    // 9000 single-line orders -> 2N+1 = 18001 > 16384 -> sf = 2; prices
+    // spread over ~900 distinct price bins so ranks genuinely vary
+    val n = 9000
+    val rows2 = (0 until n).map(i =>
+      ((i + 1).toLong, (i % 900) * 10486.0 + 1.0))
+    lineitemView(s2, rows2)
+    val got = s2.sql(StatsInference.spearmanSql("DIV")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == n.toLong)
+    // quantized doubled ranks are <= 2^14, so sxx <= N * 2^28: replay it
+    val sf = (2L * n + 16384L) / 16384L
+    val binned = rows2.map { case (_, p) =>
+      (math.floor(p * 100 + 0.5).toLong / 1048576L, 1L)
+    }
+    val counts = binned.map(_._1).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val sorted = counts.toSeq.sortBy(_._1)
+    var cum = 0L
+    val q2x = sorted.map { case (k, c) => cum += c; k -> (2 * cum - c + 1) / sf }.toMap
+    val sxx = binned.map(b => q2x(b._1) * q2x(b._1)).sum
+    assert(r.getLong(3) == sxx, "rescaled xx moment differs from replay")
+    assert(sxx <= n.toLong * (1L << 28), "moment bound")
+    // all line counts are 1 -> y fully tied -> rho undefined -> NULL
+    assert(r.isNullAt(6))
+  }
+
+  test("q_stats_spearman: below the rescale threshold outputs are the unguarded form (sf = 1)") {
+    val s2 = TestSpark.spark.newSession()
+    // 100 orders, alternating 1/2-line, prices increasing with lines
+    val rows2 = (0 until 100).flatMap { i =>
+      val ok = (i + 1).toLong
+      if (i % 2 == 0) Seq((ok, 2e6 + i * 3e4)) else Seq((ok, 1e6), (ok, 1e6 + i * 2e4))
+    }
+    lineitemView(s2, rows2)
+    val got = s2.sql(StatsInference.spearmanSql("DIV")).collect().head
+    // replay with RAW doubled ranks (sf = 1 path)
+    val po = rows2.groupBy(_._1).toSeq.map { case (_, ls) =>
+      (ls.map(p => math.floor(p._2 * 100 + 0.5).toLong).sum / 1048576L,
+        math.min(ls.length.toLong, 47L))
+    }
+    def rank2(keys: Seq[Long]): Map[Long, Long] = {
+      val sorted = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      sorted.map { case (k, c) => cum += c; k -> (2 * cum - c + 1) }.toMap
+    }
+    val r2x = rank2(po.map(_._1)); val r2y = rank2(po.map(_._2))
+    assert(got.getLong(1) == po.map(b => r2x(b._1)).sum)
+    assert(got.getLong(2) == po.map(b => r2y(b._2)).sum)
+    assert(got.getLong(5) == po.map(b => r2x(b._1) * r2y(b._2)).sum)
+  }
+
   test("q_graph_assortativity: degree replay over the synthetic citation graph") {
     val n = Tables.documents(spark, sf).count()
     val edges = (0L until n).flatMap { id =>

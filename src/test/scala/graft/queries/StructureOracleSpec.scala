@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.TestSpark
+
+/** Content pins for the engine-specific metadata queries the driver can
+  * only rows-check (`no_oracle` rows in CORRECTNESS): q_show and
+  * q_describe get exact normalized-relation assertions here (round-10
+  * verdict #8), so "returns rows" is backed by "returns THE rows".
+  */
+class StructureOracleSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_show: exactly the ten fixture temp views, all temporary, no namespace") {
+    // fresh session: the shared one accumulates staged views (g_edges,
+    // ann_sig, …) from other suites
+    val spark = TestSpark.spark.newSession()
+    val rows = SparkEntry.queries("q_show")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val expected = Tables.names.map(n => ("", n, true)).toSet
+    assert(rows.toSet == expected,
+      s"SHOW TABLES must list exactly the fixture registry; got ${rows.toSet}")
+    assert(rows.length == Tables.names.length, "no duplicate rows")
+  }
+
+  test("q_describe: the orders relation schema, column for column") {
+    val spark = TestSpark.spark.newSession()
+    val rows = SparkEntry.queries("q_describe")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // normalized expectation: DESCRIBE returns (col_name, data_type) in
+    // declaration order; the comment column is NULL/empty for parquet
+    // fixtures. Types pinned literally — FixtureSchemaCanarySpec guards
+    // the loader, this guards what DESCRIBE exposes of it.
+    val expected = Seq(
+      "o_orderkey" -> "bigint",
+      "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string",
+      "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp_ntz", // parquet timestamp[us] reads NTZ (FixtureSchemaCanarySpec contract)
+      "o_orderpriority" -> "string")
+    assert(rows.map(r => (r._1, r._2)).toSeq == expected,
+      s"DESCRIBE orders mismatch: ${rows.toSeq}")
+  }
+}
