@@ -119,8 +119,15 @@ object MstCluster {
   private val mstRunCache = new graft.LruMemo[
     (SparkSession, String), (DataFrame, DataFrame)](8)
 
+  /** Diagnostic: how many times the Borůvka rounds actually ran —
+    * MstClusterSpec pins that the census and the single-linkage cut share
+    * ONE run per (session, dir) (the memo-hit claim, made testable).
+    */
+  private[llm] val boruvkaBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def mstRunCached(s: SparkSession, d: String): (DataFrame, DataFrame) =
     mstRunCache.getOrElseUpdate((s, d)) {
+      boruvkaBuilds.incrementAndGet()
       LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
       boruvkaRun(s.sql(mutualWeightedSpark), rounds, jumps)
     }

@@ -97,4 +97,15 @@ class MstClusterSpec extends AnyFunSuite {
     // histogram covers the node universe
     assert(exp.map { case (sz, n) => sz * n }.sum == nodes.length.toLong)
   }
+
+  test("census and single-linkage cut share ONE Borůvka run per (session, dir)") {
+    // the r10 plan audit asked for proof the memo hits in-matrix: the two
+    // heaviest graph queries must not each pay the rounds
+    val sess = spark.newSession()
+    val before = MstCluster.boruvkaBuilds.get()
+    graft.SparkEntry.queries("q_graph_mst_boruvka")(sess, sf).collect()
+    graft.SparkEntry.queries("q_cluster_single_linkage")(sess, sf).collect()
+    assert(MstCluster.boruvkaBuilds.get() - before == 1,
+      "the second consumer must reuse the memoized Borůvka run")
+  }
 }
