@@ -15,6 +15,10 @@ engines, with truthful scope (what each engine can actually run):
      consumer; execution stops at kernel lookup. Result equivalence for
      this plan is covered by the driver's DuckDB oracle (CORRECTNESS gate,
      q_substrait_exec) via graft's own decoder instead.
+  4. q_substrait_window — Acero has no window-function expression support
+     at all; the check pins that its rejection names the window construct
+     (the bytes still parse as a plan). Result equivalence rides the
+     DuckDB oracle (q_substrait_window).
 
 Usage:
   sbt "runMain graft.substrait.SubstraitPlanDump target/substrait-plans"
@@ -92,7 +96,25 @@ def main(sf_dir: str, plan_dir: str) -> int:
         print(f"FAIL q_substrait_exec: {type(e).__name__}: {str(e)[:200]}")
         failures += 1
 
-    print(f"{'PASS' if failures == 0 else 'FAIL'}: {3 - failures}/3 substrait cross-checks green")
+    # --- the window plan: pin Acero's rejection to the window construct ---
+    plan = open(f"{plan_dir}/q_substrait_window.plan", "rb").read()
+    try:
+        ps.run_query(pa.py_buffer(plan), table_provider=provider).read_all()
+        print("FAIL q_substrait_window: unexpectedly ran under Acero — tighten this "
+              "check to a full row comparison")
+        failures += 1
+    except Exception as e:
+        msg = str(e).lower()
+        if "window" in msg:
+            print("OK   q_substrait_window: bytes parse under Acero; rejected on the "
+                  "window-function expression it does not support (result equivalence "
+                  "covered by the DuckDB oracle via graft's decoder)")
+        else:
+            print(f"FAIL q_substrait_window: rejected without naming the window "
+                  f"construct: {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {4 - failures}/4 substrait cross-checks green")
     return 1 if failures else 0
 
 

@@ -81,6 +81,28 @@ object SubstraitBuilder {
   def cast(input: Array[Byte], to: Array[Byte]): Array[Byte] =
     msg(_.bytesField(11, msg { w => w.bytesField(1, to); w.bytesField(2, input) }))
 
+  /** Expression.WindowFunction (tag 5) { function_reference=1;
+    * partitions=2; sorts=3; phase=6; output_type=7; arguments=9;
+    * invocation=11 } — default (unspecified) frame bounds only.
+    */
+  def windowFn(
+      anchor: Int,
+      outType: Array[Byte],
+      partitions: Seq[Array[Byte]],
+      sorts: Seq[(Array[Byte], Int)],
+      args: Seq[Array[Byte]] = Nil): Array[Byte] =
+    msg(_.bytesField(5, msg { w =>
+      if (anchor != 0) w.varintField(1, anchor.toLong)
+      partitions.foreach(w.bytesField(2, _))
+      sorts.foreach { case (e, dir) =>
+        w.bytesField(3, msg { sf => sf.bytesField(1, e); sf.varintField(2, dir.toLong) })
+      }
+      w.varintField(6, 3) // AGGREGATION_PHASE_INITIAL_TO_RESULT
+      w.bytesField(7, outType)
+      args.foreach(a => w.bytesField(9, msg(_.bytesField(3, a))))
+      w.varintField(11, 1) // AGGREGATION_INVOCATION_ALL
+    }))
+
   def ifThen(clauses: Seq[(Array[Byte], Array[Byte])], els: Option[Array[Byte]]): Array[Byte] =
     msg(_.bytesField(6, msg { w =>
       clauses.foreach { case (c, t) =>

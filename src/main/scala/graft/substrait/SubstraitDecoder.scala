@@ -38,7 +38,8 @@ import graft.protocol.Proto.Field
   *
   * Supported relations: Read (named_table), Filter, Project (+emit),
   * Fetch, Sort, Aggregate (single grouping), Join, Set (UNION ALL /
-  * UNION DISTINCT), Cross. Unsupported
+  * UNION DISTINCT), Cross; plus window-function EXPRESSIONS
+  * (default-frame rank family / lead / lag / aggregates-over). Unsupported
   * relations and expressions fail with a message naming the construct,
   * mirroring the reference's error-not-guess behavior for plans its
   * consumer cannot map.
@@ -297,6 +298,7 @@ object SubstraitDecoder {
       case 1 => literal(f.bytes)
       case 2 => fieldReference(f.bytes, cols)
       case 3 => scalarFunction(f.bytes, cols, fns)
+      case 5 => windowFunction(f.bytes, cols, fns)
       case 6 => ifThen(f.bytes, cols, fns)
       case 8 =>
         // SingularOrList { value=1; options=2 }
@@ -423,6 +425,72 @@ object SubstraitDecoder {
       case ("avg", Seq(a)) => if (distinct) fail("substrait: AVG(DISTINCT) is not supported") else avg(guarded(a))
       case (other, as) => fail(s"substrait: unsupported aggregate $other/${as.length}")
     }
+  }
+
+  /** Expression.WindowFunction { function_reference=1; partitions=2;
+    * sorts=3; upper_bound=4; lower_bound=5; phase=6; output_type=7;
+    * arguments=9; invocation=11 } → a Spark window Column. Frame bounds:
+    * the substrait defaults (unspecified) lower to each function's Spark
+    * default — rank-family functions ignore frames, and the aggregate
+    * default (UNBOUNDED PRECEDING .. CURRENT ROW with an ORDER BY) is the
+    * same contract in both systems; EXPLICIT non-default bounds are
+    * rejected by name rather than silently mis-framed (DataFusion's
+    * consumer maps them; this subset errors, mirroring the
+    * error-not-guess rule).
+    */
+  private def windowFunction(bytes: Array[Byte], cols: Seq[Column], fns: Map[Long, String]): Column = {
+    import org.apache.spark.sql.expressions.{Window => WSpec}
+    val fs = sub(bytes)
+    val anchor = one(fs, 1).map(_.varint).getOrElse(0L)
+    val name = fns.getOrElse(anchor, fail(s"substrait: unknown window function anchor $anchor"))
+    // explicit frame bounds (upper=4 / lower=5): only the all-defaults
+    // form is supported — Bound { preceding=1; following=2; current_row=3;
+    // unbounded=4 } with unbounded/current defaults matches Spark's own
+    for (tag <- Seq(4, 5); b <- one(fs, tag)) {
+      val bfs = sub(b.bytes)
+      val kind = bfs.headOption.map(_.tag).getOrElse(0)
+      if (kind == 1 || kind == 2)
+        fail(s"substrait: explicit numeric window frame bounds are not supported ($name)")
+    }
+    val partitions = fs.filter(_.tag == 2).map(p => expression(p.bytes, cols, fns))
+    val sorts = fs.filter(_.tag == 3).map { sf =>
+      val sfs = sub(sf.bytes)
+      val e = expression(req(sfs, 1, "window sort expression").bytes, cols, fns)
+      one(sfs, 2).map(_.varint).getOrElse(0L) match {
+        case 1 => e.asc_nulls_first
+        case 2 => e.asc_nulls_last
+        case 3 => e.desc_nulls_first
+        case 4 => e.desc_nulls_last
+        case d => fail(s"substrait: unsupported window sort direction $d")
+      }
+    }
+    val distinct = one(fs, 11).exists(_.varint == 2L)
+    if (distinct) fail(s"substrait: DISTINCT window invocation is not supported ($name)")
+    val args: Seq[Column] = fs.filter(_.tag == 9).map { a =>
+      val afs = sub(a.bytes)
+      one(afs, 3).map(v => expression(v.bytes, cols, fns))
+        .getOrElse(fail(s"substrait: non-value window argument for $name"))
+    }
+    val base = if (partitions.isEmpty) WSpec.partitionBy() else WSpec.partitionBy(partitions: _*)
+    val spec = if (sorts.isEmpty) base else base.orderBy(sorts: _*)
+    val fn: Column = (name, args) match {
+      case ("row_number", Seq()) => row_number()
+      case ("rank", Seq()) => rank()
+      case ("dense_rank", Seq()) => dense_rank()
+      case ("percent_rank", Seq()) => percent_rank()
+      case ("cume_dist", Seq()) => cume_dist()
+      case ("ntile", Seq(n)) => call_function("ntile", n)
+      case ("lead", a) if a.size >= 1 && a.size <= 3 => call_function("lead", a: _*)
+      case ("lag", a) if a.size >= 1 && a.size <= 3 => call_function("lag", a: _*)
+      case ("sum", Seq(a)) => sum(a)
+      case ("count", Seq()) => count(lit(1))
+      case ("count", Seq(a)) => count(a)
+      case ("min", Seq(a)) => min(a)
+      case ("max", Seq(a)) => max(a)
+      case ("avg", Seq(a)) => avg(a)
+      case (other, as) => fail(s"substrait: unsupported window function $other/${as.length}")
+    }
+    fn.over(spec)
   }
 
   private def ifThen(bytes: Array[Byte], cols: Seq[Column], fns: Map[Long, String]): Column = {

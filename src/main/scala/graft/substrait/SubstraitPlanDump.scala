@@ -18,6 +18,7 @@ object SubstraitPlanDump {
     Files.write(out.resolve("q_substrait_exec.plan"), SubstraitQueries.aggPlanBytes)
     Files.write(out.resolve("q_substrait_join.plan"), SubstraitQueries.joinPlanBytes)
     Files.write(out.resolve("q_substrait_union.plan"), SubstraitQueries.unionPlanBytes)
-    println(s"wrote 3 plans to $out")
+    Files.write(out.resolve("q_substrait_window.plan"), SubstraitQueries.windowPlanBytes)
+    println(s"wrote 4 plans to $out")
   }
 }

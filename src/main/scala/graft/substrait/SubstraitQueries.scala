@@ -123,6 +123,40 @@ object SubstraitQueries {
     SubstraitDecoder.decode(spark, unionPlanBytes)
   }
 
+  /** read(orders) → project(+row_number over (partition priority, order
+    * price desc)) → filter(rk <= 3) → project+emit → sort: the window-
+    * expression arm (the next construct a DataFusion federation client
+    * emits after set ops). Acero has no window-function conversion, so the
+    * cross-check pins its rejection; result equivalence rides the DuckDB
+    * oracle. rk is INT on both sides (Spark's row_number is IntegerType;
+    * the twin casts DuckDB's BIGINT).
+    */
+  private[substrait] def windowPlanBytes: Array[Byte] = {
+    val fns = Seq(
+      Fn(1, UriArithmetic, "row_number:"),
+      Fn(2, UriComparison, "lte:any_any"))
+    val read = readNamed("orders", Seq(
+      "o_orderkey" -> typ(I64),
+      "o_totalprice" -> typ(FP64),
+      "o_orderpriority" -> typ(STR)))
+    // direct [ok, tp, pri, rk]
+    val ranked = project(read, Seq(
+      cast(windowFn(1, typ(I64),
+        partitions = Seq(fieldRef(2)),
+        sorts = Seq(fieldRef(1) -> DescLast, fieldRef(0) -> AscLast)), typ(I32))))
+    val filtered = filterRel(ranked, fn(2, typ(BOOL), fieldRef(3), litI32(3)))
+    // trim to [pri, ok, rk]
+    val trimmed = project(filtered,
+      Seq(fieldRef(2), fieldRef(0), fieldRef(3)), Some(Seq(4, 5, 6)))
+    val sorted = sort(trimmed, Seq(fieldRef(0) -> AscLast, fieldRef(2) -> AscLast))
+    plan(sorted, Seq("o_orderpriority", "o_orderkey", "rk"), fns)
+  }
+
+  private def windowPlan(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    SubstraitDecoder.decode(spark, windowPlanBytes)
+  }
+
   val specs: Map[String, QuerySpec] = Map(
     "q_substrait_exec" -> QuerySpec.df(aggPlan,
       """SELECT o_orderpriority, COUNT(*) AS n,
@@ -141,5 +175,14 @@ object SubstraitQueries {
       """SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_totalprice > 400000.0
         |UNION ALL
         |SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_totalprice < 2000.0
-        |ORDER BY o_orderkey""".stripMargin))
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q_substrait_window" -> QuerySpec.df(windowPlan,
+      """SELECT o_orderpriority, o_orderkey, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                                 ORDER BY o_totalprice DESC NULLS LAST,
+        |                                          o_orderkey ASC NULLS LAST) AS INT) AS rk
+        |  FROM orders) z
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin))
 }

@@ -89,6 +89,53 @@ class SubstraitSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported relation tag 9"))
   }
 
+  test("window expressions decode: partitioned rank over the fixtures") {
+    val fns = Seq(Fn(1, UriArithmetic, "row_number:"))
+    // orders [order_id, user_id, amount] + rank by amount desc per user
+    val ranked = project(ordersRead, Seq(
+      cast(windowFn(1, typ(I64),
+        partitions = Seq(fieldRef(1)),
+        sorts = Seq(fieldRef(2) -> DescLast, fieldRef(0) -> AscLast)), typ(I32))))
+    val trimmed = project(ranked, Seq(fieldRef(1), fieldRef(0), fieldRef(3)), Some(Seq(4, 5, 6)))
+    val sorted = sort(trimmed, Seq(fieldRef(0) -> AscLast, fieldRef(2) -> AscLast))
+    val df = SubstraitDecoder.decode(spark,
+      plan(sorted, Seq("user_id", "order_id", "rk"), fns))
+    val expected = spark.sql(
+      """SELECT user_id, order_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY amount DESC, order_id) AS INT) AS rk
+        |FROM orders ORDER BY user_id, rk""".stripMargin)
+    assert(df.collect().toSeq == expected.collect().toSeq)
+  }
+
+  test("explicit numeric window frame bounds are rejected by name") {
+    val fns = Seq(Fn(1, UriArithmetic, "sum:i32"))
+    // hand-encode a WindowFunction with lower_bound = Preceding(2)
+    val winWithBound = msgW(_.bytesField(5, msgW { w =>
+      w.varintField(1, 1L)
+      w.bytesField(3, msgW { sf => sf.bytesField(1, fieldRef(0)); sf.varintField(2, 2L) })
+      w.bytesField(5, msgW(_.bytesField(1, msgW(_.varintField(1, 2L))))) // Preceding{offset=2}
+      w.bytesField(7, typ(I64))
+      w.bytesField(9, msgW(_.bytesField(3, fieldRef(2))))
+    }))
+    val e = intercept[IllegalArgumentException] {
+      SubstraitDecoder.decode(spark,
+        plan(project(ordersRead, Seq(winWithBound)), Nil, fns))
+        .collect()
+    }
+    assert(e.getMessage.contains("explicit numeric window frame bounds"))
+  }
+
+  test("an unsupported window function errors by name") {
+    val fns = Seq(Fn(1, UriArithmetic, "median:fp64"))
+    val win = windowFn(1, typ(FP64), Nil, Seq(fieldRef(0) -> AscLast), Seq(fieldRef(2)))
+    val e = intercept[IllegalArgumentException] {
+      SubstraitDecoder.decode(spark,
+        plan(project(ordersRead, Seq(win)), Nil, fns)).collect()
+    }
+    assert(e.getMessage.contains("unsupported window function median"))
+  }
+
   test("empty plan bytes fail with the no-relations error") {
     val e = intercept[IllegalArgumentException] {
       SubstraitDecoder.decode(spark, Array.emptyByteArray)
