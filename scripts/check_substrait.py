@@ -19,6 +19,11 @@ engines, with truthful scope (what each engine can actually run):
      at all; the check pins that its rejection names the window construct
      (the bytes still parse as a plan). Result equivalence rides the
      DuckDB oracle (q_substrait_window).
+  5. q_substrait_grouping_sets — Acero rejects AggregateRel with more than
+     one grouping ("Grouping sets not supported"); the check pins that
+     exact rejection (the bytes parse — including Cast.failure_behavior,
+     which Acero validates and the producer now writes). Result
+     equivalence rides the DuckDB oracle (q_substrait_grouping_sets).
 
 Usage:
   sbt "runMain graft.substrait.SubstraitPlanDump target/substrait-plans"
@@ -114,7 +119,25 @@ def main(sf_dir: str, plan_dir: str) -> int:
                   f"construct: {type(e).__name__}: {str(e)[:200]}")
             failures += 1
 
-    print(f"{'PASS' if failures == 0 else 'FAIL'}: {4 - failures}/4 substrait cross-checks green")
+    # --- the grouping-sets plan: pin Acero's multi-grouping rejection ---
+    plan = open(f"{plan_dir}/q_substrait_grouping_sets.plan", "rb").read()
+    try:
+        ps.run_query(pa.py_buffer(plan), table_provider=provider).read_all()
+        print("FAIL q_substrait_grouping_sets: unexpectedly ran under Acero — tighten "
+              "this check to a full row comparison")
+        failures += 1
+    except Exception as e:
+        msg = str(e)
+        if "Grouping sets not supported" in msg:
+            print("OK   q_substrait_grouping_sets: bytes parse under Acero (incl. cast "
+                  "failure_behavior); rejected on the multi-grouping AggregateRel it "
+                  "does not support (result equivalence covered by the DuckDB oracle)")
+        else:
+            print(f"FAIL q_substrait_grouping_sets: rejected for an unexpected reason: "
+                  f"{type(e).__name__}: {msg[:200]}")
+            failures += 1
+
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {5 - failures}/5 substrait cross-checks green")
     return 1 if failures else 0
 
 

@@ -78,8 +78,15 @@ object SubstraitBuilder {
       args.foreach(a => w.bytesField(4, msg(_.bytesField(3, a))))
     }))
 
+  /** Cast { type=1; input=2; failure_behavior=3 } — THROW_EXCEPTION (2),
+    * the ANSI semantics both Spark and DuckDB evaluate these plans under
+    * (Acero REJECTS a plan whose failure_behavior is unspecified, so a
+    * conforming producer must write it).
+    */
   def cast(input: Array[Byte], to: Array[Byte]): Array[Byte] =
-    msg(_.bytesField(11, msg { w => w.bytesField(1, to); w.bytesField(2, input) }))
+    msg(_.bytesField(11, msg { w =>
+      w.bytesField(1, to); w.bytesField(2, input); w.varintField(3, 2)
+    }))
 
   /** Expression.WindowFunction (tag 5) { function_reference=1;
     * partitions=2; sorts=3; phase=6; output_type=7; arguments=9;
@@ -205,6 +212,24 @@ object SubstraitBuilder {
       w.bytesField(2, input)
       w.bytesField(3, msg(g => groups.foreach(g.bytesField(1, _))))
       measures.foreach(w.bytesField(4, _))
+    }))
+
+  /** AggregateRel with MULTIPLE groupings in the reference style a
+    * DataFusion producer emits: a shared grouping_expressions table
+    * (field 5) + per-grouping expression_references (Grouping field 2).
+    */
+  def aggregateSets(
+      input: Array[Byte],
+      groupingExpressions: Seq[Array[Byte]],
+      sets: Seq[Seq[Int]],
+      measures: Seq[Array[Byte]]): Array[Byte] =
+    msg(_.bytesField(4, msg { w =>
+      w.bytesField(2, input)
+      sets.foreach { s =>
+        w.bytesField(3, msg(g => s.foreach(i => g.varintField(2, i.toLong))))
+      }
+      measures.foreach(w.bytesField(4, _))
+      groupingExpressions.foreach(w.bytesField(5, _))
     }))
 
   val Inner = 1; val FullOuter = 2; val LeftOuter = 3; val RightOuter = 4

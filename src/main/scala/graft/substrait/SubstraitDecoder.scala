@@ -186,31 +186,83 @@ object SubstraitDecoder {
         in.select((cols ++ exprs): _*)
 
       case RelAggregate =>
-        // AggregateRel { common=1; input=2; groupings=3; measures=4 } —
-        // direct output is grouping fields then measures
+        // AggregateRel { common=1; input=2; groupings=3; measures=4;
+        //                grouping_expressions=5 } — direct output is the
+        // distinct grouping expressions (by first appearance across the
+        // groupings), then measures, then an i32 grouping-set index when
+        // more than one grouping is present (the substrait Aggregate
+        // output contract; DataFusion's producer emits the
+        // expression_references + grouping_expressions form)
         val in = input
         val cols = in.columns.map(in(_))
         val groupings = body.filter(_.tag == 3)
-        if (groupings.size > 1)
-          fail("substrait: multiple groupings (grouping sets) are not supported")
-        val groupExprs: Seq[Column] = groupings.headOption.toSeq.flatMap { g =>
+        // shared expression table for Grouping.expression_references,
+        // keyed for dedup by serialized expression bytes
+        val exprTable: Seq[(String, Column)] = body.filter(_.tag == 5)
+          .map(e => e.bytes.map("%02x".format(_)).mkString ->
+            expression(e.bytes, cols, fns))
+        // each grouping resolves to (dedup key, column) pairs: inline
+        // expressions (tag 1) and/or references into the table (tag 2)
+        def resolve(g: Field): Seq[(String, Column)] = {
           val gfs = sub(g.bytes)
-          if (gfs.exists(_.tag == 2))
-            fail("substrait: grouping expression_references are not supported (inline grouping_expressions required)")
-          gfs.filter(_.tag == 1).map(e => expression(e.bytes, cols, fns).as(freshName()))
+          val inline = gfs.filter(_.tag == 1).map(e =>
+            e.bytes.map("%02x".format(_)).mkString -> expression(e.bytes, cols, fns))
+          val refs = gfs.filter(_.tag == 2).flatMap {
+            case f if f.wireType == 0 => Seq(f.varint)
+            case f if f.wireType == 2 => Proto.packedVarints(f.bytes)
+            case _ => Seq.empty
+          }.map { i =>
+            if (i < 0 || i >= exprTable.length)
+              fail(s"substrait: grouping expression reference $i out of range ${exprTable.length}")
+            exprTable(i.toInt)
+          }
+          inline ++ refs
         }
+        val resolved = groupings.map(resolve)
         val measures = body.filter(_.tag == 4).map { m =>
           val mfs = sub(m.bytes)
           val filterCond = one(mfs, 2).map(c => expression(c.bytes, cols, fns))
           aggregateFunction(req(mfs, 1, "measure function").bytes, cols, fns, filterCond)
             .as(freshName())
         }
-        (groupExprs.isEmpty, measures.isEmpty) match {
-          case (true, true) => fail("substrait: aggregate with no groupings and no measures")
-          case (true, false) => in.agg(measures.head, measures.tail: _*)
-          case (false, true) => in.select(groupExprs: _*).distinct()
-          case (false, false) =>
-            in.groupBy(groupExprs: _*).agg(measures.head, measures.tail: _*)
+        if (resolved.size <= 1) {
+          val groupExprs = resolved.headOption.getOrElse(Nil).map(_._2.as(freshName()))
+          (groupExprs.isEmpty, measures.isEmpty) match {
+            case (true, true) => fail("substrait: aggregate with no groupings and no measures")
+            case (true, false) => in.agg(measures.head, measures.tail: _*)
+            case (false, true) => in.select(groupExprs: _*).distinct()
+            case (false, false) =>
+              in.groupBy(groupExprs: _*).agg(measures.head, measures.tail: _*)
+          }
+        } else {
+          // grouping sets: distinct grouping columns by first appearance
+          val distinctKeys = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+          resolved.flatten.foreach { case (k, c) => distinctKeys.getOrElseUpdate(k, c) }
+          val keyOrder = distinctKeys.keys.toSeq
+          val sets: Seq[Seq[Column]] = resolved.map(_.map(_._2))
+          // grouping_id() bit j (MSB-first over the groupBy column order)
+          // is 1 when column j is NOT in the active set → each declared
+          // grouping has one expected mask; the set index is its position
+          val masks = resolved.map { g =>
+            val inSet = g.map(_._1).toSet
+            keyOrder.zipWithIndex.map { case (k, j) =>
+              if (inSet(k)) 0L else 1L << (keyOrder.length - 1 - j)
+            }.sum
+          }
+          val setIndex = masks.zipWithIndex.tail.foldLeft(
+            when(grouping_id() === masks.head, lit(0))) { case (acc, (m, i)) =>
+            acc.when(grouping_id() === m, lit(i))
+          }.cast(IntegerType).as(freshName())
+          // Spark's grouping-sets DEDUPLICATES identical sets; substrait
+          // keeps duplicates (each with its own index). Producers in the
+          // wild don't emit duplicate sets; error rather than mis-count.
+          if (masks.distinct.size != masks.size)
+            fail("substrait: duplicate grouping sets are not supported")
+          val aggExprs = measures :+ setIndex
+          val grouped = in.groupingSets(sets, keyOrder.map(distinctKeys): _*)
+            .agg(aggExprs.head, aggExprs.tail: _*)
+          // positional rename: distinct grouping cols, measures, set index
+          grouped.toDF(grouped.columns.map(_ => freshName()).toSeq: _*)
         }
 
       case RelJoin =>

@@ -19,6 +19,7 @@ object SubstraitPlanDump {
     Files.write(out.resolve("q_substrait_join.plan"), SubstraitQueries.joinPlanBytes)
     Files.write(out.resolve("q_substrait_union.plan"), SubstraitQueries.unionPlanBytes)
     Files.write(out.resolve("q_substrait_window.plan"), SubstraitQueries.windowPlanBytes)
-    println(s"wrote 4 plans to $out")
+    Files.write(out.resolve("q_substrait_grouping_sets.plan"), SubstraitQueries.groupingSetsPlanBytes)
+    println(s"wrote 5 plans to $out")
   }
 }

@@ -157,6 +157,44 @@ object SubstraitQueries {
     SubstraitDecoder.decode(spark, windowPlanBytes)
   }
 
+  /** read(orders) → project(decimal cast) → AggregateRel with THREE
+    * groupings ((status), (priority), ()) in the expression_references +
+    * grouping_expressions form DataFusion's producer emits → recast →
+    * sort: grouping sets through the wire format. Output contract per
+    * the substrait spec: distinct grouping exprs, measures, then the i32
+    * grouping-set index.
+    */
+  private[substrait] def groupingSetsPlanBytes: Array[Byte] = {
+    val fns = Seq(
+      Fn(1, UriAggGeneric, "count:"),
+      Fn(2, UriArithmetic, "sum:dec"))
+    val read = readNamed("orders", Seq(
+      "o_totalprice" -> typ(FP64),
+      "o_orderstatus" -> typ(STR),
+      "o_orderpriority" -> typ(STR)))
+    // direct [tp, st, pri, dec(tp)] → emit [st, pri, dec]
+    val projected = project(read,
+      Seq(cast(fieldRef(0), decimalType(18, 2))), Some(Seq(1, 2, 3)))
+    // output: [st, pri, n, s, gset]
+    val agged = aggregateSets(projected,
+      groupingExpressions = Seq(fieldRef(0), fieldRef(1)),
+      sets = Seq(Seq(0), Seq(1), Seq()),
+      measures = Seq(
+        measure(1, typ(I64), Nil),
+        measure(2, decimalType(38, 2), Seq(fieldRef(2)))))
+    // direct [st, pri, n, s, gset, fp64(s)] → emit [st, pri, n, fp64, gset]
+    val recast = project(agged,
+      Seq(cast(fieldRef(3), typ(FP64))), Some(Seq(0, 1, 2, 5, 4)))
+    val sorted = sort(recast, Seq(
+      fieldRef(4) -> AscLast, fieldRef(0) -> AscLast, fieldRef(1) -> AscLast))
+    plan(sorted, Seq("o_orderstatus", "o_orderpriority", "n", "total", "gset"), fns)
+  }
+
+  private def groupingSetsPlan(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    SubstraitDecoder.decode(spark, groupingSetsPlanBytes)
+  }
+
   val specs: Map[String, QuerySpec] = Map(
     "q_substrait_exec" -> QuerySpec.df(aggPlan,
       """SELECT o_orderpriority, COUNT(*) AS n,
@@ -176,6 +214,16 @@ object SubstraitQueries {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_totalprice < 2000.0
         |ORDER BY o_orderkey""".stripMargin),
+
+    "q_substrait_grouping_sets" -> QuerySpec.df(groupingSetsPlan,
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(CASE WHEN GROUPING(o_orderstatus) = 0 AND GROUPING(o_orderpriority) = 1 THEN 0
+        |                 WHEN GROUPING(o_orderstatus) = 1 AND GROUPING(o_orderpriority) = 0 THEN 1
+        |                 ELSE 2 END AS INT) AS gset
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gset, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin),
 
     "q_substrait_window" -> QuerySpec.df(windowPlan,
       """SELECT o_orderpriority, o_orderkey, rk FROM (

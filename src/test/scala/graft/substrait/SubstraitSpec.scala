@@ -64,19 +64,36 @@ class SubstraitSpec extends AnyFunSuite {
     assert(width.getMessage.contains("mismatched widths"))
   }
 
-  test("a second grouping (grouping sets) errors clearly") {
+  test("multiple groupings lower to grouping sets with the substrait output contract") {
     val fns = Seq(Fn(1, UriAggGeneric, "count:"))
-    // AggregateRel { input=2; groupings=3 (×2); measures=4 }
-    val agg = msgW(_.bytesField(4, msgW { w =>
-      w.bytesField(2, ordersRead)
-      w.bytesField(3, msgW(_.bytesField(1, fieldRef(0))))
-      w.bytesField(3, msgW(_.bytesField(1, fieldRef(1))))
-      w.bytesField(4, measure(1, typ(I64), Nil))
-    }))
+    // reference style: grouping_expressions table + expression_references
+    // over orders [order_id, user_id, amount]: sets ((user_id), ())
+    val agg = aggregateSets(ordersRead,
+      groupingExpressions = Seq(fieldRef(1)),
+      sets = Seq(Seq(0), Seq()),
+      measures = Seq(measure(1, typ(I64), Nil)))
+    val sorted = sort(agg, Seq(fieldRef(2) -> AscLast, fieldRef(0) -> AscLast))
+    val df = SubstraitDecoder.decode(spark,
+      plan(sorted, Seq("user_id", "n", "gset"), fns))
+    val expected = spark.sql(
+      """SELECT user_id, COUNT(*) AS n,
+        |       CAST(CASE WHEN GROUPING(user_id) = 0 THEN 0 ELSE 1 END AS INT) AS gset
+        |FROM orders GROUP BY GROUPING SETS ((user_id), ())
+        |ORDER BY gset, user_id""".stripMargin)
+    assert(df.collect().toSeq == expected.collect().toSeq)
+    assert(df.columns.toSeq == Seq("user_id", "n", "gset"))
+  }
+
+  test("a grouping expression reference out of range errors clearly") {
+    val fns = Seq(Fn(1, UriAggGeneric, "count:"))
+    val agg = aggregateSets(ordersRead,
+      groupingExpressions = Seq(fieldRef(1)),
+      sets = Seq(Seq(0), Seq(3)),
+      measures = Seq(measure(1, typ(I64), Nil)))
     val e = intercept[IllegalArgumentException] {
-      SubstraitDecoder.decode(spark, plan(agg, Seq("a", "b", "n"), fns))
+      SubstraitDecoder.decode(spark, plan(agg, Nil, fns))
     }
-    assert(e.getMessage.contains("multiple groupings"))
+    assert(e.getMessage.contains("grouping expression reference 3 out of range"))
   }
 
   test("an unsupported relation errors with its tag, never guesses") {
