@@ -261,6 +261,90 @@ object StatsInference {
        |            END AS tau_b
        |FROM s""".stripMargin
 
+  /** Benjamini-Hochberg FDR screen over the per-segment drift family
+    * (Benjamini & Hochberg, JRSS-B 1995): for EVERY event type, a binned
+    * two-sample KS test of that type's value distribution against the
+    * complement (all other types pooled) on the shared 64-bin grid —
+    * q_stats_ks_test's machinery widened from one pair to the full
+    * m-hypothesis family — then the BH step-up at FDR q = 0.05. This is
+    * the multiple-testing control a monitoring deployment actually needs
+    * once it runs a drift test per segment: m independent α = 0.05 gates
+    * fire spuriously ~m·α of the time; BH bounds the expected FALSE
+    * DISCOVERY fraction instead.
+    *
+    * Determinism/exactness: D's numerator max|cumT·nC − cumC·nT| is an
+    * exact BIGINT per type (cross-multiplied CDFs, int64-safe to ~3·10⁹
+    * rows/side — the ks_test bound); the asymptotic p-value
+    * p = 2·exp(−2·D²·nT·nC/(nT+nC)) (Smirnov 1948 one-term form) runs
+    * through the engine-neutral exp kernel: the exponent quantizes to
+    * micro-nats via one shared IEEE double text over exact integers
+    * (clamped at 29 — beyond that p < 3e-13 and quantizes to 0), exp is
+    * graft_exp_micro / the oracle's identical CTE chain, and the final
+    * p_micro = min(1e6, ⌊2e12/exp_micro + ½⌋) is one more shared double
+    * op. The BH step-up is then PURE INTEGER: rank by (p_micro, type),
+    * reject ranks ≤ max{k : p_micro·m ≤ k·50000} — no float ever orders
+    * the decision.
+    *
+    * 100 TB shape: ONE scan to the (type × 64)-bin histogram (map-side
+    * combined), the complement via one bin-total join, everything after
+    * on the m-row / m×64-row bounded tables (domain-bounded windows —
+    * GlobalPlanSweepSpec allowlist; the tt×spine cross join is the
+    * chi2-style bounded densifier).
+    */
+  private[graft] def bhFdrSql(
+      k: graft.llm.NeutralMath.KernelSplice,
+      spine: String,
+      intDiv: String): String =
+    s"""WITH e AS (SELECT event_type,
+       |                 LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT))) AS b
+       |          FROM events),
+       |h AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY event_type, b),
+       |tt AS (SELECT DISTINCT event_type FROM h),
+       |gb AS (SELECT $spine AS b),
+       |grid AS (SELECT tt.event_type, gb.b FROM tt CROSS JOIN gb),
+       |bt AS (SELECT b, CAST(SUM(c) AS BIGINT) AS callb FROM h GROUP BY b),
+       |f AS (SELECT g.event_type, g.b,
+       |             CAST(COALESCE(h.c, 0) AS BIGINT) AS ct,
+       |             CAST(COALESCE(bt.callb, 0) - COALESCE(h.c, 0) AS BIGINT) AS cc
+       |      FROM grid g
+       |      LEFT JOIN h ON g.event_type = h.event_type AND g.b = h.b
+       |      LEFT JOIN bt ON g.b = bt.b),
+       |cf AS (SELECT event_type, b,
+       |              CAST(SUM(ct) OVER (PARTITION BY event_type ORDER BY b
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumt,
+       |              CAST(SUM(cc) OVER (PARTITION BY event_type ORDER BY b
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc,
+       |              CAST(SUM(ct) OVER (PARTITION BY event_type) AS BIGINT) AS nt,
+       |              CAST(SUM(cc) OVER (PARTITION BY event_type) AS BIGINT) AS nc
+       |       FROM f),
+       |ag AS (SELECT event_type,
+       |              CAST(MAX(ABS(cumt * nc - cumc * nt)) AS BIGINT) AS dnum,
+       |              CAST(MAX(nt) AS BIGINT) AS nt, CAST(MAX(nc) AS BIGINT) AS nc
+       |       FROM cf GROUP BY event_type),
+       |xs AS (SELECT event_type, nt, nc,
+       |              CAST((1000000 * dnum) $intDiv (nt * nc) AS BIGINT) AS ks_micro,
+       |              LEAST(CAST(29000000 AS BIGINT),
+       |                CAST(FLOOR(2.0E0 * CAST(dnum AS DOUBLE) * CAST(dnum AS DOUBLE)
+       |                     / (CAST(nt AS DOUBLE) * CAST(nc AS DOUBLE) * CAST(nt + nc AS DOUBLE))
+       |                     * 1.0E6 + 0.5E0) AS BIGINT)) AS xm
+       |       FROM ag),
+       |${k.exp("pe", "xs", "event_type, nt, ks_micro, xm", "event_type, nt, ks_micro", "xm", "emicro")},
+       |p AS (SELECT event_type, nt, ks_micro,
+       |             LEAST(CAST(1000000 AS BIGINT),
+       |               CAST(FLOOR(2.0E12 / CAST(emicro AS DOUBLE) + 0.5E0) AS BIGINT)) AS p_micro
+       |      FROM pe),
+       |r AS (SELECT event_type, nt, ks_micro, p_micro,
+       |             CAST(row_number() OVER (ORDER BY p_micro, event_type) AS BIGINT) AS rk,
+       |             CAST(COUNT(*) OVER () AS BIGINT) AS m
+       |      FROM p),
+       |s AS (SELECT event_type, nt, ks_micro, p_micro, rk, m,
+       |             CAST(MAX(CASE WHEN p_micro * m <= rk * 50000
+       |                           THEN rk ELSE CAST(0 AS BIGINT) END) OVER () AS BIGINT) AS kmax
+       |      FROM r)
+       |SELECT event_type, nt AS n_t, ks_micro, p_micro, rk AS bh_rank, m,
+       |       CAST(CASE WHEN rk <= kmax THEN 1 ELSE 0 END AS INT) AS bh_reject_05
+       |FROM s ORDER BY event_type""".stripMargin
+
   /** Two-feature OLS with intercept via the normal equations (Legendre
     * 1805/Gauss; the closed form every warehouse regression starts
     * from): order value (cents) on line count and total quantity —
@@ -506,5 +590,8 @@ object StatsInference {
     "q_stats_spearman" -> sql2(spearmanSql("DIV"), spearmanSql("//")),
     "q_stats_anova" -> sql2(anovaSql("DIV"), anovaSql("//")),
     "q_stats_kendall" -> sql2(kendallSql("DIV"), kendallSql("//")),
+    "q_stats_bh_fdr" -> sql2(
+      bhFdrSql(graft.llm.NeutralMath.SparkKernel, "explode(sequence(0, 63))", "DIV"),
+      bhFdrSql(graft.llm.NeutralMath.OracleKernel, "unnest(range(0, 64))", "//")),
     "q_stats_ols" -> QuerySpec.sql(olsSql))
 }

@@ -435,6 +435,71 @@ class StatsInferenceSpec extends AnyFunSuite {
     assert(got.getLong(5) == po.map(b => r2x(b._1) * r2y(b._2)).sum)
   }
 
+  test("q_stats_bh_fdr: per-type KS + BH replay through the JVM exp kernel") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("event_type",
+        "LEAST(63, GREATEST(0, CAST(FLOOR(FLOOR(value * 100 + 0.5) / 800) AS BIGINT))) AS b")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = evs.map(_._1).distinct.sorted
+    val m = types.length.toLong
+    val perType = types.map { t =>
+      val ct = Array.fill(64)(0L); val cc = Array.fill(64)(0L)
+      evs.foreach { case (tt, b) =>
+        if (tt == t) ct(b.toInt) += 1 else cc(b.toInt) += 1 }
+      val nt = ct.sum; val nc = cc.sum
+      var cumt = 0L; var cumc = 0L; var dnum = 0L
+      (0 until 64).foreach { i =>
+        cumt += ct(i); cumc += cc(i)
+        dnum = math.max(dnum, math.abs(cumt * nc - cumc * nt))
+      }
+      val xm = math.min(29000000L, math.floor(
+        2.0 * dnum.toDouble * dnum.toDouble /
+          (nt.toDouble * nc.toDouble * (nt + nc).toDouble) * 1e6 + 0.5).toLong)
+      val p = math.min(1000000L,
+        math.floor(2.0e12 / graft.llm.NeutralMath.expMicroJvm(xm).toDouble + 0.5).toLong)
+      (t, nt, 1000000L * dnum / (nt * nc), p)
+    }
+    val ranked = perType.sortBy(x => (x._4, x._1)).zipWithIndex
+      .map { case ((t, nt, ks, p), i) => (t, nt, ks, p, i + 1L) }
+    val kmax = ranked.collect { case (_, _, _, p, rk) if p * m <= rk * 50000 => rk }
+      .foldLeft(0L)(math.max)
+    val expected = ranked.sortBy(_._1).map { case (t, nt, ks, p, rk) =>
+      (t, nt, ks, p, rk, m, if (rk <= kmax) 1 else 0) }
+    val got = rows("q_stats_bh_fdr").map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getInt(6)))
+    assert(got.toSeq == expected.toSeq, s"got ${got.toSeq}\nexp ${expected.toSeq}")
+    // the uniform fixture draws every type from the same distribution —
+    // BH must NOT discover anything here
+    assert(got.forall(_._7 == 0), "false discovery on the null fixture")
+  }
+
+  test("q_stats_bh_fdr: a genuinely shifted segment is discovered, null segments are not") {
+    val s2 = TestSpark.spark.newSession()
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    // three null types share one distribution; a SMALL 'shifted' segment
+    // sits far up-bin — small, so the complement each null type is tested
+    // against stays nearly null (one-vs-rest contamination must not make
+    // every segment a true discovery)
+    def draws(t: String, base: Double, n: Int) =
+      (0 until n).map(i => org.apache.spark.sql.Row(t, base + (i % 50) * 8.0))
+    val rows2 = draws("a", 0.0, 400) ++ draws("b", 0.0, 400) ++ draws("c", 0.0, 400) ++
+      draws("shifted", 160000.0, 40)
+    s2.createDataFrame(rows2.asJava, schema).createOrReplaceTempView("events")
+    graft.functions.GraftFunctions.register(s2)
+    val got = s2.sql(StatsInference.bhFdrSql(
+      graft.llm.NeutralMath.SparkKernel, "explode(sequence(0, 63))", "DIV"))
+      .collect().map(r => r.getString(0) -> r.getInt(6)).toMap
+    assert(got("shifted") == 1, s"the shifted segment must be discovered: $got")
+    assert(got("a") == 0 && got("b") == 0 && got("c") == 0,
+      s"null segments must not be discovered: $got")
+  }
+
   test("q_graph_assortativity: degree replay over the synthetic citation graph") {
     val n = Tables.documents(spark, sf).count()
     val edges = (0L until n).flatMap { id =>
