@@ -221,6 +221,73 @@ object TextClassify {
        |${nbScoreCtes(NeutralMath.OracleKernel)},
        |${reliabilityTail("//", "sc")}""".stripMargin
 
+  /** Isotonic (PAV) calibration of the NB quality score (Ayer, Brunk,
+    * Ewing, Reid & Silverman, Ann. Math. Stat. 1955; classifier-score
+    * calibration per Zadrozny & Elkan, KDD 2002): fit the best
+    * NON-DECREASING map score-bin → P(curated) in least squares. A raw
+    * NB score orders documents but its reliability curve need not be
+    * monotone (q_text_nb_reliability shows the raw curve); selection
+    * thresholds and mixing weights want calibrated PROBABILITIES, and
+    * isotonic is the standard distribution-free calibrator when enough
+    * labeled mass exists per bin.
+    *
+    * Implementation is the closed-form minimax identity — iso(i) =
+    * max_{j≤i} min_{l≥i} mean(y over bins j..l) — which needs NO
+    * sequential pool-adjacent sweep: span means come from prefix sums
+    * over the ≤32 occupied bins, the inner min is a reverse running-min
+    * window per span start, the outer max a per-bin aggregate. All on a
+    * ≤32²-row bounded table — a distributed PAV without a driver loop
+    * (the same statistic the sequential stack computes; the replay spec
+    * pins equality against a JVM PAV).
+    *
+    * Determinism: bin counts (n, k) are exact integers; span means are
+    * single IEEE divisions of exact integers in shared text (identical
+    * min/max ordering in both engines); output quantizes to milli.
+    *
+    * 100 TB shape: consumes the STAGED per-doc score artifact (nb_sc, the
+    * reliability/AUC contract — zero extra corpus passes); one ≤32-row
+    * GROUP BY; the span table is 32²/2 rows; windows are per-span-start
+    * over ≤32 rows. The single-row extremes join is the ext broadcast
+    * the reliability tail already uses.
+    */
+  private def isotonicTail(intDiv: String, scRel: String): String =
+    s"""lab AS (SELECT CASE WHEN source IN $posSrc THEN 1 ELSE 0 END AS y, score_u FROM $scRel),
+       |ext AS (SELECT CAST(MIN(score_u) AS BIGINT) AS lo, CAST(MAX(score_u) AS BIGINT) AS hi FROM lab),
+       |bin AS (SELECT y,
+       |               CAST(LEAST(31, ((score_u - lo) * 32) $intDiv GREATEST(1, hi - lo + 1)) AS BIGINT) AS b
+       |        FROM lab CROSS JOIN ext),
+       |g AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS k
+       |      FROM bin GROUP BY b),
+       |cum AS (SELECT b, n, k,
+       |               CAST(SUM(n) OVER (ORDER BY b
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+       |               CAST(SUM(k) OVER (ORDER BY b
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ck
+       |        FROM g),
+       |sp AS (SELECT a.b AS j, c.b AS l,
+       |              CAST(c.ck - a.ck + a.k AS DOUBLE)
+       |                / CAST(c.cn - a.cn + a.n AS DOUBLE) AS mu
+       |       FROM cum a JOIN cum c ON a.b <= c.b),
+       |rm AS (SELECT j, l AS i,
+       |              MIN(mu) OVER (PARTITION BY j ORDER BY l
+       |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v
+       |       FROM sp),
+       |iso AS (SELECT i AS b, MAX(v) AS isov FROM rm GROUP BY i)
+       |SELECT CAST(g.b AS INT) AS bin, g.n AS n_docs, g.k AS n_pos,
+       |       CAST((1000 * g.k) $intDiv g.n AS BIGINT) AS raw_rate_milli,
+       |       CAST(FLOOR(iso.isov * 1.0E3 + 0.5E0) AS BIGINT) AS iso_rate_milli
+       |FROM g JOIN iso ON g.b = iso.b ORDER BY bin""".stripMargin
+
+  private def isotonicSpark: String =
+    s"""WITH ${isotonicTail("DIV", "nb_sc")}""".stripMargin
+
+  private def isotonicDuck: String =
+    s"""WITH tok AS (SELECT doc_id, source,
+       |                    unnest(string_split(text, ' ')) AS word
+       |             FROM documents),
+       |${nbScoreCtes(NeutralMath.OracleKernel)},
+       |${isotonicTail("//", "sc")}""".stripMargin
+
   /** Confident-learning label-noise audit (Northcutt, Jiang & Chuang,
     * "Confident Learning", JAIR 2021, binarized): cross-tabulate the
     * GIVEN label (source ∈ curated set) against the CONFIDENT prediction
@@ -295,6 +362,13 @@ object TextClassify {
         stageNbSc(s, d)
         s.sql(reliabilitySpark)
       },
-      Some(reliabilityDuck))
+      Some(reliabilityDuck)),
+    "q_text_isotonic_calibrate" -> QuerySpec(
+      (s, d) => {
+        graft.queries.Tables.registerAll(s, d)
+        stageNbSc(s, d)
+        s.sql(isotonicSpark)
+      },
+      Some(isotonicDuck))
   )
 }

@@ -140,6 +140,42 @@ class TextClassifySpec extends AnyFunSuite {
       s"top-bin positive rate ${exp.last._4} bp <= bottom ${exp.head._4} bp")
   }
 
+  test("q_text_isotonic_calibrate: minimax SQL equals a sequential JVM PAV stack") {
+    val sess = spark.newSession()
+    val sc = jvmScores(sess)
+    val lo = sc.map(_._2).min; val hi = sc.map(_._2).max
+    val width = math.max(1L, hi - lo + 1)
+    val bins = sc.groupBy { case (_, s) => math.min(31L, (s - lo) * 32 / width) }
+      .toSeq.sortBy(_._1)
+      .map { case (b, rows) => (b, rows.size.toLong, rows.count(_._1 == 1).toLong) }
+    // the classical pool-adjacent-violators sweep (Ayer et al. 1955),
+    // tracking how many BINS each pooled block covers
+    case class Block(n: Long, k: Long) { def mu: Double = k.toDouble / n.toDouble }
+    val stack2 = scala.collection.mutable.Stack.empty[(Int, Block)] // (#bins, block)
+    bins.foreach { case (_, n, k) =>
+      var cnt = 1; var blk = Block(n, k)
+      while (stack2.nonEmpty && stack2.top._2.mu >= blk.mu) {
+        val (c, t) = stack2.pop(); blk = Block(t.n + blk.n, t.k + blk.k); cnt += c
+      }
+      stack2.push((cnt, blk))
+    }
+    val isoPerBin = stack2.toSeq.reverse.flatMap { case (c, b) => Seq.fill(c)(b.mu) }
+    val expected = bins.zip(isoPerBin).map { case ((b, n, k), mu) =>
+      (b.toInt, n, k, 1000L * k / n, math.floor(mu * 1e3 + 0.5).toLong)
+    }
+    val got = graft.SparkEntry.queries("q_text_isotonic_calibrate")(sess, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexp $expected")
+    // the defining property: the calibrated curve is non-decreasing
+    assert(got.map(_._5).sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    }, "isotonic output must be monotone")
+    // and it genuinely pooled at least one violator on this fixture
+    assert(got.map(_._4).toSeq != got.map(_._5).toSeq,
+      "fixture produced an already-monotone raw curve — PAV untested")
+  }
+
   test("q_text_label_noise: confident-learning cells replay; diagonal dominates") {
     val sess = spark.newSession()
     val sc = jvmScores(sess)

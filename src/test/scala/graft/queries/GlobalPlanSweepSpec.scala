@@ -46,6 +46,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_stats_kendall",       // domain-bounded grid self-join + single-row pair/tie-total crossJoins
     "q_stats_spearman",      // single-row rank-quantization factor (sf) crossJoins onto the bounded margins
     "q_stats_bh_fdr",        // |types|x64 grid densifier (the chi2-style bounded cross join)
+    "q_text_isotonic_calibrate", // single-row score-extremes broadcast (the nb_auc/reliability ext shape)
     "q_graph_assortativity", // single-row node-count join builds the synthetic edge table (hits shape)
     "q_graph_betweenness",   // single-row node-count join builds the synthetic edge table; BFS/Brandes rounds equi
     "q_events_markov_attribution", // <=T+1-row scenario table x <=(T+1)^2 transition matrix; 1-row base join
@@ -157,6 +158,7 @@ class GlobalPlanSweepSpec extends AnyFunSuite {
     "q_stats_mannwhitney",   // 2: same binned-grid midrank margins
     "q_stats_spearman",      // 2: bounded-grid rank margins (mx/my)
     "q_stats_bh_fdr",        // 3: m-row per-type p/rank/step-up windows (m = event-type domain)
+    "q_text_isotonic_calibrate", // 2: prefix-sum windows over the <=32-row occupied-bin table
     // time series: calendar-bounded dense hourly series (~720 rows)
     "q_ts_changepoint",      // 1: prefix-moment window over the hourly series
     "q_ts_seasonal_decompose", // 1: same dense-series shape
