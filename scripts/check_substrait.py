@@ -24,6 +24,10 @@ engines, with truthful scope (what each engine can actually run):
      exact rejection (the bytes parse — including Cast.failure_behavior,
      which Acero validates and the producer now writes). Result
      equivalence rides the DuckDB oracle (q_substrait_grouping_sets).
+  6. q_substrait_in_subquery — Acero has no subquery-expression
+     conversion; the check pins that its rejection prints the subquery
+     construct (bytes parse). Result equivalence rides the DuckDB oracle
+     (q_substrait_in_subquery).
 
 Usage:
   sbt "runMain graft.substrait.SubstraitPlanDump target/substrait-plans"
@@ -137,7 +141,25 @@ def main(sf_dir: str, plan_dir: str) -> int:
                   f"{type(e).__name__}: {msg[:200]}")
             failures += 1
 
-    print(f"{'PASS' if failures == 0 else 'FAIL'}: {5 - failures}/5 substrait cross-checks green")
+    # --- the IN-subquery plan: pin Acero's subquery-expression rejection ---
+    plan = open(f"{plan_dir}/q_substrait_in_subquery.plan", "rb").read()
+    try:
+        ps.run_query(pa.py_buffer(plan), table_provider=provider).read_all()
+        print("FAIL q_substrait_in_subquery: unexpectedly ran under Acero — tighten "
+              "this check to a full row comparison")
+        failures += 1
+    except Exception as e:
+        msg = str(e)
+        if "subquery" in msg and "in_predicate" in msg:
+            print("OK   q_substrait_in_subquery: bytes parse under Acero; rejected on "
+                  "the subquery expression it cannot convert (result equivalence "
+                  "covered by the DuckDB oracle)")
+        else:
+            print(f"FAIL q_substrait_in_subquery: rejected for an unexpected reason: "
+                  f"{type(e).__name__}: {msg[:200]}")
+            failures += 1
+
+    print(f"{'PASS' if failures == 0 else 'FAIL'}: {6 - failures}/6 substrait cross-checks green")
     return 1 if failures else 0
 
 

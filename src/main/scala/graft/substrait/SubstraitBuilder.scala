@@ -88,6 +88,17 @@ object SubstraitBuilder {
       w.bytesField(1, to); w.bytesField(2, input); w.varintField(3, 2)
     }))
 
+  /** Expression.Subquery.in_predicate (Expression tag 12, Subquery field
+    * 2) { needles=1; haystack=2 } — the uncorrelated `x IN (SELECT …)`
+    * form; graft's consumer lowers it to a left_semi join (left_anti when
+    * wrapped in `not`).
+    */
+  def inSubquery(needles: Seq[Array[Byte]], haystack: Array[Byte]): Array[Byte] =
+    msg(_.bytesField(12, msg(_.bytesField(2, msg { w =>
+      needles.foreach(w.bytesField(1, _))
+      w.bytesField(2, haystack)
+    }))))
+
   /** Expression.WindowFunction (tag 5) { function_reference=1;
     * partitions=2; sorts=3; phase=6; output_type=7; arguments=9;
     * invocation=11 } — default (unspecified) frame bounds only.

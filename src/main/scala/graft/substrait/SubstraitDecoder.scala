@@ -37,9 +37,11 @@ import graft.protocol.Proto.Field
   * SubstraitSpec unit tests instead.
   *
   * Supported relations: Read (named_table), Filter, Project (+emit),
-  * Fetch, Sort, Aggregate (single grouping), Join, Set (UNION ALL /
-  * UNION DISTINCT), Cross; plus window-function EXPRESSIONS
-  * (default-frame rank family / lead / lag / aggregates-over). Unsupported
+  * Fetch, Sort, Aggregate (single OR multiple groupings — grouping sets,
+  * inline or expression_references form), Join, Set (UNION ALL / UNION
+  * DISTINCT), Cross; plus window-function EXPRESSIONS (default-frame rank
+  * family / lead / lag / aggregates-over) and subquery (NOT) IN
+  * predicates at a filter's top level (lowered to semi/anti joins). Unsupported
   * relations and expressions fail with a message naming the construct,
   * mirroring the reference's error-not-guess behavior for plans its
   * consumer cannot map.
@@ -146,9 +148,69 @@ object SubstraitDecoder {
         }
 
       case RelFilter =>
-        // FilterRel { common=1; input=2; condition=3 }
+        // FilterRel { common=1; input=2; condition=3 } — subquery IN
+        // predicates (Expression.Subquery.in_predicate) are handled HERE,
+        // not in expression(): a Column cannot carry a subplan, so each
+        // IN / NOT IN conjunct lowers to a left_semi / left_anti join and
+        // the residual conjuncts stay an ordinary filter (exactly how
+        // Catalyst itself rewrites IN subqueries — we just do it at the
+        // wire format's level)
         val in = input
-        in.filter(expression(req(body, 3, "filter condition").bytes, in.columns.map(in(_)), fns))
+        // split the condition into AND conjuncts at the BYTES level
+        def conjuncts(b: Array[Byte]): Seq[Array[Byte]] = {
+          val f = sub(b).headOption
+          f match {
+            case Some(x) if x.tag == 3 =>
+              val sfs = sub(x.bytes)
+              val anchor = one(sfs, 1).map(_.varint).getOrElse(0L)
+              if (fns.get(anchor).contains("and"))
+                sfs.filter(_.tag == 4).flatMap { a =>
+                  one(sub(a.bytes), 3).map(v => conjuncts(v.bytes)).getOrElse(Seq(b))
+                }
+              else Seq(b)
+            case _ => Seq(b)
+          }
+        }
+        // (negated, needles, haystackRel) for an IN-subquery conjunct
+        def asInPredicate(b: Array[Byte]): Option[(Boolean, Seq[Field], Array[Byte])] = {
+          def inPred(bytes: Array[Byte]): Option[(Seq[Field], Array[Byte])] =
+            sub(bytes).headOption.filter(_.tag == 12).flatMap { sq =>
+              one(sub(sq.bytes), 2).map { ip =>
+                val ipf = sub(ip.bytes)
+                (ipf.filter(_.tag == 1),
+                  req(ipf, 2, "IN-subquery haystack relation").bytes)
+              }
+            }
+          val f = sub(b).headOption
+          f match {
+            case Some(x) if x.tag == 12 => inPred(b).map { case (n, h) => (false, n, h) }
+            case Some(x) if x.tag == 3 =>
+              val sfs = sub(x.bytes)
+              val anchor = one(sfs, 1).map(_.varint).getOrElse(0L)
+              if (!fns.get(anchor).contains("not")) None
+              else sfs.filter(_.tag == 4).flatMap(a => one(sub(a.bytes), 3)) match {
+                case Seq(arg) => inPred(arg.bytes).map { case (n, h) => (true, n, h) }
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+        val parts = conjuncts(req(body, 3, "filter condition").bytes)
+        parts.foldLeft(in) { (df, c) =>
+          asInPredicate(c) match {
+            case Some((negated, needles, haystack)) =>
+              if (needles.isEmpty) fail("substrait: IN-subquery without needles")
+              val right = recur(haystack)
+              if (right.columns.length != needles.length)
+                fail(s"substrait: IN-subquery arity ${needles.length} != haystack width ${right.columns.length}")
+              val cond = needles.zip(right.columns).map { case (n, rc) =>
+                expression(n.bytes, df.columns.map(df(_)), fns) === right(rc)
+              }.reduce(_ && _)
+              df.join(right, cond, if (negated) "left_anti" else "left_semi")
+            case None =>
+              df.filter(expression(c, df.columns.map(df(_)), fns))
+          }
+        }
 
       case RelFetch =>
         // FetchRel { common=1; input=2; offset=3; count=4 }
@@ -366,6 +428,8 @@ object SubstraitDecoder {
         val cfs = sub(f.bytes)
         val in = expression(req(cfs, 2, "cast input").bytes, cols, fns)
         in.cast(sparkType(req(cfs, 1, "cast type").bytes))
+      case 12 =>
+        fail("substrait: subquery expressions are supported only as (NOT) IN predicates at a filter's top level")
       case t => fail(s"substrait: unsupported expression tag $t")
     }
   }

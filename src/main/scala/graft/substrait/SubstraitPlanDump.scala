@@ -20,6 +20,7 @@ object SubstraitPlanDump {
     Files.write(out.resolve("q_substrait_union.plan"), SubstraitQueries.unionPlanBytes)
     Files.write(out.resolve("q_substrait_window.plan"), SubstraitQueries.windowPlanBytes)
     Files.write(out.resolve("q_substrait_grouping_sets.plan"), SubstraitQueries.groupingSetsPlanBytes)
-    println(s"wrote 5 plans to $out")
+    Files.write(out.resolve("q_substrait_in_subquery.plan"), SubstraitQueries.inSubqueryPlanBytes)
+    println(s"wrote 6 plans to $out")
   }
 }

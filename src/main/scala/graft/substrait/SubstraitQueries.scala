@@ -195,6 +195,37 @@ object SubstraitQueries {
     SubstraitDecoder.decode(spark, groupingSetsPlanBytes)
   }
 
+  /** read(customer) → FilterRel( c_custkey IN (SELECT o_custkey FROM
+    * orders WHERE price > 400k) AND c_acctbal > 0 ) → sort: the subquery
+    * IN-predicate arm — graft's consumer lowers the conjunct to a
+    * left_semi join and keeps the residual predicate an ordinary filter.
+    */
+  private[substrait] def inSubqueryPlanBytes: Array[Byte] = {
+    val fns = Seq(
+      Fn(1, UriComparison, "gt:any_any"),
+      Fn(2, UriBoolean, "and:bool"))
+    val cust = readNamed("customer", Seq(
+      "c_custkey" -> typ(I64),
+      "c_acctbal" -> typ(FP64)))
+    val ords = readNamed("orders", Seq(
+      "o_custkey" -> typ(I64),
+      "o_totalprice" -> typ(FP64)))
+    val haystack = project(
+      filterRel(ords, fn(1, typ(BOOL), fieldRef(1), litF64(400000.0))),
+      Seq(fieldRef(0)), Some(Seq(2)))
+    val cond = fn(2, typ(BOOL),
+      inSubquery(Seq(fieldRef(0)), haystack),
+      fn(1, typ(BOOL), fieldRef(1), litF64(0.0)))
+    val filtered = filterRel(cust, cond)
+    val sorted = sort(filtered, Seq(fieldRef(0) -> AscLast))
+    plan(sorted, Seq("c_custkey", "c_acctbal"), fns)
+  }
+
+  private def inSubqueryPlan(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    SubstraitDecoder.decode(spark, inSubqueryPlanBytes)
+  }
+
   val specs: Map[String, QuerySpec] = Map(
     "q_substrait_exec" -> QuerySpec.df(aggPlan,
       """SELECT o_orderpriority, COUNT(*) AS n,
@@ -224,6 +255,12 @@ object SubstraitQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY gset, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin),
+
+    "q_substrait_in_subquery" -> QuerySpec.df(inSubqueryPlan,
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |  AND c_acctbal > 0.0
+        |ORDER BY c_custkey""".stripMargin),
 
     "q_substrait_window" -> QuerySpec.df(windowPlan,
       """SELECT o_orderpriority, o_orderkey, rk FROM (

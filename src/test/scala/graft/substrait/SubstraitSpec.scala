@@ -153,6 +153,46 @@ class SubstraitSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported window function median"))
   }
 
+  test("NOT IN subquery lowers to a left_anti join; residual conjuncts stay filters") {
+    val fns = Seq(
+      Fn(1, UriBoolean, "and:bool"),
+      Fn(2, UriBoolean, "not:bool"),
+      Fn(3, UriComparison, "gt:any_any"))
+    // users NOT IN (user_ids with an order over 60) AND id > 0
+    val haystack = project(
+      filterRel(ordersRead, fn(3, typ(BOOL), fieldRef(2), litI32(60))),
+      Seq(fieldRef(1)), Some(Seq(3)))
+    val cond = fn(1, typ(BOOL),
+      fn(2, typ(BOOL), inSubquery(Seq(fieldRef(0)), haystack)),
+      fn(3, typ(BOOL), fieldRef(0), litI32(0)))
+    val sorted = sort(filterRel(usersRead, cond), Seq(fieldRef(0) -> AscLast))
+    val df = SubstraitDecoder.decode(spark, plan(sorted, Seq("id", "name"), fns))
+    val expected = spark.sql(
+      """SELECT id, name FROM users
+        |WHERE id NOT IN (SELECT user_id FROM orders WHERE amount > 60) AND id > 0
+        |ORDER BY id""".stripMargin)
+    assert(df.collect().toSeq == expected.collect().toSeq)
+    val p = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftAnti"), s"NOT IN must plan a left_anti join:\n$p")
+  }
+
+  test("IN-subquery arity mismatch and non-filter subqueries error by name") {
+    val fns = Seq(Fn(1, UriBoolean, "and:bool"))
+    val haystack = ordersRead // 3 columns vs 1 needle
+    val bad = filterRel(usersRead, inSubquery(Seq(fieldRef(0)), haystack))
+    val e1 = intercept[IllegalArgumentException] {
+      SubstraitDecoder.decode(spark, plan(bad, Nil, fns))
+    }
+    assert(e1.getMessage.contains("IN-subquery arity 1 != haystack width 3"))
+    // a subquery inside a projection expression is out of scope — clear error
+    val proj = project(usersRead, Seq(inSubquery(Seq(fieldRef(0)), ordersRead)))
+    val e2 = intercept[IllegalArgumentException] {
+      SubstraitDecoder.decode(spark, plan(proj, Nil, fns))
+    }
+    assert(e2.getMessage.contains("only as (NOT) IN predicates"))
+  }
+
   test("empty plan bytes fail with the no-relations error") {
     val e = intercept[IllegalArgumentException] {
       SubstraitDecoder.decode(spark, Array.emptyByteArray)
