@@ -16,14 +16,21 @@ class StructureOracleSpec extends AnyFunSuite {
 
   test("q_show: exactly the ten fixture temp views, all temporary, no namespace") {
     // fresh session: the shared one accumulates staged views (g_edges,
-    // ann_sig, …) from other suites
+    // ann_sig, …) from other suites. The GLOBAL catalog is still shared —
+    // suites that saveAsTable permanent fixtures (ensureBucketed's
+    // b_orders/b_orders2) leak into every session's SHOW TABLES — so the
+    // exact-set pin covers the TEMPORARY rows (the fixture registry);
+    // permanent rows are only required to live outside the "" namespace.
     val spark = TestSpark.spark.newSession()
     val rows = SparkEntry.queries("q_show")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val (temp, perm) = rows.partition(_._3)
     val expected = Tables.names.map(n => ("", n, true)).toSet
-    assert(rows.toSet == expected,
-      s"SHOW TABLES must list exactly the fixture registry; got ${rows.toSet}")
-    assert(rows.length == Tables.names.length, "no duplicate rows")
+    assert(temp.toSet == expected,
+      s"SHOW TABLES must list exactly the fixture registry; got ${temp.toSet}")
+    assert(temp.length == Tables.names.length, "no duplicate rows")
+    assert(perm.forall(_._1.nonEmpty),
+      s"permanent tables must carry a namespace; got ${perm.toSet}")
   }
 
   test("q_describe: the orders relation schema, column for column") {
