@@ -65,7 +65,9 @@ object Staging {
     */
   def checkpointStatsReset(df: DataFrame, eager: Boolean = true): DataFrame = {
     val c = raw(df, eager)
-    c.sparkSession.createDataFrame(c.rdd, c.schema)
+    // internal-row rebuild: same stats reset, no external-Row codec pass
+    // on every downstream read (graftbridge.InternalFrames doc)
+    org.apache.spark.sql.graftbridge.InternalFrames.statsReset(c)
   }
 
   /** `df.staged()` enrichment so the 80+ chained call sites keep their

@@ -57,7 +57,7 @@ object GraphRank {
     val eo = e0
       .join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
-      .staged()
+      .staged(eager = false)
 
     var ranks = nodes.crossJoin(teleDf).select(col("id"), col("tele").as("rank"))
     for (_ <- 1 to iters) {
@@ -105,7 +105,7 @@ object GraphRank {
     val eo = e0
       .join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src"))
-      .staged()
+      .staged(eager = false)
 
     var ranks = nodes
       .join(sflag, nodes("id") === sflag("sid"), "left")
@@ -360,10 +360,63 @@ object GraphRank {
        |$rounds""".stripMargin
   }
 
-  private def lpaTail: String = {
-    s"""$lpaChainCtes,
-       |g AS (SELECT lbl, COUNT(*) AS n_members, MIN(node) AS min_node
-       |      FROM l3 GROUP BY lbl),
+  /** Spark-side 3-round LPA over STAGED views instead of chained CTEs:
+    * Catalyst re-inlines every multi-consumer CTE (l_i feeds v_{i+1}'s
+    * join AND its self-vote union; the readouts reference l3 up to three
+    * times), so the single-SQL form compiled to a 378-Exchange plan for
+    * q_graph_label_prop and 1786 for q_graph_modularity
+    * (plans/r11, the _before captures) — ~2^rounds scan copies deduped only at
+    * identical-exchange boundaries. Each round here is the SAME vote/
+    * majority text over a lazily-checkpointed view (LogicalRDD leaf), so
+    * every round's join+count+window runs exactly once (guide §2.4: one
+    * exchange per logical step). Registers graft_lpa_me / graft_lpa_ue /
+    * graft_lpa_l3 for the readouts; the DuckDB oracle keeps deriving the
+    * identical chain from [[lpaChainCtes]] (its engine materializes
+    * multi-consumer CTEs).
+    */
+  private def lpaStageViews(s: SparkSession, d: String): Unit = {
+    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
+    s.sql(s"WITH ${mutualCte("g_edges")} SELECT id1, id2 FROM me")
+      .transform(f => IterPlan.cpReset(f, eager = false)).createOrReplaceTempView("graft_lpa_me")
+    s.sql(
+      """SELECT id1 AS node, id2 AS nbr FROM graft_lpa_me
+        |UNION ALL
+        |SELECT id2 AS node, id1 AS nbr FROM graft_lpa_me""".stripMargin)
+      .transform(f => IterPlan.cpReset(f, eager = false)).createOrReplaceTempView("graft_lpa_ue")
+    var l = s.sql("SELECT DISTINCT node, node AS lbl FROM graft_lpa_ue")
+      .transform(f => IterPlan.cpReset(f, eager = false))
+    for (i <- 1 to 3) {
+      l.createOrReplaceTempView(s"graft_lpa_l${i - 1}")
+      // The neighbor-vote join is staged on its own before the self-vote
+      // union: a Union whose child carries join constraints over a
+      // checkpointed view trips Catalyst's UnionBase.rewriteConstraints
+      // ("key not found: node#…") — two LogicalRDD leaves union cleanly.
+      s.sql(
+        s"""SELECT ue.node AS node, p.lbl AS lbl
+           |FROM graft_lpa_ue ue
+           |JOIN graft_lpa_l${i - 1} p ON ue.nbr = p.node""".stripMargin)
+        .transform(f => IterPlan.cpReset(f, eager = false)).createOrReplaceTempView(s"graft_lpa_v$i")
+      l = s.sql(
+        s"""SELECT node, lbl FROM (
+           |  SELECT node, lbl,
+           |         row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           |  FROM (SELECT node, lbl, COUNT(*) AS c
+           |        FROM (SELECT node, lbl FROM graft_lpa_v$i
+           |              UNION ALL
+           |              SELECT node, lbl FROM graft_lpa_l${i - 1}) v
+           |        GROUP BY node, lbl) c) x WHERE rn = 1""".stripMargin)
+        .transform(f => IterPlan.cpReset(f, eager = false))
+    }
+    l.createOrReplaceTempView("graft_lpa_l3")
+  }
+
+  /** Community readout over a label relation `l3` — shared by the Duck
+    * chain text (l3 = the CTE) and the Spark staged-view path (l3 =
+    * graft_lpa_l3), so the two sides can never drift.
+    */
+  private def lpaReadout(l3: String): String =
+    s"""g AS (SELECT lbl, COUNT(*) AS n_members, MIN(node) AS min_node
+       |      FROM $l3 GROUP BY lbl),
        |tot AS (SELECT COUNT(*) AS n_comm FROM g),
        |selc AS (SELECT lbl, n_members, min_node FROM g
        |         ORDER BY n_members DESC, lbl LIMIT 20)
@@ -371,11 +424,15 @@ object GraphRank {
        |       lbl AS community, CAST(n_members AS BIGINT) AS n_members, min_node,
        |       CAST((SELECT n_comm FROM tot) AS BIGINT) AS n_comm_total
        |FROM selc ORDER BY rk""".stripMargin
+
+  private def lpaTail: String = {
+    s"""$lpaChainCtes,
+       |${lpaReadout("l3")}""".stripMargin
   }
 
   private def lpaSpark(s: SparkSession, d: String): DataFrame = {
-    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
-    s.sql(s"WITH ${mutualCte("g_edges")},\n$lpaTail")
+    lpaStageViews(s, d)
+    s.sql(s"WITH ${lpaReadout("graft_lpa_l3")}")
   }
 
   private def lpaDuck: String =
@@ -399,17 +456,19 @@ object GraphRank {
     * equi-join pass of the edge list against the label table (no wedge
     * or pair blowup); everything after runs on community-bounded rows.
     */
-  private def modularityTail: String =
-    s"""$lpaChainCtes,
-       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM ue GROUP BY node),
-       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM me),
+  /** Modularity readout over (me, ue, l3) relations — shared between the
+    * Duck chain text and the Spark staged-view path (lpaReadout doc).
+    */
+  private def modularityReadout(me: String, ue: String, l3: String): String =
+    s"""deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM $ue GROUP BY node),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM $me),
        |ein AS (SELECT a.lbl, CAST(COUNT(*) AS BIGINT) AS e_in
-       |        FROM me JOIN l3 a ON me.id1 = a.node
-       |                JOIN l3 b ON me.id2 = b.node
+       |        FROM $me me JOIN $l3 a ON me.id1 = a.node
+       |                JOIN $l3 b ON me.id2 = b.node
        |        WHERE a.lbl = b.lbl GROUP BY a.lbl),
        |dc AS (SELECT l.lbl, CAST(SUM(d.dg) AS BIGINT) AS deg_sum,
        |              CAST(COUNT(*) AS BIGINT) AS n_members
-       |       FROM l3 l JOIN deg d ON l.node = d.node GROUP BY l.lbl),
+       |       FROM $l3 l JOIN deg d ON l.node = d.node GROUP BY l.lbl),
        |pc AS (SELECT dc.lbl, dc.n_members, dc.deg_sum,
        |              CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
        |              CAST(4 * mm.m * COALESCE(e.e_in, 0)
@@ -428,9 +487,13 @@ object GraphRank {
        |                  * CAST((SELECT m FROM mm) AS DOUBLE)) AS q_modularity
        |FROM selc ORDER BY rk""".stripMargin
 
+  private def modularityTail: String =
+    s"""$lpaChainCtes,
+       |${modularityReadout("me", "ue", "l3")}""".stripMargin
+
   private def modularitySpark(s: SparkSession, d: String): DataFrame = {
-    LlmQueries.knnEdgesCached(s, d).createOrReplaceTempView("g_edges")
-    s.sql(s"WITH ${mutualCte("g_edges")},\n$modularityTail")
+    lpaStageViews(s, d)
+    s.sql(s"WITH ${modularityReadout("graft_lpa_me", "graft_lpa_ue", "graft_lpa_l3")}")
   }
 
   private def modularityDuck: String =
@@ -472,12 +535,12 @@ object GraphRank {
     val me = s.sql(s"WITH ${mutualCte("g_edges")} SELECT id1, id2 FROM me")
     var e = me.selectExpr("id1 AS node", "id2 AS nbr")
       .unionByName(me.selectExpr("id2 AS node", "id1 AS nbr"))
-      .staged()
-    var alive = e.select("node").distinct().staged()
+      .staged(eager = false)
+    var alive = e.select("node").distinct().staged(eager = false)
     var labels: DataFrame = null
     for (i <- 1 to 6) {
       val surv = e.groupBy("node").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 2).select("node").staged()
+        .filter(col("deg") >= 2).select("node").staged(eager = false)
       val peeled = alive.join(surv, Seq("node"), "left_anti")
         .select(col("node"), lit(i).as("peel_round"))
       labels = if (labels == null) peeled else labels.unionByName(peeled)
@@ -485,7 +548,7 @@ object GraphRank {
         .drop("n1")
         .join(surv.withColumnRenamed("node", "n2"), col("nbr") === col("n2"))
         .drop("n2")
-        .staged()
+        .staged(eager = false)
       alive = surv
     }
     labels = labels.unionByName(alive.select(col("node"), lit(7).as("peel_round")))
@@ -563,7 +626,7 @@ object GraphRank {
     */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().staged()
+      .distinct().staged(eager = false)
     var hub = nodes.select(col("id"), lit(1000L).as("h"))
     var auth = nodes.select(col("id"), lit(0L).as("a"))
     for (_ <- 1 to iters) {
@@ -571,12 +634,12 @@ object GraphRank {
         .groupBy("dst").agg(sum("h").as("a0"))
       auth = nodes.join(aIn, nodes("id") === aIn("dst"), "left")
         .select(nodes("id"), coalesce(col("a0"), lit(0L)).as("a"))
-        .staged()
+        .staged(eager = false)
       val hIn = e.join(auth, e("dst") === auth("id"))
         .groupBy("src").agg(sum("a").as("h0"))
       hub = nodes.join(hIn, nodes("id") === hIn("src"), "left")
         .select(nodes("id"), coalesce(col("h0"), lit(0L)).as("h"))
-        .staged()
+        .staged(eager = false)
     }
     auth.join(hub, "id")
   }
@@ -653,13 +716,13 @@ object GraphRank {
   def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().repartition(col("src")).staged()
+      .distinct().repartition(col("src")).staged(eager = false)
     val sflag = seeds.select(col("id").as("sid"))
     var dist = nodes
       .join(sflag, nodes("id") === sflag("sid"), "left")
       .select(col("id"),
         expr("CASE WHEN sid IS NULL THEN CAST(NULL AS BIGINT) ELSE 0L END").as("hop"))
-      .staged()
+      .staged(eager = false)
     for (_ <- 1 to iters) {
       val cand = e.join(dist, e("src") === dist("id"))
         .where(col("hop").isNotNull)
@@ -669,7 +732,7 @@ object GraphRank {
           expr("""CASE WHEN hop IS NULL THEN nh
                  |     WHEN nh IS NULL THEN hop
                  |     WHEN nh < hop THEN nh ELSE hop END""".stripMargin).as("hop"))
-        .staged()
+        .staged(eager = false)
     }
     dist
   }
@@ -744,10 +807,11 @@ object GraphRank {
                      |              AND a.src < a.dst""".stripMargin)
     val ue = IterPlan.cpReset(
       me.selectExpr("id1 AS a", "id2 AS b")
-        .unionByName(me.selectExpr("id2 AS a", "id1 AS b")))
+        .unionByName(me.selectExpr("id2 AS a", "id1 AS b")), eager = false)
     val truth = IterPlan.cpReset(
-      Tables.embeddings(s, d).selectExpr("vec_id AS id", "label AS lbl"))
-    val seeds = IterPlan.cpReset(truth.where("id % 4 != 0"))
+      Tables.embeddings(s, d).selectExpr("vec_id AS id", "label AS lbl"),
+      eager = false)
+    val seeds = IterPlan.cpReset(truth.where("id % 4 != 0"), eager = false)
     var labs = seeds
     for (_ <- 1 to 3) {
       val votes = ue.join(labs, ue("b") === labs("id"))
@@ -757,7 +821,7 @@ object GraphRank {
       val pred = votes.withColumn("rn", row_number().over(win))
         .where((col("rn") === 1).and(col("a") % 4 === 0))
         .select(col("a").as("id"), col("lbl"))
-      labs = IterPlan.cpReset(seeds.unionByName(pred))
+      labs = IterPlan.cpReset(seeds.unionByName(pred), eager = false)
     }
     val hold = truth.where("id % 4 = 0")
     val pred = labs.where("id % 4 = 0")
@@ -857,7 +921,7 @@ object GraphRank {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
     // Staged once: in-degree pass + both degree joins reuse this
     // materialization instead of re-deriving the explode per consumer.
-    val edges = syntheticEdges(docs).staged()
+    val edges = syntheticEdges(docs).staged(eager = false)
     val ind = edges.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).cast("long").as("indeg"))
     val ex = edges
@@ -934,12 +998,12 @@ object GraphRank {
     val docs = Tables.documents(s, d).select(col("doc_id").cast("long").as("id"))
     val edges = syntheticEdges(docs)
       .repartition(col("src"))
-      .staged()
+      .staged(eager = false)
     // forward: level-synchronous BFS with path counts
     var level = docs.filter(expr("id % 499 = 0"))
       .select(col("id").as("seed"), col("id").as("node"),
         lit(1L).as("sig"), lit(0).as("depth"))
-      .staged()
+      .staged(eager = false)
     var visited = level
     val levels = scala.collection.mutable.ArrayBuffer(level)
     for (j <- 1 to BcHops) {
@@ -949,15 +1013,15 @@ object GraphRank {
         .select(col("seed"), col("dst").as("node"), col("sig"), lit(j).as("depth"))
         .join(visited.select(col("seed").as("vs"), col("node").as("vn")),
           col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
-        .staged()
+        .staged(eager = false)
       levels += nf
-      visited = visited.union(nf).staged()
+      visited = visited.union(nf).staged(eager = false)
       level = nf
     }
     // backward: dependency accumulation by decreasing depth
     var delta = levels(BcHops)
       .select(col("seed"), col("node"), col("sig"), lit(0L).as("dm"))
-      .staged()
+      .staged(eager = false)
     for (j <- (BcHops - 1) to 1 by -1) {
       val cur = levels(j)
       val contrib = cur
@@ -973,8 +1037,8 @@ object GraphRank {
         .join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sig"),
           coalesce(col("dm"), lit(0L)).as("dm"))
-        .staged()
-      delta = delta.union(dj).staged()
+        .staged(eager = false)
+      delta = delta.union(dj).staged(eager = false)
     }
     // delta holds only depth-1..4 rows (the seed row never re-enters a
     // frontier — it is in v0), so no endpoint exclusion is needed here

@@ -43,7 +43,7 @@ object MstCluster {
   /** Stats-resetting checkpoint — see [[IterPlan.cpReset]] (this operator
     * is where the pathology was first measured).
     */
-  private def cpReset(df: DataFrame): DataFrame = IterPlan.cpReset(df)
+  private def cpReset(df: DataFrame): DataFrame = IterPlan.cpReset(df, eager = false)
 
   /** Borůvka census over an undirected weighted edge list (u, v, w) with
     * u < v. Returns one row per round.
