@@ -706,19 +706,22 @@ object AnnSql {
     s"""WITH ${purityCtCtes((a, b) => s"graft_cosine($a, $b)", 2)}
        |SELECT cent_id, label, n_cl FROM ct ORDER BY cent_id, label""".stripMargin
 
-  private def purityNmiSql(
-      cosFn: (String, String) => String, p1: Int,
-      intDiv: String, k: NeutralMath.KernelSplice): String =
-    s"""WITH ${purityCtCtes(cosFn, p1)},
-       |tc AS (SELECT cent_id, CAST(SUM(n_cl) AS BIGINT) AS n_c FROM ct GROUP BY cent_id),
-       |tl AS (SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l FROM ct GROUP BY label),
-       |tot AS (SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM ct),
+  /** Validity readout over a contingency relation `ct(cent_id, label,
+    * n_cl)` — shared by the Duck chain text and the Spark staged-view
+    * path (the ct derivation re-inlined 5× blew the q_cluster_purity
+    * plan to 465 Exchanges; plans/r11, _before capture).
+    */
+  private def purityReadout(
+      ct: String, intDiv: String, k: NeutralMath.KernelSplice): String =
+    s"""tc AS (SELECT cent_id, CAST(SUM(n_cl) AS BIGINT) AS n_c FROM $ct GROUP BY cent_id),
+       |tl AS (SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l FROM $ct GROUP BY label),
+       |tot AS (SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM $ct),
        |pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS pure
-       |        FROM (SELECT cent_id, MAX(n_cl) AS mx FROM ct GROUP BY cent_id) z),
+       |        FROM (SELECT cent_id, MAX(n_cl) AS mx FROM $ct GROUP BY cent_id) z),
        |mi0 AS (SELECT ct.cent_id, ct.label, ct.n_cl,
        |               CAST(ct.n_cl * tot.n AS BIGINT) AS num,
        |               CAST(tc.n_c * tl.n_l AS BIGINT) AS den
-       |        FROM ct JOIN tc ON ct.cent_id = tc.cent_id
+       |        FROM $ct ct JOIN tc ON ct.cent_id = tc.cent_id
        |                JOIN tl ON ct.label = tl.label
        |        CROSS JOIN tot),
        |${k.ln("mi1", "mi0", "cent_id, label, n_cl, num, den", "cent_id, label, n_cl",
@@ -751,8 +754,26 @@ object AnnSql {
        |              CAST(FLOOR(SQRT(CAST(hc_micro * hl_micro AS DOUBLE))) AS BIGINT)) AS BIGINT) AS nmi_milli
        |FROM fin""".stripMargin
 
-  def purityNmiSpark: String =
-    purityNmiSql((a, b) => s"graft_cosine($a, $b)", 2, "DIV", NeutralMath.SparkKernel)
+  private def purityNmiSql(
+      cosFn: (String, String) => String, p1: Int,
+      intDiv: String, k: NeutralMath.KernelSplice): String =
+    s"""WITH ${purityCtCtes(cosFn, p1)},
+       |${purityReadout("ct", intDiv, k)}""".stripMargin
+
+  /** Spark path: the (cells × labels)-bounded contingency table is staged
+    * once (lazy checkpoint), then the readout's 5 consumers fold it —
+    * instead of re-inlining the whole two-level-quantizer chain per
+    * consumer (the 465-Exchange plan; purityReadout doc).
+    */
+  def purityNmiSparkStaged(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    graft.Staging.checkpointStatsReset(
+      s.sql(s"""WITH ${purityCtCtes((a, b) => s"graft_cosine($a, $b)", 2)}
+               |SELECT cent_id, label, n_cl FROM ct""".stripMargin),
+      eager = false)
+      .createOrReplaceTempView("graft_purity_ct")
+    s.sql(s"WITH ${purityReadout("graft_purity_ct", "DIV", NeutralMath.SparkKernel)}")
+  }
 
   def purityNmiDuck: String =
     purityNmiSql(duckCos, 2, "//", NeutralMath.OracleKernel)

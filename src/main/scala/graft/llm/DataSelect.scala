@@ -1118,7 +1118,7 @@ object DataSelect {
     "q_select_dsir_cluster" -> QuerySpec(
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)
-        DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, d, 0.95))
+        MinHashDedup.clusterLabelsCached(s, d, 0.95)
           .createOrReplaceTempView("dsir_cl")
         stageDsirBc(s, d, clusterPoolSpark, "dsir_bc_cl")
         s.sql(dsirSpark(clusterPoolSpark, "dsir_bc_cl"))

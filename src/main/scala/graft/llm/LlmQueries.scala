@@ -633,7 +633,7 @@ object LlmQueries {
     // pair graph; keep the min doc_id per component. Oracle: recursive-CTE
     // reachability over the exact pair graph.
     "q_dedup_cluster" -> df(
-      (s, d) => DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, d, 0.95)),
+      (s, d) => MinHashDedup.clusterLabelsCached(s, d, 0.95).orderBy("doc_id"),
       s"""WITH RECURSIVE d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
          |w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM d),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
@@ -658,7 +658,7 @@ object LlmQueries {
     "q_dedup_keep_best" -> df(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val cl = DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, d, 0.95))
+        val cl = MinHashDedup.clusterLabelsCached(s, d, 0.95)
         val meta = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
         val w = Window.partitionBy(col("cluster_rep"))
           .orderBy(col("n_chars").desc, col("doc_id").desc)
@@ -718,7 +718,7 @@ object LlmQueries {
     "q_split_leakage_safe" -> df(
       (s, d) => {
         import org.apache.spark.sql.Column
-        val cl = DedupCluster.clusters(MinHashDedup.nearDuplicatesCached(s, d, 0.95))
+        val cl = MinHashDedup.clusterLabelsCached(s, d, 0.95)
         val docs = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
           .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
         val bucket = (c: Column) =>
@@ -907,7 +907,7 @@ object LlmQueries {
       (s, d) => {
         Tables.registerAll(s, d)
         graft.functions.GraftFunctions.register(s)
-        s.sql(AnnSql.purityNmiSpark)
+        AnnSql.purityNmiSparkStaged(s)
       },
       Some(AnnSql.purityNmiDuck)),
 

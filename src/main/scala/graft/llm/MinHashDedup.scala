@@ -40,6 +40,22 @@ object MinHashDedup {
         .staged()
     }
 
+  private[llm] val labelCache = new graft.LruMemo[
+    (org.apache.spark.sql.SparkSession, String, Double), DataFrame](8)
+
+  /** CC labels over the cached verified pair graph — the dedup pipeline's
+    * second staged artifact (cluster assignment feeds keep-best, the
+    * leakage-safe split and DSIR cluster pooling, exactly like the pair
+    * set feeds them): one pointer-jumping fixpoint run per (session, dir,
+    * threshold) instead of one per consumer — four consumers re-ran the
+    * full per-round-action loop each before r11.
+    */
+  def clusterLabelsCached(
+      spark: org.apache.spark.sql.SparkSession, dir: String, threshold: Double): DataFrame =
+    labelCache.getOrElseUpdate((spark, dir, threshold)) {
+      DedupCluster.clusters(nearDuplicatesCached(spark, dir, threshold)).staged()
+    }
+
   /** Distinct (doc_id, word) pairs — word-set semantics (1-gram shingles;
     * this corpus' 31-word vocabulary makes longer shingles degenerate).
     */

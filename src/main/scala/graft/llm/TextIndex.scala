@@ -68,18 +68,22 @@ object TextIndex {
   /** Shared round chain (dialect-free given an s0 symbol table). */
   private val bpeRounds = s"${bpeRound(1)},\n${bpeRound(2)}"
 
-  /** Merge-training output: the learned rule per round + the resulting
-    * symbol inventory.
+  /** Merge-training output over (t1, t2, s2) relations: the learned rule
+    * per round + the resulting symbol inventory. Shared by the Duck chain
+    * text and the Spark staged-view path so the two cannot drift.
     */
+  private def trainReadout(t1: String, t2: String, s2: String): String =
+    s"""SELECT rnd, sym, cnt FROM (
+       |  SELECT 1 AS rnd, concat(s1, '|', s2) AS sym, CAST(cnt AS BIGINT) AS cnt FROM $t1
+       |  UNION ALL
+       |  SELECT 2 AS rnd, concat(s1, '|', s2) AS sym, CAST(cnt AS BIGINT) AS cnt FROM $t2
+       |  UNION ALL
+       |  SELECT 3 AS rnd, s AS sym, CAST(SUM(c) AS BIGINT) AS cnt FROM $s2 GROUP BY s
+       |) u ORDER BY rnd, cnt DESC, sym""".stripMargin
+
   private val bpeTail =
     s"""$bpeRounds
-       |SELECT rnd, sym, cnt FROM (
-       |  SELECT 1 AS rnd, concat(s1, '|', s2) AS sym, CAST(cnt AS BIGINT) AS cnt FROM t1
-       |  UNION ALL
-       |  SELECT 2 AS rnd, concat(s1, '|', s2) AS sym, CAST(cnt AS BIGINT) AS cnt FROM t2
-       |  UNION ALL
-       |  SELECT 3 AS rnd, s AS sym, CAST(SUM(c) AS BIGINT) AS cnt FROM s2 GROUP BY s
-       |) u ORDER BY rnd, cnt DESC, sym""".stripMargin
+       |${trainReadout("t1", "t2", "s2")}""".stripMargin
 
   /** Tokenizer APPLICATION output: per word type — its corpus count,
     * character length, and encoded symbol count under the two learned
@@ -88,10 +92,9 @@ object TextIndex {
     * symbol table; this output just accounts for it — per-word rows stay
     * vocabulary-bounded, the corpus totals are exact integer sums.
     */
-  private val bpeEncodeTail =
-    s"""$bpeRounds,
-       |enc AS (SELECT w, MIN(c) AS c, COUNT(*) AS n_sym FROM s2 GROUP BY w),
-       |base AS (SELECT w, length(w) AS n_char FROM bpe_wt),
+  private def encodeReadout(s2: String, wt: String): String =
+    s"""enc AS (SELECT w, MIN(c) AS c, COUNT(*) AS n_sym FROM $s2 GROUP BY w),
+       |base AS (SELECT w, length(w) AS n_char FROM $wt),
        |pw AS (SELECT enc.w, enc.c, base.n_char, enc.n_sym
        |       FROM enc JOIN base ON enc.w = base.w)
        |SELECT w, CAST(c AS BIGINT) AS n_occurrences,
@@ -102,6 +105,10 @@ object TextIndex {
        |                  / CAST(SUM(c * n_char) OVER () AS DOUBLE) + 0.5) AS BIGINT) AS tokens_vs_chars_bp
        |FROM pw ORDER BY w""".stripMargin
 
+  private val bpeEncodeTail =
+    s"""$bpeRounds,
+       |${encodeReadout("s2", "bpe_wt")}""".stripMargin
+
   // the length(w) > 0 guard keeps the two dialects identical on empty
   // word types: Spark's sequence(1, 0) is the DESCENDING [1, 0] while
   // DuckDB's range(1, 1) is empty — an ''-token (consecutive spaces in a
@@ -111,9 +118,70 @@ object TextIndex {
       |       FROM bpe_wt LATERAL VIEW explode(sequence(1, length(w))) t AS i
       |       WHERE length(w) > 0)""".stripMargin
 
-  private val bpeSparkChain = s"WITH $bpeSparkS0,\n$bpeTail"
+  /** Spark-side round chain over STAGED views. The single-SQL form
+    * ([[bpeRound]]'s CTEs inlined) compiled to 346–414-Exchange plans for
+    * the three BPE queries (plans/r11, _before captures): each round
+    * references its predecessor ~7 times (pair count ×2, merge-site join
+    * ×2, apply ×3), so Catalyst's CTE re-inlining copies the whole prior
+    * chain ~7^rounds times, deduped only at identical-exchange
+    * boundaries. Staging each round's symbol table (and the 1-row merge
+    * pick) as a lazily-checkpointed view makes every round run once —
+    * the r11 optimization-round rewrite; the DuckDB oracle keeps the
+    * [[bpeRound]] CTE text (its engine materializes multi-consumer CTEs),
+    * and TextIndexSpec + the 3-SF oracle pin the two paths identical.
+    *
+    * Registers views bpe_s0, bpe_t1, bpe_s1, bpe_t2, bpe_s2. Text below
+    * mirrors [[bpeRound]] with prev/t as view names.
+    */
+  private def bpeStageRounds(s: org.apache.spark.sql.SparkSession): Unit = {
+    def cp(df: org.apache.spark.sql.DataFrame) =
+      graft.Staging.checkpointStatsReset(df, eager = false)
+    cp(s.sql(
+      s"""SELECT w, c, i AS p, CAST(i AS BIGINT) AS rk, substr(w, i, 1) AS s
+         |FROM bpe_wt LATERAL VIEW explode(sequence(1, length(w))) t AS i
+         |WHERE length(w) > 0""".stripMargin))
+      .createOrReplaceTempView("bpe_s0")
+    for (r <- 1 to 2) {
+      val prev = s"bpe_s${r - 1}"
+      cp(s.sql(
+        s"""WITH p AS (SELECT a.s AS s1, b.s AS s2, SUM(a.c) AS cnt
+           |       FROM $prev a JOIN $prev b ON a.w = b.w AND b.rk = a.rk + 1
+           |       GROUP BY a.s, b.s)
+           |SELECT s1, s2, cnt FROM p ORDER BY cnt DESC, s1, s2 LIMIT 1""".stripMargin))
+        .createOrReplaceTempView(s"bpe_t$r")
+      cp(s.sql(
+        s"""WITH m AS (SELECT a.w, a.rk FROM $prev a
+           |        JOIN $prev b ON a.w = b.w AND b.rk = a.rk + 1
+           |        JOIN bpe_t$r t ON a.s = t.s1 AND b.s = t.s2),
+           |r AS (SELECT w, rk,
+           |               row_number() OVER (PARTITION BY w, grp ORDER BY rk) AS j
+           |        FROM (SELECT w, rk,
+           |                     rk - row_number() OVER (PARTITION BY w ORDER BY rk) AS grp
+           |              FROM m) z),
+           |a AS (SELECT w, rk FROM r WHERE j % 2 = 1),
+           |n AS (SELECT x.w, x.c, x.p,
+           |               CASE WHEN ap.rk IS NOT NULL THEN concat(x.s, nx.s) ELSE x.s END AS s
+           |        FROM $prev x
+           |        LEFT JOIN a ap ON x.w = ap.w AND x.rk = ap.rk
+           |        LEFT JOIN $prev nx ON x.w = nx.w AND nx.rk = x.rk + 1
+           |        LEFT JOIN a cons ON x.w = cons.w AND x.rk = cons.rk + 1
+           |        WHERE cons.rk IS NULL)
+           |SELECT w, c, p, s,
+           |       CAST(row_number() OVER (PARTITION BY w ORDER BY p) AS BIGINT) AS rk
+           |FROM n""".stripMargin))
+        .createOrReplaceTempView(s"bpe_s$r")
+    }
+  }
 
-  private val bpeEncodeSparkChain = s"WITH $bpeSparkS0,\n$bpeEncodeTail"
+  private def bpeSparkStaged(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    bpeStageRounds(s)
+    s.sql(trainReadout("bpe_t1", "bpe_t2", "bpe_s2"))
+  }
+
+  private def bpeEncodeSparkStaged(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    bpeStageRounds(s)
+    s.sql(s"WITH ${encodeReadout("bpe_s2", "bpe_wt")}")
+  }
 
   private val bpeDuckCtes =
     """bpe_wt AS (SELECT w, COUNT(*) AS c
@@ -135,10 +203,9 @@ object TextIndex {
     * one extra token-stream aggregation; everything else is
     * vocabulary-bounded joins.
     */
-  private val fertilityTail =
-    s"""$bpeRounds,
-       |enc AS (SELECT w, COUNT(*) AS n_sym FROM s2 GROUP BY w),
-       |base AS (SELECT w, length(w) AS n_char FROM bpe_wt),
+  private def fertilityReadout(s2: String, wt: String): String =
+    s"""enc AS (SELECT w, COUNT(*) AS n_sym FROM $s2 GROUP BY w),
+       |base AS (SELECT w, length(w) AS n_char FROM $wt),
        |f AS (SELECT wts.source,
        |             CAST(SUM(wts.c * enc.n_sym) AS BIGINT) AS toks,
        |             CAST(SUM(wts.c * base.n_char) AS BIGINT) AS chars
@@ -148,12 +215,18 @@ object TextIndex {
        |       CAST(FLOOR(CAST(toks AS DOUBLE) * 10000 / chars + 0.5) AS BIGINT) AS fertility_bp
        |FROM f ORDER BY source""".stripMargin
 
-  private val fertilitySpark =
-    s"""WITH $bpeSparkS0,
-       |wts AS (SELECT source, word AS w, COUNT(*) AS c
-       |        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
-       |        GROUP BY source, word),
-       |$fertilityTail""".stripMargin
+  private val fertilityTail =
+    s"""$bpeRounds,
+       |${fertilityReadout("s2", "bpe_wt")}""".stripMargin
+
+  private def fertilitySparkStaged(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    bpeStageRounds(s)
+    s.sql(
+      s"""WITH wts AS (SELECT source, word AS w, COUNT(*) AS c
+         |        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
+         |        GROUP BY source, word),
+         |${fertilityReadout("bpe_s2", "bpe_wt")}""".stripMargin)
+  }
 
   private val fertilityDuck =
     s"""WITH $bpeDuckCtes,
@@ -261,14 +334,14 @@ object TextIndex {
       s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     stageWt(docs)
-    s.sql(bpeSparkChain)
+    bpeSparkStaged(s)
   }
 
   private[llm] def bpeEncodeFromDocs(
       s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     stageWt(docs)
-    s.sql(bpeEncodeSparkChain)
+    bpeEncodeSparkStaged(s)
   }
 
   /** Per-doc zlib compression pass — the RefinedWeb/Gopher-family
@@ -328,16 +401,16 @@ object TextIndex {
           |       1 AS roundtrip_ok
           |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
     "q_text_bpe_train" -> QuerySpec(
-      (s, d) => { stageWtCached(s, d); s.sql(bpeSparkChain) },
+      (s, d) => { stageWtCached(s, d); bpeSparkStaged(s) },
       Some(bpeDuck)),
     "q_text_bpe_encode" -> QuerySpec(
-      (s, d) => { stageWtCached(s, d); s.sql(bpeEncodeSparkChain) },
+      (s, d) => { stageWtCached(s, d); bpeEncodeSparkStaged(s) },
       Some(bpeEncodeDuck)),
     "q_text_bpe_fertility" -> QuerySpec(
       (s, d) => {
         graft.queries.Tables.registerAll(s, d) // wts reads documents directly
         stageWtCached(s, d)
-        s.sql(fertilitySpark)
+        fertilitySparkStaged(s)
       },
       Some(fertilityDuck)),
     "q_text_inverted_index" -> sql2(invSpark, invDuck)

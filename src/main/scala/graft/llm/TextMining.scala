@@ -234,16 +234,11 @@ object TextMining {
     * five times transitively and SQL-text re-inlining would turn that
     * into five corpus explodes).
     */
-  private def textrankTail(gp: String, intDiv: String): String = {
-    val scale = 1000000000000L
-    val iters = (1 to 5).map { i =>
-      s"""r$i AS (SELECT nodes.id,
-         |  CAST((15 * tele.t + 85 * COALESCE(f.inflow, 0)) $intDiv 100 AS BIGINT) AS rank
-         |  FROM nodes CROSS JOIN tele LEFT JOIN (
-         |    SELECT eo.dst, CAST(SUM(r.rank $intDiv eo.outdeg) AS BIGINT) AS inflow
-         |    FROM eo JOIN r${i - 1} r ON eo.src = r.id GROUP BY eo.dst) f
-         |  ON nodes.id = f.dst)""".stripMargin
-    }.mkString(",\n")
+  /** Graph derivation over a DISTINCT-pair relation `gp`: word-id
+    * vocabulary + out-degree-attached undirected edge list. Shared by the
+    * Duck chain and the Spark staged-view path.
+    */
+  private def textrankGraphCtes(gp: String): String =
     s"""wv AS (SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
        |       FROM (SELECT w1 AS word FROM $gp
        |             UNION SELECT w2 AS word FROM $gp) z),
@@ -254,17 +249,35 @@ object TextMining {
        |       UNION SELECT dst AS src, src AS dst FROM ed0),
        |eo AS (SELECT ed.src, ed.dst, od.outdeg
        |       FROM ed JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
-       |                     FROM ed GROUP BY src) od ON ed.src = od.src),
-       |nodes AS (SELECT id FROM wv),
+       |                     FROM ed GROUP BY src) od ON ed.src = od.src)""".stripMargin
+
+  /** Rank iteration + top-20 readout over (wv, eo) relations — shared by
+    * both dialect paths (textrankGraphCtes doc).
+    */
+  private def textrankRankReadout(wv: String, eo: String, intDiv: String): String = {
+    val scale = 1000000000000L
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (SELECT nodes.id,
+         |  CAST((15 * tele.t + 85 * COALESCE(f.inflow, 0)) $intDiv 100 AS BIGINT) AS rank
+         |  FROM nodes CROSS JOIN tele LEFT JOIN (
+         |    SELECT eo.dst, CAST(SUM(r.rank $intDiv eo.outdeg) AS BIGINT) AS inflow
+         |    FROM $eo eo JOIN r${i - 1} r ON eo.src = r.id GROUP BY eo.dst) f
+         |  ON nodes.id = f.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT id FROM $wv),
        |tele AS (SELECT CAST($scale $intDiv COUNT(*) AS BIGINT) AS t FROM nodes),
        |r0 AS (SELECT nodes.id, tele.t AS rank FROM nodes CROSS JOIN tele),
        |$iters,
-       |sel AS (SELECT wv.word, r5.rank FROM r5 JOIN wv ON r5.id = wv.id
+       |sel AS (SELECT wv.word, r5.rank FROM r5 JOIN $wv wv ON r5.id = wv.id
        |        ORDER BY r5.rank DESC, wv.word LIMIT 20)
        |SELECT CAST(row_number() OVER (ORDER BY rank DESC, word) AS INT) AS rk,
        |       word, CAST(rank AS BIGINT) AS rank_scaled
        |FROM sel ORDER BY rk""".stripMargin
   }
+
+  private def textrankTail(gp: String, intDiv: String): String =
+    s"""${textrankGraphCtes(gp)},
+       |${textrankRankReadout("wv", "eo", intDiv)}""".stripMargin
 
   private val trPairCache = new graft.LruMemo[
     (org.apache.spark.sql.SparkSession, String),
@@ -281,8 +294,34 @@ object TextMining {
     gp.createOrReplaceTempView("tr_pairs")
   }
 
-  private def textrankSpark: String =
-    s"""WITH ${textrankTail("tr_pairs", "DIV")}""".stripMargin
+  /** Spark path: wv and eo are staged views (the single-SQL form compiled
+    * to a 346-Exchange plan — eo is referenced by all 5 rank rounds and
+    * wv by ed0/nodes/sel, and Catalyst re-inlines each reference;
+    * plans/r11, _before capture). The rank chain itself is linear
+    * (r_{i-1} referenced once) and stays one SQL.
+    */
+  private def textrankSparkStaged(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    def cp(df: org.apache.spark.sql.DataFrame) =
+      graft.Staging.checkpointStatsReset(df, eager = false)
+    cp(s.sql(
+      """SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS id
+        |FROM (SELECT w1 AS word FROM tr_pairs
+        |      UNION SELECT w2 AS word FROM tr_pairs) z""".stripMargin))
+      .createOrReplaceTempView("graft_tr_wv")
+    cp(s.sql(
+      """WITH ed0 AS (SELECT DISTINCT a.id AS src, b.id AS dst
+        |        FROM tr_pairs g JOIN graft_tr_wv a ON g.w1 = a.word
+        |                        JOIN graft_tr_wv b ON g.w2 = b.word
+        |        WHERE a.id != b.id),
+        |ed AS (SELECT src, dst FROM ed0
+        |       UNION SELECT dst AS src, src AS dst FROM ed0)
+        |SELECT ed.src, ed.dst, od.outdeg
+        |FROM ed JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        |              FROM ed GROUP BY src) od ON ed.src = od.src""".stripMargin))
+      .createOrReplaceTempView("graft_tr_eo")
+    s.sql(s"WITH ${textrankRankReadout("graft_tr_wv", "graft_tr_eo", "DIV")}")
+  }
 
   private def textrankDuck: String =
     s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
@@ -442,7 +481,7 @@ object TextMining {
       (s, d) => {
         graft.queries.Tables.registerAll(s, d)
         stageTrPairs(s, d)
-        s.sql(textrankSpark)
+        textrankSparkStaged(s)
       },
       Some(textrankDuck)),
     "q_text_pmi_collocations" -> QuerySpec.sql2(pmiSpark, pmiDuck),

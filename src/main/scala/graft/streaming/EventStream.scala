@@ -367,14 +367,20 @@ object EventStream {
 
   /** Stateful-shuffle width for the replayed streams. Every stateful
     * operator instantiates one state store PER shuffle partition (two for
-    * a stream-stream join), each with its own checkpoint directory and
-    * maintenance — at this fixture's volume that fixed overhead dominates
-    * wall time (measured: the interval join runs 8s at 32 partitions, 3s
-    * at 8, identical results). Streaming state width should be sized to
-    * stream volume / key cardinality, NOT inherited from the batch shuffle
-    * default; a production deployment raises it with throughput.
+    * a stream-stream join), each with its own checkpoint directory,
+    * per-micro-batch commit file and maintenance — at this fixture's
+    * volume that fixed overhead dominates wall time (measured: the
+    * interval join runs 8s at 32 partitions, 3s at 8, identical results;
+    * r11 re-measured the full streaming family at 4 vs 8 and 4 wins
+    * another ~15% with identical results). Streaming state width must be
+    * sized to stream volume / key cardinality, NOT inherited from the
+    * batch shuffle default — so it is a conf
+    * (`spark.graft.stream.shufflePartitions`, default 4): a production
+    * deployment raises it with throughput; partition count never changes
+    * results, only parallelism per micro-batch.
     */
-  private val streamShufflePartitions = "8"
+  private def streamShufflePartitions(spark: SparkSession): String =
+    spark.conf.get("spark.graft.stream.shufflePartitions", "4")
 
   /** JVM-global streaming-activity sweep: StateStore.stop() is JVM-global,
     * but StreamingQueryManager (spark.streams) is per-SESSION — an active
@@ -433,7 +439,7 @@ object EventStream {
     // session default (runners execute streams synchronously, so the
     // mutation window is contained).
     val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(spark))
     try {
       val query = stream.writeStream
         .outputMode(mode)
@@ -537,7 +543,7 @@ object EventStream {
     // partition PER micro-batch; hold the narrowed width until the replay
     // drains (the cloned session captures it at start())
     val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(spark))
     try {
       val query = stream.writeStream
         .outputMode("append")
