@@ -14,7 +14,23 @@ package graft
   * cold-start must not serialize every other tenant's lookup.
   */
 private[graft] final class LruMemo[K, V](capacity: Int) {
-  private final class Cell(compute: () => V) { lazy val value: V = compute() }
+  // Memo builds run pinned: frames checkpointed during the compute are
+  // build-once-serve-many artifacts whose blocks must survive across
+  // queries (they are NOT registered in Staging's transient ledger; an
+  // evicted entry is still reclaimed by the ContextCleaner as before).
+  // Outermost builds also record their seconds in the memo ledger so the
+  // bench can report family-artifact build cost separately from the
+  // first consumer's own time (nested memo builds are covered by the
+  // outer timing).
+  private final class Cell(compute: () => V) {
+    lazy val value: V = {
+      val outermost = !Staging.inPinnedScope
+      val t0 = if (outermost) System.nanoTime() else 0L
+      val v = Staging.pinned(compute())
+      if (outermost) Staging.memoLedgerAdd(System.nanoTime() - t0)
+      v
+    }
+  }
 
   private val map = new java.util.LinkedHashMap[K, Cell](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, Cell]): Boolean =

@@ -28,6 +28,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // previous query's action is complete; drop its transient staged
+      // blocks before building the next (guide §5, r11 finding #1)
+      Staging.releaseTransient()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -18,8 +18,29 @@ import org.apache.spark.sql.DataFrame
   */
 object InternalFrames {
 
+  /** Contract: the input must be a checkpoint-produced frame (as
+    * [[graft.Staging.checkpointStatsReset]] guarantees) — its `toRdd`
+    * yields already-copied UnsafeRows. Called on an arbitrary frame, the
+    * wrapped RDD could expose per-partition reused row buffers to anyone
+    * who persists or collects it directly.
+    */
   def statsReset(df: DataFrame): DataFrame = {
+    require(checkpointRdd(df).isDefined,
+      "InternalFrames.statsReset requires a checkpoint-produced frame (LogicalRDD plan)")
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema)
   }
+
+  /** The persisted RDD behind a checkpoint-produced frame (a `LogicalRDD`
+    * plan, as `Dataset.checkpoint`/`localCheckpoint` return), or None for
+    * any other plan shape. This is the handle [[graft.Staging]] needs to
+    * unpersist a staged frame's blocks explicitly once its consumers are
+    * done — `queryExecution.toRdd` would return a *derived*
+    * mapPartitions RDD whose unpersist is a no-op.
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }
