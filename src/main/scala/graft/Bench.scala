@@ -111,7 +111,8 @@ object Bench {
     // and poisoned the isolated-vs-prev verdict. Steady-state is what the
     // prev record captures, so steady-state is what isolation must time.
     only.foreach(_.toSeq.sorted.foreach(n =>
-      try materialize(n) catch { case _: Throwable => () }))
+      try { Staging.releaseTransient(); materialize(n) }
+      catch { case _: Throwable => () }))
 
     // Machine-speed calibration: a fixed data-independent multicore
     // workload (hash + aggregate over an in-memory range), timed after
@@ -137,9 +138,19 @@ object Bench {
     }
 
     var failures = List.empty[String]
+    // Per-query bookkeeping beyond the time: gc seconds, and memo-build
+    // seconds (family artifacts built inside this query's timing — the
+    // r11 finding-#3 attribution: without it the record cannot
+    // distinguish "operator got faster" from "operator's cost moved to
+    // its first-consumer sibling"). Transient staged frames of the
+    // PREVIOUS query are unpersisted before the timer starts (guide §5;
+    // r11 finding #1: orphaned localCheckpoint block sets accumulated
+    // across 357 queries and slowed the whole matrix).
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map { name =>
+      Staging.releaseTransient()
+      val m0 = Staging.memoLedgerNanos
       val g0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
@@ -149,17 +160,21 @@ object Bench {
             failures ::= s"$name: ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
             false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok, (gcMillis() - g0) / 1e3)
+      (name, (System.nanoTime() - t0) / 1e9, ok, (gcMillis() - g0) / 1e3,
+        (Staging.memoLedgerNanos - m0) / 1e9)
     }
 
     val qs = results
-      .map { case (k, v, ok, _) => s""""$k":${if (ok) f"$v%.3f" else "null"}""" }
+      .map { case (k, v, ok, _, _) => s""""$k":${if (ok) f"$v%.3f" else "null"}""" }
       .mkString("{", ",", "}")
     val gcs = results
-      .map { case (k, _, _, g) => s""""$k":${f"$g%.3f"}""" }
+      .map { case (k, _, _, g, _) => s""""$k":${f"$g%.3f"}""" }
+      .mkString("{", ",", "}")
+    val memos = results
+      .collect { case (k, _, _, _, m) if m > 0.0005 => s""""$k":${f"$m%.3f"}""" }
       .mkString("{", ",", "}")
     val errs = results.filterNot(_._3).map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
     // Per-query deltas vs the committed previous-round record, so the
     // round's JSON carries its own regression report (a total-only gate
     // let a 10-query 2-6x cluster hide inside an improved total in r4).
@@ -188,10 +203,15 @@ object Bench {
     val calibFactor =
       if (calibSec > 0 && prevCalib > 0) calibSec / prevCalib else 1.0
     // 0.3 s absolute floor: sub-second blips on a shared box are
-    // measurement noise, not regressions (see the r4 cluster diagnosis)
+    // measurement noise, not regressions (see the r4 cluster diagnosis).
+    // Memo-build seconds are subtracted before flagging: a family
+    // artifact's one-time build landing in a different first consumer
+    // than last round is cost ATTRIBUTION moving, not a regression (the
+    // raw time stays in `queries`; the build seconds in `memo_sec`).
+    val memoByName = results.map { case (n, _, _, _, m) => n -> m }.toMap
     val candidates = results.collect {
-      case (n, v, true, _) if prev.get(n).exists(p =>
-        p > 0 && v / (p * calibFactor) > 1.5 && v - p * calibFactor > 0.3) =>
+      case (n, v, true, _, m) if prev.get(n).exists(p =>
+        p > 0 && (v - m) / (p * calibFactor) > 1.5 && (v - m) - p * calibFactor > 0.3) =>
         (n, v)
     }
 
@@ -265,7 +285,8 @@ object Bench {
     def entryJson(n: String, v: Double): String = {
       val iso = isolated.get(n).flatten
       val isoTxt = iso.map(d => f"$d%.3f").getOrElse("null")
-      f""""$n":{"prev":${prev(n)}%.3f,"now":$v%.3f,"ratio":${v / prev(n)}%.2f,"adj_ratio":${v / (prev(n) * calibFactor)}%.2f,"isolated":$isoTxt}"""
+      val memo = memoByName.getOrElse(n, 0.0)
+      f""""$n":{"prev":${prev(n)}%.3f,"now":$v%.3f,"memo_s":$memo%.3f,"ratio":${v / prev(n)}%.2f,"adj_ratio":${v / (prev(n) * calibFactor)}%.2f,"isolated":$isoTxt}"""
     }
     // confirmed = still >1.3x calib-adjusted prev when re-timed in the
     // fresh flags-only JVM (or no isolation datum); within 1.3x isolated
@@ -290,7 +311,7 @@ object Bench {
       "q_join_derived", "q_sort_nulls", "q_sort_multi_desc", "q_limit_offset",
       "q_union_all", "q_union_distinct", "q_intersect", "q_intersect_all",
       "q_except", "q_except_all", "q_distinct")
-    val r1Total = results.collect { case (n, v, true, _) if r1Names.contains(n) => v }.sum
+    val r1Total = results.collect { case (n, v, true, _, _) if r1Names.contains(n) => v }.sum
     val note = "r2 re-baseline: materializing noop-write action + warm-up " +
       "(r1 used count(), which let Catalyst drop sorts/projections); " +
       "r1_queries_total covers the original 33-query matrix under the new harness"
@@ -298,13 +319,30 @@ object Bench {
       .map { case (n, s, ok) => s""""$n":{"sec":${f"$s%.3f"},"ok":$ok}""" }
       .mkString("{", ",", "}")
     val warmupJson = warmupFailed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"gc_sec":$gcs,"staging":$stagingJson,"warmup_failed":$warmupJson,"regressions_vs_prev":$regressions,"noise_suppressed":$suppressed,"isolation_valid":$isoValid,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"calib_sec":${f"$calibSec%.3f"},"prev_calib_sec":${f"$prevCalib%.3f"},"calib_factor":${f"$calibFactor%.3f"},"n_flagged":${candidates.size},"n_isolated":${isolated.count(_._2.nonEmpty)},"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"},"note":"$note"}"""
-    println(json)
+    // Two renderings of one record (r11 verdict #2: the driver failed to
+    // parse the bench stdout two rounds running — only a 2000-char tail
+    // of it survives, and the full line had grown to ~40 KB):
+    //  - the FULL record (per-query gc/memo seconds, staging steps,
+    //    regression adjudication) goes to bench_out.json — the stable
+    //    mirror path; the isolation parent and the committed round
+    //    evidence read this file;
+    //  - stdout carries ONE LEAN JSON line with the contract fields
+    //    (metric/value/unit/queries/sf) plus the scalar diagnostics —
+    //    ~9 KB, printed AFTER spark.stop() via a single flushed write so
+    //    no executor/log output can interleave and nothing follows it
+    //    but the sbt footer. Same numbers in both; nothing is dropped.
+    val shared =
+      s""""metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"calib_sec":${f"$calibSec%.3f"},"prev_calib_sec":${f"$prevCalib%.3f"},"calib_factor":${f"$calibFactor%.3f"},"isolation_valid":$isoValid,"n_flagged":${candidates.size},"n_isolated":${isolated.count(_._2.nonEmpty)},"n_ok":${results.count(_._3)},"n":${results.size},"r1_queries_total":${f"$r1Total%.3f"}"""
+    val fullJson =
+      s"""{$shared,"gc_sec":$gcs,"memo_sec":$memos,"staging":$stagingJson,"warmup_failed":$warmupJson,"regressions_vs_prev":$regressions,"noise_suppressed":$suppressed,"note":"$note"}"""
+    val leanJson = s"""{$shared,"full_record":"bench_out.json","note":"$note"}"""
     Files.writeString(
-      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      fullJson + "\n")
     failures.foreach(f => System.err.println(s"[bench] FAIL $f"))
     spark.stop()
+    System.out.println(leanJson)
+    System.out.flush()
     if (failures.nonEmpty) sys.exit(1)
   }
 }
