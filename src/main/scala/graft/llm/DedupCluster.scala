@@ -41,6 +41,12 @@ object DedupCluster {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
   }
 
+  /** Fixpoint actions the last [[clusters]] run took — the r12 evidence
+    * probe for the barrier-halving claim (each action covers two
+    * propagate+double-shortcut sub-rounds).
+    */
+  private[llm] val lastActions = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def clustersLoop(p: DataFrame): DataFrame = {
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
@@ -50,36 +56,61 @@ object DedupCluster {
       .withColumn("label", col("node"))
       .staged()
 
+    // One propagate-and-shortcut sub-round over (node, label0, label):
+    // pull every neighbor's label, keep the min, then chase the result
+    // through the round-start label map TWICE — l(u) := l(l(l(u))).
+    // Each chase is one |nodes|-row equi-join; labels only ever decrease
+    // (least() everywhere) and any value assigned is the id of a node in
+    // the same component, so the fixpoint is still the per-component
+    // minimum — the extra applications only accelerate convergence
+    // (chain depth quarters per sub-round instead of halving). label0
+    // (the action-start label) rides along for the convergence check.
+    def subRound(ls: DataFrame): DataFrame = {
+      val cur = ls.select(col("node"), col("label"))
+      val neighborMin = edges
+        .join(cur, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      val lk1 = cur.select(col("node").as("jn"), col("label").as("jl"))
+      val lk2 = cur.select(col("node").as("kn"), col("label").as("kl"))
+      ls
+        .join(neighborMin, col("node") === col("a"), "left")
+        .select(col("node"), col("label0"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("mid"))
+        .join(lk1, col("mid") === col("jn"), "left")
+        .select(col("node"), col("label0"),
+          least(col("mid"), coalesce(col("jl"), col("mid"))).as("m2"))
+        .join(lk2, col("m2") === col("kn"), "left")
+        .select(col("node"), col("label0"),
+          least(col("m2"), coalesce(col("kl"), col("m2"))).as("label"))
+    }
+
     var converged = false
     var rounds = 0
-    val maxRounds = 50 // backstop; pointer-jumping converges in ~log2(diameter)
+    val maxRounds = 50 // backstop; doubling converges in ~log2(diameter)
     while (!converged && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels, col("b") === col("node"))
-        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
-      val propagated = labels
-        .join(neighborMin, col("node") === col("a"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("mid"))
-      val lookup = labels.select(col("node").as("jn"), col("label").as("jl"))
-      val updated = propagated
-        .join(lookup, col("mid") === col("jn"), "left")
-        .select(col("node"), col("label"),
-          least(col("mid"), coalesce(col("jl"), col("mid"))).as("next"))
-        .withColumn("changed", col("next") < col("label"))
-        // lazy checkpoint, materialized by the fixpoint action; wrapped in
-        // the stats reset because labels are referenced TWICE per round
-        // (propagate + lookup), which doubles the carried sizeInBytes
-        // estimate's digit count per round — fine for the handful of
-        // rounds dedup components need, a driver-stalling BigInt after the
-        // ~15+ rounds forest-shaped graphs (q_cluster_single_linkage)
-        // take (IterPlan.cpReset doc)
-        .transform(d => IterPlan.cpReset(d, eager = false))
-      converged = updated.agg(count(when(col("changed"), true))).head.getLong(0) == 0
-      labels = updated.select(col("node"), col("next").as("label"))
+      // TWO sub-rounds per driver action (r11 verdict #4: the per-round
+      // fixpoint collect was the dominant cost of forest-shaped graphs —
+      // each action is a full job barrier at this scale). A sub-round
+      // past convergence is a no-op on the labels, so batching cannot
+      // change the result, only the round at which the check fires.
+      // Each sub-round is lazily checkpointed (referenced 4x by the
+      // next one; the stats reset prevents the self-join BigInt
+      // pathology — IterPlan.cpReset doc), materialized by the single
+      // fixpoint action.
+      val base = labels.select(col("node"), col("label").as("label0"), col("label"))
+      val a = IterPlan.cpReset(subRound(base), eager = false)
+      val b = IterPlan.cpReset(subRound(a), eager = false)
+      // labels only decrease, so "anything changed in either sub-round"
+      // == final label < action-start label
+      converged =
+        b.agg(count(when(col("label") < col("label0"), true))).head.getLong(0) == 0
+      labels = b.select(col("node"), col("label"))
       rounds += 1
     }
+    lastActions.set(rounds)
+    // No ORDER BY here: of the six consumers only q_dedup_cluster's
+    // readout needs one and it adds its own; the rest aggregate or join
+    // (a range-partition sort exchange ahead of a groupBy is waste).
     labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
-      .orderBy("doc_id")
   }
 }
