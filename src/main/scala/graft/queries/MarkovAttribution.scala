@@ -110,13 +110,28 @@ object MarkovAttribution {
     s.sql(keptSql).staged().createOrReplaceTempView("graft_mk_kept")
     s.sql(matrixSql("graft_mk_kept", "DIV"))
       .staged().createOrReplaceTempView("graft_mk_m")
-    var p = s.sql(
-      "SELECT scn, s, CAST(0 AS BIGINT) AS v FROM graft_mk_m WHERE 1 = 0")
-    for (_ <- 1 to K) {
+    // The K=24 absorption rounds run over the ≤(T+1)²-row matrix —
+    // domain-bounded at ANY corpus scale, so the right shuffle width is 1
+    // and AQE's per-stage re-optimization is pure overhead (guide §2.2
+    // task-count floor / §1.2 config after algorithm; r11 verdict #6).
+    // Neither knob can change results: every round is a deterministic
+    // integer fold + division, order-independent under any partitioning.
+    val prevWidth = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var p = s.sql(
+        "SELECT scn, s, CAST(0 AS BIGINT) AS v FROM graft_mk_m WHERE 1 = 0")
+      for (_ <- 1 to K) {
+        p.createOrReplaceTempView("graft_mk_p")
+        p = s.sql(iterSql("graft_mk_m", "graft_mk_p", "DIV")).staged()
+      }
       p.createOrReplaceTempView("graft_mk_p")
-      p = s.sql(iterSql("graft_mk_m", "graft_mk_p", "DIV")).staged()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevWidth)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
-    p.createOrReplaceTempView("graft_mk_p")
     s.sql(finalSql("graft_mk_p", "DIV"))
   }
 
