@@ -29,8 +29,14 @@ class StructureOracleSpec extends AnyFunSuite {
     assert(temp.toSet == expected,
       s"SHOW TABLES must list exactly the fixture registry; got ${temp.toSet}")
     assert(temp.length == Tables.names.length, "no duplicate rows")
-    assert(perm.forall(_._1.nonEmpty),
-      s"permanent tables must carry a namespace; got ${perm.toSet}")
+    // Permanent rows: subset of the registered permanent-fixture
+    // allowlist (r11 advice: namespace-only let ANY leaked permanent
+    // table pass unnoticed). ensureBucketed's saveAsTable fixtures are
+    // today's only legitimate entries; a suite leaking another permanent
+    // table into the shared global catalog must fail here.
+    val permAllowed = Set("b_orders", "b_orders2")
+    assert(perm.forall(p => p._1.nonEmpty && permAllowed.contains(p._2)),
+      s"permanent tables must be registered bucketed fixtures; got ${perm.toSet}")
   }
 
   test("q_describe: the orders relation schema, column for column") {
